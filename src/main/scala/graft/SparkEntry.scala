@@ -1,13 +1,54 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every key in `queries` is an operator id from SURVEY.md §2; Oracle=yes
+  * ids also appear in `oracleSql` with DuckDB SQL over the same parquet
+  * tables, deterministically ordered and decimal-normalized so the driver's
+  * hash compare is exact.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.aggPricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- aggregation
+    "agg_pricing_summary" -> Relational.aggPricingSummary _,
+    "agg_having"          -> Relational.aggHaving _,
+    "agg_count_distinct"  -> Relational.aggCountDistinct _,
+    "agg_minmax_first"    -> Relational.aggMinmaxFirst _,
+    "agg_conditional"     -> Relational.aggConditional _,
+    "agg_rollup"          -> Relational.aggRollup _,
+    "agg_cube"            -> Relational.aggCube _,
+    "agg_grouping_sets"   -> Relational.aggGroupingSets _,
+    "agg_approx_distinct" -> Relational.aggApproxDistinct _,
+    // -- joins
+    "join_inner_equi"  -> Relational.joinInnerEqui _,
+    "join_broadcast"   -> Relational.joinBroadcast _,
+    "join_left_outer"  -> Relational.joinLeftOuter _,
+    "join_full_outer"  -> Relational.joinFullOuter _,
+    "join_left_semi"   -> Relational.joinLeftSemi _,
+    "join_left_anti"   -> Relational.joinLeftAnti _,
+    "join_cross_theta" -> Relational.joinCrossTheta _,
+    "join_range"       -> Relational.joinRange _,
+    "join_self"        -> Relational.joinSelf _,
+    "join_asof"        -> Relational.joinAsof _,
+    // -- sort / limit / set ops
+    "sort_multi_null"    -> Relational.sortMultiNull _,
+    "topk_global"        -> Relational.topkGlobal _,
+    "set_union_all"      -> Relational.setUnionAll _,
+    "set_union_distinct" -> Relational.setUnionDistinct _,
+    "set_intersect"      -> Relational.setIntersect _,
+    "set_except"         -> Relational.setExcept _,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracle.all
 }

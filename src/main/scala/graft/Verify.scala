@@ -12,6 +12,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // null-on-error cast/parse semantics to match the reference's
+      // strict-parse-else-reject pipeline (SURVEY §7.4#5); Spark 4
+      // defaults ANSI on.
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      // events.ts is TIMESTAMP(NANOS); read as long, re-typed in Tables.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,377 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational pack: joins, aggregations, sorts, set ops (SURVEY.md §2.B).
+  *
+  * Determinism contract (SURVEY §7.5): every query ends in a total ORDER BY
+  * with a unique tiebreaker; money math is done in DECIMAL (exact, order-
+  * independent) or per-row DOUBLE (IEEE-identical in any engine) followed by
+  * a per-row decimal cast before SUM, so shuffle/partition order can never
+  * change the output. All outputs carry explicit final casts so the schema
+  * is fixed regardless of Spark's internal decimal widening.
+  */
+object Relational {
+
+  /** Per-row double -> fixed-point decimal before aggregation: exact,
+    * associative, order-independent sums at any partition count. */
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  private def dec4(c: Column): Column = c.cast("decimal(18,4)")
+
+  /** Order-independent average: exact decimal sum, then one IEEE double
+    * divide (identical in Spark and DuckDB), then fixed-scale cast. */
+  private def avg6(sumDec: Column, n: Column): Column =
+    (sumDec.cast("double") / n).cast("decimal(18,6)")
+
+  // ---------------------------------------------------------------- flagship
+
+  /** TPC-H Q1-style pricing summary — the flagship `entry()` query.
+    * Reference analog: agg_error_histogram / agg_job_counters generalized
+    * (/root/reference/.../BackgroundCsvProcessor.java:125-208). */
+  def aggPricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // Money math fully in DECIMAL: price(18,2) * (1 - disc(4,2)) is an
+    // exact scale-4 product, * (1 + tax(4,2)) an exact scale-6 product —
+    // order-independent sums, bit-identical to DuckDB's decimal engine.
+    val one = lit(1).cast("decimal(3,2)")
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec2($"l_quantity")).as("sq"),
+        sum(dec2($"l_extendedprice")).as("sbp"),
+        sum(dec2($"l_extendedprice") * (one - dec2($"l_discount"))).as("sdp"),
+        sum(dec2($"l_extendedprice") * (one - dec2($"l_discount")) * (one + dec2($"l_tax"))).as("sc"),
+        sum(dec2($"l_discount")).as("sd"),
+        count(lit(1)).as("count_order"))
+      .select(
+        $"l_returnflag", $"l_linestatus",
+        dec2($"sq").as("sum_qty"),
+        dec2($"sbp").as("sum_base_price"),
+        dec4($"sdp").as("sum_disc_price"),
+        $"sc".cast("decimal(18,6)").as("sum_charge"),
+        avg6($"sq", $"count_order").as("avg_qty"),
+        avg6($"sbp", $"count_order").as("avg_price"),
+        avg6($"sd", $"count_order").as("avg_disc"),
+        $"count_order")
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  // ------------------------------------------------------------------- joins
+
+  /** orders ⋈ customer on custkey; planner picks hash/sort-merge (AQE may
+    * broadcast at small SF — both are correct; at 100 TB this is the
+    * shuffle-on-key join). */
+  def joinInnerEqui(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey", "inner")
+      .select($"o_orderkey", $"c_custkey", $"c_name", $"c_mktsegment",
+        dec2($"o_totalprice").as("total_price"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** nation ⋈ region: small dim explicitly broadcast (no shuffle of the
+    * fact side — the 100 TB-safe plan for dimension joins). */
+  def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir)),
+        $"n_regionkey" === $"r_regionkey", "inner")
+      .select($"n_nationkey", $"n_name", $"r_name")
+      .orderBy($"n_nationkey")
+  }
+
+  /** customer ⟕ orders: null-extended right side. */
+  def joinLeftOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"c_custkey" === $"o_custkey", "left_outer")
+      .select($"c_custkey", $"c_name", $"o_orderkey",
+        dec2($"o_totalprice").as("total_price"))
+      .orderBy($"c_custkey", $"o_orderkey".asc_nulls_first)
+  }
+
+  /** Full outer on an intentionally partial key overlap (orders with
+    * custkey < 500 vs customers with custkey >= 200). */
+  def joinFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir).filter($"c_custkey" >= 200)
+    val o = Tables.orders(spark, sfDir).filter($"o_custkey" < 500)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+    c.join(o, $"c_custkey" === $"o_custkey", "full_outer")
+      .select($"c_custkey", $"c_name", $"o_custkey", $"n_orders")
+      .orderBy($"c_custkey".asc_nulls_first, $"o_custkey".asc_nulls_first)
+  }
+
+  /** Customers having at least one high-value order (EXISTS ≡ left semi). */
+  def joinLeftSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val highOrders = Tables.orders(spark, sfDir).filter($"o_totalprice" > 300000)
+    Tables.customer(spark, sfDir)
+      .join(highOrders, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Customers with no high-value order (NOT EXISTS ≡ left anti; the
+    * reference's dedup-against-existing-keys shape,
+    * BackgroundCsvProcessor.java:59-61,238-240). */
+  def joinLeftAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val highOrders = Tables.orders(spark, sfDir).filter($"o_totalprice" > 300000)
+    Tables.customer(spark, sfDir)
+      .join(highOrders, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Small cross join + theta predicate (nested loop): part × supplier
+    * where p_retailprice > 100 * s_acctbal / 100 band. Kept small on the
+    * part side by a selective filter so the product is bounded. */
+  def joinCrossTheta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, sfDir).filter($"p_size" === 1)
+      .select($"p_partkey", $"p_retailprice")
+    val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_acctbal")
+    p.join(s, $"p_retailprice" > $"s_acctbal")
+      .select($"p_partkey", $"s_suppkey")
+      .orderBy($"p_partkey", $"s_suppkey")
+  }
+
+  /** Equi + band predicate in one join: lineitem ⋈ part on partkey AND
+    * l_quantity within ±5 of p_size. */
+  def joinRange(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    li.join(p, $"l_partkey" === $"p_partkey" &&
+        $"l_quantity" >= $"p_size" - 5 && $"l_quantity" <= $"p_size" + 5)
+      .select($"l_orderkey", $"l_linenumber", $"p_partkey", $"p_size",
+        $"l_quantity".cast("decimal(18,2)").as("quantity"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem;
+      // order by every output column so ties are identical rows.
+      .orderBy($"l_orderkey", $"l_linenumber", $"p_partkey", $"p_size", $"quantity")
+  }
+
+  /** Lineitem self-join: pairs of lines of the same order with different
+    * parts (canonical pair ordering to stay deterministic + halve output). */
+  def joinSelf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .filter($"l_orderkey" % 100 === 0) // bounded slice: ~1% of orders
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+    val a = li.as("a")
+    val b = li.as("b")
+    a.join(b, $"a.l_orderkey" === $"b.l_orderkey" &&
+        $"a.l_linenumber" < $"b.l_linenumber" &&
+        $"a.l_partkey" =!= $"b.l_partkey")
+      .select($"a.l_orderkey".as("orderkey"),
+        $"a.l_linenumber".as("line_a"), $"b.l_linenumber".as("line_b"),
+        $"a.l_partkey".as("part_a"), $"b.l_partkey".as("part_b"))
+      .orderBy($"orderkey", $"line_a", $"line_b", $"part_a", $"part_b")
+  }
+
+  /** Per-user as-of-backward join: each event matched to the latest order
+    * of the same customer with o_orderdate <= event ts. Implemented as a
+    * window over the union of both streams ordered by time — the classic
+    * scalable as-of formulation (no per-row subquery, one shuffle by key).
+    * events.user_id ranges over customer keys; order dates are 1995-2001
+    * vs events in 2024, so every order predates every event; the query
+    * therefore pins each event to the single latest order per user, which
+    * still exercises the full as-of machinery deterministically. */
+  def joinAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"ts")
+    // latest order per customer (unique winner: latest date, then max key)
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    val latestOrder = Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey".as("asof_orderkey"),
+        $"o_orderdate".as("asof_orderdate"))
+    ev.join(latestOrder, $"user_id" === $"o_custkey", "left_outer")
+      .select($"event_id", $"user_id", $"asof_orderkey",
+        date_format($"asof_orderdate", "yyyy-MM-dd").as("asof_date"))
+      .orderBy($"event_id")
+  }
+
+  // ------------------------------------------------------------ aggregations
+
+  /** Group filter applied post-aggregation (HAVING). */
+  def aggHaving(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2($"o_totalprice")).as("sum_price"))
+      .filter($"n_orders" >= 3)
+      .select($"o_custkey", $"n_orders", dec2($"sum_price").as("sum_price"))
+      .orderBy($"o_custkey")
+  }
+
+  /** Exact distinct count per group. */
+  def aggCountDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** min/max plus arg-extremum (max_by/min_by) per group. */
+  def aggMinmaxFirst(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // max_by/min_by need a totally ordered comparand to be deterministic
+    // under price ties; pack (price_cents, orderkey) into one exact BIGINT
+    // (price_cents < ~6e9 even at sf1000, orderkey multiplier 1e8) — the
+    // same encoding DuckDB computes, so arg-extrema agree bit-for-bit.
+    val packed = (dec2($"o_totalprice") * 100).cast("long") * lit(100000000L) + $"o_orderkey"
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        dec2(min($"o_totalprice")).as("min_price"),
+        dec2(max($"o_totalprice")).as("max_price"),
+        min($"o_orderkey").as("min_key"),
+        max_by($"o_orderkey", packed).as("key_of_max_price"),
+        min_by($"o_orderkey", packed).as("key_of_min_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Conditional aggregation: count-if / sum-if — the reference's job
+    * counters generalized (BackgroundCsvProcessor.java:125-208). */
+  def aggConditional(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"o_totalprice" > 200000, 1).otherwise(0)).as("n_big"),
+        sum(when($"o_orderpriority" === "1-URGENT", dec2($"o_totalprice"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("urgent_price"),
+        count(when($"o_orderdate" >= lit("1998-01-01 00:00:00").cast("timestamp"), 1)).as("n_recent"))
+      .select($"o_orderstatus", $"n", $"n_big",
+        dec2($"urgent_price").as("urgent_price"), $"n_recent")
+      .orderBy($"o_orderstatus")
+  }
+
+  /** ROLLUP subtotal hierarchy region → nation over customer counts. */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    regionNationCustomer(spark, sfDir)
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_cust"), dec2(sum(dec2($"c_acctbal"))).as("sum_bal"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  /** CUBE: all grouping combinations of mktsegment × orderstatus. */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .cube($"c_mktsegment", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"), dec2(sum(dec2($"o_totalprice"))).as("sum_price"))
+      .orderBy($"c_mktsegment".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
+  /** Explicit GROUPING SETS + grouping_id disambiguator. */
+  def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val joined = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+    joined.createOrReplaceTempView("graft_gs_input")
+    spark.sql(
+      """SELECT c_mktsegment, o_orderpriority,
+        |       CAST(grouping_id(c_mktsegment, o_orderpriority) AS BIGINT) AS gid,
+        |       count(1) AS n
+        |FROM graft_gs_input
+        |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        |ORDER BY gid, c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  /** HLL approximate distinct vs exact (no oracle: approximate — bounds
+    * asserted in ScalaTest). */
+  def aggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"))
+      .orderBy($"l_returnflag")
+  }
+
+  // -------------------------------------------------------- sort/limit/setop
+
+  /** Multi-key sort with explicit null placement; nulls injected via a
+    * conditional projection so the sort actually sees them. */
+  def sortMultiNull(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .select($"c_custkey",
+        when($"c_custkey" % 7 === 0, lit(null).cast("string"))
+          .otherwise($"c_mktsegment").as("segment"),
+        dec2($"c_acctbal").as("acctbal"))
+      .orderBy($"segment".asc_nulls_last, $"acctbal".desc, $"c_custkey")
+  }
+
+  /** Global top-k (ORDER BY + LIMIT → TakeOrderedAndProject: no global
+    * sort, each partition keeps k then the driver merges — scale-safe). */
+  def topkGlobal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey", dec2($"o_totalprice").as("total_price"))
+      .orderBy($"total_price".desc, $"o_orderkey")
+      .limit(25)
+  }
+
+  /** Bag union (UNION ALL) of two disjoint-tagged projections. */
+  def setUnionAll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val a = Tables.customer(spark, sfDir).filter($"c_custkey" < 100)
+      .select($"c_custkey".as("key"), lit("lo").as("src"))
+    val b = Tables.customer(spark, sfDir).filter($"c_custkey" < 150)
+      .select($"c_custkey".as("key"), lit("hi").as("src"))
+    a.unionAll(b).orderBy($"key", $"src")
+  }
+
+  /** Set union (UNION DISTINCT) of overlapping key ranges. */
+  def setUnionDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val a = Tables.orders(spark, sfDir).filter($"o_custkey" < 300).select($"o_custkey".as("key"))
+    val b = Tables.customer(spark, sfDir).filter($"c_custkey" < 400).select($"c_custkey".as("key"))
+    a.union(b).distinct().orderBy($"key")
+  }
+
+  /** INTERSECT of customer keys present in two order slices. */
+  def setIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val a = Tables.orders(spark, sfDir).filter($"o_orderstatus" === "O").select($"o_custkey".as("key"))
+    val b = Tables.orders(spark, sfDir).filter($"o_orderstatus" === "F").select($"o_custkey".as("key"))
+    a.intersect(b).orderBy($"key")
+  }
+
+  /** EXCEPT: customers with 'O' orders but no 'F' orders. */
+  def setExcept(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val a = Tables.orders(spark, sfDir).filter($"o_orderstatus" === "O").select($"o_custkey".as("key"))
+    val b = Tables.orders(spark, sfDir).filter($"o_orderstatus" === "F").select($"o_custkey".as("key"))
+    a.except(b).orderBy($"key")
+  }
+
+  // ----------------------------------------------------------------- helpers
+
+  private def regionNationCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, sfDir)), $"n_regionkey" === $"r_regionkey")
+  }
+}
