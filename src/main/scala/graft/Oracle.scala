@@ -192,5 +192,166 @@ object Oracle {
         |ORDER BY key""".stripMargin,
   )
 
-  def all: Map[String, String] = relational
+  val windows: Map[String, String] = Map(
+    "win_row_number" ->
+      """SELECT o_custkey, o_orderkey,
+        | row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |FROM orders ORDER BY o_custkey, rn""".stripMargin,
+
+    "win_rank_dense" ->
+      """SELECT l_returnflag, CAST(l_quantity AS INTEGER) AS qty,
+        | rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS INTEGER))
+        |ORDER BY l_returnflag, qty, rnk, drnk""".stripMargin,
+
+    "win_ntile" ->
+      """SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+        | ntile(4) OVER (ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey) AS quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "win_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        | CAST(lag(o_totalprice, 1) OVER w AS DECIMAL(18,2)) AS prev_price,
+        | CAST(lead(o_totalprice, 1) OVER w AS DECIMAL(18,2)) AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "win_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_rev
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "win_range_frame" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |   (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS moving_sum
+        |FROM orders ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_orderkey) OVER w AS first_key,
+        | last_value(o_orderkey) OVER w AS last_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "win_topk_group" ->
+      """SELECT o_custkey, o_orderkey, price, rn FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS rn
+        | FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+  )
+
+  val functions: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT c_custkey,
+        | upper(c_name) AS up, lower(c_mktsegment) AS lo, length(c_name) AS len,
+        | substring(c_name, 1, 8) AS sub,
+        | concat_ws('|', c_name, c_mktsegment) AS joined,
+        | trim('  pad  ') AS trimmed, ltrim('  pad  ') AS ltrimmed,
+        | rtrim('  pad  ') AS rtrimmed,
+        | lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        | regexp_replace(c_name, '[0-9]', '#', 'g') AS re_repl,
+        | regexp_extract(c_name, '([0-9]+)', 1) AS re_ext,
+        | string_split(c_name, '#')[1] AS split_first,
+        | c_name LIKE '%1%' AS has_one,
+        | starts_with(c_name, 'Customer') AS is_cust,
+        | translate(c_mktsegment, 'AEIOU', 'aeiou') AS xlated
+        |FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""".stripMargin,
+
+    "fn_date" ->
+      """SELECT o_orderkey,
+        | year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        | dayofmonth(o_orderdate) AS dom,
+        | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        | strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+        | datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+        | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        | dayofweek(o_orderdate) + 1 AS dow,
+        | (2002 - year(o_orderdate)) * 12 - month(o_orderdate) + 1 AS months_to_2002,
+        | quarter(o_orderdate) AS qtr, weekofyear(o_orderdate) AS wk,
+        | CAST(try_strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS DATE) AS roundtrip,
+        | CAST(try_strptime('31/12/1999', '%Y-%m-%d') AS DATE) AS badparse
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "fn_math" ->
+      """SELECT o_orderkey,
+        | CAST(abs(o_totalprice * -1) AS DECIMAL(18,2)) AS abs_p,
+        | CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DECIMAL(18,1)) AS round1,
+        | CAST(floor(o_totalprice) AS BIGINT) AS flr,
+        | CAST(ceil(o_totalprice) AS BIGINT) AS cl,
+        | o_orderkey % 7 AS mod7,
+        | CAST(sqrt(o_totalprice) AS DECIMAL(18,6)) AS sqrt_p,
+        | CAST(ln(o_totalprice) AS DECIMAL(18,6)) AS ln_p,
+        | CAST(exp(o_orderkey % 5) AS DECIMAL(18,6)) AS exp_m,
+        | CAST(pow(o_orderkey % 9, 2) AS BIGINT) AS sq,
+        | CAST(sign(o_totalprice - 150000) AS INTEGER) AS sgn,
+        | greatest(o_orderkey % 100, 50) AS gst,
+        | least(o_orderkey % 100, 50) AS lst
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "fn_conditional" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_totalprice > 300000 THEN 'huge'
+        |      WHEN o_totalprice > 150000 THEN 'big'
+        |      WHEN o_orderstatus = 'O' THEN 'open'
+        |      ELSE 'other' END AS bucket,
+        | coalesce(nullif(o_orderstatus, 'O'), 'was_open') AS co,
+        | nullif(o_orderpriority, '5-LOW') AS prio_or_null,
+        | CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority END AS even_prio,
+        | (o_orderkey % 2 = 0 AND o_orderstatus = 'F') AS even_f
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "fn_cast" ->
+      """SELECT o_orderkey,
+        | CAST(o_orderkey AS VARCHAR) AS key_str,
+        | CAST(o_orderkey AS DOUBLE) AS key_dbl,
+        | CAST(trunc(o_totalprice) AS INTEGER) AS price_int,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+        | CAST('123' AS INTEGER) AS good_int,
+        | try_cast('12x3' AS INTEGER) AS bad_int,
+        | CAST('3.5' AS DOUBLE) AS good_dbl,
+        | try_cast('x' AS DOUBLE) AS bad_dbl,
+        | CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+        | CAST(o_orderdate AS VARCHAR) AS ts_str,
+        | CAST(CAST(CAST('2020-05-17' AS DATE) AS TIMESTAMP) AS VARCHAR) AS str_ts
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "fn_array" ->
+      """SELECT vec_id,
+        | len(embedding) AS dim,
+        | CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,6)) AS first_elem,
+        | CAST(CAST(embedding[64] AS DOUBLE) AS DECIMAL(18,6)) AS last_elem,
+        | len(list_slice(embedding, 1, 8)) AS slice_len,
+        | list_contains(list_transform(embedding, x -> CAST(x AS DOUBLE)), 0.0) AS has_zero,
+        | CAST(CAST(list_sort(embedding)[1] AS DOUBLE) AS DECIMAL(18,6)) AS min_elem,
+        | CAST(CAST(list_reverse_sort(embedding)[1] AS DOUBLE) AS DECIMAL(18,6)) AS max_elem,
+        | len(list_distinct(embedding)) AS n_distinct,
+        | CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE))), (a,b) -> a+b) AS DECIMAL(18,6)) AS vec_sum,
+        | len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        | CAST(CAST(CAST(embedding[1] AS FLOAT) * CAST(2 AS FLOAT) AS DOUBLE) AS DECIMAL(18,6)) AS first_x2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "fn_map_json" ->
+      """SELECT event_id,
+        | json_extract_string(props, '$.k') AS k_str,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+        | json_extract_string(props, '$.missing') AS missing,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_map,
+        | CAST(len(json_keys(props)) AS INTEGER) AS n_keys
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+  )
+
+  def all: Map[String, String] = relational ++ windows ++ functions
 }

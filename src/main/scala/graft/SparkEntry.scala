@@ -39,6 +39,23 @@ object SparkEntry {
     "join_range"       -> Relational.joinRange _,
     "join_self"        -> Relational.joinSelf _,
     "join_asof"        -> Relational.joinAsof _,
+    // -- windows
+    "win_row_number"  -> Windows.winRowNumber _,
+    "win_rank_dense"  -> Windows.winRankDense _,
+    "win_ntile"       -> Windows.winNtile _,
+    "win_lag_lead"    -> Windows.winLagLead _,
+    "win_running_sum" -> Windows.winRunningSum _,
+    "win_range_frame" -> Windows.winRangeFrame _,
+    "win_first_last"  -> Windows.winFirstLast _,
+    "win_topk_group"  -> Windows.winTopkGroup _,
+    // -- scalar function packs
+    "fn_string"      -> Functions.fnString _,
+    "fn_date"        -> Functions.fnDate _,
+    "fn_math"        -> Functions.fnMath _,
+    "fn_conditional" -> Functions.fnConditional _,
+    "fn_cast"        -> Functions.fnCast _,
+    "fn_array"       -> Functions.fnArray _,
+    "fn_map_json"    -> Functions.fnMapJson _,
     // -- sort / limit / set ops
     "sort_multi_null"    -> Relational.sortMultiNull _,
     "topk_global"        -> Relational.topkGlobal _,

@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar function packs (SURVEY.md §2.B): each query projects a family of
+  * built-in functions over a deterministically ordered slice. All outputs
+  * are scalars (no array/map columns in results) so the DuckDB compare is
+  * type-stable; nondeterministic-across-libm functions (pow/ln/exp) are
+  * decimal-cast at scale 6.
+  */
+object Functions {
+
+  /** String functions over the customer slice. */
+  def fnString(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .filter($"c_custkey" < 300)
+      .select(
+        $"c_custkey",
+        upper($"c_name").as("up"),
+        lower($"c_mktsegment").as("lo"),
+        length($"c_name").as("len"),
+        substring($"c_name", 1, 8).as("sub"),
+        concat_ws("|", $"c_name", $"c_mktsegment").as("joined"),
+        trim(lit("  pad  ")).as("trimmed"),
+        ltrim(lit("  pad  ")).as("ltrimmed"),
+        rtrim(lit("  pad  ")).as("rtrimmed"),
+        lpad($"c_custkey".cast("string"), 8, "0").as("padded"),
+        regexp_replace($"c_name", "[0-9]", "#").as("re_repl"),
+        regexp_extract($"c_name", "([0-9]+)", 1).as("re_ext"),
+        element_at(split($"c_name", "#"), 1).as("split_first"),
+        $"c_name".like("%1%").as("has_one"),
+        $"c_name".startsWith("Customer").as("is_cust"),
+        translate($"c_mktsegment", "AEIOU", "aeiou").as("xlated"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Date/time functions over orders; strict-format parse-to-null mirrors
+    * the reference's expiryDate handling (BackgroundCsvProcessor.java:251-255). */
+  def fnDate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = $"o_orderdate"
+    Tables.orders(spark, sfDir)
+      .filter($"o_orderkey" < 2000)
+      .select(
+        $"o_orderkey",
+        year(d).as("yr"),
+        month(d).as("mo"),
+        dayofmonth(d).as("dom"),
+        date_format(date_trunc("month", d), "yyyy-MM-dd").as("month_start"),
+        date_format(date_add(d.cast("date"), 30), "yyyy-MM-dd").as("plus30"),
+        datediff(lit("2002-01-01").cast("date"), d.cast("date")).as("days_to_2002"),
+        date_format(last_day(d.cast("date")), "yyyy-MM-dd").as("month_end"),
+        dayofweek(d).as("dow"),
+        ((lit(2002) - year(d)) * 12 - month(d) + 1).as("months_to_2002"),
+        quarter(d).as("qtr"),
+        weekofyear(d).as("wk"),
+        try_to_date(date_format(d, "yyyy-MM-dd"), "yyyy-MM-dd").as("roundtrip"),
+        try_to_date(lit("31/12/1999"), "yyyy-MM-dd").as("badparse"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Math functions; libm-dependent results (pow/ln/exp/sqrt) normalized
+    * to DECIMAL(18,6). */
+  def fnMath(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = $"o_totalprice"
+    Tables.orders(spark, sfDir)
+      .filter($"o_orderkey" < 2000)
+      .select(
+        $"o_orderkey",
+        abs(p * -1).cast("decimal(18,2)").as("abs_p"),
+        // round() on DECIMAL is HALF_UP in both engines (a decimal->decimal
+        // downcast is NOT: DuckDB truncates there).
+        round($"o_totalprice".cast("decimal(18,2)"), 1).cast("decimal(18,1)").as("round1"),
+        floor(p).cast("long").as("flr"),
+        ceil(p).cast("long").as("cl"),
+        ($"o_orderkey" % 7).as("mod7"),
+        sqrt(p).cast("decimal(18,6)").as("sqrt_p"),
+        log(p).cast("decimal(18,6)").as("ln_p"),
+        exp($"o_orderkey" % 5).cast("decimal(18,6)").as("exp_m"),
+        pow($"o_orderkey" % 9, lit(2)).cast("long").as("sq"),
+        signum(p - 150000).cast("int").as("sgn"),
+        greatest($"o_orderkey" % 100, lit(50L)).as("gst"),
+        least($"o_orderkey" % 100, lit(50L)).as("lst"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** CASE WHEN chain (the classify_error shape), coalesce, nullif, nvl, if. */
+  def fnConditional(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .filter($"o_orderkey" < 2000)
+      .select(
+        $"o_orderkey",
+        when($"o_totalprice" > 300000, "huge")
+          .when($"o_totalprice" > 150000, "big")
+          .when($"o_orderstatus" === "O", "open")
+          .otherwise("other").as("bucket"),
+        coalesce(nullif($"o_orderstatus", lit("O")), lit("was_open")).as("co"),
+        nullif($"o_orderpriority", lit("5-LOW")).as("prio_or_null"),
+        when($"o_orderkey" % 2 === 0, $"o_orderpriority").as("even_prio"),
+        (($"o_orderkey" % 2 === 0) && ($"o_orderstatus" === "F")).as("even_f"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Casts across string/int/double/date/timestamp incl. failure→null
+    * (reference cast_int_validate semantics). */
+  def fnCast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .filter($"o_orderkey" < 2000)
+      .select(
+        $"o_orderkey",
+        $"o_orderkey".cast("string").as("key_str"),
+        $"o_orderkey".cast("double").as("key_dbl"),
+        $"o_totalprice".cast("int").as("price_int"),
+        $"o_totalprice".cast("decimal(18,2)").cast("string").as("price_str"),
+        lit("123").cast("int").as("good_int"),
+        expr("try_cast('12x3' AS INT)").as("bad_int"),
+        lit("3.5").cast("double").as("good_dbl"),
+        expr("try_cast('x' AS DOUBLE)").as("bad_dbl"),
+        $"o_orderdate".cast("date").cast("string").as("date_str"),
+        $"o_orderdate".cast("string").as("ts_str"),
+        lit("2020-05-17").cast("date").cast("timestamp").cast("string").as("str_ts"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Array higher-order functions over embeddings (ArrayType(FloatType));
+    * outputs are scalars. The fold in `vec_sum` runs left-to-right in both
+    * engines → IEEE-identical. */
+  def fnArray(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = $"embedding"
+    Tables.embeddings(spark, sfDir)
+      .select(
+        $"vec_id",
+        size(e).as("dim"),
+        // float -> double -> decimal: the direct float cast rounds the
+        // 7-digit shortest repr and lands on exact half boundaries where
+        // Spark (HALF_UP) and DuckDB disagree; the double widening doesn't.
+        element_at(e, 1).cast("double").cast("decimal(18,6)").as("first_elem"),
+        element_at(e, 64).cast("double").cast("decimal(18,6)").as("last_elem"),
+        size(slice(e, 1, 8)).as("slice_len"),
+        array_contains(e.cast("array<double>"), 0.0).as("has_zero"),
+        element_at(sort_array(e), 1).cast("double").cast("decimal(18,6)").as("min_elem"),
+        element_at(sort_array(e, asc = false), 1).cast("double").cast("decimal(18,6)").as("max_elem"),
+        size(array_distinct(e)).as("n_distinct"),
+        aggregate(transform(e, x => x.cast("double")), lit(0.0),
+          (acc, x) => acc + x).cast("decimal(18,6)").as("vec_sum"),
+        size(filter(e, x => x > 0f)).as("n_pos"),
+        (element_at(e, 1) * 2f).cast("double").cast("decimal(18,6)").as("first_x2"))
+      .orderBy($"vec_id")
+  }
+
+  /** JSON parsing of events.props: get_json_object path access and
+    * from_json→MapType field extraction, normalized to scalars. */
+  def fnMapJson(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    Tables.events(spark, sfDir)
+      .filter($"event_id" < 2000)
+      .select(
+        $"event_id",
+        get_json_object($"props", "$.k").as("k_str"),
+        get_json_object($"props", "$.k").cast("int").as("k_int"),
+        get_json_object($"props", "$.missing").as("missing"),
+        element_at(from_json($"props", MapType(StringType, IntegerType)), "k").as("k_map"),
+        size(map_keys(from_json($"props", MapType(StringType, IntegerType)))).as("n_keys"))
+      .orderBy($"event_id")
+  }
+}

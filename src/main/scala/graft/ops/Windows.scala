@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window-function pack (SURVEY.md §2.B).
+  *
+  * Scale note: every window here partitions by a key whose cardinality
+  * grows with the data (custkey, priority), so the shuffle is a single
+  * hash exchange and no partition exceeds a customer's order count — the
+  * same plan is safe at 100 TB. Frames that aggregate money use DECIMAL
+  * inputs so running sums are order-exact (SURVEY §7.5).
+  */
+object Windows {
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** Per-customer order sequence — basis of the reference's first-wins
+    * dedup (BackgroundCsvProcessor.java:242 → row_number form). */
+  def winRowNumber(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderkey", row_number().over(w).as("rn"))
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** rank + dense_rank with real ties (integer-cast quantities repeat
+    * heavily within each returnflag partition). */
+  def winRankDense(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val qty = $"l_quantity".cast("int")
+    val w = Window.partitionBy($"l_returnflag").orderBy(qty)
+    Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", qty.as("qty"),
+        rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+      .orderBy($"l_returnflag", $"qty", $"rnk", $"drnk")
+  }
+
+  /** Customer quartiles by account balance (unique order key → the tile
+    * assignment is deterministic). */
+  def winNtile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy(dec2($"c_acctbal"), $"c_custkey")
+    Tables.customer(spark, sfDir)
+      .select($"c_custkey", dec2($"c_acctbal").as("acctbal"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Prior/next order amount per customer. */
+  def winLagLead(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderkey",
+        dec2($"o_totalprice").as("price"),
+        dec2(lag($"o_totalprice", 1).over(w)).as("prev_price"),
+        dec2(lead($"o_totalprice", 1).over(w)).as("next_price"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Cumulative revenue per customer (ROWS unbounded-preceding frame);
+    * decimal input keeps the running sum order-exact. */
+  def winRunningSum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderkey",
+        dec2(sum(dec2($"o_totalprice")).over(w)).as("running_rev"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** RANGE frame: per-priority moving sum of prices over the orderkey
+    * value range [key-100, key]. */
+  def winRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_orderkey")
+      .rangeBetween(-100, 0)
+    Tables.orders(spark, sfDir)
+      .select($"o_orderpriority", $"o_orderkey",
+        dec2(sum(dec2($"o_totalprice")).over(w)).as("moving_sum"))
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+
+  /** first/last value in a per-customer frame: first order key and the
+    * overall last order key of the partition. */
+  def winFirstLast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderkey",
+        first($"o_orderkey").over(wAll).as("first_key"),
+        last($"o_orderkey").over(wAll).as("last_key"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Top-3 orders per customer by (price desc, key) — row_number ≤ k,
+    * the scalable per-group top-k (no global sort). */
+  def winTopkGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy(dec2($"o_totalprice").desc, $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderkey", dec2($"o_totalprice").as("price"),
+        row_number().over(w).as("rn"))
+      .filter($"rn" <= 3)
+      .orderBy($"o_custkey", $"rn")
+  }
+}
