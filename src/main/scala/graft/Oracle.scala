@@ -353,5 +353,154 @@ object Oracle {
         |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
   )
 
-  def all: Map[String, String] = relational ++ windows ++ functions
+  /** Shared CTE prefix for the §2.A ingestion pack: the corrupted
+    * "uploaded CSV" staging + existing keys + trim + dup flags + the
+    * first-failure-wins classifier — the exact mirror of
+    * graft.ops.Ingest.{itemsRaw, existingKeys, classified}. */
+  private val ingestCte: String =
+    """WITH items_raw AS (
+      |  SELECT o_orderkey AS line_id,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN ''
+      |         WHEN o_orderkey % 101 = 0 THEN '   '
+      |         WHEN o_orderkey % 89 = 3 THEN 'E' || CAST(o_orderkey - 3 AS VARCHAR)
+      |         ELSE 'E' || CAST(o_orderkey AS VARCHAR) END AS external_id_raw,
+      |    CASE WHEN o_orderkey % 91 = 0 THEN ''
+      |         WHEN o_orderkey % 91 = 5 THEN '  '
+      |         WHEN o_orderkey % 91 = 13 THEN 'It,em,' || CAST(o_custkey AS VARCHAR)
+      |         ELSE 'Item_' || CAST(o_custkey % 1000 AS VARCHAR) END AS name_raw,
+      |    CASE WHEN o_orderkey % 99 = 0 THEN NULL
+      |         WHEN o_orderkey % 93 = 0 THEN 'abc'
+      |         WHEN o_orderkey % 93 = 7 THEN ''
+      |         ELSE CAST((o_orderkey * 7) % 9999 + 1 AS VARCHAR) END AS quantity_raw,
+      |    CASE WHEN o_orderkey % 99 = 0 THEN NULL
+      |         WHEN o_orderkey % 95 = 0 THEN '31/12/1999'
+      |         ELSE strftime(o_orderdate, '%Y-%m-%d') END AS expiry_raw,
+      |    (o_orderkey % 99 <> 0) AS arity_ok
+      |  FROM orders),
+      |existing AS (
+      |  SELECT 'E' || CAST(o_orderkey AS VARCHAR) AS external_id
+      |  FROM orders WHERE o_orderkey % 17 = 0),
+      |trimmed AS (
+      |  SELECT *, trim(coalesce(external_id_raw, '')) AS ext,
+      |    trim(coalesce(name_raw, '')) AS nam,
+      |    trim(coalesce(quantity_raw, '')) AS qty,
+      |    trim(coalesce(expiry_raw, '')) AS exp
+      |  FROM items_raw),
+      |flagged AS (
+      |  SELECT t.*,
+      |    row_number() OVER (PARTITION BY (arity_ok AND ext <> '' AND nam <> ''), ext
+      |                       ORDER BY line_id) AS rn,
+      |    (e.external_id IS NOT NULL) AS in_existing
+      |  FROM trimmed t LEFT JOIN existing e ON t.ext = e.external_id),
+      |classified AS (
+      |  SELECT *, CASE
+      |    WHEN NOT arity_ok THEN 'too few columns'
+      |    WHEN ext = '' THEN 'externalId empty'
+      |    WHEN nam = '' THEN 'name empty'
+      |    WHEN in_existing THEN 'duplicate externalId'
+      |    WHEN rn > 1 THEN 'duplicate externalId'
+      |    WHEN qty <> '' AND try_cast(qty AS INTEGER) IS NULL THEN 'quantity invalid'
+      |    WHEN exp <> '' AND try_strptime(exp, '%Y-%m-%d') IS NULL
+      |      THEN 'expiryDate invalid (expected yyyy-MM-dd)'
+      |    END AS error
+      |  FROM flagged)
+      |""".stripMargin
+
+  private val classifySql: String = ingestCte +
+    "SELECT line_id, error FROM classified ORDER BY line_id"
+
+  private val countersSql: String = ingestCte +
+    """SELECT COUNT(*) AS processed,
+      | COUNT(CASE WHEN error IS NULL THEN 1 END) AS inserted,
+      | COUNT(CASE WHEN error IS NOT NULL THEN 1 END) AS failed
+      |FROM classified""".stripMargin
+
+  val ingest: Map[String, String] = Map(
+    "scan_csv_header" -> (ingestCte +
+      "SELECT line_id, external_id_raw, name_raw, quantity_raw, expiry_raw FROM items_raw ORDER BY line_id"),
+
+    "scan_line_count" -> (ingestCte + "SELECT COUNT(*) AS n_rows FROM items_raw"),
+
+    "proj_trim" -> (ingestCte +
+      "SELECT line_id, ext, nam, qty, exp FROM trimmed ORDER BY line_id"),
+
+    "pred_arity" -> (ingestCte +
+      "SELECT line_id, external_id_raw FROM items_raw WHERE NOT arity_ok ORDER BY line_id"),
+
+    "pred_nonempty" -> (ingestCte +
+      "SELECT line_id, ext, nam FROM trimmed WHERE arity_ok AND (ext = '' OR nam = '') ORDER BY line_id"),
+
+    "cast_int_validate" -> (ingestCte +
+      """SELECT line_id, qty, try_cast(qty AS INTEGER) AS qty_int,
+        | (qty <> '' AND try_cast(qty AS INTEGER) IS NULL) AS invalid
+        |FROM trimmed ORDER BY line_id""".stripMargin),
+
+    "cast_date_validate" -> (ingestCte +
+      """SELECT line_id, exp,
+        | strftime(try_strptime(exp, '%Y-%m-%d'), '%Y-%m-%d') AS parsed,
+        | (exp <> '' AND try_strptime(exp, '%Y-%m-%d') IS NULL) AS invalid
+        |FROM trimmed ORDER BY line_id""".stripMargin),
+
+    "classify_error" -> classifySql,
+
+    "split_valid_invalid" -> (ingestCte +
+      """SELECT line_id,
+        | CASE WHEN error IS NULL THEN 'valid' ELSE 'invalid' END AS side
+        |FROM classified ORDER BY line_id""".stripMargin),
+
+    "dedup_anti_existing" -> (ingestCte +
+      """SELECT line_id, ext FROM trimmed t
+        |WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.external_id = t.ext)
+        |ORDER BY line_id""".stripMargin),
+
+    "dedup_first_wins" -> (ingestCte +
+      """SELECT line_id, ext, rn, (rn = 1) AS kept FROM (
+        | SELECT line_id, ext,
+        |   row_number() OVER (PARTITION BY ext ORDER BY line_id) AS rn
+        | FROM trimmed WHERE ext <> '')
+        |ORDER BY line_id""".stripMargin),
+
+    "proj_entity_cast" -> (ingestCte +
+      """SELECT line_id, ext AS external_id, nam AS name,
+        | CASE WHEN qty = '' THEN NULL ELSE try_cast(qty AS INTEGER) END AS quantity,
+        | CASE WHEN exp = '' THEN NULL
+        |      ELSE strftime(try_strptime(exp, '%Y-%m-%d'), '%Y-%m-%d') END AS expiry_date
+        |FROM classified WHERE error IS NULL ORDER BY line_id""".stripMargin),
+
+    "proj_key_only" -> (ingestCte +
+      "SELECT external_id FROM existing ORDER BY external_id"),
+
+    "clean_comma_strip" -> (ingestCte +
+      """SELECT line_id, concat_ws(',',
+        |  replace(coalesce(external_id_raw, ''), ',', ''),
+        |  replace(coalesce(name_raw, ''), ',', ''),
+        |  replace(coalesce(quantity_raw, ''), ',', ''),
+        |  replace(coalesce(expiry_raw, ''), ',', ''),
+        |  error) AS report_line
+        |FROM classified WHERE error IS NOT NULL ORDER BY line_id""".stripMargin),
+
+    "agg_error_histogram" -> (ingestCte +
+      """SELECT error, COUNT(*) AS n FROM classified
+        |WHERE error IS NOT NULL GROUP BY error ORDER BY error""".stripMargin),
+
+    "agg_job_counters" -> countersSql,
+
+    "lookup_eq" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_name = 'Customer#000000042' ORDER BY c_custkey""".stripMargin,
+
+    "pred_exists" ->
+      """SELECT COUNT(CASE WHEN c_name = 'Customer#000000042' THEN 1 END) > 0 AS exists_c42,
+        | COUNT(CASE WHEN c_name = 'Customer#NoSuch' THEN 1 END) > 0 AS exists_none
+        |FROM customer""".stripMargin,
+
+    "filter_bool" ->
+      """SELECT c_custkey, (c_acctbal >= 0) AS enabled FROM customer
+        |WHERE c_acctbal >= 0 ORDER BY c_custkey""".stripMargin,
+
+    "udf_classify" -> classifySql,
+    "udaf_upload_result" -> countersSql,
+  )
+
+  def all: Map[String, String] = relational ++ windows ++ functions ++ ingest
 }

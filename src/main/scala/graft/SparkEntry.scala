@@ -39,6 +39,29 @@ object SparkEntry {
     "join_range"       -> Relational.joinRange _,
     "join_self"        -> Relational.joinSelf _,
     "join_asof"        -> Relational.joinAsof _,
+    // -- reference ingestion pack (§2.A)
+    "scan_csv_header"     -> Ingest.scanCsvHeader _,
+    "scan_line_count"     -> Ingest.scanLineCount _,
+    "proj_trim"           -> Ingest.projTrim _,
+    "pred_arity"          -> Ingest.predArity _,
+    "pred_nonempty"       -> Ingest.predNonempty _,
+    "cast_int_validate"   -> Ingest.castIntValidate _,
+    "cast_date_validate"  -> Ingest.castDateValidate _,
+    "classify_error"      -> Ingest.classifyError _,
+    "split_valid_invalid" -> Ingest.splitValidInvalid _,
+    "dedup_anti_existing" -> Ingest.dedupAntiExisting _,
+    "dedup_first_wins"    -> Ingest.dedupFirstWins _,
+    "proj_entity_cast"    -> Ingest.projEntityCast _,
+    "proj_key_only"       -> Ingest.projKeyOnly _,
+    "clean_comma_strip"   -> Ingest.cleanCommaStrip _,
+    "agg_error_histogram" -> Ingest.aggErrorHistogram _,
+    "agg_job_counters"    -> Ingest.aggJobCounters _,
+    "lookup_eq"           -> Ingest.lookupEq _,
+    "pred_exists"         -> Ingest.predExists _,
+    "filter_bool"         -> Ingest.filterBool _,
+    // -- UDF / UDAF surface (§2.C)
+    "udf_classify"        -> Udfs.udfClassify _,
+    "udaf_upload_result"  -> Udfs.udafUploadResult _,
     // -- windows
     "win_row_number"  -> Windows.winRowNumber _,
     "win_rank_dense"  -> Windows.winRankDense _,
