@@ -502,5 +502,185 @@ object Oracle {
     "udaf_upload_result" -> countersSql,
   )
 
-  def all: Map[String, String] = relational ++ windows ++ functions ++ ingest
+  /** DuckDB mirror of TextSim.tokens. */
+  private val toksExpr =
+    "list_filter(string_split_regex(lower(trim(text)), '[^a-z]+'), t -> t <> '')"
+
+  /** DuckDB mirror of Similarity's left-to-right double folds. */
+  private def fold(l: String) =
+    s"list_reduce(list_prepend(0.0, $l), (acc_, x_) -> acc_ + x_)"
+  private def dotSql(a: String, b: String) =
+    fold(s"list_transform(range(1, 65), i_ -> $a[i_] * $b[i_])")
+  private def cosSql(a: String, b: String) =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  val textsim: Map[String, String] = Map(
+    "dedup_exact_docs" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        | SELECT doc_id, lang, n_chars,
+        |  row_number() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
+        | FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "dedup_docs_keep_longest" ->
+      """SELECT lang, source, doc_id, n_chars FROM (
+        | SELECT lang, source, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY lang, source ORDER BY n_chars DESC, doc_id) AS rn
+        | FROM documents)
+        |WHERE rn = 1 ORDER BY lang, source""".stripMargin,
+
+    "text_wordcount" ->
+      s"""WITH toks AS (SELECT unnest($toksExpr) AS word FROM documents)
+         |SELECT word, COUNT(*) AS n FROM toks
+         |GROUP BY word ORDER BY n DESC, word LIMIT 30""".stripMargin,
+
+    "text_doc_stats" ->
+      s"""WITH d AS (SELECT lang, CAST(length(text) AS INTEGER) AS len, n_chars,
+         |  $toksExpr AS ts FROM documents),
+         |s AS (SELECT lang, len, n_chars, CAST(len(ts) AS INTEGER) AS n_tok,
+         |  list_reduce(list_prepend(0, list_transform(ts, t -> CAST(length(t) AS INTEGER))),
+         |              (a, b) -> a + b) AS tok_chars,
+         |  (len = n_chars) AS len_matches FROM d)
+         |SELECT lang, COUNT(*) AS n_docs,
+         | CAST(SUM(len) AS BIGINT) AS total_chars,
+         | CAST(SUM(n_tok) AS BIGINT) AS total_words,
+         | CAST(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS avg_words,
+         | CAST(CAST(SUM(tok_chars) AS DOUBLE) / SUM(n_tok) AS DECIMAL(18,6)) AS avg_word_len,
+         | COUNT(CASE WHEN len_matches THEN 1 END) AS n_len_ok
+         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_ngram" ->
+      s"""WITH d AS (SELECT $toksExpr AS ts FROM documents),
+         |bg AS (SELECT unnest(list_transform(range(1, len(ts)),
+         |  i -> ts[i] || ' ' || ts[i + 1])) AS bigram FROM d)
+         |SELECT bigram, COUNT(*) AS n FROM bg
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH toks AS (SELECT doc_id, lang, unnest($toksExpr) AS tok FROM documents),
+         |profile AS (SELECT tok, lang AS cand_lang, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+         |scored AS (SELECT t.doc_id, t.lang, p.cand_lang, CAST(SUM(p.cnt) AS BIGINT) AS score
+         |  FROM toks t JOIN profile p ON t.tok = p.tok GROUP BY 1, 2, 3),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY score DESC, cand_lang) AS rn FROM scored)
+         |SELECT doc_id, lang AS actual, cand_lang AS predicted,
+         | (lang = cand_lang) AS correct
+         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "text_quality_score" ->
+      s"""WITH d AS (SELECT doc_id, $toksExpr AS ts FROM documents),
+         |s AS (SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_tok,
+         |  CAST(len(list_distinct(ts)) AS INTEGER) AS n_distinct,
+         |  list_reduce(list_prepend(0, list_transform(ts, t -> CAST(length(t) AS INTEGER))),
+         |              (a, b) -> a + b) AS tok_chars FROM d)
+         |SELECT doc_id, n_tok, n_distinct,
+         | CAST(CAST(n_distinct AS DOUBLE) / n_tok AS DECIMAL(18,6)) AS ttr,
+         | CAST((CAST(n_distinct AS DOUBLE) / n_tok) * 0.5 +
+         |   least(1.0, CAST(n_tok AS DOUBLE) / 100.0) * 0.3 +
+         |   least(1.0, (CAST(tok_chars AS DOUBLE) / n_tok) / 8.0) * 0.2
+         |   AS DECIMAL(18,6)) AS quality
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INTEGER) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS INTEGER) AS re_tokens,
+        | CAST(length(text) AS INTEGER) AS n_chars_actual
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($toksExpr)), ' ')) AS fingerprint
+         |  FROM documents),
+         |r AS (SELECT doc_id, fingerprint,
+         |  row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn FROM d)
+         |SELECT doc_id, fingerprint, (rn = 1) AS kept FROM r ORDER BY doc_id""".stripMargin,
+
+    "sim_cosine_probe" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |probe AS (SELECT v AS p FROM e WHERE vec_id = 0)
+         |SELECT vec_id, label, CAST(${cosSql("v", "p")} AS DECIMAL(18,6)) AS cos
+         |FROM e, probe ORDER BY cos DESC, vec_id LIMIT 50""".stripMargin,
+
+    "sim_knn_per_label" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |pairs AS (SELECT a.vec_id AS qid, b.vec_id AS nid, a.label AS label,
+         |  CAST(${cosSql("a.v", "b.v")} AS DECIMAL(18,6)) AS cos
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |  ORDER BY cos DESC, nid) AS rn FROM pairs)
+         |SELECT qid, nid, label, cos, rn FROM ranked WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin,
+
+    "sim_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |  CAST(embedding[1] > 0.0 AS INTEGER) * 4 +
+         |  CAST(embedding[2] > 0.0 AS INTEGER) * 2 +
+         |  CAST(embedding[3] > 0.0 AS INTEGER) AS bucket
+         |  FROM embeddings),
+         |probe AS (SELECT v AS p, bucket AS pbucket FROM e WHERE vec_id = 0)
+         |SELECT vec_id, bucket, CAST(${cosSql("v", "p")} AS DECIMAL(18,6)) AS cos
+         |FROM e JOIN probe ON bucket = pbucket
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+         |  CAST(${cosSql("a.v", "b.v")} AS DECIMAL(18,6)) AS cos
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE CAST(${cosSql("a.v", "b.v")} AS DECIMAL(18,6)) >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH d AS (SELECT doc_id, $toksExpr AS ts FROM documents),
+         |sh AS (SELECT doc_id, ts FROM d WHERE len(ts) >= 3),
+         |sigs AS (SELECT doc_id, list_transform(range(0, 6), s ->
+         |  list_min(list_transform(range(1, len(ts) - 1),
+         |    i -> md5(CAST(s AS VARCHAR) || '|' || ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])))) AS sig
+         |  FROM sh),
+         |bands AS (SELECT doc_id, i0, sig[i0 + 1] AS v FROM sigs, range(0, 6) t(i0)),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS matches
+         |  FROM bands a JOIN bands b
+         |    ON a.i0 = b.i0 AND a.v = b.v AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(matches AS BIGINT) AS matches,
+         | CAST(CAST(matches AS DOUBLE) / 6.0 AS DECIMAL(18,6)) AS est_jaccard
+         |FROM cand WHERE matches >= 2 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksExpr) AS tok FROM documents),
+         |votes AS (SELECT doc_id, b,
+         |  (((CAST(strpos('0123456789abcdef',
+         |       substr(md5(tok), 1 + CAST(b // 4 AS INTEGER), 1)) AS INTEGER) - 1)
+         |    >> CAST(b % 4 AS INTEGER)) & 1) * 2 - 1 AS vote
+         |  FROM toks, range(0, 60) t(b)),
+         |agg AS (SELECT doc_id, b, SUM(vote) AS votes FROM votes GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(CASE WHEN votes > 0
+         |  THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM agg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, source, $toksExpr AS ts FROM documents),
+         |g0 AS (SELECT doc_id, source, ts FROM d WHERE len(ts) >= 2),
+         |grams AS (SELECT doc_id, source, unnest(list_distinct(
+         |  list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))) AS gram FROM g0),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM grams a JOIN grams b ON a.source = b.source
+         |    AND a.doc_id < b.doc_id AND a.gram = b.gram
+         |  GROUP BY 1, 2),
+         |j AS (SELECT id_a, id_b,
+         |  CAST(CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter) AS DECIMAL(18,6)) AS jaccard
+         |  FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+         |               JOIN sizes sb ON i.id_b = sb.doc_id)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.1
+         |ORDER BY id_a, id_b""".stripMargin,
+  )
+
+  def all: Map[String, String] =
+    relational ++ windows ++ functions ++ ingest ++ textsim
 }

@@ -79,6 +79,24 @@ object SparkEntry {
     "fn_cast"        -> Functions.fnCast _,
     "fn_array"       -> Functions.fnArray _,
     "fn_map_json"    -> Functions.fnMapJson _,
+    // -- text analysis / document dedup
+    "dedup_exact_docs"       -> TextSim.dedupExactDocs _,
+    "dedup_docs_keep_longest" -> TextSim.dedupDocsKeepLongest _,
+    "text_wordcount"         -> TextSim.textWordcount _,
+    "text_doc_stats"         -> TextSim.textDocStats _,
+    "text_ngram"             -> TextSim.textNgram _,
+    "text_langid"            -> TextSim.textLangid _,
+    "text_quality_score"     -> TextSim.textQualityScore _,
+    "text_token_count"       -> TextSim.textTokenCount _,
+    "text_fingerprint"       -> TextSim.textFingerprint _,
+    // -- similarity search / near-dup detection
+    "sim_cosine_probe"       -> Similarity.simCosineProbe _,
+    "sim_knn_per_label"      -> Similarity.simKnnPerLabel _,
+    "sim_ann_lsh"            -> Similarity.simAnnLsh _,
+    "dedup_embedding_cosine" -> Similarity.dedupEmbeddingCosine _,
+    "dedup_minhash_lsh"      -> Similarity.dedupMinhashLsh _,
+    "dedup_simhash"          -> Similarity.dedupSimhash _,
+    "dedup_ngram_jaccard"    -> Similarity.dedupNgramJaccard _,
     // -- sort / limit / set ops
     "sort_multi_null"    -> Relational.sortMultiNull _,
     "topk_global"        -> Relational.topkGlobal _,

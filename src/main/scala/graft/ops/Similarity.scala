@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search + near-duplicate detection (BASELINE.json north_star:
+  * dedup via MinHash/SimHash/n-gram-Jaccard/embedding-cosine, ANN search).
+  *
+  * Determinism: all dot products / norms are left-to-right folds over the
+  * vector (zip_with + aggregate in Spark ≡ list_transform + list_reduce in
+  * DuckDB) — bit-identical IEEE sums, no order-dependent SQL SUMs. Hashes
+  * are md5 hex strings, identical in both engines.
+  *
+  * Scale notes (100 TB): brute-force probe is one broadcast + map + top-k
+  * (TakeOrdered — no global sort). kNN/near-dup pairs are quadratic only
+  * inside a partition key (label / source / LSH bucket) — the bucketed
+  * variants are the scale path, the same bucket-join shape Spark's own
+  * MinHashLSH uses. Band-hash MinHash candidates shuffle on short band
+  * keys, never on full documents.
+  */
+object Similarity {
+
+  /** Left-to-right double fold: SUM would be partition-order dependent. */
+  private def fsum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (a, x) => a + x)
+
+  private def dot(a: Column, b: Column): Column =
+    fsum(zip_with(a, b, (x, y) => x * y))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def vecd(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force cosine top-50 of every embedding vs the probe vector
+    * (vec_id = 0): broadcast the probe, one map pass, TakeOrdered top-k. */
+  def simCosineProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val probe = broadcast(e.filter($"vec_id" === 0)
+      .select(vecd($"embedding").as("p")))
+    e.crossJoin(probe)
+      .select($"vec_id", $"label",
+        cosine(vecd($"embedding"), $"p").cast("decimal(18,6)").as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(50)
+  }
+
+  /** k=3 nearest neighbors within each label group: the pair join is
+    * quadratic only within a label (the coarse partition). */
+  def simKnnPerLabel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", vecd($"embedding").as("v"))
+    val a = e.as("a")
+    val b = e.as("b")
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+    a.join(b, $"a.label" === $"b.label" && $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("qid"), $"b.vec_id".as("nid"), $"a.label".as("label"),
+        cosine($"a.v", $"b.v").cast("decimal(18,6)").as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"qid", $"nid", $"label", $"cos", $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
+  /** ANN scale path: sign-LSH bucketing on the first three dimensions
+    * (axis-aligned hyperplanes → 8 buckets); the probe searches only its
+    * own bucket. At real scale the planes come from a seeded random
+    * rotation, the plan shape is identical: bucket-key equi-join instead
+    * of a full cross join. */
+  def simAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def bucket(v: Column): Column =
+      (element_at(v, 1) > 0.0).cast("int") * 4 +
+        (element_at(v, 2) > 0.0).cast("int") * 2 +
+        (element_at(v, 3) > 0.0).cast("int")
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", vecd($"embedding").as("v"))
+      .withColumn("bucket", bucket($"v"))
+    val probe = broadcast(e.filter($"vec_id" === 0)
+      .select($"v".as("p"), $"bucket".as("pbucket")))
+    e.join(probe, $"bucket" === $"pbucket")
+      .select($"vec_id", $"bucket", cosine($"v", $"p").cast("decimal(18,6)").as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a label, cos ≥ 0.35
+    * (canonical a<b ordering). */
+  def dedupEmbeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", vecd($"embedding").as("v"))
+    val a = e.as("a")
+    val b = e.as("b")
+    a.join(b, $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"), $"a.label".as("label"),
+        cosine($"a.v", $"b.v").cast("decimal(18,6)").as("cos"))
+      .filter($"cos" >= 0.35)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** MinHash near-dup candidates: word-trigram shingles, 6 seeded md5
+    * min-hashes per doc, candidate pairs = ≥2 matching signature
+    * components, estimated Jaccard = matches/6. The signature is tiny
+    * (6 hex strings) — at scale, pairs come from banding on signature
+    * components, never from comparing documents. */
+  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextSim.tokens($"text")
+    val sigs = Tables.documents(spark, sfDir)
+      .select($"doc_id", toks.as("ts"))
+      .filter(size($"ts") >= 3)
+      .select($"doc_id", expr(
+        "transform(sequence(0, 5), s -> " +
+          "array_min(transform(sequence(1, size(ts) - 2), " +
+          "i -> md5(concat(cast(s AS STRING), '|', element_at(ts, i), ' ', element_at(ts, i+1), ' ', element_at(ts, i+2))))))")
+        .as("sig"))
+    // LSH banding: explode (component index, value) as band keys and
+    // equi-join on them — candidates come from the bucket join, never from
+    // an all-pairs compare. This is the 100 TB shape.
+    val bands = sigs.select($"doc_id", posexplode($"sig").as(Seq("i", "v")))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, $"a.i" === $"b.i" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("matches"))
+      .filter($"matches" >= 2)
+      .select($"id_a", $"id_b", $"matches",
+        ($"matches".cast("double") / 6.0).cast("decimal(18,6)").as("est_jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** 60-bit SimHash signature per document: per-token md5 nibbles vote on
+    * each bit; bit set where the vote is positive. One explode + one
+    * integer aggregation — linear, shuffle only on (doc_id, bit). */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val votes = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(TextSim.tokens($"text")).as("tok"))
+      .withColumn("h", md5($"tok"))
+      .select($"doc_id", $"h", explode(sequence(lit(0), lit(59))).as("b"))
+      .select($"doc_id", $"b",
+        // hex nibble b/4 of the md5, bit b%4 of that nibble, vote ±1
+        (expr("(shiftright(locate(substr(h, 1 + CAST(b / 4 AS INT), 1), '0123456789abcdef') - 1, " +
+          "CAST(b % 4 AS INT)) & 1) * 2 - 1")).as("vote"))
+      .groupBy($"doc_id", $"b")
+      .agg(sum($"vote").as("votes"))
+    votes
+      .groupBy($"doc_id")
+      .agg(sum(when($"votes" > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+        .otherwise(0L)).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  /** Exact n-gram Jaccard for same-source candidate pairs: distinct word
+    * bigram sets, |A∩B| via a gram-level equi-join (never a full document
+    * compare), pairs with jaccard ≥ 0.1. */
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", TextSim.tokens($"text").as("ts"))
+      .filter(size($"ts") >= 2)
+      .select($"doc_id", $"source", explode(array_distinct(expr(
+        "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")))
+        .as("gram"))
+    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    val a = grams.as("a")
+    val b = grams.as("b")
+    val inter = a.join(b,
+        $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id" && $"a.gram" === $"b.gram")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select($"doc_id".as("id_a"), $"n_grams".as("na")), "id_a")
+      .join(sizes.select($"doc_id".as("id_b"), $"n_grams".as("nb")), "id_b")
+      .select($"id_a", $"id_b",
+        ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).cast("decimal(18,6)").as("jaccard"))
+      .filter($"jaccard" >= 0.1)
+      .orderBy($"id_a", $"id_b")
+  }
+}

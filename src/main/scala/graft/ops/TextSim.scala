@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis + document-dedup pack over `documents` (SURVEY.md §2.B and
+  * the LLM-training-data operators of BASELINE.json north_star).
+  *
+  * Tokenization contract (mirrored in the DuckDB oracles): lowercase, trim,
+  * split on non-alpha runs, drop empty tokens. All double-valued scores are
+  * per-row IEEE expressions (engine-identical) cast to DECIMAL(18,6);
+  * corpus-level counts are exact integers — no order-dependent float sums.
+  */
+object TextSim {
+
+  /** lowercase / non-alpha tokenizer, empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(lower(trim(c)), "[^a-z]+"), t => t =!= "")
+
+  /** Exact-duplicate removal on normalized text: deterministic keep of the
+    * lowest doc_id per normalized form. One hash shuffle on the normalized
+    * text — the exact-dedup plan that scales linearly. */
+  def dedupExactDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"norm").orderBy($"doc_id")
+    Tables.documents(spark, sfDir)
+      .withColumn("norm", lower(trim($"text")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** Among docs sharing a (lang, source) group keep the longest
+    * (max_by n_chars, doc_id tiebreak). */
+  def dedupDocsKeepLongest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang", $"source")
+      .orderBy($"n_chars".desc, $"doc_id")
+    Tables.documents(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"lang", $"source", $"doc_id", $"n_chars")
+      .orderBy($"lang", $"source")
+  }
+
+  /** Global word frequencies, top 30 (count desc, word asc). */
+  def textWordcount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(explode(tokens($"text")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word")
+      .limit(30)
+  }
+
+  /** Per-language document statistics; averages as exact-count ratios. */
+  def textDocStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    Tables.documents(spark, sfDir)
+      .select($"lang", length($"text").as("len"), $"n_chars",
+        size(toks).as("n_tok"),
+        aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x).as("tok_chars"),
+        (length($"text") === $"n_chars").as("len_matches"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"len").as("total_chars"),
+        sum($"n_tok").as("total_words"),
+        sum($"tok_chars").as("total_word_chars"),
+        count(when($"len_matches", 1)).as("n_len_ok"))
+      .select($"lang", $"n_docs", $"total_chars", $"total_words",
+        ($"total_words".cast("double") / $"n_docs").cast("decimal(18,6)").as("avg_words"),
+        ($"total_word_chars".cast("double") / $"total_words").cast("decimal(18,6)").as("avg_word_len"),
+        $"n_len_ok")
+      .orderBy($"lang")
+  }
+
+  /** Adjacent-token bigrams, global top 30. */
+  def textNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(tokens($"text").as("ts"))
+      // Spark's sequence(1, n) descends when n < 1 — guard short docs
+      .select(explode(when(size($"ts") >= 2, expr(
+        "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram")
+      .limit(30)
+  }
+
+  /** Corpus-driven language ID: per-language token-frequency profiles
+    * (learned from the corpus itself), each doc scored by the summed
+    * profile counts of its tokens; argmax language wins (lexicographic
+    * tiebreak). The join is token→profile (broadcast-size right side at
+    * any scale: |vocab| × |langs|). */
+  def textLangid(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val tokenized = docs.select($"doc_id", $"lang",
+      explode(tokens($"text")).as("tok"))
+    val profile = tokenized.groupBy($"tok", $"lang".as("cand_lang"))
+      .agg(count(lit(1)).as("cnt"))
+    val scored = tokenized
+      .join(profile, "tok")
+      .groupBy($"doc_id", $"lang", $"cand_lang")
+      .agg(sum($"cnt").as("score"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand_lang")
+    scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"lang".as("actual"), $"cand_lang".as("predicted"),
+        ($"lang" === $"cand_lang").as("correct"))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-doc quality score: type-token ratio, length saturation, word-length
+    * saturation — a fixed IEEE formula, decimal-normalized. */
+  def textQualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(toks).as("n_tok"),
+        size(array_distinct(toks)).as("n_distinct"),
+        aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x).as("tok_chars"))
+      .select($"doc_id", $"n_tok", $"n_distinct",
+        ($"n_distinct".cast("double") / $"n_tok").cast("decimal(18,6)").as("ttr"),
+        (($"n_distinct".cast("double") / $"n_tok") * 0.5 +
+          least(lit(1.0), $"n_tok".cast("double") / 100.0) * 0.3 +
+          least(lit(1.0), ($"tok_chars".cast("double") / $"n_tok") / 8.0) * 0.2)
+          .cast("decimal(18,6)").as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * (alpha runs / digit runs / single other chars). */
+  def textTokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(filter(split($"text", " "), t => t =!= "")).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("re_tokens"),
+        length($"text").as("n_chars_actual"))
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprint: md5 of the sorted distinct token set (canonical
+    * bag-of-words form); first doc per fingerprint is kept. */
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fp = md5(concat_ws(" ", array_sort(array_distinct(tokens($"text")))))
+    val w = Window.partitionBy($"fingerprint").orderBy($"doc_id")
+    Tables.documents(spark, sfDir)
+      .withColumn("fingerprint", fp)
+      .withColumn("rn", row_number().over(w))
+      .select($"doc_id", $"fingerprint", ($"rn" === 1).as("kept"))
+      .orderBy($"doc_id")
+  }
+}
