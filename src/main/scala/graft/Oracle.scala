@@ -681,6 +681,49 @@ object Oracle {
          |ORDER BY id_a, id_b""".stripMargin,
   )
 
+  val streaming: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "stream_sliding" ->
+      """SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
+        |   - o * INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS win_start,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+        |FROM events, (VALUES (0), (1)) t(o)
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "stream_session" ->
+      """WITH ordered AS (
+        | SELECT user_id, ts,
+        |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         >= INTERVAL '30 minutes' OR
+        |       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |  THEN 1 ELSE 0 END AS new_session
+        | FROM events),
+        |islands AS (
+        | SELECT user_id, ts,
+        |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM ordered)
+        |SELECT user_id,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+        | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+        | COUNT(*) AS n_events
+        |FROM islands GROUP BY user_id, session_id
+        |ORDER BY user_id, first_ts""".stripMargin,
+
+    "stream_latest_status" ->
+      """SELECT user_id, event_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts, event_type
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+  )
+
   def all: Map[String, String] =
-    relational ++ windows ++ functions ++ ingest ++ textsim
+    relational ++ windows ++ functions ++ ingest ++ textsim ++ streaming
 }

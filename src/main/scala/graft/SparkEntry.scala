@@ -97,6 +97,13 @@ object SparkEntry {
     "dedup_minhash_lsh"      -> Similarity.dedupMinhashLsh _,
     "dedup_simhash"          -> Similarity.dedupSimhash _,
     "dedup_ngram_jaccard"    -> Similarity.dedupNgramJaccard _,
+    // -- streaming (batch-declared oracle forms + true streaming runners)
+    "stream_tumbling"       -> Streaming.streamTumbling _,
+    "stream_sliding"        -> Streaming.streamSliding _,
+    "stream_session"        -> Streaming.streamSession _,
+    "stream_latest_status"  -> Streaming.streamLatestStatus _,
+    "stream_watermark_late" -> Streaming.streamWatermarkLate _,
+    "stream_dedup_state"    -> Streaming.streamDedupState _,
     // -- sort / limit / set ops
     "sort_multi_null"    -> Relational.sortMultiNull _,
     "topk_global"        -> Relational.topkGlobal _,

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.Tables
+
+/** Streaming pack (SURVEY.md §2.B) over `events`.
+  *
+  * The windowed aggregations are declared in batch form (oracle-checkable
+  * against DuckDB `time_bucket` / gaps-and-islands SQL); StreamingSpec
+  * asserts batch ≡ Structured Streaming for the same files. The two
+  * stateful-only operators (`stream_watermark_late`, `stream_dedup_state`)
+  * run REAL Structured Streaming jobs (file source → Trigger.AvailableNow →
+  * memory sink) inside the query function — the driver records a rows-only
+  * check for them (no SQL oracle exists for watermark semantics).
+  *
+  * Scale: tumbling/sliding aggs shuffle once on (window, key) — with
+  * watermarking the state store holds only open windows; session windows
+  * shuffle on user_id and merge per key. The reference's job-status store
+  * (CsvUploadService.java:20,39-49) is the semantic ancestor of
+  * `stream_latest_status`.
+  */
+object Streaming {
+
+  private def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** count + sum(value) per event_type per 1-hour tumbling window. */
+  def streamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), dec6(sum(dec6($"value"))).as("sum_value"))
+      .select(date_format($"window.start", tsFmt).as("win_start"),
+        $"event_type", $"n", $"sum_value")
+      .orderBy($"win_start", $"event_type")
+  }
+
+  /** 1-hour window sliding every 30 minutes (each event in 2 windows). */
+  def streamSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), dec6(sum(dec6($"value"))).as("sum_value"))
+      .select(date_format($"window.start", tsFmt).as("win_start"),
+        $"event_type", $"n", $"sum_value")
+      .orderBy($"win_start", $"event_type")
+  }
+
+  /** Session windows, 30-minute gap, per user (session_window merges
+    * events closer than the gap; end of session = last event + gap). */
+  def streamSession(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min($"ts"), tsFmt).as("first_ts"),
+        date_format(max($"ts"), tsFmt).as("last_ts"))
+      .select($"user_id", $"first_ts", $"last_ts", $"n_events")
+      .orderBy($"user_id", $"first_ts")
+  }
+
+  /** Latest event per user — the reference's polled job-status table
+    * (latest Status per jobId) in batch form. */
+  def streamLatestStatus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id",
+        date_format($"ts", tsFmt).as("last_ts"), $"event_type")
+      .orderBy($"user_id")
+  }
+
+  // ----------------------------------------------- true streaming (no oracle)
+
+  /** Raw events stream with ts re-typed (file source needs the explicit
+    * long-nanos schema; see Tables.events). */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file streaming source requires a directory: stream the sf dir
+    // with a glob restricted to the events file
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  private def runToMemory(df: DataFrame, mode: String): DataFrame = {
+    val name = "graft_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Windowed count under a 10-minute watermark, append mode: only windows
+    * sealed by the final watermark are emitted (late data beyond the
+    * watermark would be dropped — asserted with MemoryStream in the spec). */
+  def streamWatermarkLate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    runToMemory(agg, "append")
+      .select(date_format($"window.start", tsFmt).as("win_start"),
+        $"event_type", $"n")
+      .orderBy($"win_start", $"event_type")
+  }
+
+  /** Stateful streaming dedup on event_id under a watermark; the deduped
+    * stream is then counted per type (batch-side) to a stable summary. */
+  def streamDedupState(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val deduped = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    runToMemory(deduped, "append")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+}
