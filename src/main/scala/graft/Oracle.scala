@@ -724,6 +724,19 @@ object Oracle {
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
   )
 
+  val multimodal: Map[String, String] = Map(
+    // sha256(VARCHAR) in DuckDB hashes the utf-8 bytes — identical to
+    // Spark's sha2(encode(text,'UTF-8'), 256) over the binary payload.
+    "multimodal_binary_meta" ->
+      """SELECT doc_id AS asset_id,
+        | CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        | sha256(text) AS sha,
+        | 'image/png' AS mime,
+        | CAST(n_chars % 640 + 16 AS INTEGER) AS width,
+        | CAST(n_chars % 480 + 16 AS INTEGER) AS height
+        |FROM documents ORDER BY asset_id""".stripMargin,
+  )
+
   def all: Map[String, String] =
-    relational ++ windows ++ functions ++ ingest ++ textsim ++ streaming
+    relational ++ windows ++ functions ++ ingest ++ textsim ++ streaming ++ multimodal
 }

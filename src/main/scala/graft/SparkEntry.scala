@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -104,6 +105,16 @@ object SparkEntry {
     "stream_latest_status"  -> Streaming.streamLatestStatus _,
     "stream_watermark_late" -> Streaming.streamWatermarkLate _,
     "stream_dedup_state"    -> Streaming.streamDedupState _,
+    // -- multimodal plumbing + synthetic source (rows-only where no oracle)
+    "multimodal_binary_meta" -> Multimodal.multimodalBinaryMeta _,
+    "multimodal_features"    -> ((s: SparkSession, d: String) =>
+      Multimodal.extractFeatures(s, d)
+        .select(col("asset_id"), col("byte_len"), col("width"))
+        .orderBy(col("asset_id"))),
+    "multimodal_frame_sample" -> ((s: SparkSession, d: String) =>
+      Multimodal.frameSample(s, d)),
+    "gen_synthetic" -> ((s: SparkSession, _: String) =>
+      Sinks.genSynthetic(s, 10000).orderBy(col("externalId"))),
     // -- sort / limit / set ops
     "sort_multi_null"    -> Relational.sortMultiNull _,
     "topk_global"        -> Relational.topkGlobal _,

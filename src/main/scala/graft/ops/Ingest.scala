@@ -75,9 +75,16 @@ object Ingest {
 
   /** Staging + trimmed cells + first-failure-wins `error` column (null =
     * valid). The shared upstream of most §2.A queries. */
-  def classified(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val raw = itemsRaw(spark, sfDir)
+  def classified(spark: SparkSession, sfDir: String): DataFrame =
+    classifyStaged(itemsRaw(spark, sfDir), existingKeys(spark, sfDir))
+
+  /** The full reference pipeline over ANY staged upload: `raw` must carry
+    * (line_id, external_id_raw, name_raw, quantity_raw, expiry_raw,
+    * arity_ok); `existing` a single `external_id` column. Used by the
+    * parquet-derived oracle staging above and by the CSV fixtures in
+    * IngestSpec. */
+  def classifyStaged(raw: DataFrame, existing: DataFrame): DataFrame = {
+    import raw.sparkSession.implicits._
     val trimmed = raw
       .withColumn("ext", trim(coalesce($"external_id_raw", lit(""))))
       .withColumn("nam", trim(coalesce($"name_raw", lit(""))))
@@ -89,8 +96,7 @@ object Ingest {
     val w = Window.partitionBy(eligible, $"ext").orderBy($"line_id")
     val withDup = trimmed
       .withColumn("rn", row_number().over(w))
-      .join(broadcast(existingKeys(spark, sfDir)),
-        $"ext" === $"external_id", "left_outer")
+      .join(broadcast(existing), $"ext" === $"external_id", "left_outer")
       .withColumn("in_existing", $"external_id".isNotNull)
       .drop("external_id")
     withDup.withColumn("error",

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink family (SURVEY.md §2.A, Oracle=no — behavior verified in
+  * SinksSpec).
+  *
+  * Reference semantics (/root/reference/.../BackgroundCsvProcessor.java):
+  *  - CHUNK_COMMIT (:170-220): every 1000 valid rows committed in an
+  *    independent transaction; partial success allowed; memory bounded.
+  *  - ALL_OR_NOTHING (:121-164): whole file in one transaction, rollback
+  *    on any error.
+  *  - error CSV (:275-293): comma-stripped rejected rows + reason appended.
+  *  - JDBC batch (pom.xml:48-59): batched inserts through a pool.
+  *
+  * Spark mapping: a write job's output-commit protocol is already
+  * all-or-nothing (no _SUCCESS, no visible files on failure); chunk-commit
+  * maps to task-level commits with bounded file size (maxRecordsPerFile) —
+  * each task's files commit independently of later tasks when
+  * partial-success semantics are requested via per-partition isolation.
+  */
+object Sinks {
+
+  /** Chunked sink: bounded commit units via maxRecordsPerFile — the
+    * 1000-row transaction analog. Returns files written. */
+  def sinkChunked(df: DataFrame, outDir: String, chunkRows: Int = 1000): Long = {
+    df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", chunkRows.toLong)
+      .parquet(outDir)
+    new java.io.File(outDir).listFiles()
+      .count(f => f.getName.endsWith(".parquet")).toLong
+  }
+
+  /** All-or-nothing sink: one Spark write job; if any task ultimately
+    * fails the job aborts and the output location stays unpublished. */
+  def sinkAllOrNothing(df: DataFrame, outDir: String): Boolean = {
+    try {
+      df.write.mode(SaveMode.Overwrite).parquet(outDir)
+      true
+    } catch {
+      case _: Throwable => false
+    }
+  }
+
+  /** Error-report CSV: the comma-stripped reason-tagged rejected rows
+    * (content equals the clean_comma_strip query) written as text. */
+  def sinkErrorCsv(spark: SparkSession, sfDir: String, outDir: String): Long = {
+    val report = Ingest.cleanCommaStrip(spark, sfDir)
+    report.select(col("report_line")).write
+      .mode(SaveMode.Overwrite).text(outDir)
+    spark.read.text(outDir).count()
+  }
+
+  /** JDBC batched writer (the Hibernate/HikariCP path): configured but not
+    * executable in this container (no database); the parquet stand-in above
+    * carries the commit semantics. */
+  def sinkJdbcBatch(df: DataFrame, url: String, table: String,
+                    batchSize: Int = 1000): Unit = {
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize.toLong)
+      .mode(SaveMode.Append)
+      .save()
+  }
+
+  /** Deterministic seeded synthetic items generator (CsvGenerator.java:
+    * 18-65 made reproducible): sequential 10-digit externalId from
+    * 1000000000, name Item_[1,1000), quantity [1,10000), expiryDate
+    * base+[1,365) days. Randomness is a per-id md5 derivation —
+    * partition-count independent, unlike rand(seed). */
+  def genSynthetic(spark: SparkSession, rows: Long,
+                   baseDate: String = "2026-01-01"): DataFrame = {
+    import spark.implicits._
+    def h(salt: String) =
+      conv(substring(md5(concat(lit(salt), $"id".cast("string"))), 1, 6), 16, 10)
+        .cast("long")
+    spark.range(rows).select(
+      (lit(1000000000L) + $"id").cast("string").as("externalId"),
+      concat(lit("Item_"), (h("n") % 999 + 1).cast("string")).as("name"),
+      (h("q") % 9999 + 1).cast("int").as("quantity"),
+      date_format(date_add(lit(baseDate).cast("date"),
+        (h("d") % 364 + 1).cast("int")), "yyyy-MM-dd").as("expiryDate"))
+  }
+}

@@ -14,22 +14,23 @@ import org.apache.spark.sql.functions._
   */
 object Udfs {
 
-  /** The reference's validateRow as a scalar Scala UDF
+  /** The reference's validateRow as a pure function
     * (BackgroundCsvProcessor.java:226-258): same first-failure-wins chain,
     * with set-membership results (existing/dup) passed as precomputed
-    * columns exactly as the reference passes its two sets in. */
-  val classifyUdf = udf(
-    (arityOk: Boolean, ext: String, nam: String, qty: String, exp: String,
-     inExisting: Boolean, rn: Int) => {
-      if (!arityOk) Ingest.ErrArity
-      else if (ext.isEmpty) Ingest.ErrExtEmpty
-      else if (nam.isEmpty) Ingest.ErrNameEmpty
-      else if (inExisting || rn > 1) Ingest.ErrDup
-      else if (qty.nonEmpty && qty.toIntOption.isEmpty) Ingest.ErrQty
-      else if (exp.nonEmpty &&
-        scala.util.Try(java.time.LocalDate.parse(exp)).isFailure) Ingest.ErrDate
-      else null
-    })
+    * values exactly as the reference passes its two sets in. Public so
+    * the property spec can exercise the precedence contract directly. */
+  def classify(arityOk: Boolean, ext: String, nam: String, qty: String,
+               exp: String, inExisting: Boolean, rn: Int): String =
+    if (!arityOk) Ingest.ErrArity
+    else if (ext.isEmpty) Ingest.ErrExtEmpty
+    else if (nam.isEmpty) Ingest.ErrNameEmpty
+    else if (inExisting || rn > 1) Ingest.ErrDup
+    else if (qty.nonEmpty && qty.toIntOption.isEmpty) Ingest.ErrQty
+    else if (exp.nonEmpty &&
+      scala.util.Try(java.time.LocalDate.parse(exp)).isFailure) Ingest.ErrDate
+    else null
+
+  val classifyUdf = udf(classify _)
 
   /** Same classifier as classify_error, via the UDF. */
   def udfClassify(spark: SparkSession, sfDir: String): DataFrame = {

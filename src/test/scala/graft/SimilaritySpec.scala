@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.ops.{Similarity, TextSim, Udfs, Ingest}
+
+/** Similarity/dedup invariants + ScalaCheck properties for the pure
+  * classifier (SURVEY §5.2#3). */
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("cosine of the probe with itself is 1") {
+    val self = Similarity.simCosineProbe(spark, sfDir)
+      .filter($"vec_id" === 0).select($"cos").as[java.math.BigDecimal].head()
+    assert(self.doubleValue() == 1.0)
+  }
+
+  test("knn returns at most k neighbors per query, ranked by cosine") {
+    val knn = Similarity.simKnnPerLabel(spark, sfDir).cache()
+    val overK = knn.groupBy($"qid").count().filter($"count" > 3).count()
+    assert(overK == 0)
+    val badRange = knn.filter($"cos" > 1.0001 || $"cos" < -1.0001).count()
+    assert(badRange == 0)
+    knn.unpersist()
+  }
+
+  test("minhash candidates are a superset of high-jaccard pairs") {
+    val cand = Similarity.dedupMinhashLsh(spark, sfDir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val real = Similarity.dedupNgramJaccard(spark, sfDir)
+      .filter($"jaccard" >= 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(real.subsetOf(cand),
+      s"high-jaccard pairs missed by minhash: ${real -- cand}")
+  }
+
+  test("simhash signatures fit in 60 bits and near-dup docs collide") {
+    val sh = Similarity.dedupSimhash(spark, sfDir).cache()
+    assert(sh.filter($"simhash" < 0 ||
+      $"simhash" >= (1L << 60)).count() == 0)
+    // signature count equals doc count (one per doc)
+    assert(sh.count() == graft.Tables.documents(spark, sfDir).count())
+    sh.unpersist()
+  }
+
+  test("lsh bucket search contains the probe itself at cosine 1") {
+    val top = Similarity.simAnnLsh(spark, sfDir)
+      .orderBy($"cos".desc).limit(1)
+      .select($"vec_id").as[Long].head()
+    assert(top == 0L)
+  }
+
+  test("fingerprint dedup: same token multiset => same fingerprint") {
+    val fp = TextSim.textFingerprint(spark, sfDir)
+    // injected check: two hand-built docs with permuted tokens
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"))
+      .toDF("doc_id", "text")
+    val f = docs.select(md5(concat_ws(" ",
+      array_sort(array_distinct(TextSim.tokens($"text"))))).as("f"))
+      .as[String].collect()
+    assert(f(0) == f(1))
+    assert(fp.count() > 0)
+  }
+
+  test("classifier precedence holds for arbitrary inputs (ScalaCheck)") {
+    val cell = Gen.oneOf("", "  ", "abc", "5", "2026-09-01", "09/01/2026", "x,y")
+    val prop = Prop.forAll(Gen.oneOf(true, false), cell, cell, cell, cell,
+      Gen.oneOf(true, false), Gen.chooseNum(1, 3)) {
+      (arityOk: Boolean, ext: String, nam: String, qty: String, exp: String,
+       inEx: Boolean, rn: Int) =>
+        val v = Udfs.classify(arityOk, ext.trim, nam.trim, qty.trim, exp.trim, inEx, rn)
+        val expected =
+          if (!arityOk) Ingest.ErrArity
+          else if (ext.trim.isEmpty) Ingest.ErrExtEmpty
+          else if (nam.trim.isEmpty) Ingest.ErrNameEmpty
+          else if (inEx || rn > 1) Ingest.ErrDup
+          else if (qty.trim.nonEmpty && qty.trim.toIntOption.isEmpty) Ingest.ErrQty
+          else if (exp.trim.nonEmpty && scala.util.Try(
+            java.time.LocalDate.parse(exp.trim)).isFailure) Ingest.ErrDate
+          else null
+        v == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+}

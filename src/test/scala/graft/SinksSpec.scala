@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.{Ingest, Sinks}
+
+/** Sink behaviors (SURVEY §2.A, Oracle=no): chunked vs all-or-nothing
+  * commit semantics, error-CSV content, seeded synthetic generator. */
+class SinksSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_sink").toString
+
+  test("chunked sink bounds rows per committed file") {
+    val dir = tmp()
+    val df = spark.range(5000).toDF("id")
+    Sinks.sinkChunked(df.repartition(1), dir, chunkRows = 1000)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 5, s"expected >=5 chunk files, got ${files.length}")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 5000)
+  }
+
+  test("all-or-nothing: failing job publishes nothing") {
+    val dir = tmp() + "/out"
+    val boom = udf((i: Long) => {
+      if (i == 4999) throw new RuntimeException("poison row"); i
+    })
+    val df = spark.range(5000).select(boom($"id").as("id"))
+    val ok = Sinks.sinkAllOrNothing(df, dir)
+    assert(!ok)
+    val committed = new java.io.File(dir)
+    val hasSuccess = committed.exists() &&
+      committed.listFiles().exists(_.getName == "_SUCCESS")
+    assert(!hasSuccess, "failed job must not publish _SUCCESS")
+  }
+
+  test("all-or-nothing: clean job publishes atomically") {
+    val dir = tmp() + "/out"
+    assert(Sinks.sinkAllOrNothing(spark.range(100).toDF("id"), dir))
+    assert(new java.io.File(dir).listFiles().exists(_.getName == "_SUCCESS"))
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
+  test("error CSV sink writes exactly the rejected report lines") {
+    val dir = tmp()
+    val n = Sinks.sinkErrorCsv(spark, sfDir, dir)
+    val expected = Ingest.cleanCommaStrip(spark, sfDir).count()
+    assert(n == expected && n > 0)
+    // reference semantics: no cell commas survive except the 4 separators
+    val maxCommas = spark.read.text(dir)
+      .select(max(size(split($"value", ",")))).as[Int].head()
+    assert(maxCommas == 5, s"report lines must have exactly 5 fields, got $maxCommas")
+  }
+
+  test("genSynthetic is deterministic and partition-count independent") {
+    val a = Sinks.genSynthetic(spark, 1000).repartition(1)
+      .orderBy("externalId").collect().map(_.toSeq)
+    val b = Sinks.genSynthetic(spark, 1000).repartition(13)
+      .orderBy("externalId").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
+  test("genSynthetic respects the reference value domains") {
+    val g = Sinks.genSynthetic(spark, 2000).cache()
+    assert(g.count() == 2000)
+    assert(g.filter(!$"externalId".rlike("^1[0-9]{9}$")).count() == 0)
+    assert(g.filter(!$"name".rlike("^Item_[1-9][0-9]{0,2}$")).count() == 0)
+    assert(g.filter($"quantity" < 1 || $"quantity" >= 10000).count() == 0)
+    val d = g.select(datediff($"expiryDate".cast("date"),
+      lit("2026-01-01").cast("date")).as("dd"))
+    assert(d.filter($"dd" < 1 || $"dd" >= 365).count() == 0)
+    g.unpersist()
+  }
+
+  test("generated data passes its own validation pipeline") {
+    val staged = Sinks.genSynthetic(spark, 500).select(
+      $"externalId".cast("long").as("line_id"),
+      $"externalId".as("external_id_raw"),
+      $"name".as("name_raw"),
+      $"quantity".cast("string").as("quantity_raw"),
+      $"expiryDate".as("expiry_raw"),
+      lit(true).as("arity_ok"))
+    val classified = Ingest.classifyStaged(staged, Seq.empty[String].toDF("external_id"))
+    assert(classified.filter($"error".isNotNull).count() == 0)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.ops.Streaming
+
+/** Streaming semantics: batch ≡ stream parity for the declared window
+  * queries, plus MemoryStream tests for the watermark-drop and stateful
+  * dedup behaviors that have no batch oracle (SURVEY §5.2#2,4).
+  */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def mem(df: org.apache.spark.sql.DataFrame, mode: String): String = {
+    val name = "t" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(); name
+  }
+
+  test("tumbling window: batch result equals streaming result") {
+    val batch = Streaming.streamTumbling(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,6)")).cast("decimal(18,6)").as("sum_value"))
+    val name = mem(stream, "complete")
+    val got = spark.table(name)
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        $"event_type", $"n", $"sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(got == batch)
+  }
+
+  test("watermark drops events later than the threshold") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"k")
+      .agg(count(lit(1)).as("n"))
+    val name = "wm" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // batch 1: window 10:00 gets 2 events; watermark -> 12:50
+    input.addData((t("2024-01-01 10:05:00"), "a"),
+      (t("2024-01-01 10:20:00"), "a"), (t("2024-01-01 13:00:00"), "a"))
+    q.processAllAvailable()
+    // batch 2: a late event for the sealed 10:00 window must be DROPPED
+    input.addData((t("2024-01-01 10:40:00"), "a"), (t("2024-01-01 13:30:00"), "a"))
+    q.processAllAvailable()
+    // push watermark far ahead so every window seals and appends
+    input.addData((t("2024-01-01 20:00:00"), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table(name)
+      .select(date_format($"window.start", "HH:mm").as("w"), $"n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("10:00") == 2L, s"late event leaked into sealed window: $counts")
+    assert(counts("13:00") == 2L)
+  }
+
+  test("stateful dedup keeps first occurrence of each id") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val dedup = input.toDF().toDF("ts", "id", "v")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("id")
+    val name = "dd" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = dedup.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    input.addData((t("2024-01-01 10:00:00"), 1L, "first"),
+      (t("2024-01-01 10:01:00"), 2L, "first"))
+    q.processAllAvailable()
+    input.addData((t("2024-01-01 10:02:00"), 1L, "dup"),
+      (t("2024-01-01 10:03:00"), 3L, "first"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).select($"id", $"v").as[(Long, String)]
+      .collect().toSet
+    assert(rows == Set((1L, "first"), (2L, "first"), (3L, "first")))
+  }
+
+  test("session windows merge events within the gap") {
+    val sessions = Streaming.streamSession(spark, sfDir)
+    // every session must contain >= 1 event and last_ts >= first_ts
+    assert(sessions.filter($"n_events" < 1).count() == 0)
+    assert(sessions.filter($"last_ts" < $"first_ts").count() == 0)
+  }
+}
