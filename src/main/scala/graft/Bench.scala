@@ -23,7 +23,13 @@ object Bench {
       o.join(c, o("o_custkey") === c("c_custkey"))
         .groupBy("o_orderstatus").count().collect()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Dev filter: SPARK_GRAFT_ONLY="q1,q2" times just those queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => only(k) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -9,9 +9,10 @@ import graft.Tables
   * dedup via MinHash/SimHash/n-gram-Jaccard/embedding-cosine, ANN search).
   *
   * Determinism: all dot products / norms are left-to-right folds over the
-  * vector (zip_with + aggregate in Spark ≡ list_transform + list_reduce in
-  * DuckDB) — bit-identical IEEE sums, no order-dependent SQL SUMs. Hashes
-  * are md5 hex strings, identical in both engines.
+  * vector (the native graft_dot expression ≡ zip_with + aggregate in Spark
+  * ≡ list_transform + list_reduce in DuckDB) — bit-identical IEEE sums, no
+  * order-dependent SQL SUMs. Hashes are md5 hex strings, identical in both
+  * engines.
   *
   * Scale notes (100 TB): brute-force probe is one broadcast + map + top-k
   * (TakeOrdered — no global sort). kNN/near-dup pairs are quadratic only
@@ -22,12 +23,17 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Left-to-right double fold: SUM would be partition-order dependent. */
-  private def fsum(arr: Column): Column =
-    aggregate(arr, lit(0.0), (a, x) => a + x)
+  /** Left-to-right double fold: SUM would be partition-order dependent.
+    * Kept as the executable spec of graft_dot's semantics (SimilaritySpec
+    * asserts bit-equality); the declared queries use the codegen'd native
+    * expression instead. */
+  private[graft] def hofDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Native codegen'd dot product (org.apache.spark.sql.graft.DotProduct) — the same
+    * left-to-right fold, compiled instead of interpreted. */
   private def dot(a: Column, b: Column): Column =
-    fsum(zip_with(a, b, (x, y) => x * y))
+    call_function("graft_dot", a, b)
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -37,6 +43,7 @@ object Similarity {
   /** Brute-force cosine top-50 of every embedding vs the probe vector
     * (vec_id = 0): broadcast the probe, one map pass, TakeOrdered top-k. */
   def simCosineProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
     val probe = broadcast(e.filter($"vec_id" === 0)
@@ -51,6 +58,7 @@ object Similarity {
   /** k=3 nearest neighbors within each label group: the pair join is
     * quadratic only within a label (the coarse partition). */
   def simKnnPerLabel(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
     import spark.implicits._
     // Precompute each vector's norm once (per-vector, not per-pair): the
     // pair stage then evaluates a single dot fold instead of three —
@@ -77,6 +85,7 @@ object Similarity {
     * rotation, the plan shape is identical: bucket-key equi-join instead
     * of a full cross join. */
   def simAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
     import spark.implicits._
     def bucket(v: Column): Column =
       (element_at(v, 1) > 0.0).cast("int") * 4 +
@@ -96,6 +105,7 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs within a label, cos ≥ 0.35
     * (canonical a<b ordering). */
   def dedupEmbeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"label", vecd($"embedding").as("v"))
@@ -171,22 +181,25 @@ object Similarity {
     * compare), pairs with jaccard ≥ 0.1. */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // Per-doc gram count attached to the gram rows by a window instead of
+    // a separate groupBy branch: the join's a/b sides are then IDENTICAL
+    // subtrees, so ReuseExchange materializes the tokenize+explode scan
+    // once (it was the dominant cost, recomputed 3× in the branched form),
+    // and no extra joins against a sizes table are needed.
     val grams = Tables.documents(spark, sfDir)
       .select($"doc_id", $"source", TextSim.tokens($"text").as("ts"))
       .filter(size($"ts") >= 2)
       .select($"doc_id", $"source", explode(array_distinct(expr(
         "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")))
         .as("gram"))
-    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+      .withColumn("n_grams", count(lit(1)).over(Window.partitionBy($"doc_id")))
     val a = grams.as("a")
     val b = grams.as("b")
-    val inter = a.join(b,
+    a.join(b,
         $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id" && $"a.gram" === $"b.gram")
-      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        $"a.n_grams".as("na"), $"b.n_grams".as("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select($"doc_id".as("id_a"), $"n_grams".as("na")), "id_a")
-      .join(sizes.select($"doc_id".as("id_b"), $"n_grams".as("nb")), "id_b")
       .select($"id_a", $"id_b",
         ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).cast("decimal(18,6)").as("jaccard"))
       .filter($"jaccard" >= 0.1)

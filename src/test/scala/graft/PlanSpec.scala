@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan shape assertions: the properties that make these queries
+  * survive a 100 TB / 1000-executor scale-up, pinned so a refactor can't
+  * silently regress them (SURVEY §4: built-in Catalyst behaviors we rely
+  * on — broadcast joins, scan pushdown/pruning, TakeOrdered top-k,
+  * partial aggregation, whole-stage codegen).
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("join_broadcast plans a broadcast hash join (no fact-side shuffle)") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("dedup_anti_existing is a broadcast anti-join, not a shuffle") {
+    val p = plan("dedup_anti_existing")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("LeftAnti"))
+  }
+
+  test("topk_global plans TakeOrderedAndProject (no global sort)") {
+    assert(plan("topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("sim_cosine_probe broadcasts the probe (nested-loop, no shuffle)") {
+    assert(plan("sim_cosine_probe").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("agg_pricing_summary pushes the shipdate filter into the scan") {
+    val p = plan("agg_pricing_summary")
+    assert(p.contains("PushedFilters") &&
+      p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("l_shipdate")),
+      s"no pushed l_shipdate filter in:\n$p")
+  }
+
+  test("agg_pricing_summary prunes the lineitem scan to needed columns") {
+    val read = plan("agg_pricing_summary").linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    // needs 7 of lineitem's 16 columns; pruning must drop the rest
+    assert(read.contains("l_shipdate") && !read.contains("l_comment"),
+      s"scan not pruned: $read")
+  }
+
+  test("agg_pricing_summary does map-side partial aggregation") {
+    val p = plan("agg_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial + final HashAggregate")
+  }
+
+  test("flagship plan stays inside whole-stage codegen") {
+    // AQE finalizes codegen stages only at execution: run, then inspect
+    // the executed plan ("*(id)" marks whole-stage-codegen'd operators)
+    val df = SparkEntry.queries("agg_pricing_summary")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no codegen stage in:\n$p")
+  }
+
+  test("lookup_eq pushes the point predicate into the scan") {
+    val p = plan("lookup_eq")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("c_name")), s"no pushdown:\n$p")
+  }
+
+  test("proj_key_only scan reads a single column") {
+    val read = plan("proj_key_only").linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(read.nonEmpty && !read.contains(","),
+      s"key-only projection reads extra columns: $read")
+  }
+}

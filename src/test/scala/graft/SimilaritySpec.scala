@@ -9,6 +9,18 @@ import graft.ops.{Similarity, TextSim, Udfs, Ingest}
 class SimilaritySpec extends SparkSuite {
   import spark.implicits._
 
+  test("native graft_dot is bit-identical to the zip_with/aggregate fold") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val mismatches = e.select(
+        call_function("graft_dot", $"v", $"v").as("native"),
+        Similarity.hofDot($"v", $"v").as("hof"))
+      .filter($"native" =!= $"hof")   // bit-exact double equality
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("cosine of the probe with itself is 1") {
     val self = Similarity.simCosineProbe(spark, sfDir)
       .filter($"vec_id" === 0).select($"cos").as[java.math.BigDecimal].head()
