@@ -25,6 +25,23 @@ object Oracle {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        | CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS DECIMAL(18,6)) AS p25,
+        | CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS DECIMAL(18,6)) AS p50,
+        | CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS DECIMAL(18,6)) AS p75,
+        | CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.95) AS DECIMAL(18,6)) AS p95,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "agg_array_sorted" ->
+      """SELECT c_nationkey,
+        | list_slice(list_sort(list(c_custkey)), 1, 20) AS first_keys,
+        | COUNT(*) AS n
+        |FROM customer GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
     "join_inner_equi" ->
       """SELECT o_orderkey, c_custkey, c_name, c_mktsegment,
         | CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
@@ -193,6 +210,15 @@ object Oracle {
   )
 
   val windows: Map[String, String] = Map(
+    "win_percent_rank" ->
+      """SELECT o_orderstatus, o_orderkey,
+        | CAST(percent_rank() OVER w AS DECIMAL(18,6)) AS pct_rank,
+        | CAST(cume_dist() OVER w AS DECIMAL(18,6)) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+
     "win_row_number" ->
       """SELECT o_custkey, o_orderkey,
         | row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
@@ -283,6 +309,17 @@ object Oracle {
         | CAST(try_strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS DATE) AS roundtrip,
         | CAST(try_strptime('31/12/1999', '%Y-%m-%d') AS DATE) AS badparse
         |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+        | o_orderkey & 255 AS band,
+        | o_orderkey | 15 AS bor,
+        | xor(o_orderkey, 129) AS bxor,
+        | (o_orderkey % 16) << 2 AS shl,
+        | o_orderkey >> 3 AS shr,
+        | CAST(bit_count(o_orderkey) AS INTEGER) AS bcnt
+        |FROM orders WHERE o_orderkey <= 5000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "fn_math" ->
       """SELECT o_orderkey,
@@ -528,6 +565,18 @@ object Oracle {
         |  row_number() OVER (PARTITION BY lang, source ORDER BY n_chars DESC, doc_id) AS rn
         | FROM documents)
         |WHERE rn = 1 ORDER BY lang, source""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest($toksExpr) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |wdf AS (SELECT *, COUNT(*) OVER (PARTITION BY tok) AS df FROM tf),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT doc_id, tok, tf, df,
+         | CAST(tf * ln((n_docs + 1.0) / (df + 1.0)) AS DECIMAL(18,6)) AS tfidf
+         |FROM wdf, n
+         |ORDER BY tfidf DESC, doc_id, tok LIMIT 100""".stripMargin,
 
     "text_wordcount" ->
       s"""WITH toks AS (SELECT unnest($toksExpr) AS word FROM documents)

@@ -29,6 +29,8 @@ object SparkEntry {
     "agg_cube"            -> Relational.aggCube _,
     "agg_grouping_sets"   -> Relational.aggGroupingSets _,
     "agg_approx_distinct" -> Relational.aggApproxDistinct _,
+    "agg_percentile"      -> Relational.aggPercentile _,
+    "agg_array_sorted"    -> Relational.aggArraySorted _,
     // -- joins
     "join_inner_equi"  -> Relational.joinInnerEqui _,
     "join_broadcast"   -> Relational.joinBroadcast _,
@@ -72,6 +74,7 @@ object SparkEntry {
     "win_range_frame" -> Windows.winRangeFrame _,
     "win_first_last"  -> Windows.winFirstLast _,
     "win_topk_group"  -> Windows.winTopkGroup _,
+    "win_percent_rank" -> Windows.winPercentRank _,
     // -- scalar function packs
     "fn_string"      -> Functions.fnString _,
     "fn_date"        -> Functions.fnDate _,
@@ -80,6 +83,7 @@ object SparkEntry {
     "fn_cast"        -> Functions.fnCast _,
     "fn_array"       -> Functions.fnArray _,
     "fn_map_json"    -> Functions.fnMapJson _,
+    "fn_bitwise"     -> Functions.fnBitwise _,
     // -- text analysis / document dedup
     "dedup_exact_docs"       -> TextSim.dedupExactDocs _,
     "dedup_docs_keep_longest" -> TextSim.dedupDocsKeepLongest _,
@@ -90,6 +94,7 @@ object SparkEntry {
     "text_quality_score"     -> TextSim.textQualityScore _,
     "text_token_count"       -> TextSim.textTokenCount _,
     "text_fingerprint"       -> TextSim.textFingerprint _,
+    "text_tfidf"             -> TextSim.textTfidf _,
     // -- similarity search / near-dup detection
     "sim_cosine_probe"       -> Similarity.simCosineProbe _,
     "sim_knn_per_label"      -> Similarity.simKnnPerLabel _,

@@ -171,4 +171,22 @@ object Functions {
         size(map_keys(from_json($"props", MapType(StringType, IntegerType)))).as("n_keys"))
       .orderBy($"event_id")
   }
+
+  /** Bitwise-operator pack over a deterministic key slice: and/or/xor,
+    * shifts, popcount — the integer-hashing primitives the partitioners
+    * and LSH banding build on. */
+  def fnBitwise(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = $"o_orderkey"
+    Tables.orders(spark, sfDir)
+      .filter(k <= 5000)
+      .select(k,
+        k.bitwiseAND(255).as("band"),
+        k.bitwiseOR(15).as("bor"),
+        k.bitwiseXOR(129).as("bxor"),
+        shiftleft(k % 16, 2).as("shl"),
+        shiftright(k, 3).as("shr"),
+        bit_count(k).cast("int").as("bcnt"))
+      .orderBy(k)
+  }
 }

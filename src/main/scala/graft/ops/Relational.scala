@@ -366,6 +366,32 @@ object Relational {
     a.except(b).orderBy($"key")
   }
 
+  /** Exact interpolated percentiles of quantity per returnflag (DuckDB
+    * quantile_cont twin): both engines sort the group and linearly
+    * interpolate at p·(n-1) — identical doubles, fixed at 6 dp. */
+  def aggPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = $"l_quantity".cast("double")
+    def p(pp: Double) = percentile(q, lit(pp)).cast("decimal(18,6)")
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(p(0.25).as("p25"), p(0.5).as("p50"), p(0.75).as("p75"),
+        p(0.95).as("p95"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Deterministic array aggregation: first 20 customer keys per nation,
+    * sorted inside the aggregate (collect_list order is partition-
+    * dependent, so the sort is what makes the output stable). */
+  def aggArraySorted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .groupBy($"c_nationkey")
+      .agg(slice(sort_array(collect_list($"c_custkey")), 1, 20).as("first_keys"),
+        count(lit(1)).as("n"))
+      .orderBy($"c_nationkey")
+  }
+
   // ----------------------------------------------------------------- helpers
 
   private def regionNationCustomer(spark: SparkSession, sfDir: String): DataFrame = {

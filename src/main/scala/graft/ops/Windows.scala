@@ -111,4 +111,19 @@ object Windows {
       .filter($"rn" <= 3)
       .orderBy($"o_custkey", $"rn")
   }
+
+  /** percent_rank + cume_dist per order status: relative standing of each
+    * order's price inside its partition. Both are exact rational doubles
+    * of integer ranks ((rank-1)/(n-1), n_leq/n) — identical in any
+    * engine, fixed at 6 dp. */
+  def winPercentRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy(dec2($"o_totalprice"), $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .select($"o_orderstatus", $"o_orderkey",
+        percent_rank().over(w).cast("decimal(18,6)").as("pct_rank"),
+        cume_dist().over(w).cast("decimal(18,6)").as("cume"))
+      .orderBy($"o_orderstatus", $"o_orderkey")
+  }
 }
