@@ -74,9 +74,14 @@ object Ingest {
   }
 
   /** Staging + trimmed cells + first-failure-wins `error` column (null =
-    * valid). The shared upstream of most §2.A queries. */
+    * valid). The shared upstream of most §2.A queries — cached, because
+    * the reference computes it once and feeds both the valid batch and the
+    * error report from that single pass (SURVEY §3.1: "one DataFrame DAG
+    * … cache() → two filtered branches"). Spark's CacheManager keys on
+    * the logical plan, so repeated calls for the same sfDir share one
+    * in-memory relation instead of re-running the window + join. */
   def classified(spark: SparkSession, sfDir: String): DataFrame =
-    classifyStaged(itemsRaw(spark, sfDir), existingKeys(spark, sfDir))
+    classifyStaged(itemsRaw(spark, sfDir), existingKeys(spark, sfDir)).cache()
 
   /** The full reference pipeline over ANY staged upload: `raw` must carry
     * (line_id, external_id_raw, name_raw, quantity_raw, expiry_raw,
