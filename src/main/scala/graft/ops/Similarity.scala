@@ -102,6 +102,45 @@ object Similarity {
       .limit(10)
   }
 
+  /** IVF-style ANN probe. Coarse centroids are per-label mean vectors
+    * (one posexplode + (cell, dim) average — scalar-row shuffle, never
+    * vector rows); every vector is then quantized to its NEAREST centroid
+    * (broadcast centroid set, argmin of the L2 identity |c|²−2c·v), which
+    * builds the inverted lists; the probe searches only its own cell.
+    * Classic IVF scale shape: the centroid set is tiny and broadcast,
+    * assignment is one map pass, the quadratic work is bounded by one
+    * cell, and at real scale the cell id is the partitioning key. Using
+    * one quantizer for members and probe guarantees the probe's own
+    * vector is inside the searched list. No SQL oracle (the per-dim
+    * average pivot has no tractable DuckDB twin) — SimilaritySpec. */
+  def simIvfProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", vecd($"embedding").as("v"))
+    // K coarse centroids seeded from the label partition: per-dim averages
+    val cent = broadcast(
+      e.select($"label".as("cid"), posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"cid", $"pos").agg(avg($"x").as("cx"))
+        .groupBy($"cid").agg(expr(
+          "transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)")
+          .as("centroid")))
+    // quantize every vector to its nearest centroid → inverted lists
+    val w = Window.partitionBy($"vec_id").orderBy($"d2", $"cid")
+    val assigned = e.crossJoin(cent)
+      .select($"vec_id", $"v", $"cid",
+        (dot($"centroid", $"centroid") - lit(2.0) * dot($"centroid", $"v")).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"v", $"cid".as("cell"))
+    val probe = broadcast(assigned.filter($"vec_id" === 0)
+      .select($"v".as("p"), $"cell".as("pcell")))
+    assigned.join(probe, $"cell" === $"pcell")
+      .select($"vec_id", $"cell", cosine($"v", $"p").cast("decimal(18,6)").as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
   /** Embedding-cosine near-duplicate pairs within a label, cos ≥ 0.35
     * (canonical a<b ordering). */
   def dedupEmbeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {

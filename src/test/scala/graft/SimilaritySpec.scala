@@ -21,6 +21,40 @@ class SimilaritySpec extends SparkSuite {
     assert(mismatches == 0)
   }
 
+  test("graft_dot matches the interpreted fold on arbitrary vectors (ScalaCheck)") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    // equal lengths: zip_with null-pads the shorter side (null result)
+    // while graft_dot folds the common prefix — the engine only ever dots
+    // equal-dimension vectors, so the contract is the equal-length domain
+    val vecPair = Gen.chooseNum(0, 16).flatMap { n =>
+      val v = Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6).map(_ / 1e3))
+      v.flatMap(a => v.map(b => (a, b)))
+    }
+    val prop = Prop.forAll(vecPair) { case (a: List[Double], b: List[Double]) =>
+      val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
+      val Array(native, hof) = df.select(
+          call_function("graft_dot", $"a", $"b"),
+          Similarity.hofDot($"a", $"b"))
+        .as[(Double, Double)].head() match { case (x, y) => Array(x, y) }
+      java.lang.Double.doubleToLongBits(native) ==
+        java.lang.Double.doubleToLongBits(hof)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("ivf probe searches its own cell and finds itself first") {
+    val top = Similarity.simIvfProbe(spark, sfDir).cache()
+    val rows = top.collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // probe (vec_id 0) ranks first at cosine 1
+    assert(rows.head.getLong(0) == 0L)
+    assert(rows.head.getDecimal(2).doubleValue() == 1.0)
+    // all results come from one inverted list (the probe's cell)
+    assert(top.select($"cell").distinct().count() == 1)
+    top.unpersist()
+  }
+
   test("cosine of the probe with itself is 1") {
     val self = Similarity.simCosineProbe(spark, sfDir)
       .filter($"vec_id" === 0).select($"cos").as[java.math.BigDecimal].head()
