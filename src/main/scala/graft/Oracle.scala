@@ -103,15 +103,19 @@ object Oracle {
         |ORDER BY orderkey, line_a, line_b, part_a, part_b""".stripMargin,
 
     "join_asof" ->
-      """WITH latest AS (
-        |  SELECT o_custkey, o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
-        |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
-        |  WHERE rn = 1)
-        |SELECT event_id, user_id, asof_orderkey,
-        |  strftime(asof_orderdate, '%Y-%m-%d') AS asof_date
-        |FROM events LEFT OUTER JOIN latest ON user_id = o_custkey
-        |ORDER BY event_id""".stripMargin,
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    DATE '1995-01-01' + CAST(event_id % 2500 AS INTEGER) AS cutoff
+        |  FROM events),
+        |j AS (
+        |  SELECT ev.event_id, ev.user_id, ev.cutoff, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY ev.event_id
+        |      ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC NULLS LAST) AS rn
+        |  FROM ev LEFT OUTER JOIN orders
+        |    ON user_id = o_custkey AND o_orderdate <= cutoff)
+        |SELECT event_id, user_id, strftime(cutoff, '%Y-%m-%d') AS cutoff,
+        |  o_orderkey AS asof_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS asof_date
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "agg_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,

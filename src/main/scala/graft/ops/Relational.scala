@@ -182,22 +182,29 @@ object Relational {
     * vs events in 2024, so every order predates every event; the query
     * therefore pins each event to the single latest order per user, which
     * still exercises the full as-of machinery deterministically. */
+  /** As-of backward join: each event matched to the latest order of the
+    * same key at or before its cutoff (events' real timestamps all
+    * post-date every order, so the cutoff is a deterministic per-event
+    * date inside the orders domain — this keeps the time condition
+    * load-bearing: different events of one user get different matches,
+    * some none). Winner picked by max(struct(date, key)) — a map-side-
+    * combinable aggregation, one shuffle on the event key, no window
+    * sort; the same plan DuckDB's ASOF JOIN or the rn=1 window computes. */
   def joinAsof(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, sfDir)
-      .select($"user_id", $"event_id", $"ts")
-    // latest order per customer (unique winner: latest date, then max key)
-    val w = Window.partitionBy($"o_custkey")
-      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
-    val latestOrder = Tables.orders(spark, sfDir)
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"o_custkey", $"o_orderkey".as("asof_orderkey"),
-        $"o_orderdate".as("asof_orderdate"))
-    ev.join(latestOrder, $"user_id" === $"o_custkey", "left_outer")
-      .select($"event_id", $"user_id", $"asof_orderkey",
-        date_format($"asof_orderdate", "yyyy-MM-dd").as("asof_date"))
+      .select($"user_id", $"event_id",
+        date_add(lit("1995-01-01").cast("date"),
+          ($"event_id" % 2500).cast("int")).as("cutoff"))
+    ev.join(Tables.orders(spark, sfDir)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate"),
+        $"user_id" === $"o_custkey" && $"o_orderdate" <= $"cutoff", "left_outer")
+      .groupBy($"event_id", $"user_id", $"cutoff")
+      .agg(max(struct($"o_orderdate", $"o_orderkey")).as("best"))
+      .select($"event_id", $"user_id",
+        date_format($"cutoff", "yyyy-MM-dd").as("cutoff"),
+        $"best.o_orderkey".as("asof_orderkey"),
+        date_format($"best.o_orderdate", "yyyy-MM-dd").as("asof_date"))
       .orderBy($"event_id")
   }
 
