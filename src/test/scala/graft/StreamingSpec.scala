@@ -38,6 +38,42 @@ class StreamingSpec extends SparkSuite {
     assert(got == batch)
   }
 
+  private def eventsStream = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  test("sliding window: batch result equals streaming result") {
+    val batch = Streaming.streamSliding(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val stream = eventsStream
+      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,6)")).cast("decimal(18,6)").as("sum_value"))
+    val got = spark.table(mem(stream, "complete"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        $"event_type", $"n", $"sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(got == batch)
+  }
+
+  test("session window: batch result equals streaming result") {
+    val batch = Streaming.streamSession(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val stream = eventsStream
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(max($"ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+    val got = spark.table(mem(stream, "complete"))
+      .select($"user_id", $"first_ts", $"last_ts", $"n_events")
+      .collect().map(_.toSeq).toSet
+    assert(got == batch)
+  }
+
   test("watermark drops events later than the threshold") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
