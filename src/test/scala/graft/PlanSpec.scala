@@ -69,6 +69,20 @@ class PlanSpec extends SparkSuite {
       l.contains("PushedFilters") && l.contains("c_name")), s"no pushdown:\n$p")
   }
 
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("minhash band self-join reuses one exchange (tokenize scan runs once)") {
+    assert(executedPlan("dedup_minhash_lsh").contains("ReusedExchange"))
+  }
+
+  test("ngram jaccard self-join reuses one exchange (gram scan runs once)") {
+    assert(executedPlan("dedup_ngram_jaccard").contains("ReusedExchange"))
+  }
+
   test("proj_key_only scan reads a single column") {
     val read = plan("proj_key_only").linesIterator
       .filter(_.contains("ReadSchema")).mkString("\n")
