@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed (co-located) joins — the shuffle-free path for joins that
+  * repeat on the same key at 100 TB.
+  *
+  * The reference leans on a Postgres B-tree index over external_id
+  * (V2__create_items.sql:10) to make its key probes cheap; the
+  * distributed analog is pre-hashing both tables into the same bucket
+  * layout so every future equi-join on that key is a per-bucket merge
+  * with NO exchange on either side. Write cost is paid once; every
+  * downstream join/aggregation on the bucket key skips its shuffle.
+  * BucketingSpec proves the plan property (no `Exchange` under the join).
+  */
+object Bucketing {
+
+  /** Write `df` bucketed+sorted by `key` into `n` buckets as an external
+    * table at `path`. Spark's bucket layout is hash(key) % n per file
+    * group — the same co-location contract Hive bucketing declares. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    key: String, n: Int = 8): Unit = {
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(n, key)
+      .sortBy(key)
+      .option("path", path)
+      .saveAsTable(table)
+  }
+
+  /** Join two tables previously bucketed on their join keys with the same
+    * bucket count: planned as a sort-merge over matching buckets, no
+    * exchange on either side. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   leftKey: String, rightKey: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.table(leftTable)
+      .join(spark.table(rightTable), col(leftKey) === col(rightKey))
+  }
+}
