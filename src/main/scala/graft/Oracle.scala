@@ -25,6 +25,18 @@ object Oracle {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    "set_except_all" ->
+      """SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0
+        |EXCEPT ALL
+        |SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_orderkey % 6 = 0
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0
+        |INTERSECT ALL
+        |SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+
     "agg_percentile" ->
       """SELECT l_returnflag,
         | CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS DECIMAL(18,6)) AS p25,
@@ -214,6 +226,15 @@ object Oracle {
   )
 
   val windows: Map[String, String] = Map(
+    "win_nth_value" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        | nth_value(CAST(o_totalprice AS DECIMAL(18,2)), 2) OVER (
+        |   PARTITION BY o_custkey
+        |   ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_cheapest
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
     "win_percent_rank" ->
       """SELECT o_orderstatus, o_orderkey,
         | CAST(percent_rank() OVER w AS DECIMAL(18,6)) AS pct_rank,
@@ -313,6 +334,15 @@ object Oracle {
         | CAST(try_strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS DATE) AS roundtrip,
         | CAST(try_strptime('31/12/1999', '%Y-%m-%d') AS DATE) AS badparse
         |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "fn_hash" ->
+      """SELECT doc_id,
+        | md5(text) AS md5_hex,
+        | sha256(text) AS sha256_hex,
+        | CAST(length(md5(text)) AS INTEGER) AS md5_len,
+        | CAST(length(sha256(text)) AS INTEGER) AS sha256_len,
+        | md5(text || '|' || CAST(doc_id AS VARCHAR)) AS salted
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "fn_bitwise" ->
       """SELECT o_orderkey,

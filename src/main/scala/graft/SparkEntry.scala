@@ -75,6 +75,7 @@ object SparkEntry {
     "win_first_last"  -> Windows.winFirstLast _,
     "win_topk_group"  -> Windows.winTopkGroup _,
     "win_percent_rank" -> Windows.winPercentRank _,
+    "win_nth_value"    -> Windows.winNthValue _,
     // -- scalar function packs
     "fn_string"      -> Functions.fnString _,
     "fn_date"        -> Functions.fnDate _,
@@ -84,6 +85,7 @@ object SparkEntry {
     "fn_array"       -> Functions.fnArray _,
     "fn_map_json"    -> Functions.fnMapJson _,
     "fn_bitwise"     -> Functions.fnBitwise _,
+    "fn_hash"        -> Functions.fnHash _,
     // -- text analysis / document dedup
     "dedup_exact_docs"       -> TextSim.dedupExactDocs _,
     "dedup_docs_keep_longest" -> TextSim.dedupDocsKeepLongest _,
@@ -128,6 +130,8 @@ object SparkEntry {
     "set_union_distinct" -> Relational.setUnionDistinct _,
     "set_intersect"      -> Relational.setIntersect _,
     "set_except"         -> Relational.setExcept _,
+    "set_except_all"     -> Relational.setExceptAll _,
+    "set_intersect_all"  -> Relational.setIntersectAll _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

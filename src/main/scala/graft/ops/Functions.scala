@@ -172,6 +172,22 @@ object Functions {
       .orderBy($"event_id")
   }
 
+  /** Content-hash pack over documents: md5 and sha-256 hex digests (the
+    * fingerprint primitives of the dedup family), plus digest shape
+    * checks. xxhash64/crc32 exist Spark-side but have no DuckDB twin, so
+    * they stay out of the oracle-checked projection. */
+  def fnHash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        md5($"text").as("md5_hex"),
+        sha2($"text", 256).as("sha256_hex"),
+        length(md5($"text")).as("md5_len"),
+        length(sha2($"text", 256)).as("sha256_len"),
+        md5(concat($"text", lit("|"), $"doc_id".cast("string"))).as("salted"))
+      .orderBy($"doc_id")
+  }
+
   /** Bitwise-operator pack over a deterministic key slice: and/or/xor,
     * shifts, popcount — the integer-hashing primitives the partitioners
     * and LSH banding build on. */

@@ -373,6 +373,25 @@ object Relational {
     a.except(b).orderBy($"key")
   }
 
+  /** Bag-semantics EXCEPT ALL: multiplicities subtract instead of the set
+    * form's distinct — planned as a hash anti-count, one shuffle. */
+  def setExceptAll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val a = o.filter($"o_orderkey" % 3 === 0).select($"o_orderpriority", $"o_orderstatus")
+    val b = o.filter($"o_orderkey" % 6 === 0).select($"o_orderpriority", $"o_orderstatus")
+    a.exceptAll(b).orderBy($"o_orderpriority", $"o_orderstatus")
+  }
+
+  /** Bag-semantics INTERSECT ALL: min of the two multiplicities. */
+  def setIntersectAll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val a = o.filter($"o_orderkey" % 3 === 0).select($"o_orderpriority", $"o_orderstatus")
+    val b = o.filter($"o_orderkey" % 2 === 0).select($"o_orderpriority", $"o_orderstatus")
+    a.intersectAll(b).orderBy($"o_orderpriority", $"o_orderstatus")
+  }
+
   /** Exact interpolated percentiles of quantity per returnflag (DuckDB
     * quantile_cont twin): both engines sort the group and linearly
     * interpolate at p·(n-1) — identical doubles, fixed at 6 dp. */

@@ -112,6 +112,20 @@ object Windows {
       .orderBy($"o_custkey", $"rn")
   }
 
+  /** nth_value over the full partition frame: the 2nd-cheapest order per
+    * customer alongside each row (frame must be unbounded on both sides —
+    * the default running frame would only see preceding rows). */
+  def winNthValue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy(dec2($"o_totalprice"), $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderkey", dec2($"o_totalprice").as("price"),
+        nth_value(dec2($"o_totalprice"), 2).over(w).as("second_cheapest"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   /** percent_rank + cume_dist per order status: relative standing of each
     * order's price inside its partition. Both are exact rational doubles
     * of integer ranks ((rank-1)/(n-1), n_leq/n) — identical in any
