@@ -25,6 +25,24 @@ object Oracle {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+        | COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        | COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        | COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_unpivot" ->
+      """WITH s AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS DECIMAL(18,2)) AS quantity,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS extendedprice
+        |  FROM lineitem WHERE l_orderkey <= 1000)
+        |SELECT l_orderkey, l_linenumber, 'quantity' AS measure, quantity AS value FROM s
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'extendedprice', extendedprice FROM s
+        |ORDER BY l_orderkey, l_linenumber, measure, value""".stripMargin,
+
     "set_except_all" ->
       """SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0
         |EXCEPT ALL

@@ -31,6 +31,8 @@ object SparkEntry {
     "agg_approx_distinct" -> Relational.aggApproxDistinct _,
     "agg_percentile"      -> Relational.aggPercentile _,
     "agg_array_sorted"    -> Relational.aggArraySorted _,
+    "agg_pivot"           -> Relational.aggPivot _,
+    "agg_unpivot"         -> Relational.aggUnpivot _,
     // -- joins
     "join_inner_equi"  -> Relational.joinInnerEqui _,
     "join_broadcast"   -> Relational.joinBroadcast _,

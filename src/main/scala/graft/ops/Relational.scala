@@ -373,6 +373,36 @@ object Relational {
     a.except(b).orderBy($"key")
   }
 
+  /** Pivot: order counts per priority × status, statuses becoming
+    * columns. Explicit value list (F/O/P) keeps the schema static — the
+    * dynamic form needs a driver-side distinct pass first, which at
+    * 100 TB should always be replaced by a declared domain. */
+  def aggPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Unpivot (melt): wide pricing measures → long (measure, value) rows;
+    * narrow-slice projection stays pruned at the scan. */
+  def aggUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_orderkey" <= 1000)
+      .select($"l_orderkey", $"l_linenumber",
+        dec2($"l_quantity").as("quantity"),
+        dec2($"l_extendedprice").as("extendedprice"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("extendedprice")),
+        "measure", "value")
+      .orderBy($"l_orderkey", $"l_linenumber", $"measure", $"value")
+  }
+
   /** Bag-semantics EXCEPT ALL: multiplicities subtract instead of the set
     * form's distinct — planned as a hash anti-count, one shuffle. */
   def setExceptAll(spark: SparkSession, sfDir: String): DataFrame = {
