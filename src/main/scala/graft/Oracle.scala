@@ -244,6 +244,12 @@ object Oracle {
   )
 
   val windows: Map[String, String] = Map(
+    "win_time_range" ->
+      """SELECT user_id, event_id,
+        | COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
     "win_nth_value" ->
       """SELECT o_custkey, o_orderkey,
         | CAST(o_totalprice AS DECIMAL(18,2)) AS price,

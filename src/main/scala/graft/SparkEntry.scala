@@ -78,6 +78,7 @@ object SparkEntry {
     "win_topk_group"  -> Windows.winTopkGroup _,
     "win_percent_rank" -> Windows.winPercentRank _,
     "win_nth_value"    -> Windows.winNthValue _,
+    "win_time_range"   -> Windows.winTimeRange _,
     // -- scalar function packs
     "fn_string"      -> Functions.fnString _,
     "fn_date"        -> Functions.fnDate _,

@@ -126,6 +126,21 @@ object Windows {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** Per-row sliding time window: events per user in the preceding hour,
+    * a RANGE frame over epoch-microseconds (events.ts is µs-truncated;
+    * DuckDB's epoch_us truncates its nanos identically). Unlike the
+    * tumbling/sliding bucket aggregations this evaluates one frame per
+    * row — the "rate over trailing window" shape. */
+  def winTimeRange(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    graft.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id",
+        count(lit(1)).over(w).as("n_last_hour"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** percent_rank + cume_dist per order status: relative standing of each
     * order's price inside its partition. Both are exact rational doubles
     * of integer ranks ((rank-1)/(n-1), n_leq/n) — identical in any
