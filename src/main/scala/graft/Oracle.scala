@@ -12,13 +12,13 @@ object Oracle {
   val relational: Map[String, String] = Map(
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS sum_charge,
-        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS avg_qty,
-        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS avg_price,
-        | CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS avg_disc,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))::DOUBLE AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))::DOUBLE AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4))::DOUBLE AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6))::DOUBLE AS sum_charge,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6))::DOUBLE AS avg_qty,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6))::DOUBLE AS avg_price,
+        | CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6))::DOUBLE AS avg_disc,
         | COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -35,8 +35,8 @@ object Oracle {
 
     "agg_unpivot" ->
       """WITH s AS (SELECT l_orderkey, l_linenumber,
-        |  CAST(l_quantity AS DECIMAL(18,2)) AS quantity,
-        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS extendedprice
+        |  CAST(l_quantity AS DECIMAL(18,2))::DOUBLE AS quantity,
+        |  CAST(l_extendedprice AS DECIMAL(18,2))::DOUBLE AS extendedprice
         |  FROM lineitem WHERE l_orderkey <= 1000)
         |SELECT l_orderkey, l_linenumber, 'quantity' AS measure, quantity AS value FROM s
         |UNION ALL
@@ -57,24 +57,24 @@ object Oracle {
 
     "agg_percentile" ->
       """SELECT l_returnflag,
-        | CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS DECIMAL(18,6)) AS p25,
-        | CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS DECIMAL(18,6)) AS p50,
-        | CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS DECIMAL(18,6)) AS p75,
-        | CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.95) AS DECIMAL(18,6)) AS p95,
+        | CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS DECIMAL(18,6))::DOUBLE AS p25,
+        | CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS DECIMAL(18,6))::DOUBLE AS p50,
+        | CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS DECIMAL(18,6))::DOUBLE AS p75,
+        | CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.95) AS DECIMAL(18,6))::DOUBLE AS p95,
         | COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
     "agg_array_sorted" ->
       """SELECT c_nationkey,
-        | list_slice(list_sort(list(c_custkey)), 1, 20) AS first_keys,
+        | array_to_string(list_slice(list_sort(list(c_custkey)), 1, 20), ',') AS first_keys,
         | COUNT(*) AS n
         |FROM customer GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
 
     "join_inner_equi" ->
       """SELECT o_orderkey, c_custkey, c_name, c_mktsegment,
-        | CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+        | CAST(o_totalprice AS DECIMAL(18,2))::DOUBLE AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
 
@@ -85,7 +85,7 @@ object Oracle {
 
     "join_left_outer" ->
       """SELECT c_custkey, c_name, o_orderkey,
-        | CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+        | CAST(o_totalprice AS DECIMAL(18,2))::DOUBLE AS total_price
         |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
         |ORDER BY c_custkey, o_orderkey ASC NULLS FIRST""".stripMargin,
 
@@ -117,7 +117,7 @@ object Oracle {
 
     "join_range" ->
       """SELECT l_orderkey, l_linenumber, p_partkey, p_size,
-        | CAST(l_quantity AS DECIMAL(18,2)) AS quantity
+        | CAST(l_quantity AS DECIMAL(18,2))::DOUBLE AS quantity
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         | AND l_quantity >= p_size - 5 AND l_quantity <= p_size + 5
         |ORDER BY l_orderkey, l_linenumber, p_partkey, p_size, quantity""".stripMargin,
@@ -149,7 +149,7 @@ object Oracle {
 
     "agg_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))::DOUBLE AS sum_price
         |FROM orders GROUP BY o_custkey
         |HAVING COUNT(*) >= 3
         |ORDER BY o_custkey""".stripMargin,
@@ -163,8 +163,8 @@ object Oracle {
 
     "agg_minmax_first" ->
       """SELECT o_orderpriority,
-        | CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS min_price,
-        | CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS max_price,
+        | CAST(MIN(o_totalprice) AS DECIMAL(18,2))::DOUBLE AS min_price,
+        | CAST(MAX(o_totalprice) AS DECIMAL(18,2))::DOUBLE AS max_price,
         | MIN(o_orderkey) AS min_key,
         | MAX_BY(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 100000000 + o_orderkey) AS key_of_max_price,
         | MIN_BY(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 100000000 + o_orderkey) AS key_of_min_price
@@ -175,13 +175,13 @@ object Oracle {
         | CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
         | CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
         |   THEN CAST(o_totalprice AS DECIMAL(18,2))
-        |   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS urgent_price,
+        |   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2))::DOUBLE AS urgent_price,
         | COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' THEN 1 END) AS n_recent
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "agg_rollup" ->
       """SELECT r_name, n_name, COUNT(*) AS n_cust,
-        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))::DOUBLE AS sum_bal
         |FROM customer
         | JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
@@ -190,7 +190,7 @@ object Oracle {
 
     "agg_cube" ->
       """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))::DOUBLE AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY CUBE (c_mktsegment, o_orderstatus)
         |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
@@ -206,12 +206,12 @@ object Oracle {
     "sort_multi_null" ->
       """SELECT c_custkey,
         | CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS segment,
-        | CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        | CAST(c_acctbal AS DECIMAL(18,2))::DOUBLE AS acctbal
         |FROM customer
         |ORDER BY segment ASC NULLS LAST, acctbal DESC, c_custkey""".stripMargin,
 
     "topk_global" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2))::DOUBLE AS total_price
         |FROM orders ORDER BY total_price DESC, o_orderkey LIMIT 25""".stripMargin,
 
     "set_union_all" ->
@@ -252,17 +252,17 @@ object Oracle {
 
     "win_nth_value" ->
       """SELECT o_custkey, o_orderkey,
-        | CAST(o_totalprice AS DECIMAL(18,2)) AS price,
-        | nth_value(CAST(o_totalprice AS DECIMAL(18,2)), 2) OVER (
+        | CAST(o_totalprice AS DECIMAL(18,2))::DOUBLE AS price,
+        | CAST(nth_value(CAST(o_totalprice AS DECIMAL(18,2)), 2) OVER (
         |   PARTITION BY o_custkey
         |   ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_cheapest
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS second_cheapest
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "win_percent_rank" ->
       """SELECT o_orderstatus, o_orderkey,
-        | CAST(percent_rank() OVER w AS DECIMAL(18,6)) AS pct_rank,
-        | CAST(cume_dist() OVER w AS DECIMAL(18,6)) AS cume
+        | CAST(percent_rank() OVER w AS DECIMAL(18,6))::DOUBLE AS pct_rank,
+        | CAST(cume_dist() OVER w AS DECIMAL(18,6))::DOUBLE AS cume
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus
         |  ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
@@ -281,15 +281,15 @@ object Oracle {
         |ORDER BY l_returnflag, qty, rnk, drnk""".stripMargin,
 
     "win_ntile" ->
-      """SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+      """SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2))::DOUBLE AS acctbal,
         | ntile(4) OVER (ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey) AS quartile
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "win_lag_lead" ->
       """SELECT o_custkey, o_orderkey,
-        | CAST(o_totalprice AS DECIMAL(18,2)) AS price,
-        | CAST(lag(o_totalprice, 1) OVER w AS DECIMAL(18,2)) AS prev_price,
-        | CAST(lead(o_totalprice, 1) OVER w AS DECIMAL(18,2)) AS next_price
+        | CAST(o_totalprice AS DECIMAL(18,2))::DOUBLE AS price,
+        | CAST(lag(o_totalprice, 1) OVER w AS DECIMAL(18,2))::DOUBLE AS prev_price,
+        | CAST(lead(o_totalprice, 1) OVER w AS DECIMAL(18,2))::DOUBLE AS next_price
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
@@ -298,14 +298,14 @@ object Oracle {
       """SELECT o_custkey, o_orderkey,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
         |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_rev
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2))::DOUBLE AS running_rev
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "win_range_frame" ->
       """SELECT o_orderpriority, o_orderkey,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
         |   (PARTITION BY o_orderpriority ORDER BY o_orderkey
-        |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS moving_sum
+        |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2))::DOUBLE AS moving_sum
         |FROM orders ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "win_first_last" ->
@@ -320,7 +320,7 @@ object Oracle {
     "win_topk_group" ->
       """SELECT o_custkey, o_orderkey, price, rn FROM (
         | SELECT o_custkey, o_orderkey,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |  CAST(o_totalprice AS DECIMAL(18,2))::DOUBLE AS price,
         |  row_number() OVER (PARTITION BY o_custkey
         |    ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS rn
         | FROM orders)
@@ -381,14 +381,14 @@ object Oracle {
 
     "fn_math" ->
       """SELECT o_orderkey,
-        | CAST(abs(o_totalprice * -1) AS DECIMAL(18,2)) AS abs_p,
-        | CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DECIMAL(18,1)) AS round1,
+        | CAST(abs(o_totalprice * -1) AS DECIMAL(18,2))::DOUBLE AS abs_p,
+        | CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DECIMAL(18,1))::DOUBLE AS round1,
         | CAST(floor(o_totalprice) AS BIGINT) AS flr,
         | CAST(ceil(o_totalprice) AS BIGINT) AS cl,
         | o_orderkey % 7 AS mod7,
-        | CAST(sqrt(o_totalprice) AS DECIMAL(18,6)) AS sqrt_p,
-        | CAST(ln(o_totalprice) AS DECIMAL(18,6)) AS ln_p,
-        | CAST(exp(o_orderkey % 5) AS DECIMAL(18,6)) AS exp_m,
+        | CAST(sqrt(o_totalprice) AS DECIMAL(18,6))::DOUBLE AS sqrt_p,
+        | CAST(ln(o_totalprice) AS DECIMAL(18,6))::DOUBLE AS ln_p,
+        | CAST(exp(o_orderkey % 5) AS DECIMAL(18,6))::DOUBLE AS exp_m,
         | CAST(pow(o_orderkey % 9, 2) AS BIGINT) AS sq,
         | CAST(sign(o_totalprice - 150000) AS INTEGER) AS sgn,
         | greatest(o_orderkey % 100, 50) AS gst,
@@ -425,17 +425,17 @@ object Oracle {
     "fn_array" ->
       """SELECT vec_id,
         | len(embedding) AS dim,
-        | CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,6)) AS first_elem,
-        | CAST(CAST(embedding[64] AS DOUBLE) AS DECIMAL(18,6)) AS last_elem,
+        | CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,6))::DOUBLE AS first_elem,
+        | CAST(CAST(embedding[64] AS DOUBLE) AS DECIMAL(18,6))::DOUBLE AS last_elem,
         | len(list_slice(embedding, 1, 8)) AS slice_len,
         | list_contains(list_transform(embedding, x -> CAST(x AS DOUBLE)), 0.0) AS has_zero,
-        | CAST(CAST(list_sort(embedding)[1] AS DOUBLE) AS DECIMAL(18,6)) AS min_elem,
-        | CAST(CAST(list_reverse_sort(embedding)[1] AS DOUBLE) AS DECIMAL(18,6)) AS max_elem,
+        | CAST(CAST(list_sort(embedding)[1] AS DOUBLE) AS DECIMAL(18,6))::DOUBLE AS min_elem,
+        | CAST(CAST(list_reverse_sort(embedding)[1] AS DOUBLE) AS DECIMAL(18,6))::DOUBLE AS max_elem,
         | len(list_distinct(embedding)) AS n_distinct,
         | CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |   list_transform(embedding, x -> CAST(x AS DOUBLE))), (a,b) -> a+b) AS DECIMAL(18,6)) AS vec_sum,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE))), (a,b) -> a+b) AS DECIMAL(18,6))::DOUBLE AS vec_sum,
         | len(list_filter(embedding, x -> x > 0)) AS n_pos,
-        | CAST(CAST(CAST(embedding[1] AS FLOAT) * CAST(2 AS FLOAT) AS DOUBLE) AS DECIMAL(18,6)) AS first_x2
+        | CAST(CAST(CAST(embedding[1] AS FLOAT) * CAST(2 AS FLOAT) AS DOUBLE) AS DECIMAL(18,6))::DOUBLE AS first_x2
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "fn_map_json" ->
@@ -632,7 +632,7 @@ object Oracle {
          |wdf AS (SELECT *, COUNT(*) OVER (PARTITION BY tok) AS df FROM tf),
          |n AS (SELECT COUNT(*) AS n_docs FROM documents)
          |SELECT doc_id, tok, tf, df,
-         | CAST(tf * ln((n_docs + 1.0) / (df + 1.0)) AS DECIMAL(18,6)) AS tfidf
+         | CAST(tf * ln((n_docs + 1.0) / (df + 1.0)) AS DECIMAL(18,6))::DOUBLE AS tfidf
          |FROM wdf, n
          |ORDER BY tfidf DESC, doc_id, tok LIMIT 100""".stripMargin,
 
@@ -651,8 +651,8 @@ object Oracle {
          |SELECT lang, COUNT(*) AS n_docs,
          | CAST(SUM(len) AS BIGINT) AS total_chars,
          | CAST(SUM(n_tok) AS BIGINT) AS total_words,
-         | CAST(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS avg_words,
-         | CAST(CAST(SUM(tok_chars) AS DOUBLE) / SUM(n_tok) AS DECIMAL(18,6)) AS avg_word_len,
+         | CAST(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6))::DOUBLE AS avg_words,
+         | CAST(CAST(SUM(tok_chars) AS DOUBLE) / SUM(n_tok) AS DECIMAL(18,6))::DOUBLE AS avg_word_len,
          | COUNT(CASE WHEN len_matches THEN 1 END) AS n_len_ok
          |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
 
@@ -681,11 +681,11 @@ object Oracle {
          |  list_reduce(list_prepend(0, list_transform(ts, t -> CAST(length(t) AS INTEGER))),
          |              (a, b) -> a + b) AS tok_chars FROM d)
          |SELECT doc_id, n_tok, n_distinct,
-         | CAST(CAST(n_distinct AS DOUBLE) / n_tok AS DECIMAL(18,6)) AS ttr,
+         | CAST(CAST(n_distinct AS DOUBLE) / n_tok AS DECIMAL(18,6))::DOUBLE AS ttr,
          | CAST((CAST(n_distinct AS DOUBLE) / n_tok) * 0.5 +
          |   least(1.0, CAST(n_tok AS DOUBLE) / 100.0) * 0.3 +
          |   least(1.0, (CAST(tok_chars AS DOUBLE) / n_tok) / 8.0) * 0.2
-         |   AS DECIMAL(18,6)) AS quality
+         |   AS DECIMAL(18,6))::DOUBLE AS quality
          |FROM s ORDER BY doc_id""".stripMargin,
 
     "text_token_count" ->
@@ -707,14 +707,14 @@ object Oracle {
       s"""WITH e AS (SELECT vec_id, label,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |probe AS (SELECT v AS p FROM e WHERE vec_id = 0)
-         |SELECT vec_id, label, CAST(${cosSql("v", "p")} AS DECIMAL(18,6)) AS cos
+         |SELECT vec_id, label, CAST(${cosSql("v", "p")} AS DECIMAL(18,6))::DOUBLE AS cos
          |FROM e, probe ORDER BY cos DESC, vec_id LIMIT 50""".stripMargin,
 
     "sim_knn_per_label" ->
       s"""WITH e AS (SELECT vec_id, label,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |pairs AS (SELECT a.vec_id AS qid, b.vec_id AS nid, a.label AS label,
-         |  CAST(${cosSql("a.v", "b.v")} AS DECIMAL(18,6)) AS cos
+         |  CAST(${cosSql("a.v", "b.v")} AS DECIMAL(18,6))::DOUBLE AS cos
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
          |  ORDER BY cos DESC, nid) AS rn FROM pairs)
@@ -729,7 +729,7 @@ object Oracle {
          |  CAST(embedding[3] > 0.0 AS INTEGER) AS bucket
          |  FROM embeddings),
          |probe AS (SELECT v AS p, bucket AS pbucket FROM e WHERE vec_id = 0)
-         |SELECT vec_id, bucket, CAST(${cosSql("v", "p")} AS DECIMAL(18,6)) AS cos
+         |SELECT vec_id, bucket, CAST(${cosSql("v", "p")} AS DECIMAL(18,6))::DOUBLE AS cos
          |FROM e JOIN probe ON bucket = pbucket
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
@@ -737,7 +737,7 @@ object Oracle {
       s"""WITH e AS (SELECT vec_id, label,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
-         |  CAST(${cosSql("a.v", "b.v")} AS DECIMAL(18,6)) AS cos
+         |  CAST(${cosSql("a.v", "b.v")} AS DECIMAL(18,6))::DOUBLE AS cos
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE CAST(${cosSql("a.v", "b.v")} AS DECIMAL(18,6)) >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
@@ -755,7 +755,7 @@ object Oracle {
          |    ON a.i0 = b.i0 AND a.v = b.v AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b, CAST(matches AS BIGINT) AS matches,
-         | CAST(CAST(matches AS DOUBLE) / 6.0 AS DECIMAL(18,6)) AS est_jaccard
+         | CAST(CAST(matches AS DOUBLE) / 6.0 AS DECIMAL(18,6))::DOUBLE AS est_jaccard
          |FROM cand WHERE matches >= 2 ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_simhash" ->
@@ -781,7 +781,7 @@ object Oracle {
          |    AND a.doc_id < b.doc_id AND a.gram = b.gram
          |  GROUP BY 1, 2),
          |j AS (SELECT id_a, id_b,
-         |  CAST(CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter) AS DECIMAL(18,6)) AS jaccard
+         |  CAST(CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter) AS DECIMAL(18,6))::DOUBLE AS jaccard
          |  FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
          |               JOIN sizes sb ON i.id_b = sb.doc_id)
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.1
@@ -792,14 +792,14 @@ object Oracle {
     "stream_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
         | event_type, COUNT(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))::DOUBLE AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
 
     "stream_sliding" ->
       """SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
         |   - o * INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS win_start,
         | event_type, COUNT(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))::DOUBLE AS sum_value
         |FROM events, (VALUES (0), (1)) t(o)
         |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
 

@@ -17,8 +17,30 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.aggPricingSummary(spark, "/root/testdata/sf0.001")
 
+  /** Final-output normalization: every DECIMAL output column is cast to
+    * DOUBLE (exact here: all declared outputs carry ≤ 15 significant
+    * digits). Internal math stays DECIMAL — that is what makes the sums
+    * order-independent — but the serialized result is float64 on both the
+    * Spark and DuckDB sides, so the driver's stringified hash compare sees
+    * one canonical repr ("2.5", never "2.50"). */
+  private def normalizeDecimals(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    if (!df.schema.fields.exists(_.dataType.isInstanceOf[DecimalType])) df
+    else df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: DecimalType => col(f.name).cast("double").as(f.name)
+        case _              => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, fn) =>
+      name -> ((s: SparkSession, dir: String) => normalizeDecimals(fn(s, dir)))
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- aggregation
     "agg_pricing_summary" -> Relational.aggPricingSummary _,
     "agg_having"          -> Relational.aggHaving _,

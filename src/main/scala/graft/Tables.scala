@@ -29,7 +29,11 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val raw = load(spark, sfDir, "events")
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // `ts div 1000` is exact integer division; `/` on longs is IEEE double
+    // division which silently truncates 1µs low for ns values > 2^53
+    // (every 2024-era timestamp) — DuckDB's epoch_us is exact, so the
+    // double form can diverge from the oracle on window membership.
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

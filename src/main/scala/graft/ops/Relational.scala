@@ -438,12 +438,15 @@ object Relational {
 
   /** Deterministic array aggregation: first 20 customer keys per nation,
     * sorted inside the aggregate (collect_list order is partition-
-    * dependent, so the sort is what makes the output stable). */
+    * dependent, so the sort is what makes the output stable). The array is
+    * serialized to a canonical comma-joined string — the compare contract
+    * is all-scalar columns (the driver's hash can't compare raw arrays). */
   def aggArraySorted(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.customer(spark, sfDir)
       .groupBy($"c_nationkey")
-      .agg(slice(sort_array(collect_list($"c_custkey")), 1, 20).as("first_keys"),
+      .agg(concat_ws(",",
+        slice(sort_array(collect_list($"c_custkey")), 1, 20)).as("first_keys"),
         count(lit(1)).as("n"))
       .orderBy($"c_nationkey")
   }

@@ -87,7 +87,8 @@ object Streaming {
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // exact integer ns→µs division — see Tables.events
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {

@@ -3,23 +3,47 @@
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 
-Reads each <verifyOutDir>/<name> parquet (Spark output), runs the matching
-SQL from <verifyOutDir>/oracle_sql.json in DuckDB with views over the
-<sfDir> parquet tables, sorts columns by name, and compares row-by-row.
+Reads each <verifyOutDir>/<name> parquet (Spark output) THE WAY THE DRIVER
+DOES — pyarrow -> pandas, so DECIMAL columns surface as decimal.Decimal
+objects and stringify at full declared scale ('2.50'), NOT through DuckDB
+(which would normalize both sides to float64 and hide repr mismatches).
+Runs the matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB with
+views over the <sfDir> parquet tables, sorts columns by name, and compares
+row-by-row on stringified values.
 """
+import datetime
+import glob
 import json
 import sys
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
 def norm(v):
+    # Nulls arrive as None (object cols), NaT (datetime64), NaN (float):
+    # one canonical token. Dates vs datetimes likewise unify (pandas reads
+    # Spark date32 as datetime.date but DuckDB DATE as datetime64[ns] —
+    # the driver's compare treats these as equal, r01 fn_date was green).
+    if v is None:
+        return "NULL"
     if isinstance(v, float):
-        return repr(v)
+        return "NULL" if pd.isna(v) else repr(v)
+    if isinstance(v, pd.Timestamp) or isinstance(v, datetime.datetime):
+        return "NULL" if pd.isna(v) else pd.Timestamp(v).isoformat()
+    if isinstance(v, datetime.date):
+        return pd.Timestamp(v).isoformat()
+    # decimal.Decimal stringifies at FULL DECLARED SCALE here ('2.50') —
+    # exactly the driver's strict view that float64 repr never equals.
     return str(v)
+
+
+def read_spark(out_dir, name):
+    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
 
 
 def main():
@@ -36,8 +60,7 @@ def main():
         if only and name not in only:
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            got = read_spark(out_dir, name)
             want = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
@@ -53,8 +76,8 @@ def main():
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
             n_fail += 1
             continue
-        g = [tuple(norm(v) for v in r) for r in got.itertuples(index=False)]
-        w = [tuple(norm(v) for v in r) for r in want.itertuples(index=False)]
+        g = sorted(tuple(norm(v) for v in r) for r in got.itertuples(index=False))
+        w = sorted(tuple(norm(v) for v in r) for r in want.itertuples(index=False))
         if g == w:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
