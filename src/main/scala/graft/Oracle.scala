@@ -281,8 +281,9 @@ object Oracle {
         |ORDER BY l_returnflag, qty, rnk, drnk""".stripMargin,
 
     "win_ntile" ->
-      """SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2))::DOUBLE AS acctbal,
-        | ntile(4) OVER (ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey) AS quartile
+      """SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2))::DOUBLE AS acctbal,
+        | ntile(4) OVER (PARTITION BY c_mktsegment
+        |   ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey) AS quartile
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "win_lag_lead" ->

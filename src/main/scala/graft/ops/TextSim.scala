@@ -160,18 +160,25 @@ object TextSim {
       .orderBy($"doc_id")
   }
 
-  /** TF-IDF top terms: tf from one explode+groupBy, document frequency as
-    * a window count over the (doc, term) rows (no second corpus pass), doc
-    * count broadcast. tfidf = tf · ln((N+1)/(df+1)) — per-row double math,
-    * identical in both engines, fixed at 6 dp. */
+  /** TF-IDF top terms: tf from one explode+groupBy, document frequency
+    * via groupBy(tok).count() + shuffle join, doc count broadcast.
+    * tfidf = tf · ln((N+1)/(df+1)) — per-row double math, identical in
+    * both engines, fixed at 6 dp.
+    *
+    * Skew note: df deliberately comes from a partial-aggregating groupBy
+    * + join, NOT count().over(partitionBy(tok)) — a window would pin
+    * every (doc, tok) row of a stop-word token in ONE task (~1 row/doc at
+    * corpus scale); the aggregate combines map-side and AQE can split the
+    * join's skewed partitions. */
   def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val tf = Tables.documents(spark, sfDir)
       .select($"doc_id", explode(tokens($"text")).as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy($"tok")))
+    val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
-    tf.crossJoin(broadcast(n))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
       .select($"doc_id", $"tok", $"tf", $"df",
         ($"tf" * log(($"n_docs" + lit(1.0)) / ($"df" + lit(1.0))))
           .cast("decimal(18,6)").as("tfidf"))

@@ -28,7 +28,14 @@ object Windows {
   }
 
   /** rank + dense_rank with real ties (integer-cast quantities repeat
-    * heavily within each returnflag partition). */
+    * heavily within each returnflag partition).
+    *
+    * Scale intent: l_returnflag is a deliberate SMALL-DOMAIN key (3
+    * values) — the partition holds ~⅓ of the table, so this exact query
+    * shape is for bounded slices. At 100 TB, per-flag global ranks come
+    * from a two-pass plan instead: groupBy(flag, qty).count() (partial-
+    * agg, no skew), then a running sum over the per-flag qty histogram —
+    * the histogram is |distinct qty| rows, trivially one task. */
   def winRankDense(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val qty = $"l_quantity".cast("int")
@@ -39,13 +46,18 @@ object Windows {
       .orderBy($"l_returnflag", $"qty", $"rnk", $"drnk")
   }
 
-  /** Customer quartiles by account balance (unique order key → the tile
-    * assignment is deterministic). */
+  /** Balance quartiles within each market segment (unique custkey
+    * tiebreak → the tile assignment is deterministic). Partitioned by
+    * segment on purpose: a partition-less ntile would funnel the whole
+    * table through ONE task (Exchange SinglePartition) — the global-
+    * quartile form at scale is a two-pass percentile-boundary join, not
+    * a global window. PlanSpec pins the no-SinglePartition property. */
   def winNtile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.orderBy(dec2($"c_acctbal"), $"c_custkey")
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy(dec2($"c_acctbal"), $"c_custkey")
     Tables.customer(spark, sfDir)
-      .select($"c_custkey", dec2($"c_acctbal").as("acctbal"),
+      .select($"c_custkey", $"c_mktsegment", dec2($"c_acctbal").as("acctbal"),
         ntile(4).over(w).as("quartile"))
       .orderBy($"c_custkey")
   }
@@ -144,7 +156,11 @@ object Windows {
   /** percent_rank + cume_dist per order status: relative standing of each
     * order's price inside its partition. Both are exact rational doubles
     * of integer ranks ((rank-1)/(n-1), n_leq/n) — identical in any
-    * engine, fixed at 6 dp. */
+    * engine, fixed at 6 dp.
+    *
+    * Scale intent: o_orderstatus is a SMALL-DOMAIN key (3 values), same
+    * caveat and same two-pass alternative as winRankDense — rank via the
+    * per-status price histogram when the slice isn't bounded. */
   def winPercentRank(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"o_orderstatus")

@@ -83,6 +83,23 @@ class PlanSpec extends SparkSuite {
     assert(executedPlan("dedup_ngram_jaccard").contains("ReusedExchange"))
   }
 
+  test("no window query funnels the table into one task") {
+    // Exchange SinglePartition under a Window = whole-table single-task
+    // sort; every declared window must partition by a real key.
+    for (name <- SparkEntry.queries.keys.filter(_.startsWith("win_"))) {
+      val p = plan(name)
+      assert(!p.contains("SinglePartition"),
+        s"$name plans a single-partition exchange:\n$p")
+    }
+  }
+
+  test("text_tfidf computes df via partial aggregation, not a window") {
+    val p = plan("text_tfidf")
+    assert(!p.contains("Window"), s"tfidf df uses a window (skew-unsafe):\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final aggregation for df")
+  }
+
   test("proj_key_only scan reads a single column") {
     val read = plan("proj_key_only").linesIterator
       .filter(_.contains("ReadSchema")).mkString("\n")
