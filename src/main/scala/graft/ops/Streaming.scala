@@ -13,8 +13,9 @@ import graft.Tables
   * asserts batch ≡ Structured Streaming for the same files. The two
   * stateful-only operators (`stream_watermark_late`, `stream_dedup_state`)
   * run REAL Structured Streaming jobs (file source → Trigger.AvailableNow →
-  * memory sink) inside the query function — the driver records a rows-only
-  * check for them (no SQL oracle exists for watermark semantics).
+  * parquet file sink + batch read-back) inside the query function — the
+  * driver records a rows-only check for them (no SQL oracle exists for
+  * watermark semantics).
   *
   * Scale: tumbling/sliding aggs shuffle once on (window, key) — with
   * watermarking the state store holds only open windows; session windows
@@ -91,12 +92,20 @@ object Streaming {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  private def runToMemory(df: DataFrame, mode: String): DataFrame = {
-    val name = "graft_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = df.writeStream.outputMode(mode).format("memory")
-      .queryName(name).trigger(Trigger.AvailableNow()).start()
+  /** Run a streaming frame to a parquet FILE sink and read the result
+    * back as a batch frame. A memory sink would materialize the entire
+    * result on the driver — at 100 TB the deduped event stream is a
+    * driver OOM; the file sink keeps every row executor-side (the
+    * explicit schema covers the zero-finalized-windows read-back). */
+  private def runToParquet(df: DataFrame): DataFrame = {
+    val dir = "/root/repo/target/stream/" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = df.writeStream.outputMode("append").format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    df.sparkSession.read.schema(df.schema).parquet(s"$dir/out")
   }
 
   /** Windowed count under a 10-minute watermark, append mode: only windows
@@ -108,7 +117,7 @@ object Streaming {
       .withWatermark("ts", "10 minutes")
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"))
-    runToMemory(agg, "append")
+    runToParquet(agg)
       .select(date_format($"window.start", tsFmt).as("win_start"),
         $"event_type", $"n")
       .orderBy($"win_start", $"event_type")
@@ -121,7 +130,7 @@ object Streaming {
     val deduped = eventsStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
-    runToMemory(deduped, "append")
+    runToParquet(deduped)
       .groupBy($"event_type").agg(count(lit(1)).as("n"))
       .orderBy($"event_type")
   }

@@ -26,7 +26,7 @@ class StreamingSpec extends SparkSuite {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"),
         sum($"value".cast("decimal(18,6)")).cast("decimal(18,6)").as("sum_value"))
@@ -42,7 +42,7 @@ class StreamingSpec extends SparkSuite {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   test("sliding window: batch result equals streaming result") {
