@@ -517,6 +517,14 @@ object Oracle {
 
     "scan_line_count" -> (ingestCte + "SELECT COUNT(*) AS n_rows FROM items_raw"),
 
+    "scan_csv_file" ->
+      """SELECT externalId, name,
+        | CAST(quantity AS INTEGER) AS quantity,
+        | strftime(try_strptime(expiryDate, '%Y-%m-%d'), '%Y-%m-%d') AS expiry_date
+        |FROM read_csv('/root/repo/src/test/resources/items_scan.csv',
+        |              header=true, all_varchar=true)
+        |ORDER BY externalId""".stripMargin,
+
     "proj_trim" -> (ingestCte +
       "SELECT line_id, ext, nam, qty, exp FROM trimmed ORDER BY line_id"),
 

@@ -68,6 +68,7 @@ object SparkEntry {
     "join_asof"        -> Relational.joinAsof _,
     // -- reference ingestion pack (§2.A)
     "scan_csv_header"     -> Ingest.scanCsvHeader _,
+    "scan_csv_file"       -> Ingest.scanCsvFile _,
     "scan_line_count"     -> Ingest.scanLineCount _,
     "proj_trim"           -> Ingest.projTrim _,
     "pred_arity"          -> Ingest.predArity _,

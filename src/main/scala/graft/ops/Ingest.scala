@@ -126,6 +126,26 @@ object Ingest {
       .orderBy($"line_id")
   }
 
+  /** Committed fixture replicating the reference generator's output shape
+    * (CsvGenerator.java:41-61): header externalId,name,quantity,expiryDate. */
+  val csvFixturePath = "/root/repo/src/test/resources/items_scan.csv"
+
+  /** TRUE CSV file scan — the reference's actual input path (pull-parsed
+    * CSV with header, BackgroundCsvProcessor.java:80-83), here as a real
+    * `spark.read.option("header").csv` over a committed fixture file.
+    * All columns land as strings (no schema inference — deterministic),
+    * then the entity cast: quantity→int, expiryDate→yyyy-MM-dd. At scale
+    * the CSV scan splits by line ranges exactly like this single file. */
+  def scanCsvFile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("header", "true").csv(csvFixturePath)
+      .select($"externalId", $"name",
+        $"quantity".cast("int").as("quantity"),
+        date_format(try_to_date($"expiryDate", "yyyy-MM-dd"), "yyyy-MM-dd")
+          .as("expiry_date"))
+      .orderBy($"externalId")
+  }
+
   /** Pre-scan row count (the progress denominator; countLines analog). */
   def scanLineCount(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -52,9 +52,10 @@ object Sinks {
     spark.read.text(outDir).count()
   }
 
-  /** JDBC batched writer (the Hibernate/HikariCP path): configured but not
-    * executable in this container (no database); the parquet stand-in above
-    * carries the commit semantics. */
+  /** JDBC batched writer (the Hibernate/HikariCP path) — smoke-tested in
+    * SinksSpec against an embedded in-memory Derby database (the only
+    * JDBC engine in the container); against Postgres it is the same
+    * batched-INSERT protocol the reference's pool executes. */
   def sinkJdbcBatch(df: DataFrame, url: String, table: String,
                     batchSize: Int = 1000): Unit = {
     df.write.format("jdbc")

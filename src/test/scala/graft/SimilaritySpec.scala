@@ -23,24 +23,38 @@ class SimilaritySpec extends SparkSuite {
 
   test("graft_dot matches the interpreted fold on arbitrary vectors (ScalaCheck)") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
-    // equal lengths: zip_with null-pads the shorter side (null result)
-    // while graft_dot folds the common prefix — the engine only ever dots
-    // equal-dimension vectors, so the contract is the equal-length domain
-    val vecPair = Gen.chooseNum(0, 16).flatMap { n =>
-      val v = Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6).map(_ / 1e3))
-      v.flatMap(a => v.map(b => (a, b)))
-    }
-    val prop = Prop.forAll(vecPair) { case (a: List[Double], b: List[Double]) =>
+    // independent lengths on purpose: unequal-length pairs must be NULL
+    // on BOTH sides (zip_with null-pads the shorter side, the fold
+    // poisons; graft_dot mirrors that)
+    val vec = Gen.chooseNum(0, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6).map(_ / 1e3)))
+    val prop = Prop.forAll(vec, vec) { (a: List[Double], b: List[Double]) =>
       val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
-      val Array(native, hof) = df.select(
+      val (native, hof) = df.select(
           call_function("graft_dot", $"a", $"b"),
           Similarity.hofDot($"a", $"b"))
-        .as[(Double, Double)].head() match { case (x, y) => Array(x, y) }
-      java.lang.Double.doubleToLongBits(native) ==
-        java.lang.Double.doubleToLongBits(hof)
+        .as[(Option[Double], Option[Double])].head()
+      (native, hof) match {
+        case (Some(x), Some(y)) =>
+          java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
+        case (x, y) => x == y
+      }
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("graft_dot NULL semantics: length mismatch / null element / null array") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        | graft_dot(array(1.0D, 2.0D), array(1.0D))                      AS len_mismatch,
+        | graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2D))  AS null_elem,
+        | graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D))            AS null_arr,
+        | graft_dot(array(2.0D, 3.0D), array(4.0D, 5.0D))                AS ok
+        |""".stripMargin).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getDouble(3) == 23.0)
   }
 
   test("ivf probe searches its own cell and finds itself first") {

@@ -55,6 +55,21 @@ class SinksSpec extends SparkSuite {
     assert(maxCommas == 5, s"report lines must have exactly 5 fields, got $maxCommas")
   }
 
+  test("jdbc batch sink executes a real batched insert (embedded Derby)") {
+    // in-memory Derby: the container's only JDBC engine (no server); the
+    // write path (type mapping, batching, append mode) is the same code
+    // that talks to Postgres in the reference deployment
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val df = Sinks.genSynthetic(spark, 250)
+    Sinks.sinkJdbcBatch(df, url, "items", batchSize = 100)
+    Sinks.sinkJdbcBatch(df.limit(50), url, "items", batchSize = 100) // append
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "items").load()
+    assert(back.count() == 300)
+    assert(back.columns.sorted.toSeq ==
+      Seq("expiryDate", "externalId", "name", "quantity"))
+  }
+
   test("genSynthetic is deterministic and partition-count independent") {
     val a = Sinks.genSynthetic(spark, 1000).repartition(1)
       .orderBy("externalId").collect().map(_.toSeq)
