@@ -838,6 +838,17 @@ object Oracle {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // keyed-state snapshot after the single AvailableNow batch == final
+    // per-user (count, latest-event) state
+    "stream_keyed_state" ->
+      """SELECT user_id, n_events,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts, event_type
+        |FROM (SELECT user_id, ts, event_type,
+        |        COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
   )
 
   val multimodal: Map[String, String] = Map(

@@ -139,6 +139,7 @@ object SparkEntry {
     "stream_latest_status"  -> Streaming.streamLatestStatus _,
     "stream_watermark_late" -> Streaming.streamWatermarkLate _,
     "stream_dedup_state"    -> Streaming.streamDedupState _,
+    "stream_keyed_state"    -> Streaming.streamKeyedState _,
     // -- multimodal plumbing + synthetic source (rows-only where no oracle)
     "multimodal_binary_meta" -> Multimodal.multimodalBinaryMeta _,
     "multimodal_features"    -> ((s: SparkSession, d: String) =>

@@ -23,6 +23,14 @@ import graft.Tables
   * (CsvUploadService.java:20,39-49) is the semantic ancestor of
   * `stream_latest_status`.
   */
+/** Rows for the keyed job-status store (public: encoder codegen cannot
+  * access private nested classes). Timestamps are carried as epoch-MICROS
+  * longs: java.sql.Timestamp ordering is only ms-precise via getTime, and
+  * the oracle orders by full µs. */
+case class KeyedEvent(user_id: Long, event_id: Long, us: Long, event_type: String)
+case class JobState(n: Long, lastUs: Long, lastId: Long, lastType: String)
+case class JobUpdate(user_id: Long, n_events: Long, lastUs: Long, event_type: String)
+
 object Streaming {
 
   private def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
@@ -121,6 +129,45 @@ object Streaming {
       .select(date_format($"window.start", tsFmt).as("win_start"),
         $"event_type", $"n")
       .orderBy($"win_start", $"event_type")
+  }
+
+  /** The reference's keyed job-status store (CsvUploadService.java:20,39-49
+    * — latest status + progress counters per jobId, updated as rows are
+    * processed) as REAL keyed streaming state: flatMapGroupsWithState over
+    * the event stream keyed by user_id. State = (event count, latest event
+    * by (ts, event_id)); each trigger emits the updated snapshot per key.
+    * The fold over the group iterator is a commutative max/count — batch
+    * iterator order (which Spark does not define) cannot change the
+    * result. AvailableNow processes the file in one batch, so the emitted
+    * snapshot equals the final state — the SQL-checkable contract.
+    * Scale: state is O(distinct keys) and the stream shuffles once on the
+    * key — the standard keyed-state plan. */
+  def streamKeyedState(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val src = eventsStream(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"event_type")
+      .as[KeyedEvent]
+    val updated = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[JobState, JobUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, events: Iterator[KeyedEvent], state: GroupState[JobState]) =>
+          var s = state.getOption.getOrElse(JobState(0L, Long.MinValue, Long.MinValue, ""))
+          events.foreach { e =>
+            val newer = e.us > s.lastUs || (e.us == s.lastUs && e.event_id > s.lastId)
+            s = JobState(s.n + 1,
+              if (newer) e.us else s.lastUs,
+              if (newer) e.event_id else s.lastId,
+              if (newer) e.event_type else s.lastType)
+          }
+          state.update(s)
+          Iterator(JobUpdate(key, s.n, s.lastUs, s.lastType))
+      }.toDF()
+    runToParquet(updated)
+      .select($"user_id", $"n_events",
+        date_format(timestamp_micros($"lastUs"), tsFmt).as("last_ts"),
+        $"event_type")
+      .orderBy($"user_id")
   }
 
   /** Stateful streaming dedup on event_id under a watermark; the deduped

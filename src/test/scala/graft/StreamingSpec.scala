@@ -125,6 +125,18 @@ class StreamingSpec extends SparkSuite {
     assert(rows == Set((1L, "first"), (2L, "first"), (3L, "first")))
   }
 
+  test("keyed state: snapshot equals batch latest-status + per-key counts") {
+    val keyed = Streaming.streamKeyedState(spark, sfDir)
+      .select($"user_id", $"n_events", $"last_ts", $"event_type")
+      .collect().map(_.toSeq).toSet
+    val batch = Streaming.streamLatestStatus(spark, sfDir)
+      .join(graft.Tables.events(spark, sfDir).groupBy($"user_id".as("u"))
+        .agg(count(lit(1)).as("n_events")), $"user_id" === $"u")
+      .select($"user_id", $"n_events", $"last_ts", $"event_type")
+      .collect().map(_.toSeq).toSet
+    assert(keyed == batch)
+  }
+
   test("session windows merge events within the gap") {
     val sessions = Streaming.streamSession(spark, sfDir)
     // every session must contain >= 1 event and last_ts >= first_ts
