@@ -56,7 +56,17 @@ object Similarity {
   }
 
   /** k=3 nearest neighbors within each label group: the pair join is
-    * quadratic only within a label (the coarse partition). */
+    * quadratic only within a label (the coarse partition).
+    *
+    * SKEW POLICY (100 TB): this is the declared EXACT tier — correct for
+    * bounded label groups. A label holding millions of vectors makes the
+    * within-label pair join quadratic in that one key; above a size
+    * threshold (count per label from one cheap pre-aggregation), route
+    * those labels through the bucketed tiers instead: simAnnLsh's
+    * sign-LSH buckets or simIvfProbe's IVF cells subdivide a hot label
+    * into bounded cells, turning the quadratic blow-up into per-bucket
+    * work, at approximate-recall cost. Same policy as Spark's own
+    * MinHashLSH: exact within small buckets, banded elsewhere. */
   def simKnnPerLabel(spark: SparkSession, sfDir: String): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     import spark.implicits._
@@ -119,8 +129,13 @@ object Similarity {
     val e = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"label", vecd($"embedding").as("v"))
     // K coarse centroids seeded from the label partition: per-dim averages
+    // over a DETERMINISTIC 1-in-4 training sample (vec_id % 4 == 0) — the
+    // k-means-training-set idiom: centroid quality needs only a sample,
+    // so the posexplode (dim × rows scalar blow-up) never touches the
+    // full corpus. Assignment below still covers every vector.
     val cent = broadcast(
-      e.select($"label".as("cid"), posexplode($"v").as(Seq("pos", "x")))
+      e.filter($"vec_id" % 4 === 0)
+        .select($"label".as("cid"), posexplode($"v").as(Seq("pos", "x")))
         .groupBy($"cid", $"pos").agg(avg($"x").as("cx"))
         .groupBy($"cid").agg(expr(
           "transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)")
@@ -142,7 +157,10 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs within a label, cos ≥ 0.35
-    * (canonical a<b ordering). */
+    * (canonical a<b ordering). Declared EXACT tier — same skew policy as
+    * simKnnPerLabel: labels above a size threshold route through the
+    * LSH/IVF bucketed tiers, whose bucket-key equi-joins bound the
+    * per-task pair count. */
   def dedupEmbeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     import spark.implicits._

@@ -105,7 +105,10 @@ object TextSim {
     val profile = tokenized.groupBy($"tok", $"lang".as("cand_lang"))
       .agg(count(lit(1)).as("cnt"))
     val scored = tokenized
-      .join(profile, "tok")
+      // explicit broadcast: the profile is bounded by |vocab|×|langs|
+      // regardless of corpus size, while `tokenized` is corpus-sized —
+      // broadcasting turns the corpus side's shuffle into a map-side join
+      .join(broadcast(profile), "tok")
       .groupBy($"doc_id", $"lang", $"cand_lang")
       .agg(sum($"cnt").as("score"))
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand_lang")
