@@ -797,6 +797,78 @@ object Oracle {
          |ORDER BY id_a, id_b""".stripMargin,
   )
 
+  /** The n-gram Jaccard candidate-pair pipeline as a CTE body (everything
+    * after WITH), shared by dedup_ngram_jaccard's twin and the cluster
+    * oracle's edge set. */
+  private val jaccardCtes: String =
+    s"""d AS (SELECT doc_id, source, $toksExpr AS ts FROM documents),
+       |g0 AS (SELECT doc_id, source, ts FROM d WHERE len(ts) >= 2),
+       |grams AS (SELECT doc_id, source, unnest(list_distinct(
+       |  list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))) AS gram FROM g0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM grams a JOIN grams b ON a.source = b.source
+       |    AND a.doc_id < b.doc_id AND a.gram = b.gram
+       |  GROUP BY 1, 2),
+       |jpairs AS (SELECT id_a, id_b,
+       |  CAST(CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter) AS DECIMAL(18,6))::DOUBLE AS jaccard
+       |  FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+       |               JOIN sizes sb ON i.id_b = sb.doc_id)""".stripMargin
+
+  val pipeline: Map[String, String] = Map(
+    // transitive closure by recursive CTE == min-label-propagation fixpoint
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE
+         |$jaccardCtes,
+         |pairs AS (SELECT id_a, id_b FROM jpairs WHERE jaccard >= 0.1),
+         |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.t FROM reach r JOIN edges e ON r.dst = e.s)
+         |SELECT src AS doc_id, MIN(dst) AS cluster, (src = MIN(dst)) AS kept
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "dedup_edit_distance" ->
+      """WITH d AS (SELECT doc_id, source, n_chars // 100 AS len_bkt,
+        |  substring(text, 1, 60) AS prefix FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.source AS source,
+        | CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS dist
+        |FROM d a JOIN d b ON a.source = b.source AND a.len_bkt = b.len_bkt
+        |  AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.prefix, b.prefix) <= 20
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "text_pii_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact: user' || CAST(doc_id AS VARCHAR)
+        |       || '@example.com or +1-555-'
+        |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS tainted
+        |  FROM documents)
+        |SELECT doc_id,
+        | regexp_replace(regexp_replace(tainted,
+        |   '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+        |   '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed,
+        | CAST(len(string_split_regex(tainted, '[a-z0-9._]+@[a-z0-9.-]+')) - 1 AS INTEGER) AS n_emails,
+        | CAST(len(string_split_regex(tainted, '\+1-555-[0-9]{4}')) - 1 AS INTEGER) AS n_phones
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_curation_filter" ->
+      s"""WITH d AS (SELECT doc_id, $toksExpr AS ts FROM documents),
+         |s AS (SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_tok,
+         |  CAST(len(list_distinct(ts)) AS INTEGER) AS n_distinct,
+         |  list_reduce(list_prepend(0, list_transform(ts, t -> CAST(length(t) AS INTEGER))),
+         |              (a, b) -> a + b) AS tok_chars FROM d),
+         |r AS (SELECT doc_id, n_tok,
+         |  CASE WHEN n_tok < 20 THEN 'too_short'
+         |       WHEN CAST(n_distinct AS DOUBLE) / n_tok < 0.2 THEN 'low_diversity'
+         |       WHEN CAST(tok_chars AS DOUBLE) / n_tok > 12.0 THEN 'gibberish'
+         |  END AS reject_reason FROM s)
+         |SELECT doc_id, n_tok, reject_reason, (reject_reason IS NULL) AS kept
+         |FROM r ORDER BY doc_id""".stripMargin,
+  )
+
   val streaming: Map[String, String] = Map(
     "stream_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
@@ -865,5 +937,6 @@ object Oracle {
   )
 
   def all: Map[String, String] =
-    relational ++ windows ++ functions ++ ingest ++ textsim ++ streaming ++ multimodal
+    relational ++ windows ++ functions ++ ingest ++ textsim ++ pipeline ++
+      streaming ++ multimodal
 }

@@ -123,6 +123,8 @@ object SparkEntry {
     "text_token_count"       -> TextSim.textTokenCount _,
     "text_fingerprint"       -> TextSim.textFingerprint _,
     "text_tfidf"             -> TextSim.textTfidf _,
+    "text_pii_scrub"         -> TextSim.textPiiScrub _,
+    "text_curation_filter"   -> TextSim.textCurationFilter _,
     // -- similarity search / near-dup detection
     "sim_cosine_probe"       -> Similarity.simCosineProbe _,
     "sim_knn_per_label"      -> Similarity.simKnnPerLabel _,
@@ -132,6 +134,8 @@ object SparkEntry {
     "dedup_minhash_lsh"      -> Similarity.dedupMinhashLsh _,
     "dedup_simhash"          -> Similarity.dedupSimhash _,
     "dedup_ngram_jaccard"    -> Similarity.dedupNgramJaccard _,
+    "dedup_cluster"          -> Similarity.dedupCluster _,
+    "dedup_edit_distance"    -> Similarity.dedupEditDistance _,
     // -- streaming (batch-declared oracle forms + true streaming runners)
     "stream_tumbling"       -> Streaming.streamTumbling _,
     "stream_sliding"        -> Streaming.streamSliding _,

@@ -233,6 +233,75 @@ object Similarity {
       .orderBy($"doc_id")
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the n-gram
+    * Jaccard similarity graph, one kept representative (min doc_id) per
+    * component — the final step of a real dedup pipeline (pairs alone
+    * over-delete: a~b and b~c must collapse to ONE kept doc, not two
+    * independent pair decisions).
+    *
+    * Distributed min-label propagation: every vertex repeatedly adopts
+    * the smallest cluster id among itself and its neighbors until a
+    * fixpoint — each round is one shuffle join + min-aggregate, all
+    * executor-side; the driver only checks the convergence count.
+    * Rounds = graph diameter, and near-dup graphs are short chains
+    * (diameter ≤ a handful); at 100 TB the standard upgrade is the
+    * small-star/large-star contraction (O(log n) rounds) with the same
+    * per-round join shape. localCheckpoint truncates the growing
+    * iteration lineage. Oracle: DuckDB recursive-CTE transitive closure. */
+  def dedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = dedupNgramJaccard(spark, sfDir).select($"id_a", $"id_b")
+    val edges = pairs
+      .union(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+      .cache()
+    var labels = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"doc_id".as("cluster")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 30) {
+      val msgs = edges
+        .join(labels.select($"doc_id".as("nb"), $"cluster".as("cand")),
+          $"id_b" === $"nb")
+        .groupBy($"id_a".as("doc_id")).agg(min($"cand").as("nbmin"))
+      val next = labels.join(msgs, Seq("doc_id"), "left_outer")
+        .select($"doc_id",
+          least($"cluster", coalesce($"nbmin", $"cluster")).as("cluster"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+        .filter($"cluster" =!= $"prev").count()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    edges.unpersist()
+    labels
+      .select($"doc_id", $"cluster", ($"doc_id" === $"cluster").as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  /** Edit-distance near-dup candidates: Levenshtein over 60-char prefixes
+    * for pairs blocked on (source, length-bucket) — near-identical docs
+    * share both, so the quadratic pair space collapses to small blocks
+    * (the classic blocking-key trade: bucket-boundary-crossing dups are
+    * the recall cost, bounded per-task work is the win). Both engines
+    * implement the same Wagner-Fischer distance — exact integer, no
+    * float drift. */
+  def dedupEditDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", expr("n_chars div 100").as("len_bkt"),
+        substring($"text", 1, 60).as("prefix"))
+    val a = d.as("a")
+    val b = d.as("b")
+    a.join(b, $"a.source" === $"b.source" && $"a.len_bkt" === $"b.len_bkt" &&
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        $"a.source".as("source"),
+        levenshtein($"a.prefix", $"b.prefix").as("dist"))
+      .filter($"dist" <= 20)
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Exact n-gram Jaccard for same-source candidate pairs: distinct word
     * bigram sets, |A∩B| via a gram-level equi-join (never a full document
     * compare), pairs with jaccard ≥ 0.1. */

@@ -163,6 +163,52 @@ object TextSim {
       .orderBy($"doc_id")
   }
 
+  /** PII scrubbing — a mandatory pre-training transform. The corpus is
+    * synthetic, so deterministic per-doc PII (an email and a phone) is
+    * injected first, then redacted by the same regex passes a production
+    * scrubber runs; counts prove every injected token was caught. Pure
+    * per-row work: linear, no shuffle, whole-stage codegen'd. Patterns
+    * stay in the Java∩RE2 common subset so Spark and DuckDB agree. */
+  def textPiiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emailRe = "[a-z0-9._]+@[a-z0-9.-]+"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val tainted = concat($"text",
+      lit(" contact: user"), $"doc_id".cast("string"),
+      lit("@example.com or +1-555-"),
+      lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", tainted.as("tainted"))
+      .select($"doc_id",
+        regexp_replace(regexp_replace($"tainted", emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("scrubbed"),
+        size(split($"tainted", emailRe)).minus(1).as("n_emails"),
+        size(split($"tainted", phoneRe)).minus(1).as("n_phones"))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality-curation filter: first-failure-wins reject classifier over
+    * document statistics (the Gopher-rule shape: length floor, lexical
+    * diversity floor, word-length ceiling). NULL reason = kept. Same
+    * plan profile as the ingest classifier: one per-row pass. */
+  def textCurationFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(toks).as("n_tok"),
+        size(array_distinct(toks)).as("n_distinct"),
+        aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x).as("tok_chars"))
+      .select($"doc_id", $"n_tok",
+        when($"n_tok" < 20, "too_short")
+          .when($"n_distinct".cast("double") / $"n_tok" < 0.2, "low_diversity")
+          .when($"tok_chars".cast("double") / $"n_tok" > 12.0, "gibberish")
+          .otherwise(lit(null).cast("string")).as("reject_reason"))
+      .select($"doc_id", $"n_tok", $"reject_reason",
+        $"reject_reason".isNull.as("kept"))
+      .orderBy($"doc_id")
+  }
+
   /** TF-IDF top terms: tf from one explode+groupBy, document frequency
     * via groupBy(tok).count() + shuffle join, doc count broadcast.
     * tfidf = tf · ln((N+1)/(df+1)) — per-row double math, identical in

@@ -7,7 +7,7 @@ class QueriesSpec extends SparkSuite {
   // queries whose correct result CAN be empty at tiny scale
   private val mayBeEmpty = Set(
     "dedup_embedding_cosine", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "pred_arity", "lookup_eq")
+    "dedup_edit_distance", "pred_arity", "lookup_eq")
 
   test("entry() produces rows") {
     assert(SparkEntry.entry(spark).count() > 0)
