@@ -610,6 +610,15 @@ object Oracle {
   private val toksExpr =
     "list_filter(string_split_regex(lower(trim(text)), '[^a-z]+'), t -> t <> '')"
 
+  /** DuckDB mirror of Curation.zorderCluster's 10-bit Morton interleave. */
+  private def zorderSql: String = {
+    val x = "(l_partkey % 1024)"
+    val y = "(l_suppkey % 1024)"
+    (0 until 10).map { b =>
+      s"((($x >> $b) & 1) << ${2 * b}) | ((($y >> $b) & 1) << ${2 * b + 1})"
+    }.mkString("(", " | ", ")")
+  }
+
   /** DuckDB mirror of Similarity's left-to-right double folds. */
   private def fold(l: String) =
     s"list_reduce(list_prepend(0.0, $l), (acc_, x_) -> acc_ + x_)"
@@ -867,6 +876,127 @@ object Oracle {
          |  END AS reject_reason FROM s)
          |SELECT doc_id, n_tok, reject_reason, (reject_reason IS NULL) AS kept
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """WITH rates(lang, keep_below) AS (VALUES
+        |  ('en', '40'), ('de', 'c0'), ('es', 'c0'), ('fr', 'c0'), ('zh', 'c0'))
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE substr(md5('strat|' || CAST(d.doc_id AS VARCHAR)), 1, 2) < r.keep_below
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "sample_mixture" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |m AS (SELECT MIN(n_docs) AS target_n FROM c)
+        |SELECT lang, n_docs, target_n,
+        | CAST(CAST(CAST(target_n AS DOUBLE) / n_docs AS DECIMAL(18,6)) AS DOUBLE) AS weight
+        |FROM c, m ORDER BY lang""".stripMargin,
+
+    "sample_group_topk" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5('samp|' || CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+        |  FROM documents)
+        |SELECT lang, rk, doc_id FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
+
+    "split_train_holdout" ->
+      """SELECT doc_id, lang,
+        | CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+        |      WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'valid'
+        |      ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, lang, CAST(len($toksExpr) AS INTEGER) AS n_tok
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang, n_tok,
+         |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, lang, n_tok, CAST(cum_before // 256 AS BIGINT) AS seq_id
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_decontaminate" ->
+      s"""WITH g AS (SELECT doc_id,
+         |  unnest(list_distinct(list_transform(range(1, len(ts) - 3),
+         |    i -> array_to_string(list_slice(ts, i, i + 4), ' ')))) AS gram
+         |  FROM (SELECT doc_id, $toksExpr AS ts FROM documents)),
+         |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 11 = 0),
+         |hits AS (SELECT g.doc_id, COUNT(*) AS n_hits
+         |  FROM g JOIN eg USING (gram) WHERE g.doc_id % 11 <> 0 GROUP BY g.doc_id)
+         |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+         | (COALESCE(h.n_hits, 0) > 0) AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |WHERE d.doc_id % 11 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    "merge_upsert" ->
+      """WITH merged AS (
+        | SELECT o_orderkey, o_orderstatus, o_orderpriority, 0 AS version
+        |   FROM orders WHERE o_orderkey % 2 = 0
+        | UNION ALL
+        | SELECT o_orderkey, o_orderstatus, 'UPDATED', 1
+        |   FROM orders WHERE o_orderkey % 3 = 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+        |  FROM merged)
+        |SELECT o_orderkey, o_orderstatus, o_orderpriority, version
+        |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+
+    "scd2_intervals" ->
+      """SELECT user_id, event_id, event_type,
+        | epoch_us(ts) AS valid_from,
+        | lead(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS valid_to,
+        | (lead(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL) AS is_current
+        |FROM events ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "agg_salted" ->
+      """SELECT l_returnflag,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "profile_table" ->
+      """WITH a AS (SELECT COUNT(*) AS n_rows,
+        |  COUNT(c_custkey) AS nn_custkey, COUNT(DISTINCT c_custkey) AS nd_custkey,
+        |  CAST(MIN(c_custkey) AS DOUBLE) AS mn_custkey, CAST(MAX(c_custkey) AS DOUBLE) AS mx_custkey,
+        |  COUNT(c_name) AS nn_name, COUNT(DISTINCT c_name) AS nd_name,
+        |  COUNT(c_nationkey) AS nn_nationkey, COUNT(DISTINCT c_nationkey) AS nd_nationkey,
+        |  CAST(MIN(c_nationkey) AS DOUBLE) AS mn_nationkey, CAST(MAX(c_nationkey) AS DOUBLE) AS mx_nationkey,
+        |  COUNT(c_acctbal) AS nn_acctbal, COUNT(DISTINCT c_acctbal) AS nd_acctbal,
+        |  MIN(c_acctbal) AS mn_acctbal, MAX(c_acctbal) AS mx_acctbal,
+        |  COUNT(c_mktsegment) AS nn_mktsegment, COUNT(DISTINCT c_mktsegment) AS nd_mktsegment
+        |  FROM customer)
+        |SELECT 'c_custkey' AS column_name, n_rows, n_rows - nn_custkey AS n_null,
+        |  nd_custkey AS n_distinct, mn_custkey AS min_num, mx_custkey AS max_num FROM a
+        |UNION ALL SELECT 'c_name', n_rows, n_rows - nn_name, nd_name,
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a
+        |UNION ALL SELECT 'c_nationkey', n_rows, n_rows - nn_nationkey, nd_nationkey,
+        |  mn_nationkey, mx_nationkey FROM a
+        |UNION ALL SELECT 'c_acctbal', n_rows, n_rows - nn_acctbal, nd_acctbal,
+        |  mn_acctbal, mx_acctbal FROM a
+        |UNION ALL SELECT 'c_mktsegment', n_rows, n_rows - nn_mktsegment, nd_mktsegment,
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a
+        |ORDER BY column_name""".stripMargin,
+
+    "zorder_cluster" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, $zorderSql AS z
+         |FROM lineitem
+         |ORDER BY z, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "outlier_zscore" ->
+      """WITH s AS (SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(value AS DECIMAL(18,6))) AS s,
+        |  SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS q
+        |  FROM events GROUP BY event_type),
+        |st AS (SELECT event_type, n,
+        |  CAST(s AS DOUBLE) / n AS mean,
+        |  sqrt((CAST(q AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) * n / (n - 1)) AS std
+        |  FROM s)
+        |SELECT e.event_id, e.event_type,
+        | CAST(CAST(e.value AS DECIMAL(18,6)) AS DOUBLE) AS value_q,
+        | CAST(CAST((CAST(CAST(e.value AS DECIMAL(18,6)) AS DOUBLE) - st.mean) / st.std AS DECIMAL(18,6)) AS DOUBLE) AS z
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |WHERE abs((CAST(CAST(e.value AS DECIMAL(18,6)) AS DOUBLE) - st.mean) / st.std) > 3
+        |ORDER BY e.event_id""".stripMargin,
   )
 
   val streaming: Map[String, String] = Map(

@@ -136,6 +136,19 @@ object SparkEntry {
     "dedup_ngram_jaccard"    -> Similarity.dedupNgramJaccard _,
     "dedup_cluster"          -> Similarity.dedupCluster _,
     "dedup_edit_distance"    -> Similarity.dedupEditDistance _,
+    // -- training-data curation / pipeline maintenance
+    "sample_stratified"   -> Curation.sampleStratified _,
+    "sample_mixture"      -> Curation.sampleMixture _,
+    "sample_group_topk"   -> Curation.sampleGroupTopk _,
+    "split_train_holdout" -> Curation.splitTrainHoldout _,
+    "pack_sequences"      -> Curation.packSequences _,
+    "text_decontaminate"  -> Curation.textDecontaminate _,
+    "merge_upsert"        -> Curation.mergeUpsert _,
+    "scd2_intervals"      -> Curation.scd2Intervals _,
+    "agg_salted"          -> Curation.aggSalted _,
+    "profile_table"       -> Curation.profileTable _,
+    "zorder_cluster"      -> Curation.zorderCluster _,
+    "outlier_zscore"      -> Curation.outlierZscore _,
     // -- streaming (batch-declared oracle forms + true streaming runners)
     "stream_tumbling"       -> Streaming.streamTumbling _,
     "stream_sliding"        -> Streaming.streamSliding _,

@@ -1,0 +1,276 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data curation + pipeline-maintenance pack (SURVEY.md §2.B,
+  * BASELINE.json north_star "large-scale training-data pipeline" family).
+  *
+  * The reference's pipeline stops at validate→dedup→load
+  * (BackgroundCsvProcessor.java:56-113); this pack adds the operations a
+  * 100 TB corpus pipeline needs on top of that: deterministic sampling and
+  * split assignment, mixture re-weighting, sequence packing, benchmark
+  * decontamination, CDC upsert / SCD2 history, skew-safe aggregation,
+  * multi-dimensional layout clustering, table profiling, and statistical
+  * outlier detection.
+  *
+  * Determinism contract (SURVEY §7.5): all "randomness" is md5-keyed (both
+  * engines agree on md5 hex), all corpus-level sums are exact (integer or
+  * DECIMAL), and every double is a per-row IEEE expression computed from
+  * exact inputs — so the DuckDB oracle hash-matches bit-for-bit.
+  */
+object Curation {
+
+  /** Deterministic per-stratum downsampling: each language keeps a fixed
+    * fraction, selected by comparing the first two md5 hex chars of the
+    * salted key against a per-stratum threshold ('40'/256 ≈ 25%,
+    * 'c0'/256 ≈ 75%). The rate table is a broadcast dimension, the corpus
+    * side is one map-only pass — no shuffle of the 100 TB side at all,
+    * and re-running on a grown corpus keeps previously-sampled rows
+    * (hash-stable sampling, unlike rand()). */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rates = Seq(
+      ("en", "40"), ("de", "c0"), ("es", "c0"), ("fr", "c0"), ("zh", "c0"))
+      .toDF("lang", "keep_below")
+    Tables.documents(spark, sfDir)
+      .join(broadcast(rates), "lang")
+      .filter(substring(md5(concat(lit("strat|"), $"doc_id".cast("string"))), 1, 2) < $"keep_below")
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
+  /** Mixture re-weighting toward a uniform language mix: weight_l =
+    * min_count / count_l is the per-document acceptance probability that
+    * equalizes the expected per-language contribution. Counts are exact;
+    * the weight is a ratio of two exact longs — one small aggregate plus a
+    * broadcast of a single row, nothing corpus-sized moves. */
+  def sampleMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+    val floor = counts.agg(min($"n_docs").as("target_n"))
+    counts.crossJoin(broadcast(floor))
+      .select($"lang", $"n_docs", $"target_n",
+        ($"target_n".cast("double") / $"n_docs").cast("decimal(18,6)").as("weight"))
+      .orderBy($"lang")
+  }
+
+  /** Deterministic k-per-group sample ("hash reservoir"): rank docs inside
+    * each language by md5 of a salted key and keep the first 10. One
+    * partitioned window — the per-group state is a top-k heap, never the
+    * group itself, and the hash order is reproducible across runs and
+    * cluster sizes (a rand()-ordered sample is neither). */
+  def sampleGroupTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang")
+      .orderBy(md5(concat(lit("samp|"), $"doc_id".cast("string"))), $"doc_id")
+    Tables.documents(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 10)
+      .select($"lang", $"rk", $"doc_id")
+      .orderBy($"lang", $"rk")
+  }
+
+  /** Train/valid/test split assignment by hash bucket (12/2/2 of 16): the
+    * split is a pure function of doc_id, so it is stable under reruns,
+    * repartitioning, and corpus growth — the property that makes held-out
+    * sets trustworthy. Map-only, no shuffle. */
+  def splitTrainHoldout(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = substring(md5(concat(lit("split|"), $"doc_id".cast("string"))), 1, 1)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang",
+        when(bucket < "c", "train")
+          .when(bucket < "e", "valid")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  /** Sequence packing for training batches: docs are packed in doc_id order
+    * into contiguous 256-token bins per language; a doc's bin is
+    * floor(tokens-before-it / 256). One partitioned running-sum window.
+    * At 100 TB the pack key ((lang) here; (lang, shard) in production) IS
+    * the parallelism unit — packing is inherently sequential inside a
+    * shard, so the shard key must keep partitions bounded. */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", size(TextSim.tokens($"text")).as("n_tok"))
+      .withColumn("cum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .withColumn("seq_id", expr("cum_before div 256"))
+      .select($"doc_id", $"lang", $"n_tok", $"seq_id")
+      .orderBy($"doc_id")
+  }
+
+  /** Benchmark decontamination: docs with doc_id % 11 == 0 stand in for a
+    * held-out eval set; a training doc is contaminated if it shares any
+    * word 5-gram with any eval doc. The eval gram set is benchmark-sized
+    * (tiny vs the corpus) and broadcast, so the corpus-side gram stream is
+    * filtered map-side — the standard n-gram-overlap decontamination shape
+    * (no all-pairs comparison anywhere). */
+  def textDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val grams = docs
+      .select($"doc_id", TextSim.tokens($"text").as("ts"))
+      .select($"doc_id", explode(when(size($"ts") >= 5,
+        expr("array_distinct(transform(sequence(1, size(ts) - 4), i -> concat_ws(' ', slice(ts, i, 5))))"))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    val evalGrams = grams.filter($"doc_id" % 11 === 0).select($"gram").distinct()
+    val hits = grams.filter($"doc_id" % 11 =!= 0)
+      .join(broadcast(evalGrams), "gram")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+    docs.filter($"doc_id" % 11 =!= 0).select($"doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        (coalesce($"n_hits", lit(0L)) > 0).as("contaminated"))
+      .orderBy($"doc_id")
+  }
+
+  /** CDC upsert (MERGE latest-wins): a base snapshot (even orderkeys) merged
+    * with a change feed (orderkeys divisible by 3, repriorityed); the change
+    * row wins where both exist, change-only keys are inserts. Implemented as
+    * union + one row_number window on the merge key — the shuffle-once merge
+    * pattern that scales linearly (vs per-key point lookups, which the
+    * reference itself measured as "incredibly slow", ItemRepository.java:11-12). */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sfDir)
+    val base = orders.filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority", lit(0).as("version"))
+    val changes = orders.filter($"o_orderkey" % 3 === 0)
+      .select($"o_orderkey", $"o_orderstatus",
+        lit("UPDATED").as("o_orderpriority"), lit(1).as("version"))
+    val w = Window.partitionBy($"o_orderkey").orderBy($"version".desc)
+    base.unionByName(changes)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority", $"version")
+      .orderBy($"o_orderkey")
+  }
+
+  /** SCD2 interval build: each user's event stream becomes validity
+    * intervals [valid_from, valid_to) via lead() over (user, time); the
+    * open interval is the current row. Timestamps surface as exact epoch
+    * microseconds (Tables.events already µs-truncates with integer `div`,
+    * matching DuckDB's epoch_us floor). One partitioned window. */
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .withColumn("valid_from", unix_micros($"ts"))
+      .withColumn("valid_to", unix_micros(lead($"ts", 1).over(w)))
+      .withColumn("is_current", $"valid_to".isNull)
+      .select($"user_id", $"event_id", $"event_type",
+        $"valid_from", $"valid_to", $"is_current")
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
+
+  /** Skew-safe two-stage aggregation: stage 1 aggregates on (key, salt)
+    * where salt = hash(row key) % 16 splits any hot group across 16
+    * partitions; stage 2 re-aggregates the 16 partials per key. DECIMAL
+    * sums make the result bit-identical to the direct single-stage groupBy
+    * (asserted in CurationSpec) — the pattern to reach for when one key
+    * holds a double-digit share of a 100 TB table and AQE's skew handling
+    * can't help (it splits join partitions, not aggregation groups). */
+  def aggSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val partials = Tables.lineitem(spark, sfDir)
+      .withColumn("salt", pmod(hash($"l_orderkey"), lit(16)))
+      .groupBy($"l_returnflag", $"salt")
+      .agg(sum($"l_quantity".cast("decimal(18,2)")).as("s"), count(lit(1)).as("c"))
+    partials.groupBy($"l_returnflag")
+      .agg(sum($"s").cast("decimal(18,2)").as("sum_qty"), sum($"c").as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Single-pass table profile (the ANALYZE-style stats a 100 TB ingest
+    * emits for query planning and data-quality gates): row count, null
+    * count, exact NDV, numeric min/max per column — computed in ONE scan
+    * of the table (one multi-distinct aggregate), then unpivoted with
+    * stack() into a long-format report. */
+  def profileTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir).agg(
+      count(lit(1)).as("n_rows"),
+      count($"c_custkey").as("nn_custkey"),
+      countDistinct($"c_custkey").as("nd_custkey"),
+      min($"c_custkey").cast("double").as("mn_custkey"),
+      max($"c_custkey").cast("double").as("mx_custkey"),
+      count($"c_name").as("nn_name"),
+      countDistinct($"c_name").as("nd_name"),
+      count($"c_nationkey").as("nn_nationkey"),
+      countDistinct($"c_nationkey").as("nd_nationkey"),
+      min($"c_nationkey").cast("double").as("mn_nationkey"),
+      max($"c_nationkey").cast("double").as("mx_nationkey"),
+      count($"c_acctbal").as("nn_acctbal"),
+      countDistinct($"c_acctbal").as("nd_acctbal"),
+      min($"c_acctbal").as("mn_acctbal"),
+      max($"c_acctbal").as("mx_acctbal"),
+      count($"c_mktsegment").as("nn_mktsegment"),
+      countDistinct($"c_mktsegment").as("nd_mktsegment"))
+      .selectExpr("""stack(5,
+        'c_custkey',    n_rows, n_rows - nn_custkey,    nd_custkey,    mn_custkey, mx_custkey,
+        'c_name',       n_rows, n_rows - nn_name,       nd_name,       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        'c_nationkey',  n_rows, n_rows - nn_nationkey,  nd_nationkey,  mn_nationkey, mx_nationkey,
+        'c_acctbal',    n_rows, n_rows - nn_acctbal,    nd_acctbal,    mn_acctbal, mx_acctbal,
+        'c_mktsegment', n_rows, n_rows - nn_mktsegment, nd_mktsegment, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        ) AS (column_name, n_rows, n_null, n_distinct, min_num, max_num)""")
+      .orderBy($"column_name")
+  }
+
+  /** Z-order (Morton) clustering key: interleave the low 10 bits of two
+    * join/filter dimensions so that sorting by z co-locates rows that are
+    * close in BOTH dimensions — the data-layout trick behind multi-column
+    * data skipping (a range-partitioned write on z gives every file a
+    * tight min/max envelope on part AND supplier). Pure integer bit math,
+    * identical in both engines; shown as the top-100 by z. */
+  def zorderCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val x = ($"l_partkey" % 1024).cast("long")
+    val y = ($"l_suppkey" % 1024).cast("long")
+    val z = (0 until 10).foldLeft(lit(0L)) { (acc, b) =>
+      acc.bitwiseOR(shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b))
+        .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }
+    Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey", z.as("z"))
+      .orderBy($"z", $"l_orderkey", $"l_linenumber")
+      .limit(100)
+  }
+
+  /** Statistical outlier detection: per event_type z-scores from EXACT
+    * moments — n, Σx, Σx² are DECIMAL sums (order-independent), mean/std
+    * are then fixed IEEE expressions of those exact inputs, so both
+    * engines flag the identical |z| > 3 row set. Stats are 5 rows,
+    * broadcast back onto the stream: one aggregate + one map pass. */
+  def outlierZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vd = $"value".cast("decimal(18,6)")
+    val stats = Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum(vd).as("s"),
+        sum(($"value".cast("decimal(18,6)") * $"value".cast("decimal(18,6)"))
+          .cast("decimal(38,12)")).as("q"))
+      .select($"event_type", $"n",
+        ($"s".cast("double") / $"n").as("mean"),
+        sqrt((($"q".cast("double") / $"n")
+          - ($"s".cast("double") / $"n") * ($"s".cast("double") / $"n"))
+          * $"n" / ($"n" - 1)).as("std"))
+    Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type", vd.as("value_q"))
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", ($"value_q".cast("double") - $"mean") / $"std")
+      .filter(abs($"z") > 3.0)
+      .select($"event_id", $"event_type", $"value_q",
+        $"z".cast("decimal(18,6)").as("z"))
+      .orderBy($"event_id")
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Curation
+
+/** Property coverage for the curation / pipeline-maintenance pack (the
+  * oracle pins exact values; these pin the semantic invariants). */
+class CurationSpec extends SparkSuite {
+
+  test("agg_salted is bit-identical to the direct single-stage groupBy") {
+    import spark.implicits._
+    val salted = Curation.aggSalted(spark, sfDir).collect().toSeq
+    val direct = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(sum($"l_quantity".cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag").collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("merge_upsert: unique keys, change rows win, inserts survive") {
+    import spark.implicits._
+    val out = Curation.mergeUpsert(spark, sfDir).collect()
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    out.foreach { r =>
+      val (key, version) = (r.getLong(0), r.getInt(3))
+      if (key % 3 == 0) {
+        assert(version == 1 && r.getString(2) == "UPDATED", s"key $key should take the change row")
+      } else {
+        assert(key % 2 == 0 && version == 0, s"key $key should be a surviving base row")
+      }
+    }
+  }
+
+  test("pack_sequences: seq_id is the running-token-count bin per language") {
+    val rows = Curation.packSequences(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getInt(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_._2).foreach { case (_, _, nTok, seqId) =>
+        assert(seqId == cum / 256, s"bin must be floor(tokens-before / 256)")
+        cum += nTok
+      }
+    }
+  }
+
+  test("text_decontaminate excludes the eval set and flags iff grams hit") {
+    val out = Curation.textDecontaminate(spark, sfDir).collect()
+    assert(out.forall(_.getLong(0) % 11 != 0))
+    out.foreach { r =>
+      assert(r.getBoolean(2) == (r.getLong(1) > 0))
+    }
+  }
+
+  test("split_train_holdout covers every doc deterministically") {
+    import spark.implicits._
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val a = Curation.splitTrainHoldout(spark, sfDir).collect().toSeq
+    val b = Curation.splitTrainHoldout(spark, sfDir).collect().toSeq
+    assert(a.length == nDocs && a == b)
+    val bySplit = a.groupBy(_.getString(2)).view.mapValues(_.size).toMap
+    // 12/2/2 hash buckets of 16: train must dominate, all three present
+    assert(bySplit.keySet == Set("train", "valid", "test"), s"got $bySplit")
+    assert(bySplit("train") > bySplit("valid") && bySplit("train") > bySplit("test"))
+  }
+
+  test("zorder_cluster: z is the 10-bit Morton interleave of (part, supp)") {
+    def morton(x: Long, y: Long): Long =
+      (0 until 10).foldLeft(0L) { (acc, b) =>
+        acc | (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))
+      }
+    val out = Curation.zorderCluster(spark, sfDir).collect()
+    out.foreach { r =>
+      val z = morton(r.getLong(2) % 1024, r.getLong(3) % 1024)
+      assert(r.getLong(4) == z)
+    }
+    assert(out.map(_.getLong(4)).toSeq == out.map(_.getLong(4)).toSeq.sorted)
+  }
+
+  test("outlier_zscore only returns |z| > 3 rows, per-type stats exact") {
+    val out = Curation.outlierZscore(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // z surfaces rounded to 6 dp (DECIMAL before SparkEntry's final double
+    // normalization) — the filter ran on the unrounded value
+    out.foreach(r => assert(r.getDecimal(3).abs.doubleValue > 2.999))
+  }
+
+  test("profile_table matches direct per-column facts") {
+    import spark.implicits._
+    val cust = Tables.customer(spark, sfDir)
+    val prof = Curation.profileTable(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet == Set("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    prof.values.foreach(r => assert(r.getLong(1) == cust.count()))
+    val ndSeg = cust.select(countDistinct($"c_mktsegment")).head().getLong(0)
+    assert(prof("c_mktsegment").getLong(3) == ndSeg)
+    assert(prof("c_custkey").getLong(2) == 0) // key column: no nulls
+    assert(prof("c_name").isNullAt(4) && prof("c_name").isNullAt(5))
+  }
+
+  test("sample_stratified keeps a hash-stable subset at the declared rates") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val kept = Curation.sampleStratified(spark, sfDir)
+    assert(kept.count() < docs.count())
+    // hash-stable: same result on a rerun
+    assert(kept.collect().toSeq == Curation.sampleStratified(spark, sfDir).collect().toSeq)
+    // en is downsampled 3× harder than the rest — its keep ratio must be lower
+    val ratios = kept.groupBy($"lang").count()
+      .join(docs.groupBy($"lang").agg(count(lit(1)).as("total")), "lang")
+      .select($"lang", ($"count".cast("double") / $"total").as("ratio"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ratios("en") < ratios.filter(_._1 != "en").values.min)
+  }
+
+  test("sample_group_topk: exactly k contiguous ranks per language") {
+    val out = Curation.sampleGroupTopk(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length))
+      assert(rs.length <= 10)
+    }
+  }
+
+  test("scd2_intervals: ordered intervals, exactly one open row per user") {
+    val out = Curation.scd2Intervals(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.count(_._4) == 1, "exactly one is_current interval per user")
+      rows.foreach { case (_, from, to, isCurrent) =>
+        assert(to.isEmpty == isCurrent)
+        to.foreach(t => assert(from <= t))
+      }
+    }
+  }
+}
