@@ -877,6 +877,19 @@ object Oracle {
          |SELECT doc_id, n_tok, reject_reason, (reject_reason IS NULL) AS kept
          |FROM r ORDER BY doc_id""".stripMargin,
 
+    "scan_json_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "scan_orc_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "scan_partition_prune" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang IN ('en', 'zh') ORDER BY doc_id""".stripMargin,
+
     "sample_stratified" ->
       """WITH rates(lang, keep_below) AS (VALUES
         |  ('en', '40'), ('de', 'c0'), ('es', 'c0'), ('fr', 'c0'), ('zh', 'c0'))

@@ -136,6 +136,10 @@ object SparkEntry {
     "dedup_ngram_jaccard"    -> Similarity.dedupNgramJaccard _,
     "dedup_cluster"          -> Similarity.dedupCluster _,
     "dedup_edit_distance"    -> Similarity.dedupEditDistance _,
+    // -- source/sink formats beyond parquet+csv
+    "scan_json_roundtrip" -> Sources.scanJsonRoundtrip _,
+    "scan_orc_roundtrip"  -> Sources.scanOrcRoundtrip _,
+    "scan_partition_prune" -> Sources.scanPartitionPrune _,
     // -- training-data curation / pipeline maintenance
     "sample_stratified"   -> Curation.sampleStratified _,
     "sample_mixture"      -> Curation.sampleMixture _,

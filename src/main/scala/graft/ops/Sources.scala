@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Source/sink format coverage beyond parquet + CSV (SURVEY §2.B): JSON
+  * lines and ORC round-trips, and a partitioned-layout write whose read
+  * back is partition-PRUNED at the scan (the single most important scan
+  * optimization at 100 TB — a pruned scan never opens the excluded
+  * partitions' files at all).
+  *
+  * Each query materializes its fixture under /tmp from the harness
+  * parquet (deterministic projection), then reads it back through the
+  * format under test with an EXPLICIT schema (no sampling-order-dependent
+  * inference), so the DuckDB oracle can check the round-trip against the
+  * original table.
+  */
+object Sources {
+
+  /** sf-keyed scratch dir: concurrent sessions on different SFs never
+    * collide; within a session queries run sequentially. */
+  private def scratch(sfDir: String, name: String): String =
+    s"/tmp/graft_sources/${math.abs(sfDir.hashCode).toString}/$name"
+
+  /** JSON-lines round-trip: orders slice → .json files → read back with
+    * explicit schema. Doubles survive exactly (Java shortest-repr
+    * stringification round-trips); the timestamp is projected to a date
+    * string BEFORE the write so the fixture is timezone-fixed. JSON scans
+    * split by line like CSV — a 100 TB JSON ingest parallelizes the same
+    * way this single file does. */
+  def scanJsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir, "orders_json")
+    Tables.orders(spark, sfDir)
+      .filter($"o_orderkey" <= 2000)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate_s"))
+      .write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate_s", StringType)))
+    spark.read.schema(schema).json(dir)
+      .orderBy($"o_orderkey")
+  }
+
+  /** ORC round-trip: the other columnar format Spark ships natively.
+    * Types (long/double/string) map 1:1, so the read-back is bit-equal
+    * to the parquet source and the oracle is a plain projection. */
+  def scanOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir, "customer_orc")
+    Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+      .write.mode("overwrite").orc(dir)
+    spark.read.orc(dir)
+      .orderBy($"c_custkey")
+  }
+
+  /** Hive-style partitioned layout + partition pruning: documents written
+    * partitioned by lang, read back filtered to two languages. The filter
+    * becomes a PartitionFilter on the scan (asserted in PlanSpec): only
+    * the matching lang= directories are listed and opened — at 100 TB
+    * this is the difference between scanning 2/5 of the corpus and all
+    * of it. The partition column round-trips through the directory name,
+    * so it is re-cast and re-ordered explicitly. */
+  def scanPartitionPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir, "documents_by_lang")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"n_chars", $"lang")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    prunedRead(spark, dir)
+  }
+
+  /** The read side alone (PlanSpec inspects this plan without re-writing). */
+  def prunedRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(dir)
+      .filter($"lang".isin("en", "zh"))
+      .select($"doc_id", $"lang".cast("string").as("lang"), $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+}

@@ -100,6 +100,34 @@ class PlanSpec extends SparkSuite {
       "expected partial+final aggregation for df")
   }
 
+  test("scan_partition_prune read plans partition filters on lang") {
+    // materialize the partitioned fixture, then inspect the read plan
+    ops.Sources.scanPartitionPrune(spark, sfDir).collect()
+    val dir = s"/tmp/graft_sources/${math.abs(sfDir.hashCode)}/documents_by_lang"
+    val p = ops.Sources.prunedRead(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("lang")),
+      s"lang filter not applied as a partition filter:\n$p")
+  }
+
+  test("text_decontaminate broadcasts the eval gram set (corpus side map-only)") {
+    assert(plan("text_decontaminate").contains("BroadcastHashJoin"))
+  }
+
+  test("outlier_zscore broadcasts the per-type stats") {
+    assert(plan("outlier_zscore").contains("BroadcastHashJoin"))
+  }
+
+  test("sample_stratified broadcasts the rate dimension") {
+    assert(plan("sample_stratified").contains("BroadcastHashJoin"))
+  }
+
+  test("agg_salted plans two aggregation stages (salt then merge)") {
+    // 2 logical stages × (partial + final) = at least 4 HashAggregates
+    assert("HashAggregate".r.findAllIn(plan("agg_salted")).size >= 4)
+  }
+
   test("proj_key_only scan reads a single column") {
     val read = plan("proj_key_only").linesIterator
       .filter(_.contains("ReadSchema")).mkString("\n")
