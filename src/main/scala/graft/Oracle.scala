@@ -877,6 +877,30 @@ object Oracle {
          |SELECT doc_id, n_tok, reject_reason, (reject_reason IS NULL) AS kept
          |FROM r ORDER BY doc_id""".stripMargin,
 
+    "sql_api_q3" ->
+      """SELECT o.o_orderkey,
+        | CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+        | strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+        | o.o_orderpriority
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d'), o.o_orderpriority
+        |ORDER BY revenue DESC, o.o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "stream_join_static" ->
+      """SELECT c.c_mktsegment,
+        | COUNT(*) AS n_events,
+        | COUNT(DISTINCT e.user_id) AS n_users,
+        | CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+
     "scan_json_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s

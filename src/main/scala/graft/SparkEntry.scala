@@ -161,6 +161,9 @@ object SparkEntry {
     "stream_watermark_late" -> Streaming.streamWatermarkLate _,
     "stream_dedup_state"    -> Streaming.streamDedupState _,
     "stream_keyed_state"    -> Streaming.streamKeyedState _,
+    "stream_join_static"    -> Streaming.streamJoinStatic _,
+    // -- SQL API entry point
+    "sql_api_q3"            -> Relational.sqlApiQ3 _,
     // -- multimodal plumbing + synthetic source (rows-only where no oracle)
     "multimodal_binary_meta" -> Multimodal.multimodalBinaryMeta _,
     "multimodal_features"    -> ((s: SparkSession, d: String) =>

@@ -451,6 +451,33 @@ object Relational {
       .orderBy($"c_nationkey")
   }
 
+  /** The SQL entry point (`spark.sql` over registered views) — the same
+    * Catalyst plan as the DataFrame API, exercised through the other half
+    * of the public surface. TPC-H Q3 shape: segment-filtered customers ×
+    * open orders × shipped-later lineitems, revenue top-20. The two date
+    * filters push into the orders/lineitem scans; the customer filter
+    * makes that side broadcast-small. */
+  def sqlApiQ3(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT o.o_orderkey,
+        | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+        | date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate,
+        | o.o_orderpriority
+        |FROM graft_customer c
+        |JOIN graft_orders o ON c.c_custkey = o.o_custkey
+        |JOIN graft_lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY o.o_orderkey, date_format(o.o_orderdate, 'yyyy-MM-dd'), o.o_orderpriority
+        |ORDER BY revenue DESC, o.o_orderkey
+        |LIMIT 20""".stripMargin)
+  }
+
   // ----------------------------------------------------------------- helpers
 
   private def regionNationCustomer(spark: SparkSession, sfDir: String): DataFrame = {

@@ -170,6 +170,29 @@ object Streaming {
       .orderBy($"user_id")
   }
 
+  /** Stream-static enrichment join, run as a REAL streaming job: the event
+    * stream joins a broadcast static dimension (customer segment) per
+    * micro-batch — no state store, no watermark; the static side is
+    * re-broadcast per batch and the stream side never shuffles. The
+    * enriched stream lands in a file sink; the segment rollup happens
+    * batch-side on the read-back, so the end result is deterministic and
+    * oracle-checkable (one AvailableNow batch ⇒ stream result ≡ batch
+    * join, which is the SQL the oracle runs). */
+  def streamJoinStatic(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val static = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment")
+    val enriched = eventsStream(spark, sfDir)
+      .select($"user_id", $"event_id", $"value")
+      .join(broadcast(static), $"user_id" === $"c_custkey")
+    runToParquet(enriched)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        dec6(sum(dec6($"value"))).as("sum_value"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** Stateful streaming dedup on event_id under a watermark; the deduped
     * stream is then counted per type (batch-side) to a stable summary. */
   def streamDedupState(spark: SparkSession, sfDir: String): DataFrame = {

@@ -74,6 +74,20 @@ class StreamingSpec extends SparkSuite {
     assert(got == batch)
   }
 
+  test("stream-static join equals the batch join rollup") {
+    val streamed = Streaming.streamJoinStatic(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val cust = Tables.customer(spark, sfDir).select($"c_custkey", $"c_mktsegment")
+    val batch = Tables.events(spark, sfDir)
+      .join(cust, $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        sum($"value".cast("decimal(18,6)")).cast("decimal(18,6)").as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("watermark drops events later than the threshold") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
