@@ -263,13 +263,17 @@ object Similarity {
         .join(labels.select($"doc_id".as("nb"), $"cluster".as("cand")),
           $"id_b" === $"nb")
         .groupBy($"id_a".as("doc_id")).agg(min($"cand").as("nbmin"))
+      // carry the per-row change flag through the checkpoint: the
+      // convergence check is then a filter-count on the already-
+      // materialized round result instead of a fresh shuffle join
+      // against the previous labels (one less join per round)
       val next = labels.join(msgs, Seq("doc_id"), "left_outer")
         .select($"doc_id",
-          least($"cluster", coalesce($"nbmin", $"cluster")).as("cluster"))
+          least($"cluster", coalesce($"nbmin", $"cluster")).as("cluster"),
+          (coalesce($"nbmin", $"cluster") < $"cluster").as("chg"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
-        .filter($"cluster" =!= $"prev").count()
-      labels = next
+      changed = next.filter($"chg").count()
+      labels = next.select($"doc_id", $"cluster")
       rounds += 1
     }
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
@@ -291,14 +295,27 @@ object Similarity {
     val d = Tables.documents(spark, sfDir)
       .select($"doc_id", $"source", expr("n_chars div 100").as("len_bkt"),
         substring($"text", 1, 60).as("prefix"))
-    val a = d.as("a")
-    val b = d.as("b")
-    a.join(b, $"a.source" === $"b.source" && $"a.len_bkt" === $"b.len_bkt" &&
-        $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
-        $"a.source".as("source"),
-        levenshtein($"a.prefix", $"b.prefix").as("dist"))
-      .filter($"dist" <= 20)
+    // The pair rows are BYTE-small but CPU-heavy (a banded 60×21 DP each):
+    // left alone, AQE coalesces the tiny join shuffle into ONE partition
+    // and the whole DP bill lands on a single core (measured 8 s at sf0.1).
+    // A post-join repartition does NOT help — Catalyst pushes the
+    // projection below the exchange to shrink shuffle bytes, so the DP
+    // still runs in the join stage. The fix is to pre-partition the join
+    // INPUTS with an explicit partition count (user repartitions are
+    // exempt from AQE coalescing and already satisfy the join's
+    // distribution), making the join stage itself parallel (→ 0.9 s).
+    // Same rule at 100 TB: partition CPU-bound work by compute, not bytes.
+    val dp = d.repartition(spark.sparkContext.defaultParallelism,
+      $"source", $"len_bkt")
+    val a = dp.toDF("id_a", "source", "len_bkt", "pa")
+    val b = dp.toDF("id_b", "source_b", "len_bkt_b", "pb")
+    a.join(b, $"source" === $"source_b" && $"len_bkt" === $"len_bkt_b" &&
+        $"id_a" < $"id_b")
+      // banded DP: O(len·k) with early exit above the threshold (-1),
+      // vs the full O(len²) table
+      .select($"id_a", $"id_b", $"source",
+        levenshtein($"pa", $"pb", 20).as("dist"))
+      .filter($"dist" >= 0)
       .orderBy($"id_a", $"id_b")
   }
 
