@@ -188,7 +188,7 @@ object Similarity {
     // projection, then hash-aggregate the per-seed minimum: identical
     // semantics to array_min over nested lambdas but ~50× faster (nested
     // HOFs fall out of whole-stage codegen) and map-side combinable.
-    val shingles = Tables.documents(spark, sfDir)
+    val shingles = TextSim.rebalanceDocs(Tables.documents(spark, sfDir))
       .select($"doc_id", toks.as("ts"))
       .filter(size($"ts") >= 3)
       .select($"doc_id", explode(expr(
@@ -329,7 +329,7 @@ object Similarity {
     // subtrees, so ReuseExchange materializes the tokenize+explode scan
     // once (it was the dominant cost, recomputed 3× in the branched form),
     // and no extra joins against a sizes table are needed.
-    val grams = Tables.documents(spark, sfDir)
+    val grams = TextSim.rebalanceDocs(Tables.documents(spark, sfDir))
       .select($"doc_id", $"source", TextSim.tokens($"text").as("ts"))
       .filter(size($"ts") >= 2)
       .select($"doc_id", $"source", explode(array_distinct(expr(

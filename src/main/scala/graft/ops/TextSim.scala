@@ -19,6 +19,18 @@ object TextSim {
   def tokens(c: Column): Column =
     filter(split(lower(trim(c)), "[^a-z]+"), t => t =!= "")
 
+  /** Rebalance a documents scan before a CPU-heavy tokenize/explode/hash
+    * stage. The harness parquet carries ONE row group per file, and parquet
+    * cannot split below a row group — so without this the whole per-row
+    * bill (tokenize × shingle × md5 can be millions of hashes) runs inside
+    * a single scan task. Hash-partitioning on doc_id spreads it across the
+    * cluster for the cost of shuffling the raw rows once; on a production
+    * layout (many files / 128 MB row groups) the scan is already parallel
+    * and this exchange is a bounded constant, keyed so later per-doc
+    * aggregations can reuse the distribution. */
+  def rebalanceDocs(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+
   /** Exact-duplicate removal on normalized text: deterministic keep of the
     * lowest doc_id per normalized form. One hash shuffle on the normalized
     * text — the exact-dedup plan that scales linearly. */
@@ -100,7 +112,7 @@ object TextSim {
   def textLangid(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
-    val tokenized = docs.select($"doc_id", $"lang",
+    val tokenized = rebalanceDocs(docs).select($"doc_id", $"lang",
       explode(tokens($"text")).as("tok"))
     val profile = tokenized.groupBy($"tok", $"lang".as("cand_lang"))
       .agg(count(lit(1)).as("cnt"))
@@ -221,7 +233,7 @@ object TextSim {
     * join's skewed partitions. */
   def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tf = Tables.documents(spark, sfDir)
+    val tf = rebalanceDocs(Tables.documents(spark, sfDir))
       .select($"doc_id", explode(tokens($"text")).as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
