@@ -901,6 +901,20 @@ object Oracle {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
 
+    "stream_stream_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+        |  value FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.user_id, c.click_id, p.value
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |  AND epoch_us(p.purchase_ts) >= epoch_us(c.click_ts)
+        |  AND epoch_us(p.purchase_ts) < epoch_us(c.click_ts) + 3600000000)
+        |SELECT user_id, COUNT(*) AS n_conversions,
+        | COUNT(DISTINCT click_id) AS n_clicks_converted,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS attributed_value
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "scan_json_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s

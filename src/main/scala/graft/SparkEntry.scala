@@ -162,6 +162,7 @@ object SparkEntry {
     "stream_dedup_state"    -> Streaming.streamDedupState _,
     "stream_keyed_state"    -> Streaming.streamKeyedState _,
     "stream_join_static"    -> Streaming.streamJoinStatic _,
+    "stream_stream_join"    -> Streaming.streamStreamJoin _,
     // -- SQL API entry point
     "sql_api_q3"            -> Relational.sqlApiQ3 _,
     // -- multimodal plumbing + synthetic source (rows-only where no oracle)

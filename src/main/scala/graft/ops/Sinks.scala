@@ -66,6 +66,44 @@ object Sinks {
       .save()
   }
 
+  /** Explicit staging lifecycle (the reference's upload lifecycle,
+    * BackgroundCsvProcessor.java:56-75: land in a staging area → process →
+    * publish atomically, delete staging on failure). Spark's commit
+    * protocol already does this per write job; this artifact makes the
+    * DIRECTORY-level lifecycle first-class for multi-step pipelines whose
+    * unit of publication is larger than one job: write to a hidden
+    * `_staging-<id>` sibling, fsync via job commit, then one atomic rename
+    * to the final path. Readers either see the complete old version or the
+    * complete new one — never a partial directory; a crashed producer
+    * leaves only a hidden staging dir that `abortStaged` (or a janitor)
+    * removes. Same contract object stores implement with a temp prefix +
+    * atomic manifest swap. */
+  def stagedPublish(df: DataFrame, finalDir: String): Boolean = {
+    val id = java.util.UUID.randomUUID.toString.replace("-", "")
+    val staging = new java.io.File(
+      new java.io.File(finalDir).getParentFile, s"_staging-$id")
+    try {
+      df.write.mode(SaveMode.Overwrite).parquet(staging.getPath)
+      val target = new java.io.File(finalDir)
+      if (target.exists()) deleteRec(target)
+      val ok = staging.renameTo(target)
+      if (!ok) abortStaged(staging)
+      ok
+    } catch {
+      case _: Throwable => abortStaged(staging); false
+    }
+  }
+
+  /** Failure path: remove the staging directory, leave the published
+    * directory untouched. */
+  def abortStaged(staging: java.io.File): Unit =
+    if (staging.exists()) deleteRec(staging)
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+  }
+
   /** Deterministic seeded synthetic items generator (CsvGenerator.java:
     * 18-65 made reproducible): sequential 10-digit externalId from
     * 1000000000, name Item_[1,1000), quantity [1,10000), expiryDate

@@ -193,6 +193,38 @@ object Streaming {
       .orderBy($"c_mktsegment")
   }
 
+  /** Stream-stream inner join with an event-time bound, run as a REAL
+    * streaming job: clicks ⋈ purchases of the same user where the purchase
+    * lands within 1 hour after the click (conversion attribution). Both
+    * sides carry watermarks and the join condition bounds event time from
+    * BOTH directions, so Spark can size the join state store and expire
+    * rows — the canonical stream-stream join contract. One AvailableNow
+    * batch ⇒ the joined stream equals the batch time-range join, which is
+    * the SQL the oracle runs; the per-user rollup (conversions + exact
+    * decimal spend) happens batch-side on the sink read-back. */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, sfDir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"),
+        $"ts".as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+        $"ts".as("purchase_ts"), $"value")
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      $"c_user" === $"p_user" &&
+        $"purchase_ts" >= $"click_ts" &&
+        $"purchase_ts" < $"click_ts" + expr("INTERVAL 1 HOUR"))
+    runToParquet(joined)
+      .groupBy($"c_user".as("user_id"))
+      .agg(count(lit(1)).as("n_conversions"),
+        countDistinct($"click_id").as("n_clicks_converted"),
+        dec6(sum(dec6($"value"))).as("attributed_value"))
+      .orderBy($"user_id")
+  }
+
   /** Stateful streaming dedup on event_id under a watermark; the deduped
     * stream is then counted per type (batch-side) to a stable summary. */
   def streamDedupState(spark: SparkSession, sfDir: String): DataFrame = {

@@ -44,6 +44,37 @@ class SinksSpec extends SparkSuite {
     assert(spark.read.parquet(dir).count() == 100)
   }
 
+  test("staged publish: atomic swap, old version readable until commit") {
+    val base = tmp()
+    val finalDir = base + "/table"
+    // v1 publishes
+    assert(Sinks.stagedPublish(spark.range(100).toDF("id"), finalDir))
+    assert(spark.read.parquet(finalDir).count() == 100)
+    // v2 replaces v1 atomically
+    assert(Sinks.stagedPublish(spark.range(250).toDF("id"), finalDir))
+    assert(spark.read.parquet(finalDir).count() == 250)
+    // no staging residue after either publish
+    val residue = new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith("_staging-"))
+    assert(residue.isEmpty, s"staging residue: ${residue.mkString(",")}")
+  }
+
+  test("staged publish: failed producer leaves published version intact") {
+    val base = tmp()
+    val finalDir = base + "/table"
+    assert(Sinks.stagedPublish(spark.range(100).toDF("id"), finalDir))
+    val boom = udf((i: Long) => {
+      if (i == 42) throw new RuntimeException("poison row"); i
+    })
+    val ok = Sinks.stagedPublish(spark.range(50).select(boom($"id").as("id")), finalDir)
+    assert(!ok)
+    // the published version is untouched and no staging dir remains
+    assert(spark.read.parquet(finalDir).count() == 100)
+    val residue = new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith("_staging-"))
+    assert(residue.isEmpty, s"staging residue: ${residue.mkString(",")}")
+  }
+
   test("error CSV sink writes exactly the rejected report lines") {
     val dir = tmp()
     val n = Sinks.sinkErrorCsv(spark, sfDir, dir)
