@@ -1033,6 +1033,34 @@ object Oracle {
          |FROM lineitem
          |ORDER BY z, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
 
+    "embed_normalize" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v, sqrt(${dotSql("v", "v")}) AS norm FROM e)
+         |SELECT vec_id, label,
+         | CAST(round(norm * 1000000) AS BIGINT) AS norm_u6,
+         | CAST(round(${fold("list_transform(v, x -> x / norm)")} * 1000000) AS BIGINT) AS checksum_u6
+         |FROM n ORDER BY vec_id""".stripMargin,
+
+    "embed_quantize" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |m AS (SELECT vec_id, label, v,
+         |  127.0 / list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+         |    (a, b) -> greatest(a, b)) AS scale FROM e)
+         |SELECT vec_id, label,
+         | CAST(CAST(scale AS DECIMAL(18,6)) AS DOUBLE) AS scale,
+         | CAST(${fold("list_transform(v, x -> round(x * scale))")} AS BIGINT) AS q_checksum,
+         | CAST(${fold("list_transform(v, x -> CASE WHEN abs(round(x * scale)) = 127 THEN 1.0 ELSE 0.0 END)")} AS BIGINT) AS n_saturated
+         |FROM m ORDER BY vec_id""".stripMargin,
+
+    "join_salted" ->
+      """SELECT s_nationkey,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
     "outlier_zscore" ->
       """WITH s AS (SELECT event_type, COUNT(*) AS n,
         |  SUM(CAST(value AS DECIMAL(18,6))) AS s,

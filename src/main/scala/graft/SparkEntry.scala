@@ -136,6 +136,8 @@ object SparkEntry {
     "dedup_ngram_jaccard"    -> Similarity.dedupNgramJaccard _,
     "dedup_cluster"          -> Similarity.dedupCluster _,
     "dedup_edit_distance"    -> Similarity.dedupEditDistance _,
+    "embed_normalize"        -> Similarity.embedNormalize _,
+    "embed_quantize"         -> Similarity.embedQuantize _,
     // -- source/sink formats beyond parquet+csv
     "scan_json_roundtrip" -> Sources.scanJsonRoundtrip _,
     "scan_orc_roundtrip"  -> Sources.scanOrcRoundtrip _,
@@ -150,6 +152,7 @@ object SparkEntry {
     "merge_upsert"        -> Curation.mergeUpsert _,
     "scd2_intervals"      -> Curation.scd2Intervals _,
     "agg_salted"          -> Curation.aggSalted _,
+    "join_salted"         -> Curation.joinSalted _,
     "profile_table"       -> Curation.profileTable _,
     "zorder_cluster"      -> Curation.zorderCluster _,
     "outlier_zscore"      -> Curation.outlierZscore _,

@@ -191,6 +191,30 @@ object Curation {
       .orderBy($"l_returnflag")
   }
 
+  /** Skew-safe salted JOIN (the join-side sibling of [[aggSalted]]): the
+    * fact side tags each row with salt = hash(row key) % 8, the dimension
+    * side is replicated 8× (one copy per salt), and the join runs on
+    * (key, salt) — a hot fact key now spreads over 8 partitions instead
+    * of melting one task. AQE's skew handling only splits partitions it
+    * can observe at runtime; pre-salting is the static guarantee when one
+    * key's share is known to be extreme. Result provably equals the plain
+    * join (the oracle runs the unsalted SQL). */
+  def joinSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nSalt = 8
+    val fact = Tables.lineitem(spark, sfDir)
+      .select($"l_suppkey", $"l_quantity",
+        pmod(hash($"l_orderkey", $"l_linenumber"), lit(nSalt)).as("salt"))
+    val dim = Tables.supplier(spark, sfDir)
+      .select($"s_suppkey", $"s_nationkey",
+        explode(sequence(lit(0), lit(nSalt - 1))).as("salt"))
+    fact.join(dim, $"l_suppkey" === $"s_suppkey" && fact("salt") === dim("salt"))
+      .groupBy($"s_nationkey")
+      .agg(sum($"l_quantity".cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy($"s_nationkey")
+  }
+
   /** Single-pass table profile (the ANALYZE-style stats a 100 TB ingest
     * emits for query planning and data-quality gates): row count, null
     * count, exact NDV, numeric min/max per column — computed in ONE scan

@@ -55,6 +55,52 @@ object Similarity {
       .limit(50)
   }
 
+  /** Unit (L2) normalization — the standard embedding pre-processing that
+    * turns cosine ANN into plain dot products. Norm via the native fold;
+    * the checksum re-folds the normalized elements left-to-right so the
+    * oracle pins every per-element division, not just the summary. Pure
+    * per-row math: linear, no shuffle, codegen'd. */
+  def embedNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", vecd($"embedding").as("e"))
+      .withColumn("norm", sqrt(dot($"e", $"e")))
+      // integer micro-units, not a DECIMAL cast: the corpus is already
+      // unit-normalized, so checksums land exactly on 1e-6 half-boundaries
+      // where Spark (exact BigDecimal, HALF_UP) and DuckDB (double*1e6
+      // then round) disagree; round() of the SAME double under the same
+      // half-away-from-zero rule is engine-identical by construction
+      .select($"vec_id", $"label",
+        round($"norm" * 1e6).cast("long").as("norm_u6"),
+        round(aggregate(transform($"e", x => x / $"norm"),
+          lit(0.0), (a, x) => a + x) * 1e6).cast("long").as("checksum_u6"))
+      .orderBy($"vec_id")
+  }
+
+  /** Int8 max-abs quantization — the storage/compute compression step of a
+    * production vector store (4 B float32 → 1 B int8 per dim). Per-vector
+    * scale = 127 / max|x|; elements round half-away-from-zero in BOTH
+    * engines, so the integer checksum and the decimal scale hash-match.
+    * Linear, per-row, no shuffle. */
+  def embedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", vecd($"embedding").as("e"))
+      .withColumn("max_abs", aggregate(transform($"e", x => abs(x)),
+        lit(0.0), (a, x) => greatest(a, x)))
+      .withColumn("scale", lit(127.0) / $"max_abs")
+      .select($"vec_id", $"label",
+        $"scale".cast("decimal(18,6)").as("scale"),
+        aggregate(transform($"e", x => round(x * $"scale")),
+          lit(0.0), (a, x) => a + x).cast("long").as("q_checksum"),
+        aggregate(transform($"e", x =>
+          when(abs(round(x * $"scale")) === 127.0, 1.0).otherwise(0.0)),
+          lit(0.0), (a, x) => a + x).cast("long").as("n_saturated"))
+      .orderBy($"vec_id")
+  }
+
   /** k=3 nearest neighbors within each label group: the pair join is
     * quadratic only within a label (the coarse partition).
     *

@@ -18,6 +18,18 @@ class CurationSpec extends SparkSuite {
     assert(salted == direct)
   }
 
+  test("join_salted is bit-identical to the plain unsalted join") {
+    import spark.implicits._
+    val salted = Curation.joinSalted(spark, sfDir).collect().toSeq
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.supplier(spark, sfDir), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_nationkey")
+      .agg(sum($"l_quantity".cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy($"s_nationkey").collect().toSeq
+    assert(salted == plain)
+  }
+
   test("merge_upsert: unique keys, change rows win, inserts survive") {
     import spark.implicits._
     val out = Curation.mergeUpsert(spark, sfDir).collect()

@@ -122,6 +122,22 @@ class SimilaritySpec extends SparkSuite {
     assert(fp.count() > 0)
   }
 
+  test("embed_normalize: unit vectors keep norm 1, checksum is finite") {
+    val rows = Similarity.embedNormalize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the synthetic corpus is already unit-normalized — norm ≡ 1.000000
+    rows.foreach(r => assert(r.getLong(2) == 1000000L, s"norm_u6 ${r.getLong(2)}"))
+  }
+
+  test("embed_quantize: max-abs element saturates to ±127 in every vector") {
+    val rows = Similarity.embedQuantize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 1, "at least the max element must quantize to ±127")
+      assert(r.getDecimal(2).doubleValue > 0, "scale must be positive")
+    }
+  }
+
   test("classifier precedence holds for arbitrary inputs (ScalaCheck)") {
     val cell = Gen.oneOf("", "  ", "abc", "5", "2026-09-01", "09/01/2026", "x,y")
     val prop = Prop.forAll(Gen.oneOf(true, false), cell, cell, cell, cell,
