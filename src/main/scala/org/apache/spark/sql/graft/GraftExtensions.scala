@@ -23,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    ext.injectOptimizerRule(_ => BandedLevenshteinRule)
   }
 }

@@ -18,5 +18,9 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    if (!spark.experimental.extraOptimizations.contains(BandedLevenshteinRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BandedLevenshteinRule
+    }
   }
 }
