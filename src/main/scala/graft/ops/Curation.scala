@@ -258,12 +258,8 @@ object Curation {
     * identical in both engines; shown as the top-100 by z. */
   def zorderCluster(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val x = ($"l_partkey" % 1024).cast("long")
-    val y = ($"l_suppkey" % 1024).cast("long")
-    val z = (0 until 10).foldLeft(lit(0L)) { (acc, b) =>
-      acc.bitwiseOR(shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b))
-        .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
-    }
+    val z = Layout.mortonZ(($"l_partkey" % 1024).cast("long"),
+      ($"l_suppkey" % 1024).cast("long"))
     Tables.lineitem(spark, sfDir)
       .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey", z.as("z"))
       .orderBy($"z", $"l_orderkey", $"l_linenumber")

@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.Layout
+
+/** Z-order layout: every file must carry a tight min/max box on BOTH
+  * clustered dimensions, so a box predicate can skip most files — the
+  * property parquet stats-based row-group pruning exploits at scan time. */
+class LayoutSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fileBoxes(dir: String): Seq[(Long, Long, Long, Long)] = {
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min($"l_partkey"), max($"l_partkey"),
+            min($"l_suppkey"), max($"l_suppkey")).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }.toSeq
+  }
+
+  test("z-order write lets a box query skip most files; round-robin cannot") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_quantity")
+    val base = Files.createTempDirectory("graft_layout").toString
+    val nFiles = 16
+    li.repartition(nFiles).write.mode("overwrite").parquet(s"$base/naive")
+    Layout.zorderWrite(li, $"l_partkey", $"l_suppkey", s"$base/zorder", nFiles)
+
+    // same rows in both layouts
+    assert(spark.read.parquet(s"$base/zorder").count() == li.count())
+
+    // box predicate: a small slice of the key grid (sf0.001 lineitem spans
+    // partkey 0..199, suppkey 0..9)
+    def intersects(b: (Long, Long, Long, Long)): Boolean = {
+      val (pmin, pmax, smin, smax) = b
+      !(pmax < 100 || pmin > 140 || smax < 3 || smin > 4)
+    }
+    val naiveHit = fileBoxes(s"$base/naive").count(intersects)
+    val zHit = fileBoxes(s"$base/zorder").count(intersects)
+    // round-robin mixes the whole key space into every file
+    assert(naiveHit >= nFiles - 1, s"naive layout should hit ~all files, hit $naiveHit")
+    assert(zHit <= nFiles / 2,
+      s"z-order layout should skip most files, but $zHit of $nFiles intersect")
+  }
+}
