@@ -901,6 +901,28 @@ object Oracle {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
 
+    "stream_csv_ingest" ->
+      """WITH raw AS (SELECT * FROM read_csv(
+        |    '/root/repo/src/test/resources/items_scan.csv',
+        |    header=true, all_varchar=true)),
+        |s AS (SELECT externalId,
+        |  CASE WHEN (CAST(externalId AS BIGINT) - 1000000000) % 13 = 0 THEN ''
+        |       ELSE trim(name) END AS nam,
+        |  CASE WHEN (CAST(externalId AS BIGINT) - 1000000000) % 7 = 0 THEN 'x9'
+        |       ELSE trim(quantity) END AS qty,
+        |  CASE WHEN (CAST(externalId AS BIGINT) - 1000000000) % 11 = 0 THEN '2026-13-40'
+        |       ELSE trim(expiryDate) END AS exp
+        |  FROM raw),
+        |c AS (SELECT externalId,
+        |  CASE WHEN nam = '' THEN 'name empty'
+        |       WHEN try_cast(qty AS INTEGER) IS NULL THEN 'quantity invalid'
+        |       WHEN try_strptime(exp, '%Y-%m-%d') IS NULL
+        |         THEN 'expiryDate invalid (expected yyyy-MM-dd)' END AS error
+        |  FROM s)
+        |SELECT COALESCE(error, 'OK') AS status, COUNT(*) AS n,
+        | MIN(externalId) AS first_key, MAX(externalId) AS last_key
+        |FROM c GROUP BY COALESCE(error, 'OK') ORDER BY status""".stripMargin,
+
     "stream_stream_join" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
         |  FROM events WHERE event_type = 'click'),

@@ -170,6 +170,43 @@ object Streaming {
       .orderBy($"user_id")
   }
 
+  /** The reference's flagship path — CSV upload → validate/classify →
+    * load + error report (BackgroundCsvProcessor.java:56-113) — as a REAL
+    * streaming ETL job: files land in a watched directory, each micro-batch
+    * parses, trims, and classifies rows (the stateless rule subset — the
+    * windowed in-file dedup stays batch-side, SURVEY §2.A dedup_first_wins),
+    * and the classified stream commits to a parquet sink exactly-once.
+    * Corruption is derived deterministically from the key (the fixture is
+    * clean), mirroring the itemsRaw staging trick, so the DuckDB oracle can
+    * classify the same CSV and hash-match the error histogram. */
+  def streamCsvIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = StructType(Seq("externalId", "name", "quantity", "expiryDate")
+      .map(StructField(_, StringType)))
+    val raw = spark.readStream.schema(schema)
+      .option("header", "true")
+      .option("pathGlobFilter", "items_scan.csv")
+      .csv("/root/repo/src/test/resources")
+    val k = $"externalId".cast("long") - 1000000000L
+    val staged = raw.select(
+      $"externalId",
+      when(k % 13 === 0, "").otherwise(trim($"name")).as("nam"),
+      when(k % 7 === 0, "x9").otherwise(trim($"quantity")).as("qty"),
+      when(k % 11 === 0, "2026-13-40").otherwise(trim($"expiryDate")).as("exp"))
+    val classified = staged.withColumn("error",
+      when($"nam" === "", Ingest.ErrNameEmpty)
+        .when(expr("try_cast(qty AS INT)").isNull, Ingest.ErrQty)
+        .when(try_to_date($"exp", "yyyy-MM-dd").isNull, Ingest.ErrDate)
+        .otherwise(lit(null).cast("string")))
+    runToParquet(classified)
+      .groupBy(coalesce($"error", lit("OK")).as("status"))
+      .agg(count(lit(1)).as("n"),
+        min($"externalId").as("first_key"),
+        max($"externalId").as("last_key"))
+      .orderBy($"status")
+  }
+
   /** Stream-static enrichment join, run as a REAL streaming job: the event
     * stream joins a broadcast static dimension (customer segment) per
     * micro-batch — no state store, no watermark; the static side is
