@@ -1152,6 +1152,16 @@ object Oracle {
         |        row_number() OVER (PARTITION BY user_id
         |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // same contract as stream_keyed_state — one oracle pins both state APIs
+    "stream_tws_state" ->
+      """SELECT user_id, n_events,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts, event_type
+        |FROM (SELECT user_id, ts, event_type,
+        |        COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
   )
 
   val multimodal: Map[String, String] = Map(

@@ -167,6 +167,7 @@ object SparkEntry {
     "stream_join_static"    -> Streaming.streamJoinStatic _,
     "stream_stream_join"    -> Streaming.streamStreamJoin _,
     "stream_csv_ingest"     -> Streaming.streamCsvIngest _,
+    "stream_tws_state"      -> Streaming.streamTwsState _,
     // -- SQL API entry point
     "sql_api_q3"            -> Relational.sqlApiQ3 _,
     // -- multimodal plumbing + synthetic source (rows-only where no oracle)

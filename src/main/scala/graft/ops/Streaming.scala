@@ -31,6 +31,33 @@ case class KeyedEvent(user_id: Long, event_id: Long, us: Long, event_type: Strin
 case class JobState(n: Long, lastUs: Long, lastId: Long, lastType: String)
 case class JobUpdate(user_id: Long, n_events: Long, lastUs: Long, event_type: String)
 
+/** The keyed status fold on the Spark-4 arbitrary-state API: typed
+  * ValueState + StatefulProcessor (see Streaming.streamTwsState). The fold
+  * is the same commutative max/count as the flatMapGroupsWithState twin —
+  * group-iterator order cannot change the result. */
+class StatusProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, KeyedEvent, JobUpdate] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var state: ValueState[JobState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[JobState]("job",
+      org.apache.spark.sql.Encoders.product[JobState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[KeyedEvent],
+                               timers: TimerValues): Iterator[JobUpdate] = {
+    var s = Option(state.get()).getOrElse(JobState(0L, Long.MinValue, Long.MinValue, ""))
+    rows.foreach { e =>
+      val newer = e.us > s.lastUs || (e.us == s.lastUs && e.event_id > s.lastId)
+      s = JobState(s.n + 1,
+        if (newer) e.us else s.lastUs,
+        if (newer) e.event_id else s.lastId,
+        if (newer) e.event_type else s.lastType)
+    }
+    state.update(s)
+    Iterator(JobUpdate(key, s.n, s.lastUs, s.lastType))
+  }
+}
+
 object Streaming {
 
   private def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
@@ -260,6 +287,44 @@ object Streaming {
         countDistinct($"click_id").as("n_clicks_converted"),
         dec6(sum(dec6($"value"))).as("attributed_value"))
       .orderBy($"user_id")
+  }
+
+  /** The same keyed job-status store on the NEW arbitrary-state API
+    * (Spark 4 `transformWithState` + `StatefulProcessor` + typed
+    * `ValueState`, RocksDB-backed — the successor of
+    * flatMapGroupsWithState): per-key (count, latest event) snapshot,
+    * commutative fold, identical output contract to
+    * [[streamKeyedState]] so the same SQL oracle pins both APIs.
+    * TWS requires the RocksDB state store provider; the conf is set for
+    * the duration of the run and restored after. */
+  def streamTwsState(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val src = eventsStream(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"event_type")
+      .as[KeyedEvent]
+    val updated = src.groupByKey(_.user_id)
+      .transformWithState(new StatusProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[JobUpdate])
+      .toDF()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      runToParquet(updated)
+        .select($"user_id", $"n_events",
+          date_format(timestamp_micros($"lastUs"), tsFmt).as("last_ts"),
+          $"event_type")
+        .orderBy($"user_id")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
   }
 
   /** Stateful streaming dedup on event_id under a watermark; the deduped
