@@ -604,6 +604,18 @@ object Oracle {
 
     "udf_classify" -> classifySql,
     "udaf_upload_result" -> countersSql,
+
+    "fn_json_malformed" ->
+      """WITH c AS (SELECT event_id,
+        |  CASE WHEN event_id % 10 = 0 THEN substring(props, 1, 6)
+        |       ELSE props END AS payload FROM events),
+        |v AS (SELECT json_valid(payload) AS valid,
+        |  CASE WHEN json_valid(payload)
+        |       THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k
+        |  FROM c)
+        |SELECT valid, COUNT(*) AS n, COUNT(k) AS n_k,
+        | SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM v GROUP BY valid ORDER BY valid""".stripMargin,
   )
 
   /** DuckDB mirror of TextSim.tokens. */

@@ -111,6 +111,7 @@ object SparkEntry {
     "fn_array"       -> Functions.fnArray _,
     "fn_map_json"    -> Functions.fnMapJson _,
     "fn_bitwise"     -> Functions.fnBitwise _,
+    "fn_json_malformed" -> Functions.fnJsonMalformed _,
     "fn_hash"        -> Functions.fnHash _,
     // -- text analysis / document dedup
     "dedup_exact_docs"       -> TextSim.dedupExactDocs _,

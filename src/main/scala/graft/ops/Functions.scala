@@ -172,6 +172,33 @@ object Functions {
       .orderBy($"event_id")
   }
 
+  /** Malformed-payload robustness — the ingest reality a 100 TB JSON feed
+    * guarantees: a tenth of the payloads are truncated mid-document, the
+    * parse classifies rows as valid/invalid instead of failing the job,
+    * and extraction only runs behind the validity check (DuckDB's strict
+    * json_extract THROWS on malformed input; Spark's from_json nulls —
+    * the guard makes both engines see the same rows). Truncation (not
+    * trailing garbage) is the corruption: Spark's Jackson parser accepts
+    * trailing bytes after a complete document, DuckDB rejects them —
+    * truncated documents are the corruption class both agree on. */
+  def fnJsonMalformed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val payload = when($"event_id" % 10 === 0, substring($"props", 1, 6))
+      .otherwise($"props")
+    Tables.events(spark, sfDir)
+      .select($"event_id", payload.as("payload"))
+      .select($"event_id",
+        from_json($"payload", MapType(StringType, IntegerType)).isNotNull.as("valid"),
+        $"payload")
+      .select($"valid",
+        when($"valid", get_json_object($"payload", "$.k").cast("int")).as("k"))
+      .groupBy($"valid")
+      .agg(count(lit(1)).as("n"), count($"k").as("n_k"),
+        sum($"k").as("sum_k"), min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"valid")
+  }
+
   /** Content-hash pack over documents: md5 and sha-256 hex digests (the
     * fingerprint primitives of the dedup family), plus digest shape
     * checks. xxhash64/crc32 exist Spark-side but have no DuckDB twin, so
