@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.ops.{Sinks, UploadService}
+
+/** End-to-end reference workflow: submit → async status → result + error
+  * report — the surface a streamforge-data-pipeline user actually calls. */
+class UploadServiceSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** A CSV with known-valid and known-broken rows: 100 clean generator
+    * rows plus 4 handcrafted error rows (dup / bad qty / bad date /
+    * missing cells). */
+  private def fixture(): (String, Long, Long) = {
+    val dir = Files.createTempDirectory("graft_upload").toString
+    val csv = s"$dir/upload.csv"
+    val clean = Sinks.genSynthetic(spark, 100).collect().map(r =>
+      s"${r.getString(0)},${r.getString(1)},${r.getInt(2)},${r.getString(3)}")
+    val broken = Seq(
+      "1000000000,DupOfFirst,5,2026-02-02",   // duplicate externalId
+      "E900001,BadQty,notanint,2026-02-02",   // quantity invalid
+      "E900002,BadDate,7,02/02/2026",         // date invalid
+      "E900003,,8,2026-02-02")                // name empty
+    val lines = ("externalId,name,quantity,expiryDate" +: (clean ++ broken))
+    Files.write(Paths.get(csv), String.join("\n", lines: _*).getBytes)
+    (csv, clean.length.toLong, broken.length.toLong)
+  }
+
+  test("chunked upload: async status reaches JOB_COMPLETE, counts add up") {
+    val (csv, nClean, nBroken) = fixture()
+    val out = Files.createTempDirectory("graft_upload_out").toString
+    val existing = Seq.empty[String].toDF("external_id")
+    val svc = new UploadService.Service(spark, existing, out)
+    val jobId = svc.submit(csv, UploadService.ChunkCommit, chunkRows = 30)
+    val res = svc.await(jobId)
+    assert(svc.status(jobId).step == "JOB_COMPLETE")
+    assert(res.processed == nClean + nBroken)
+    assert(res.inserted == nClean && res.failed == nBroken)
+    assert(res.errorCounts.values.sum == nBroken)
+    // loaded table readable and typed; chunk bound respected
+    val loaded = spark.read.parquet(res.loadedDir)
+    assert(loaded.count() == nClean)
+    assert(loaded.schema("quantity").dataType.typeName == "integer")
+    // error report has one comma-stripped line per rejected row
+    assert(spark.read.text(res.errorReportDir).count() == nBroken)
+  }
+
+  test("existing-key dedup rejects rows already loaded") {
+    val (csv, nClean, nBroken) = fixture()
+    val out = Files.createTempDirectory("graft_upload_out2").toString
+    // every generator key is already present → all clean rows are dups
+    val existing = Sinks.genSynthetic(spark, 100)
+      .select($"externalId".as("external_id"))
+    val svc = new UploadService.Service(spark, existing, out)
+    val res = svc.await(svc.submit(csv))
+    assert(res.inserted == 0)
+    assert(res.failed == nClean + nBroken)
+  }
+
+  test("a missing input fails the job with JOB_FAILED status") {
+    val out = Files.createTempDirectory("graft_upload_out3").toString
+    val svc = new UploadService.Service(spark,
+      Seq.empty[String].toDF("external_id"), out)
+    val jobId = svc.submit("/nonexistent/upload.csv")
+    intercept[Throwable](svc.await(jobId))
+    assert(svc.status(jobId).step == "JOB_FAILED")
+  }
+}
