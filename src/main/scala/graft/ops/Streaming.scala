@@ -135,12 +135,27 @@ object Streaming {
   private def runToParquet(df: DataFrame): DataFrame = {
     val dir = "/root/repo/target/stream/" +
       java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = df.writeStream.outputMode("append").format("parquet")
-      .option("path", s"$dir/out")
-      .option("checkpointLocation", s"$dir/chk")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    df.sparkSession.read.schema(df.schema).parquet(s"$dir/out")
+    val spark = df.sparkSession
+    // A streaming query fixes its STATE partition count at first start
+    // from spark.sql.shuffle.partitions — and every stateful operator
+    // then pays per-partition store open/commit overhead each batch.
+    // Size it to the workload: these harness streams are single
+    // AvailableNow batches of ≤100k rows, where 8 state partitions are
+    // plenty; a production deployment sizes this to throughput the same
+    // way (state partitioning is a per-query capacity decision, not a
+    // session constant). Scoped and restored — batch queries keep the
+    // session's 32.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(prev.toInt, 8).toString)
+    try {
+      val q = df.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
+    spark.read.schema(df.schema).parquet(s"$dir/out")
   }
 
   /** Windowed count under a 10-minute watermark, append mode: only windows
