@@ -962,6 +962,58 @@ object Oracle {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang IN ('en', 'zh') ORDER BY doc_id""".stripMargin,
 
+    "agg_corr_exact" ->
+      """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |  SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,8))) AS sxy,
+        |  SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,8))) AS sxx,
+        |  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,8))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | CAST(round(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1000000) AS BIGINT) AS corr_u6
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "funnel_conversion" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |c AS (SELECT user_id, MIN(us) AS click_us FROM ev
+        |      WHERE event_type = 'click' GROUP BY user_id),
+        |v AS (SELECT e.user_id, MIN(e.us) AS view_us FROM ev e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'view' AND e.us > c.click_us GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.us) AS purchase_us FROM ev e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'purchase' AND e.us > v.view_us GROUP BY e.user_id)
+        |SELECT u.user_id,
+        | CASE WHEN p.purchase_us IS NOT NULL THEN 3
+        |      WHEN v.view_us IS NOT NULL THEN 2
+        |      WHEN c.click_us IS NOT NULL THEN 1 ELSE 0 END AS stage,
+        | c.click_us, v.view_us, p.purchase_us
+        |FROM (SELECT DISTINCT user_id FROM ev) u
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |  CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id)
+        |SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort,
+        | CAST((ev.week - c.cohort_week) // 7 AS INTEGER) AS week_offset,
+        | COUNT(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN c ON ev.user_id = c.user_id
+        |GROUP BY cohort, week_offset ORDER BY cohort, week_offset""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT CAST(least(floor(value / 25.0), 19.0) AS INTEGER) AS bucket,
+        | COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM events
+        |GROUP BY CAST(least(floor(value / 25.0), 19.0) AS INTEGER)
+        |ORDER BY bucket""".stripMargin,
+
     "sample_stratified" ->
       """WITH rates(lang, keep_below) AS (VALUES
         |  ('en', '40'), ('de', 'c0'), ('es', 'c0'), ('fr', 'c0'), ('zh', 'c0'))

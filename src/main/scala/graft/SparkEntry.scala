@@ -139,6 +139,11 @@ object SparkEntry {
     "dedup_edit_distance"    -> Similarity.dedupEditDistance _,
     "embed_normalize"        -> Similarity.embedNormalize _,
     "embed_quantize"         -> Similarity.embedQuantize _,
+    // -- event / product analytics
+    "agg_corr_exact"    -> Analytics.aggCorrExact _,
+    "funnel_conversion" -> Analytics.funnelConversion _,
+    "cohort_retention"  -> Analytics.cohortRetention _,
+    "agg_histogram"     -> Analytics.aggHistogram _,
     // -- source/sink formats beyond parquet+csv
     "scan_json_roundtrip" -> Sources.scanJsonRoundtrip _,
     "scan_orc_roundtrip"  -> Sources.scanOrcRoundtrip _,

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event/product-analytics pack over `events` + `lineitem` (SURVEY §2.B):
+  * the funnel / cohort / correlation / histogram queries every
+  * clickstream warehouse runs daily.
+  *
+  * Determinism follows the house rules: moments and counts are EXACT
+  * (DECIMAL/integer sums, order-independent), doubles are single fixed
+  * IEEE expressions over those exact inputs, boundary-sensitive outputs
+  * ship as integer micro-units, and event time is compared at epoch-µs
+  * (Tables.events truncation ≡ DuckDB epoch_us floor).
+  */
+object Analytics {
+
+  /** Pearson correlation from exact moments: Spark's corr() is a float
+    * aggregation whose result depends on partition merge order — here n,
+    * Σx, Σy, Σxy, Σx², Σy² are exact DECIMAL sums and the coefficient is
+    * one double expression over them, so both engines emit the identical
+    * value. Per returnflag: quantity vs extendedprice. */
+  def aggCorrExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val x = $"l_quantity".cast("decimal(18,2)")
+    val y = $"l_extendedprice".cast("decimal(18,2)")
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast("decimal(38,8)")).as("sxy"),
+        sum((x * x).cast("decimal(38,8)")).as("sxx"),
+        sum((y * y).cast("decimal(38,8)")).as("syy"))
+      .select($"l_returnflag", $"n",
+        round((($"n" * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double"))
+          / (sqrt($"n" * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double"))
+            * sqrt($"n" * $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double"))))
+          * 1e6).cast("long").as("corr_u6"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Ordered conversion funnel per user: first click, first view AFTER
+    * that click, first purchase AFTER that view; stage = how deep the
+    * user got. Three stage-filtered aggregates joined on the user — each
+    * linear with map-side combine; no window over the whole event
+    * history. */
+  def funnelConversion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id").agg(min($"us").as("click_us"))
+    val views = ev.filter($"event_type" === "view")
+      .join(clicks, "user_id").filter($"us" > $"click_us")
+      .groupBy($"user_id").agg(min($"us").as("view_us"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .join(views, "user_id").filter($"us" > $"view_us")
+      .groupBy($"user_id").agg(min($"us").as("purchase_us"))
+    ev.select($"user_id").distinct()
+      .join(clicks, Seq("user_id"), "left_outer")
+      .join(views, Seq("user_id"), "left_outer")
+      .join(purchases, Seq("user_id"), "left_outer")
+      .select($"user_id",
+        when($"purchase_us".isNotNull, 3)
+          .when($"view_us".isNotNull, 2)
+          .when($"click_us".isNotNull, 1)
+          .otherwise(0).as("stage"),
+        $"click_us", $"view_us", $"purchase_us")
+      .orderBy($"user_id")
+  }
+
+  /** Weekly cohort retention: users bucketed by the week of their first
+    * event; for each (cohort, week offset) the distinct active users.
+    * Date math is integer (datediff / 7); two aggregations, both
+    * map-side combinable. */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", to_date(date_trunc("week", $"ts")).as("week"))
+    val cohort = ev.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    ev.distinct()
+      .join(cohort, "user_id")
+      .select($"user_id",
+        date_format($"cohort_week", "yyyy-MM-dd").as("cohort"),
+        (datediff($"week", $"cohort_week") / 7).cast("int").as("week_offset"))
+      .groupBy($"cohort", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort", $"week_offset")
+  }
+
+  /** Value histogram with explicit integer binning (floor(value/25),
+    * capped at bin 19) — the same arithmetic expression in both engines,
+    * rather than width_bucket whose edge handling is implementation-
+    * defined. One aggregation, map-side combinable. */
+  def aggHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(least(floor($"value" / 25.0), lit(19.0)).cast("int").as("bucket"),
+        $"value")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), min($"value").as("min_v"), max($"value").as("max_v"))
+      .orderBy($"bucket")
+  }
+}

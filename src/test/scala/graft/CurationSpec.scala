@@ -134,6 +134,21 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("funnel_conversion: stage times are strictly ordered where present") {
+    val out = graft.ops.Analytics.funnelConversion(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val stage = r.getInt(1)
+      def t(i: Int): Option[Long] = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      val (c, v, p) = (t(2), t(3), t(4))
+      assert(c.isDefined == (stage >= 1) || stage == 0)
+      if (stage >= 2) assert(c.get < v.get)
+      if (stage == 3) assert(v.get < p.get)
+      if (stage < 3) assert(p.isEmpty)
+      if (stage < 2) assert(v.isEmpty)
+    }
+  }
+
   test("scd2_intervals: ordered intervals, exactly one open row per user") {
     val out = Curation.scd2Intervals(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
