@@ -962,6 +962,33 @@ object Oracle {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang IN ('en', 'zh') ORDER BY doc_id""".stripMargin,
 
+    "quality_expectations" ->
+      """WITH n AS (SELECT COUNT(*) AS n_rows FROM orders),
+        |u AS (
+        | SELECT 'orderkey_not_null' AS check_name, n.n_rows,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS violations FROM n
+        | UNION ALL SELECT 'totalprice_in_range', n.n_rows,
+        |  (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL
+        |     OR o_totalprice < 0.0 OR o_totalprice > 1000000.0) FROM n
+        | UNION ALL SELECT 'status_in_domain', n.n_rows,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('F','O','P')) FROM n
+        | UNION ALL SELECT 'orderdate_not_null', n.n_rows,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL) FROM n
+        | UNION ALL SELECT 'orderkey_unique', n.n_rows,
+        |  (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM
+        |    (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)) FROM n
+        | UNION ALL SELECT 'custkey_references_customer', n.n_rows,
+        |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) FROM n)
+        |SELECT check_name, n_rows, violations, (violations = 0) AS pass
+        |FROM u ORDER BY check_name""".stripMargin,
+
+    "incr_agg_merge" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+        | CAST(CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS avg_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "agg_corr_exact" ->
       """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
         |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,

@@ -139,6 +139,9 @@ object SparkEntry {
     "dedup_edit_distance"    -> Similarity.dedupEditDistance _,
     "embed_normalize"        -> Similarity.embedNormalize _,
     "embed_quantize"         -> Similarity.embedQuantize _,
+    // -- data-quality gates / incremental maintenance
+    "quality_expectations" -> Quality.qualityExpectations _,
+    "incr_agg_merge"       -> Quality.incrAggMerge _,
     // -- event / product analytics
     "agg_corr_exact"    -> Analytics.aggCorrExact _,
     "funnel_conversion" -> Analytics.funnelConversion _,

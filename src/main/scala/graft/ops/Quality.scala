@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-quality gates (the contract checks a 100 TB ingest runs before
+  * publishing a batch — the generalization of the reference's per-row
+  * validation chain to table-level expectations).
+  *
+  * Design: every row-local expectation compiles to ONE conditional count
+  * in a single aggregate pass over the table (no per-constraint scans);
+  * only uniqueness (needs a groupBy) and referential integrity (needs an
+  * anti-join against the dimension) add their own bounded shuffles. The
+  * report is long-format (check_name, violations, pass) so a gate can
+  * `filter(!pass)` and abort the publish — composes with
+  * [[Sinks.stagedPublish]]. */
+object Quality {
+
+  /** Declarative expectation: name + violation predicate (counted when
+    * true). Row-local expectations share one scan. */
+  final case class Expectation(name: String, violation: Column)
+
+  /** Evaluate row-local expectations in one aggregate pass. */
+  def checkRowLocal(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
+    val counts = df.agg(
+      count(lit(1)).as("__n"),
+      expectations.map(e =>
+        count(when(e.violation, 1)).as(s"__v_${e.name}")): _*)
+    val stack = expectations.map(e =>
+      s"'${e.name}', __v_${e.name}").mkString(", ")
+    counts.selectExpr(
+      s"stack(${expectations.size}, $stack) AS (check_name, violations)",
+      "__n AS n_rows")
+      .selectExpr("check_name", "n_rows", "violations",
+        "(violations = 0) AS pass")
+  }
+
+  /** The declared quality gate on `orders`: key non-null + unique,
+    * price range, status domain, customer referential integrity. */
+  def qualityExpectations(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sfDir)
+    val rowLocal = checkRowLocal(orders, Seq(
+      Expectation("orderkey_not_null", $"o_orderkey".isNull),
+      Expectation("totalprice_in_range",
+        $"o_totalprice".isNull || $"o_totalprice" < 0.0 || $"o_totalprice" > 1000000.0),
+      Expectation("status_in_domain", !$"o_orderstatus".isin("F", "O", "P")),
+      Expectation("orderdate_not_null", $"o_orderdate".isNull)))
+    val n = orders.count()
+    val dupKeys = orders.groupBy($"o_orderkey").agg(count(lit(1)).as("c"))
+      .filter($"c" > 1).agg(coalesce(sum($"c"), lit(0L)).as("violations"))
+      .select(lit("orderkey_unique").as("check_name"), lit(n).as("n_rows"),
+        $"violations", ($"violations" === 0).as("pass"))
+    val orphans = orders
+      .join(Tables.customer(spark, sfDir),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("custkey_references_customer").as("check_name"),
+        lit(n).as("n_rows"), $"violations", ($"violations" === 0).as("pass"))
+    rowLocal.unionByName(dupKeys).unionByName(orphans)
+      .orderBy($"check_name")
+  }
+
+  /** Incremental aggregate maintenance (materialized-view merge): the
+    * standing per-priority aggregate absorbs a delta batch by RE-AGGREGATING
+    * base partials with delta partials — sums and counts merge, averages
+    * re-derive from (sum, count). The algebra every incremental warehouse
+    * rollup uses: never recompute the base, and the merged result is
+    * provably the full recompute (the oracle runs the direct GROUP BY
+    * over everything). */
+  def incrAggMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sfDir)
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,2)")).as("s"))
+    val base = partial(orders.filter($"o_orderkey" % 4 =!= 0))  // standing MV
+    val delta = partial(orders.filter($"o_orderkey" % 4 === 0)) // new batch
+    base.unionByName(delta)
+      .groupBy($"o_orderpriority")
+      .agg(sum($"n").as("n"), sum($"s").cast("decimal(18,2)").as("sum_price"))
+      .select($"o_orderpriority", $"n", $"sum_price",
+        ($"sum_price".cast("double") / $"n").cast("decimal(18,6)").as("avg_price"))
+      .orderBy($"o_orderpriority")
+  }
+}
