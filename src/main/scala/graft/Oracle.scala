@@ -962,6 +962,15 @@ object Oracle {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang IN ('en', 'zh') ORDER BY doc_id""".stripMargin,
 
+    "topk_per_key_native" ->
+      """WITH r AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
+        |FROM r WHERE rn <= 3
+        |ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
+
     "quality_expectations" ->
       """WITH n AS (SELECT COUNT(*) AS n_rows FROM orders),
         |u AS (

@@ -179,6 +179,8 @@ object SparkEntry {
     "stream_tws_state"      -> Streaming.streamTwsState _,
     // -- SQL API entry point
     "sql_api_q3"            -> Relational.sqlApiQ3 _,
+    // -- custom whole-operator stack (§2.C)
+    "topk_per_key_native"   -> Relational.topkPerKeyNative _,
     // -- multimodal plumbing + synthetic source (rows-only where no oracle)
     "multimodal_binary_meta" -> Multimodal.multimodalBinaryMeta _,
     "multimodal_features"    -> ((s: SparkSession, d: String) =>

@@ -478,6 +478,22 @@ object Relational {
         |LIMIT 20""".stripMargin)
   }
 
+  /** Top-3 lineitems per supplier through the custom whole-operator stack
+    * (org.apache.spark.sql.graft.TopKPerKey: logical node → planner
+    * strategy → heap-based physical operator). Unlike the window form it
+    * never sorts a key group — a bounded k-heap per key, O(n log k), with
+    * the exchange still planned by Catalyst. The order includes unique
+    * tiebreakers so the result is total-ordered and oracle-checkable. */
+  def topkPerKeyNative(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    org.apache.spark.sql.graft.TopK.register(spark)
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+    org.apache.spark.sql.graft.TopK.perKey(li, $"l_suppkey", 3,
+        $"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .orderBy($"l_suppkey", $"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+  }
+
   // ----------------------------------------------------------------- helpers
 
   private def regionNationCustomer(spark: SparkSession, sfDir: String): DataFrame = {

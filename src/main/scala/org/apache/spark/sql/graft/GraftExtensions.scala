@@ -24,5 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
     ext.injectOptimizerRule(_ => BandedLevenshteinRule)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }

@@ -128,6 +128,30 @@ class PlanSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(plan("agg_salted")).size >= 4)
   }
 
+  test("topk_per_key_native plans the custom heap operator, no sort below it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    org.apache.spark.sql.graft.TopK.register(spark)
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+    // without the final presentation orderBy: the operator itself must
+    // not sort anything — Catalyst only inserts the clustering exchange
+    val df = org.apache.spark.sql.graft.TopK.perKey(li, $"l_suppkey", 3,
+      $"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), s"custom operator missing:\n$p")
+    assert(!p.contains("Sort "), s"heap operator must not plan a sort:\n$p")
+    // and it agrees with the window formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_suppkey")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+    val viaWindow = li.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3).drop("rn")
+      .collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet == viaWindow)
+  }
+
   test("proj_key_only scan reads a single column") {
     val read = plan("proj_key_only").linesIterator
       .filter(_.contains("ReadSchema")).mkString("\n")
