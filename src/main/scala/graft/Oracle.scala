@@ -962,6 +962,22 @@ object Oracle {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang IN ('en', 'zh') ORDER BY doc_id""".stripMargin,
 
+    "agg_mode_deterministic" ->
+      """WITH c AS (SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS n
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_mktsegment, o.o_orderpriority),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+        |  ORDER BY n DESC, o_orderpriority) AS rn FROM c)
+        |SELECT c_mktsegment, o_orderpriority AS mode_priority, n
+        |FROM r WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+
+    // the bucketed layout must be result-identical to the plain join
+    "join_bucketed" ->
+      """SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS n
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment, o.o_orderpriority
+        |ORDER BY c.c_mktsegment, o.o_orderpriority""".stripMargin,
+
     "topk_per_key_native" ->
       """WITH r AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
         |  row_number() OVER (PARTITION BY l_suppkey

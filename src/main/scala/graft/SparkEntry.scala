@@ -54,6 +54,8 @@ object SparkEntry {
     "agg_percentile"      -> Relational.aggPercentile _,
     "agg_array_sorted"    -> Relational.aggArraySorted _,
     "agg_pivot"           -> Relational.aggPivot _,
+    "agg_mode_deterministic" -> Relational.aggModeDeterministic _,
+    "join_bucketed"       -> Relational.joinBucketed _,
     "agg_unpivot"         -> Relational.aggUnpivot _,
     // -- joins
     "join_inner_equi"  -> Relational.joinInnerEqui _,

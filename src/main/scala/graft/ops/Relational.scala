@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -492,6 +493,47 @@ object Relational {
     org.apache.spark.sql.graft.TopK.perKey(li, $"l_suppkey", 3,
         $"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
       .orderBy($"l_suppkey", $"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+  }
+
+  /** Deterministic per-group mode: built-in mode() breaks frequency ties
+    * arbitrarily (and differently per engine); count + rank with a value
+    * tiebreak pins one answer on both sides. Most frequent order priority
+    * per customer segment over the order base. */
+  def aggModeDeterministic(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val joined = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+    val counts = joined.groupBy($"c_mktsegment", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"n".desc, $"o_orderpriority")
+    counts.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"c_mktsegment", $"o_orderpriority".as("mode_priority"), $"n")
+      .orderBy($"c_mktsegment")
+  }
+
+  /** The bucketed co-located join as a DECLARED query: both sides are
+    * written bucketed by the join key (shuffle paid once at write), the
+    * join then plans with no exchange on either side (BucketingSpec pins
+    * that property), and the rollup result hash-matches the plain-join
+    * oracle — proving the layout path is result-identical to the shuffle
+    * path. */
+  def joinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tag = math.abs(sfDir.hashCode).toString
+    val base = s"/tmp/graft_buckets/$tag"
+    Bucketing.writeBucketed(Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority"),
+      s"graft_b_orders_$tag", s"$base/orders", "o_custkey", n = 8)
+    Bucketing.writeBucketed(Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment"),
+      s"graft_b_customer_$tag", s"$base/customer", "c_custkey", n = 8)
+    Bucketing.bucketedJoin(spark,
+      s"graft_b_orders_$tag", s"graft_b_customer_$tag", "o_custkey", "c_custkey")
+      .groupBy($"c_mktsegment", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"c_mktsegment", $"o_orderpriority")
   }
 
   // ----------------------------------------------------------------- helpers
