@@ -711,11 +711,11 @@ object Oracle {
          |  list_reduce(list_prepend(0, list_transform(ts, t -> CAST(length(t) AS INTEGER))),
          |              (a, b) -> a + b) AS tok_chars FROM d)
          |SELECT doc_id, n_tok, n_distinct,
-         | CAST(CAST(n_distinct AS DOUBLE) / n_tok AS DECIMAL(18,6))::DOUBLE AS ttr,
-         | CAST((CAST(n_distinct AS DOUBLE) / n_tok) * 0.5 +
+         | CAST(round((CAST(n_distinct AS DOUBLE) / n_tok) * 1000000) AS BIGINT) AS ttr_u6,
+         | CAST(round(((CAST(n_distinct AS DOUBLE) / n_tok) * 0.5 +
          |   least(1.0, CAST(n_tok AS DOUBLE) / 100.0) * 0.3 +
-         |   least(1.0, (CAST(tok_chars AS DOUBLE) / n_tok) / 8.0) * 0.2
-         |   AS DECIMAL(18,6))::DOUBLE AS quality
+         |   least(1.0, (CAST(tok_chars AS DOUBLE) / n_tok) / 8.0) * 0.2)
+         |   * 1000000) AS BIGINT) AS quality_u6
          |FROM s ORDER BY doc_id""".stripMargin,
 
     "text_token_count" ->

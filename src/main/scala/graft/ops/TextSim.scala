@@ -141,12 +141,18 @@ object TextSim {
         size(toks).as("n_tok"),
         size(array_distinct(toks)).as("n_distinct"),
         aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x).as("tok_chars"))
+      // integer micro-units, not DECIMAL casts: the formula's 0.5/0.3/0.2
+      // weights over small-integer ratios produce exact binary fractions
+      // that land on 1e-6 HALF-boundaries (x.xxxxx5), where Spark's
+      // BigDecimal HALF_UP and DuckDB's double*1e6-then-round disagree
+      // (5 rows at sf0.1). round() of the same double under the same
+      // half-away-from-zero rule is engine-identical by construction.
       .select($"doc_id", $"n_tok", $"n_distinct",
-        ($"n_distinct".cast("double") / $"n_tok").cast("decimal(18,6)").as("ttr"),
-        (($"n_distinct".cast("double") / $"n_tok") * 0.5 +
+        round(($"n_distinct".cast("double") / $"n_tok") * 1e6).cast("long").as("ttr_u6"),
+        round((($"n_distinct".cast("double") / $"n_tok") * 0.5 +
           least(lit(1.0), $"n_tok".cast("double") / 100.0) * 0.3 +
           least(lit(1.0), ($"tok_chars".cast("double") / $"n_tok") / 8.0) * 0.2)
-          .cast("decimal(18,6)").as("quality"))
+          * 1e6).cast("long").as("quality_u6"))
       .orderBy($"doc_id")
   }
 
