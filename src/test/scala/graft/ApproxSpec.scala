@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Approximate-sketch bounds: the sketch answers must sit within their
+  * documented error of the exact answers (the contract that lets a 100 TB
+  * query trade exactness for one streaming pass of bounded memory). */
+class ApproxSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("approx_count_distinct is within 5% of exact NDV") {
+    val orders = Tables.orders(spark, sfDir)
+    val exact = orders.select(countDistinct($"o_custkey")).head().getLong(0)
+    val approx = orders.select(approx_count_distinct($"o_custkey", 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("approx_percentile brackets the exact percentile") {
+    val li = Tables.lineitem(spark, sfDir).select($"l_extendedprice".as("v"))
+    val exact = li.select(percentile($"v", lit(0.5))).head().getDouble(0)
+    val approx = li.select(percentile_approx($"v", lit(0.5), lit(1000))).head().getDouble(0)
+    // with accuracy 1000 the rank error is n/1000 — compare by value via
+    // the exact values at the bracketing ranks
+    val n = li.count()
+    val lo = li.orderBy($"v").limit((n / 2 - n / 100).toInt.max(1))
+      .agg(max($"v")).head().getDouble(0)
+    val hi = li.orderBy($"v".desc).limit((n / 2 - n / 100).toInt.max(1))
+      .agg(min($"v")).head().getDouble(0)
+    assert(approx >= lo && approx <= hi,
+      s"approx p50 $approx outside [$lo, $hi] around exact $exact")
+  }
+}

@@ -58,6 +58,24 @@ class UploadServiceSpec extends SparkSuite {
     assert(res.failed == nClean + nBroken)
   }
 
+  test("concurrent jobs keep isolated status and results") {
+    val (csv, nClean, nBroken) = fixture()
+    val out = Files.createTempDirectory("graft_upload_conc").toString
+    val svc = new UploadService.Service(spark,
+      Seq.empty[String].toDF("external_id"), out)
+    // the reference runs a 5-thread executor (AsyncConfig.java:15-17);
+    // two in-flight jobs must not cross status or output paths
+    val j1 = svc.submit(csv, UploadService.ChunkCommit)
+    val j2 = svc.submit(csv, UploadService.AllOrNothing)
+    val (r1, r2) = (svc.await(j1), svc.await(j2))
+    assert(j1 != j2 && r1.loadedDir != r2.loadedDir)
+    for (r <- Seq(r1, r2)) {
+      assert(r.processed == nClean + nBroken && r.inserted == nClean)
+      assert(spark.read.parquet(r.loadedDir).count() == nClean)
+    }
+    assert(svc.status(j1).step == "JOB_COMPLETE" && svc.status(j2).step == "JOB_COMPLETE")
+  }
+
   test("a missing input fails the job with JOB_FAILED status") {
     val out = Files.createTempDirectory("graft_upload_out3").toString
     val svc = new UploadService.Service(spark,
