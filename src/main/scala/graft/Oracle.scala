@@ -1059,6 +1059,19 @@ object Oracle {
         |FROM ev JOIN c ON ev.user_id = c.user_id
         |GROUP BY cohort, week_offset ORDER BY cohort, week_offset""".stripMargin,
 
+    "path_transitions" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+        |  FROM ev),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+        |      WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM c GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, c.n,
+        | CAST(round((CAST(c.n AS DOUBLE) / t.n_from) * 1000000) AS BIGINT) AS p_u6
+        |FROM c JOIN t ON c.from_type = t.from_type
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
+
     "agg_histogram" ->
       """SELECT CAST(least(floor(value / 25.0), 19.0) AS INTEGER) AS bucket,
         | COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v

@@ -149,6 +149,7 @@ object SparkEntry {
     "funnel_conversion" -> Analytics.funnelConversion _,
     "cohort_retention"  -> Analytics.cohortRetention _,
     "agg_histogram"     -> Analytics.aggHistogram _,
+    "path_transitions"  -> Analytics.pathTransitions _,
     // -- source/sink formats beyond parquet+csv
     "scan_json_roundtrip" -> Sources.scanJsonRoundtrip _,
     "scan_orc_roundtrip"  -> Sources.scanOrcRoundtrip _,

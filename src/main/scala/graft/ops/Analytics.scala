@@ -89,6 +89,28 @@ object Analytics {
       .orderBy($"cohort", $"week_offset")
   }
 
+  /** Event-path transitions (the Markov view of user journeys): for each
+    * user's time-ordered stream, count consecutive event-type pairs
+    * corpus-wide, with per-transition share of its source state. One
+    * lag() window per user + one aggregation — both shuffle on bounded
+    * keys. Probabilities are exact-count ratios in micro-units. */
+  def pathTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val pairs = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = pairs.groupBy($"from_type").agg(sum($"n").as("n_from"))
+    pairs.join(fromTotals, "from_type")
+      .select($"from_type", $"to_type", $"n",
+        round(($"n".cast("double") / $"n_from") * 1e6).cast("long").as("p_u6"))
+      .orderBy($"from_type", $"to_type")
+  }
+
   /** Value histogram with explicit integer binning (floor(value/25),
     * capped at bin 19) — the same arithmetic expression in both engines,
     * rather than width_bucket whose edge handling is implementation-

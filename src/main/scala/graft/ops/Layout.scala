@@ -23,6 +23,24 @@ object Layout {
         .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
     }
 
+  /** Small-file compaction — the №1 operational chore of a long-lived
+    * 100 TB table: streaming sinks and per-task commits accrete files far
+    * below the scan-efficient size, and every query then pays per-file
+    * open/footer/scheduling costs. Rewrites the directory to
+    * ceil(bytes / targetBytes) files via an atomic staged publish, so
+    * readers never see a half-compacted table. Row contents are
+    * preserved; layout-dependent orderings are not (callers needing a
+    * clustered layout re-run zorderWrite instead). */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetBytes: Long = 128L * 1024 * 1024): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(dir)
+    Sinks.stagedPublish(df.repartition(nFiles), dir)
+  }
+
   /** Write `df` clustered by the Z-order of (x, y) into `nFiles` range
     * partitions: rows close in both dimensions land in the same file, so
     * every file's parquet stats carry a tight min/max box on x AND y and

@@ -21,6 +21,25 @@ class LayoutSpec extends SparkSuite {
       }.toSeq
   }
 
+  test("compact rewrites a splintered directory to the target file count") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/table"
+    Tables.orders(spark, sfDir).repartition(64)
+      .write.parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    assert(before >= 32, s"fixture should splinter, got $before files")
+    val rows = spark.read.parquet(dir).count()
+    // target far above the actual bytes → everything fits in one file
+    assert(Layout.compact(spark, dir, targetBytes = 1L << 30))
+    assert(parquetFiles < before / 8, s"still $parquetFiles files")
+    assert(spark.read.parquet(dir).count() == rows, "rows must survive")
+    // no staging residue
+    val residue = new java.io.File(dir).getParentFile.listFiles()
+      .filter(_.getName.startsWith("_staging-"))
+    assert(residue.isEmpty)
+  }
+
   test("z-order write lets a box query skip most files; round-robin cannot") {
     val li = Tables.lineitem(spark, sfDir)
       .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_quantity")
