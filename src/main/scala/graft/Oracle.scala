@@ -1059,6 +1059,16 @@ object Oracle {
         |FROM ev JOIN c ON ev.user_id = c.user_id
         |GROUP BY cohort, week_offset ORDER BY cohort, week_offset""".stripMargin,
 
+    "ts_ewma" ->
+      """WITH ev AS (SELECT user_id,
+        |  CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS v,
+        |  epoch_us(ts) AS us, event_id FROM events),
+        |g AS (SELECT user_id, COUNT(*) AS n,
+        |  list(v ORDER BY us, event_id) AS vs FROM ev GROUP BY user_id)
+        |SELECT user_id, n,
+        | CAST(round(list_reduce(vs, (acc, x) -> 0.1 * x + 0.9 * acc) * 1000000) AS BIGINT) AS ewma_u6
+        |FROM g ORDER BY user_id""".stripMargin,
+
     "path_transitions" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
         |p AS (SELECT event_type AS from_type,

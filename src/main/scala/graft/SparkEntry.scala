@@ -150,6 +150,7 @@ object SparkEntry {
     "cohort_retention"  -> Analytics.cohortRetention _,
     "agg_histogram"     -> Analytics.aggHistogram _,
     "path_transitions"  -> Analytics.pathTransitions _,
+    "ts_ewma"           -> Analytics.tsEwma _,
     // -- source/sink formats beyond parquet+csv
     "scan_json_roundtrip" -> Sources.scanJsonRoundtrip _,
     "scan_orc_roundtrip"  -> Sources.scanOrcRoundtrip _,

@@ -111,6 +111,31 @@ object Analytics {
       .orderBy($"from_type", $"to_type")
   }
 
+  /** Exponentially-weighted moving average per user (α = 0.1) — the
+    * time-series smoother that resists plain SQL because it is a
+    * sequential recurrence. Both engines evaluate the SAME left-to-right
+    * fold over the user's time-ordered values (Spark: sort_array of
+    * (time, id, value) structs + aggregate HOF; DuckDB: ORDER BY inside
+    * list() + list_reduce), so the recurrence is deterministic and
+    * micro-unit comparable. Scale note: the per-key array is bounded by
+    * one user's history — the same per-key-memory contract as any
+    * sessionization; unbounded histories would chunk by time first. */
+  def tsEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"user_id",
+        struct(unix_micros($"ts").as("us"), $"event_id",
+          $"value".cast("decimal(18,6)").cast("double").as("v")).as("e"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sort_array(collect_list($"e")).as("es"))
+      .select($"user_id", $"n",
+        round(expr(
+          "aggregate(es, CAST(NULL AS DOUBLE), (acc, x) -> " +
+            "CASE WHEN acc IS NULL THEN x.v ELSE 0.1d * x.v + 0.9d * acc END)")
+          * 1e6).cast("long").as("ewma_u6"))
+      .orderBy($"user_id")
+  }
+
   /** Value histogram with explicit integer binning (floor(value/25),
     * capped at bin 19) — the same arithmetic expression in both engines,
     * rather than width_bucket whose edge handling is implementation-
