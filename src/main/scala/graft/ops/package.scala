@@ -1,0 +1,42 @@
+package graft
+
+/** == graft operator library ==
+  *
+  * Spark-native re-expression of `streamforge-data-pipeline`'s semantics
+  * plus the extended surface a 100 TB training-data platform needs. Every
+  * oracle-checkable operator is declared twice — as a Spark query in
+  * [[graft.SparkEntry.queries]] and as DuckDB SQL in
+  * [[graft.SparkEntry.oracleSql]] — and hash-matches at sf0.001/0.01/0.1.
+  *
+  *  - [[graft.ops.Ingest]] — the reference's CSV pipeline: trim, validate,
+  *    classify (first-failure-wins), dedup, cast, counters
+  *  - [[graft.ops.UploadService]] — the reference's full async workflow:
+  *    submit → status poll → result + error report
+  *  - [[graft.ops.Relational]] / [[graft.ops.Windows]] /
+  *    [[graft.ops.Functions]] — joins, aggregations (rollup/cube/sets),
+  *    window packs, scalar-function packs, SQL API entry
+  *  - [[graft.ops.TextSim]] / [[graft.ops.Similarity]] — text analysis,
+  *    exact + MinHash/SimHash/Jaccard/embedding dedup, ANN search,
+  *    normalize/quantize
+  *  - [[graft.ops.Curation]] — hash-stable sampling/splits, mixture
+  *    weights, sequence packing, decontamination, CDC merge, SCD2,
+  *    salting, profiling, z-order keys, outliers
+  *  - [[graft.ops.Analytics]] — funnel, cohorts, path transitions, EWMA,
+  *    exact-moment correlation, histograms
+  *  - [[graft.ops.Quality]] — declarative expectation gates, incremental
+  *    aggregate maintenance
+  *  - [[graft.ops.Streaming]] — windowed/session aggregations, watermarks,
+  *    dedup state, keyed state (flatMapGroupsWithState AND
+  *    transformWithState), stream-static and stream-stream joins,
+  *    streaming CSV ingest
+  *  - [[graft.ops.Sources]] / [[graft.ops.Sinks]] / [[graft.ops.Layout]] /
+  *    [[graft.ops.Bucketing]] — formats, chunked/atomic/staged commits,
+  *    partition pruning, compaction, z-order and bucketed layouts
+  *  - [[graft.ops.Progress]] — accumulator-fed job-status store
+  *
+  * Native extensions live under `org.apache.spark.sql.graft`: the
+  * codegen'd `graft_dot` expression, the `BandedLevenshteinRule`
+  * optimizer rule, and the `TopKPerKey` operator stack — all injected via
+  * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`.
+  */
+package object ops
