@@ -1059,6 +1059,31 @@ object Oracle {
         |FROM ev JOIN c ON ev.user_id = c.user_id
         |GROUP BY cohort, week_offset ORDER BY cohort, week_offset""".stripMargin,
 
+    "agg_moments_exact" ->
+      """WITH ev AS (SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0)) AS u
+        |  FROM events),
+        |m AS (SELECT event_type, COUNT(*) AS n,
+        |  SUM(u) AS s1,
+        |  SUM(CAST(u * u AS DECIMAL(38,0))) AS s2,
+        |  SUM(CAST(CAST(u * u AS DECIMAL(38,0)) * u AS DECIMAL(38,0))) AS s3,
+        |  SUM(CAST(CAST(CAST(u * u AS DECIMAL(38,0)) * u AS DECIMAL(38,0)) * u AS DECIMAL(38,0))) AS s4
+        |  FROM ev GROUP BY event_type),
+        |d AS (SELECT event_type, n,
+        |  CAST(s1 AS DOUBLE) AS m1d, CAST(s2 AS DOUBLE) AS m2d,
+        |  CAST(s3 AS DOUBLE) AS m3d, CAST(s4 AS DOUBLE) AS m4d FROM m),
+        |e AS (SELECT event_type, n, m1d / n AS mean,
+        |  m2d / n - (m1d / n) * (m1d / n) AS varp, m1d, m2d, m3d, m4d FROM d)
+        |SELECT event_type, n,
+        | CAST(round(mean) AS BIGINT) AS mean_u6,
+        | CAST(round(((m3d / n - 3.0 * mean * varp - mean * mean * mean)
+        |   / pow(varp, 1.5)) * 1000000) AS BIGINT) AS skew_u6,
+        | CAST(round(((m4d / n - 4.0 * mean * (m3d / n)
+        |   + 6.0 * mean * mean * (m2d / n)
+        |   - 3.0 * mean * mean * mean * mean)
+        |   / (varp * varp) - 3.0) * 1000000) AS BIGINT) AS kurt_u6
+        |FROM e ORDER BY event_type""".stripMargin,
+
     "ts_ewma" ->
       """WITH ev AS (SELECT user_id,
         |  CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS v,

@@ -151,6 +151,7 @@ object SparkEntry {
     "agg_histogram"     -> Analytics.aggHistogram _,
     "path_transitions"  -> Analytics.pathTransitions _,
     "ts_ewma"           -> Analytics.tsEwma _,
+    "agg_moments_exact" -> Analytics.aggMomentsExact _,
     // -- source/sink formats beyond parquet+csv
     "scan_json_roundtrip" -> Sources.scanJsonRoundtrip _,
     "scan_orc_roundtrip"  -> Sources.scanOrcRoundtrip _,

@@ -40,6 +40,47 @@ object Analytics {
       .orderBy($"l_returnflag")
   }
 
+  /** Skewness and excess kurtosis from exact raw moments (n, Σx, Σx²,
+    * Σx³, Σx⁴ as DECIMAL sums; the standardized moments are then one
+    * double expression over exact inputs — the same discipline as
+    * [[aggCorrExact]], since Spark's skewness()/kurtosis() are
+    * merge-order-dependent float aggregations). Events value per type;
+    * micro-unit outputs. */
+  def aggMomentsExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // integer micro-units: u = value quantized at 1e-6, times 1e6 — all
+    // powers up to u⁴ (≤ 6.25e34) stay EXACT in DECIMAL(38,0), with no
+    // engine-specific decimal-widening/rounding anywhere. Skewness and
+    // kurtosis are scale-invariant, so standardized moments of u equal
+    // those of the value itself; the mean is micro-units by construction.
+    // Headroom: Σu⁴ ≈ 1e36 at sf0.1 — beyond ~100× more rows per group,
+    // drop the quantization to 1e-3 units (u ≤ 5e5, Σu⁴ ≤ 1e28·n).
+    val u = ($"value".cast("decimal(18,6)") * lit(1000000)).cast("decimal(38,0)")
+    def p(k: Int) = sum(Seq.fill(k)(u).reduce((a, b) => (a * b).cast("decimal(38,0)")))
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum(u).as("s1"),
+        p(2).as("s2"), p(3).as("s3"), p(4).as("s4"))
+      .select($"event_type", $"n",
+        $"s1".cast("double").as("m1d"), $"s2".cast("double").as("m2d"),
+        $"s3".cast("double").as("m3d"), $"s4".cast("double").as("m4d"))
+      .select($"event_type", $"n",
+        ($"m1d" / $"n").as("mean"),
+        ($"m2d" / $"n" - ($"m1d" / $"n") * ($"m1d" / $"n")).as("varp"),
+        $"m1d", $"m2d", $"m3d", $"m4d")
+      .select($"event_type", $"n",
+        round($"mean").cast("long").as("mean_u6"), // mean of u IS micro-units
+        // population skewness: (m3/n - 3 mean var - mean^3) / var^1.5
+        round((($"m3d" / $"n" - lit(3.0) * $"mean" * $"varp" - $"mean" * $"mean" * $"mean")
+          / pow($"varp", 1.5)) * 1e6).cast("long").as("skew_u6"),
+        // population excess kurtosis via the raw-moment expansion
+        round((($"m4d" / $"n" - lit(4.0) * $"mean" * ($"m3d" / $"n")
+          + lit(6.0) * $"mean" * $"mean" * ($"m2d" / $"n")
+          - lit(3.0) * $"mean" * $"mean" * $"mean" * $"mean")
+          / ($"varp" * $"varp") - lit(3.0)) * 1e6).cast("long").as("kurt_u6"))
+      .orderBy($"event_type")
+  }
+
   /** Ordered conversion funnel per user: first click, first view AFTER
     * that click, first purchase AFTER that view; stage = how deep the
     * user got. Three stage-filtered aggregates joined on the user — each
