@@ -800,6 +800,56 @@ object Oracle {
          |  THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
          |FROM agg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "text_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $toksExpr AS ts FROM documents),
+         |g0 AS (SELECT doc_id, ts FROM d WHERE len(ts) >= 2),
+         |w AS (SELECT doc_id, unnest(ts) AS w FROM g0),
+         |wc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+         |uni AS (SELECT doc_id, w, cnt,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, w DESC) AS rn,
+         |  SUM(cnt * length(w)) OVER (PARTITION BY doc_id) AS word_chars FROM wc),
+         |bgs AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+         |  i -> ts[i] || ' ' || ts[i + 1])) AS g FROM g0),
+         |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bgs GROUP BY 1, 2),
+         |rep AS (SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bg,
+         |  SUM(c) AS n_bg FROM bc GROUP BY 1),
+         |out AS (SELECT u.doc_id, u.w AS top_word,
+         |  CAST(u.cnt * length(u.w) AS DOUBLE) / word_chars AS top_word_char_frac,
+         |  CAST(r.dup_bg AS DOUBLE) / r.n_bg AS dup_bigram_frac
+         |  FROM uni u JOIN rep r USING (doc_id) WHERE u.rn = 1)
+         |SELECT doc_id, top_word, top_word_char_frac, dup_bigram_frac,
+         | (top_word_char_frac <= 0.2 AND dup_bigram_frac <= 0.5) AS kept
+         |FROM out ORDER BY doc_id""".stripMargin,
+
+    "dedup_gram_corpus" ->
+      s"""WITH d AS (SELECT doc_id, $toksExpr AS ts FROM documents),
+         |g0 AS (SELECT doc_id, ts FROM d WHERE len(ts) >= 5),
+         |grams AS (SELECT doc_id, unnest(list_distinct(
+         |  list_transform(range(1, len(ts) - 3),
+         |    i -> array_to_string(ts[i:i+4], ' ')))) AS gram FROM g0),
+         |gd AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY 1),
+         |per AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+         |  COUNT(CASE WHEN gd.nd >= 2 THEN 1 END) AS shared_grams
+         |  FROM grams g JOIN gd USING (gram) GROUP BY 1)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         | CAST(shared_grams AS BIGINT) AS shared_grams,
+         | CAST(shared_grams AS DOUBLE) / n_grams AS shared_frac,
+         | (shared_grams * 2 >= n_grams) AS dup_flag
+         |FROM per ORDER BY doc_id""".stripMargin,
+
+    "text_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksExpr) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |tot AS (SELECT COUNT(*) AS total FROM toks),
+         |lm AS (SELECT w, CAST(round(-ln(CAST(cnt AS DOUBLE) / total) * 1e6) AS BIGINT) AS nll_u6
+         |  FROM (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY 1), tot),
+         |per AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+         |  CAST(SUM(tf * nll_u6) AS BIGINT) AS sum_nll_u6
+         |  FROM tf JOIN lm USING (w) GROUP BY 1)
+         |SELECT doc_id, n_tok, sum_nll_u6,
+         | CAST(sum_nll_u6 AS DOUBLE) / (n_tok * 1000000.0) AS avg_nll
+         |FROM per ORDER BY doc_id""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, source, $toksExpr AS ts FROM documents),
          |g0 AS (SELECT doc_id, source, ts FROM d WHERE len(ts) >= 2),

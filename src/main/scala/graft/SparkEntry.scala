@@ -128,6 +128,9 @@ object SparkEntry {
     "text_tfidf"             -> TextSim.textTfidf _,
     "text_pii_scrub"         -> TextSim.textPiiScrub _,
     "text_curation_filter"   -> TextSim.textCurationFilter _,
+    "text_repetition"        -> TextSim.textRepetition _,
+    "dedup_gram_corpus"      -> TextSim.dedupGramCorpus _,
+    "text_lm_score"          -> TextSim.textLmScore _,
     // -- similarity search / near-dup detection
     "sim_cosine_probe"       -> Similarity.simCosineProbe _,
     "sim_knn_per_label"      -> Similarity.simKnnPerLabel _,

@@ -227,6 +227,104 @@ object TextSim {
       .orderBy($"doc_id")
   }
 
+  /** Per-doc repetition metrics — the Gopher-rule repetition family
+    * (Rae et al. 2021 §A1.1: "fraction of characters in the most common
+    * word" / "fraction of duplicate n-grams") adapted to single-line docs:
+    *   top_word_char_frac = chars contributed by the most frequent word
+    *                        (ties → lexicographically largest) / all word chars
+    *   dup_bigram_frac    = bigram instances whose gram repeats within the
+    *                        doc / all bigram instances
+    * A doc fails the repetition gate when either fraction crosses its
+    * threshold (0.2 / 0.5). All fractions are BIGINT/BIGINT double
+    * divisions — bit-identical in both engines, no decimal rounding and
+    * therefore no half-boundary hazard.
+    *
+    * Scale: two explode → partial-agg chains keyed by doc_id, reusing the
+    * rebalanced distribution; state per doc is O(vocab of one doc). No
+    * window functions, no corpus-wide keys — linear at 100 TB. */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = rebalanceDocs(Tables.documents(spark, sfDir))
+      .select($"doc_id", tokens($"text").as("ts"))
+      .filter(size($"ts") >= 2)
+    val wc = docs.select($"doc_id", explode($"ts").as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
+    val uni = wc.groupBy($"doc_id").agg(
+      max(struct($"cnt", $"w")).as("top"),
+      sum($"cnt" * length($"w")).as("word_chars"))
+    val bg = docs.select($"doc_id", explode(
+        transform(sequence(lit(1), size($"ts") - 1),
+          i => concat_ws(" ", slice($"ts", i, lit(2))))).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+    val rep = bg.groupBy($"doc_id").agg(
+      sum(when($"c" > 1, $"c").otherwise(lit(0L))).as("dup_bg"),
+      sum($"c").as("n_bg"))
+    uni.join(rep, "doc_id")
+      .select($"doc_id", $"top.w".as("top_word"),
+        (($"top.cnt" * length($"top.w")) / $"word_chars").as("top_word_char_frac"),
+        ($"dup_bg" / $"n_bg").as("dup_bigram_frac"))
+      .withColumn("kept",
+        $"top_word_char_frac" <= 0.2 && $"dup_bigram_frac" <= 0.5)
+      .orderBy($"doc_id")
+  }
+
+  /** Cross-document n-gram duplication (the Falcon/RefinedWeb substring-
+    * dedup signal): for each doc, the fraction of its DISTINCT 5-grams
+    * that also occur in at least one other document; docs with ≥ half
+    * their grams shared are near-dup suspects (`dup_flag`).
+    *
+    * Scale: the gram inverted index is an equi-join on the gram string —
+    * never all-pairs. countDistinct(doc_id) per gram partial-aggregates
+    * map-side; 5-gram keys are high-entropy so the join does not inherit
+    * stop-word skew (and AQE skew-split covers pathological corpora). */
+  def dedupGramCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val g = 5
+    val grams = rebalanceDocs(Tables.documents(spark, sfDir))
+      .select($"doc_id", tokens($"text").as("ts"))
+      .filter(size($"ts") >= g)
+      .select($"doc_id", explode(array_distinct(
+        transform(sequence(lit(1), size($"ts") - (g - 1)),
+          i => concat_ws(" ", slice($"ts", i, lit(g)))))).as("gram"))
+    val gd = grams.groupBy($"gram").agg(countDistinct($"doc_id").as("nd"))
+    grams.join(gd, "gram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when($"nd" >= 2, 1)).as("shared_grams"))
+      .select($"doc_id", $"n_grams", $"shared_grams",
+        ($"shared_grams" / $"n_grams").as("shared_frac"),
+        ($"shared_grams" * 2 >= $"n_grams").as("dup_flag"))
+      .orderBy($"doc_id")
+  }
+
+  /** Corpus unigram-LM quality score (the CCNet-style perplexity-proxy
+    * filter, LM = the corpus itself): per word, nll = -ln(cnt/total) fixed
+    * to integer micro-units (round() is half-away-from-zero in BOTH
+    * engines and ln's irrationals never land on a 1e-6 half-boundary);
+    * per doc, the exact integer sum Σ tf·nll_u6 — order-independent — and
+    * avg_nll as one final double division. High avg_nll = surprising
+    * (rare-word) text.
+    *
+    * Scale: the LM is |vocab|-sized → broadcast; scoring is a map-side
+    * join + one keyed aggregation. The corpus-total count is a single
+    * broadcast scalar. */
+  def textLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val words = rebalanceDocs(Tables.documents(spark, sfDir))
+      .select($"doc_id", explode(tokens($"text")).as("w"))
+    val tf = words.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    val total = words.agg(count(lit(1)).as("total"))
+    val lm = words.groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .select($"w", round(-log($"cnt" / $"total") * 1e6).cast("long").as("nll_u6"))
+    tf.join(broadcast(lm), "w")
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_tok"), sum($"tf" * $"nll_u6").as("sum_nll_u6"))
+      .select($"doc_id", $"n_tok", $"sum_nll_u6",
+        ($"sum_nll_u6" / ($"n_tok" * lit(1e6))).as("avg_nll"))
+      .orderBy($"doc_id")
+  }
+
   /** TF-IDF top terms: tf from one explode+groupBy, document frequency
     * via groupBy(tok).count() + shuffle join, doc count broadcast.
     * tfidf = tf · ln((N+1)/(df+1)) — per-row double math, identical in

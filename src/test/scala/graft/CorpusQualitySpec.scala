@@ -1,0 +1,85 @@
+package graft
+
+import graft.ops.TextSim
+
+/** Independent pure-Scala re-derivation of the corpus-quality operators
+  * (repetition metrics, cross-doc gram duplication, unigram-LM score) at
+  * sf0.001 — every row must match the Spark result exactly. The Scala twin
+  * shares no Spark code paths, so a tokenizer or aggregation bug in the
+  * operator cannot self-confirm. */
+class CorpusQualitySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tok(text: String): Array[String] =
+    text.toLowerCase.trim.split("[^a-z]+").filter(_.nonEmpty)
+
+  /** Spark's Round(double) semantics: BigDecimal HALF_UP at scale 0. */
+  private def roundHalfUp(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  private lazy val docs: Seq[(Long, String)] =
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+
+  test("text_repetition matches a pure-Scala re-derivation") {
+    val expected = docs.flatMap { case (id, text) =>
+      val ts = tok(text)
+      if (ts.length < 2) None
+      else {
+        val wc = ts.groupBy(identity).view.mapValues(_.length.toLong).toMap
+        val (topW, topC) = wc.toSeq.maxBy { case (w, c) => (c, w) }
+        val wordChars = wc.map { case (w, c) => c * w.length }.sum
+        val bgs = ts.sliding(2).map(_.mkString(" ")).toSeq
+        val bc = bgs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+        val dupBg = bc.values.filter(_ > 1).sum
+        val nBg = bgs.length.toLong
+        val topFrac = (topC * topW.length).toDouble / wordChars.toDouble
+        val dupFrac = dupBg.toDouble / nBg.toDouble
+        Some((id, topW, topFrac, dupFrac, topFrac <= 0.2 && dupFrac <= 0.5))
+      }
+    }
+    val got = TextSim.textRepetition(spark, sfDir).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == expected)
+  }
+
+  test("dedup_gram_corpus matches a pure-Scala re-derivation") {
+    val perDoc = docs.flatMap { case (id, text) =>
+      val ts = tok(text)
+      if (ts.length < 5) None
+      else Some(id -> ts.sliding(5).map(_.mkString(" ")).toSet)
+    }
+    val gramDocs = perDoc.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expected = perDoc.map { case (id, gs) =>
+      val shared = gs.count(g => gramDocs(g) >= 2).toLong
+      val n = gs.size.toLong
+      (id, n, shared, shared.toDouble / n.toDouble, shared * 2 >= n)
+    }
+    val got = TextSim.dedupGramCorpus(spark, sfDir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == expected)
+  }
+
+  test("text_lm_score matches a pure-Scala re-derivation") {
+    val allWords = docs.flatMap { case (_, t) => tok(t) }
+    val total = allWords.length.toLong
+    val freq = allWords.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nll = freq.map { case (w, c) =>
+      w -> roundHalfUp(-math.log(c.toDouble / total.toDouble) * 1e6)
+    }
+    val expected = docs.flatMap { case (id, text) =>
+      val ts = tok(text)
+      if (ts.isEmpty) None
+      else {
+        val nTok = ts.length.toLong
+        val sumNll = ts.map(nll).sum
+        Some((id, nTok, sumNll, sumNll.toDouble / (nTok.toDouble * 1e6)))
+      }
+    }
+    val got = TextSim.textLmScore(spark, sfDir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+  }
+}
