@@ -54,14 +54,40 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // a failed query must not masquerade as a fast one: list failures
     // explicitly (empty array = every query executed)
     val errs = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    def ms(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // Full per-query timings → a sidecar file: the harness keeps only the
+    // LAST ~2000 chars of run output, and 140 query entries (~4 KB) pushed
+    // the summary line's head out of that window, so it never parsed
+    // (BENCH_r01/r02 "parsed": null). stdout gets ONE compact line — family
+    // subtotals plus a fixed headline subset — sized well under the window.
+    val detail = results.map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"),
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$detail,"errors":$errs,"sf":"$sfDir"}""")
+    val headline = Seq(
+      "agg_pricing_summary", "join_inner_equi", "join_asof", "join_bucketed",
+      "win_topk_group", "topk_global", "topk_per_key_native",
+      "dedup_minhash_lsh", "dedup_cluster", "dedup_gram_corpus",
+      "sim_knn_per_label", "sim_ann_lsh", "sim_ivf_probe",
+      "text_tfidf", "text_langid", "text_lm_score",
+      "stream_session", "stream_keyed_state", "stream_csv_ingest",
+      "stream_stream_join", "merge_upsert", "agg_salted", "profile_table",
+      "zorder_cluster", "agg_moments_exact", "funnel_conversion",
+      "sql_api_q3", "quality_expectations", "sample_stratified",
+      "scan_csv_file")
+    val byName = results.map { case (k, v, _) => k -> v }.toMap
+    val qs = headline.filter(byName.contains)
+      .map(k => s"\"" + k + "\":" + ms(byName(k))).mkString("{", ",", "}")
+    val fams = results.groupBy(_._1.takeWhile(_ != '_')).toSeq.sortBy(_._1)
+      .map { case (f, rs) => s"\"" + f + "\":" + ms(rs.map(_._2).sum) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"queries":$qs,"families":$fams,"errors":$errs,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
