@@ -300,7 +300,13 @@ object Similarity {
     val edges = pairs
       .union(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
       .cache()
-    var labels = Tables.documents(spark, sfDir)
+    // Iterate ONLY over vertices that appear in the pair graph: an
+    // isolated document's label is provably its own id, so carrying the
+    // whole corpus through every round just multiplies each round's
+    // shuffle by corpus/|V(edges)| (near-dup graphs are sparse — at
+    // 100 TB that ratio is ~10^4). Isolated docs rejoin at the end as a
+    // map-side coalesce.
+    var labels = edges.select($"id_a".as("doc_id")).distinct()
       .select($"doc_id", $"doc_id".as("cluster")).localCheckpoint()
     var changed = 1L
     var rounds = 0
@@ -333,7 +339,9 @@ object Similarity {
     }
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
     edges.unpersist()
-    labels
+    Tables.documents(spark, sfDir).select($"doc_id")
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select($"doc_id", coalesce($"cluster", $"doc_id").as("cluster"))
       .select($"doc_id", $"cluster", ($"doc_id" === $"cluster").as("kept"))
       .orderBy($"doc_id")
   }
