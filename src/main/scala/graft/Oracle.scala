@@ -1134,6 +1134,57 @@ object Oracle {
         |   / (varp * varp) - 3.0) * 1000000) AS BIGINT) AS kurt_u6
         |FROM e ORDER BY event_type""".stripMargin,
 
+    "text_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |cc AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch WHERE c <> '' GROUP BY 1, 2),
+        |per AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+        |  COUNT(*) AS distinct_chars,
+        |  CAST(SUM(cnt * CAST(round(ln(cnt) * 1e6) AS BIGINT)) AS BIGINT) AS sum_u6
+        |  FROM cc GROUP BY 1)
+        |SELECT doc_id, n_chars, distinct_chars,
+        | CAST(n_chars * CAST(round(ln(n_chars) * 1e6) AS BIGINT) - sum_u6 AS DOUBLE)
+        |   / (n_chars * 1000000.0) AS entropy_nats,
+        | (CAST(n_chars * CAST(round(ln(n_chars) * 1e6) AS BIGINT) - sum_u6 AS DOUBLE)
+        |   / (n_chars * 1000000.0)) >= 2.0 AS kept
+        |FROM per ORDER BY doc_id""".stripMargin,
+
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(round(pow(COUNT(*), 0.3) * 1e6) AS BIGINT) AS w_u6
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+        |  CAST(SUM(w_u6) AS BIGINT) AS total_w_u6 FROM c)
+        |SELECT lang, n_docs,
+        | CAST(n_docs AS DOUBLE) / total_docs AS p_raw,
+        | CAST(w_u6 AS DOUBLE) / total_w_u6 AS p_temp,
+        | (CAST(w_u6 AS DOUBLE) / total_w_u6)
+        |   / (CAST(n_docs AS DOUBLE) / total_docs) AS boost
+        |FROM c, t ORDER BY lang""".stripMargin,
+
+    "ts_resample" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |  epoch_us(ts) // 21600000000 AS bucket FROM events),
+        |pb AS (SELECT user_id, bucket, n_events, value AS v FROM (
+        |  SELECT user_id, bucket, value,
+        |    COUNT(*) OVER (PARTITION BY user_id, bucket) AS n_events,
+        |    row_number() OVER (PARTITION BY user_id, bucket
+        |      ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM e) WHERE rn = 1),
+        |b AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        |  FROM e GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM b),
+        |j AS (SELECT g.user_id, g.bucket,
+        |  coalesce(pb.n_events, 0) AS n_events, pb.v
+        |  FROM grid g LEFT JOIN pb
+        |    ON g.user_id = pb.user_id AND g.bucket = pb.bucket),
+        |f AS (SELECT user_id, bucket, n_events,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value FROM j)
+        |SELECT user_id,
+        | strftime(make_timestamp(bucket * 21600000000), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+        | CAST(n_events AS BIGINT) AS n_events, value
+        |FROM f ORDER BY user_id, bucket_start""".stripMargin,
+
     "ts_ewma" ->
       """WITH ev AS (SELECT user_id,
         |  CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS v,

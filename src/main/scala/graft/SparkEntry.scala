@@ -131,6 +131,7 @@ object SparkEntry {
     "text_repetition"        -> TextSim.textRepetition _,
     "dedup_gram_corpus"      -> TextSim.dedupGramCorpus _,
     "text_lm_score"          -> TextSim.textLmScore _,
+    "text_entropy"           -> TextSim.textEntropy _,
     // -- similarity search / near-dup detection
     "sim_cosine_probe"       -> Similarity.simCosineProbe _,
     "sim_knn_per_label"      -> Similarity.simKnnPerLabel _,
@@ -154,6 +155,7 @@ object SparkEntry {
     "agg_histogram"     -> Analytics.aggHistogram _,
     "path_transitions"  -> Analytics.pathTransitions _,
     "ts_ewma"           -> Analytics.tsEwma _,
+    "ts_resample"       -> Analytics.tsResample _,
     "agg_moments_exact" -> Analytics.aggMomentsExact _,
     // -- source/sink formats beyond parquet+csv
     "scan_json_roundtrip" -> Sources.scanJsonRoundtrip _,
@@ -162,6 +164,7 @@ object SparkEntry {
     // -- training-data curation / pipeline maintenance
     "sample_stratified"   -> Curation.sampleStratified _,
     "sample_mixture"      -> Curation.sampleMixture _,
+    "sample_temperature"  -> Curation.sampleTemperature _,
     "sample_group_topk"   -> Curation.sampleGroupTopk _,
     "split_train_holdout" -> Curation.splitTrainHoldout _,
     "pack_sequences"      -> Curation.packSequences _,

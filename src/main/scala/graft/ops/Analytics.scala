@@ -177,6 +177,45 @@ object Analytics {
       .orderBy($"user_id")
   }
 
+  /** Regular-grid resample with forward-fill per user: the time-series
+    * gap-filling operator (metrics dashboards, feature windows) — each
+    * user's event history becomes one row per 6-hour bucket between their
+    * first and last event; empty buckets carry the last observed value
+    * forward. The bucket's representative value is the LATEST event by
+    * (epoch-µs, event_id) — deterministic, and the double rides through
+    * untouched (no arithmetic → no float drift). The leading rows before
+    * a user's first value stay NULL in both engines.
+    *
+    * Scale: grid generation is one small per-user explode (bounded by
+    * time-range/bucket, not events); the fill is a running last() window
+    * per user — shuffle on user_id once, reused by both steps. */
+  def tsResample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bucketUs = 21600000000L // 6 hours in µs
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"value")
+      .withColumn("bucket", expr(s"us div $bucketUs"))
+    val perBucket = ev.groupBy($"user_id", $"bucket")
+      .agg(count(lit(1)).as("n_events"),
+        max(struct($"us", $"event_id", $"value")).as("last"))
+      .select($"user_id", $"bucket", $"n_events", $"last.value".as("v"))
+    val grid = ev.groupBy($"user_id")
+      .agg(min($"bucket").as("b0"), max($"bucket").as("b1"))
+      .select($"user_id", explode(sequence($"b0", $"b1")).as("bucket"))
+    val w = Window.partitionBy($"user_id").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perBucket, Seq("user_id", "bucket"), "left_outer")
+      .select($"user_id", $"bucket",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        last($"v", ignoreNulls = true).over(w).as("value"))
+      .select($"user_id",
+        date_format(timestamp_micros($"bucket" * bucketUs), "yyyy-MM-dd HH:mm:ss")
+          .as("bucket_start"),
+        $"n_events", $"value")
+      .orderBy($"user_id", $"bucket_start")
+  }
+
   /** Value histogram with explicit integer binning (floor(value/25),
     * capped at bin 19) — the same arithmetic expression in both engines,
     * rather than width_bucket whose edge handling is implementation-

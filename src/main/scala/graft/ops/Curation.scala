@@ -58,6 +58,32 @@ object Curation {
       .orderBy($"lang")
   }
 
+  /** Temperature-scaled mixture weights (the multilingual-corpus sampling
+    * rule: p_l ∝ count_l^α with α = 0.3 — upweights low-resource
+    * languages without flattening the mixture entirely). Per language,
+    * count^α is fixed to integer micro-units (one pow + one round — the
+    * 1e-6 grid absorbs libm ulp differences); the normalizer is then an
+    * EXACT integer sum, and p_raw / p_temp are single double divisions of
+    * integers — engine-identical. `boost` = p_temp/p_raw shows the
+    * rebalancing factor.
+    *
+    * Scale: one tiny groupBy (|languages| rows) + a broadcast scalar —
+    * the corpus is scanned once, nothing else shuffles. */
+  def sampleTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_u6", round(pow($"n_docs", 0.3) * 1e6).cast("long"))
+    val totals = counts.agg(sum($"n_docs").as("total_docs"),
+      sum($"w_u6").as("total_w_u6"))
+    counts.crossJoin(broadcast(totals))
+      .select($"lang", $"n_docs",
+        ($"n_docs" / $"total_docs").as("p_raw"),
+        ($"w_u6" / $"total_w_u6").as("p_temp"))
+      .withColumn("boost", $"p_temp" / $"p_raw")
+      .orderBy($"lang")
+  }
+
   /** Deterministic k-per-group sample ("hash reservoir"): rank docs inside
     * each language by md5 of a salted key and keep the first 10. One
     * partitioned window — the per-group state is a top-k heap, never the

@@ -325,6 +325,36 @@ object TextSim {
       .orderBy($"doc_id")
   }
 
+  /** Per-doc character-level Shannon entropy — the classic gibberish /
+    * low-diversity gate (encoding junk and keyboard-mash score far below
+    * natural text; "aaaa…" scores 0). H = ln(n) − (1/n)·Σ c·ln(c) over
+    * per-character counts c, carried as EXACT integers until one final
+    * double division: per distinct char, ln(c) is fixed to integer
+    * micro-units (round() is half-away-from-zero in both engines and
+    * ln's irrationals don't land on 1e-6 half-boundaries), so
+    * n·u6(ln n) − Σ c·u6(ln c) is an order-independent BIGINT sum.
+    * `kept` gates at 2.0 nats.
+    *
+    * Scale: explode to (doc, char) → partial-agg — bounded by ~100
+    * distinct chars per doc, linear in the corpus, reuses the rebalanced
+    * doc_id distribution. */
+  def textEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def u6(c: Column) = round(log(c) * 1e6).cast("long")
+    val cc = rebalanceDocs(Tables.documents(spark, sfDir))
+      .select($"doc_id", explode(filter(split($"text", ""), c => c =!= "")).as("c"))
+      .groupBy($"doc_id", $"c").agg(count(lit(1)).as("cnt"))
+    cc.groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_chars"),
+        count(lit(1)).as("distinct_chars"),
+        sum($"cnt" * u6($"cnt")).as("sum_clnc_u6"))
+      .select($"doc_id", $"n_chars", $"distinct_chars",
+        (($"n_chars" * u6($"n_chars") - $"sum_clnc_u6") /
+          ($"n_chars" * lit(1e6))).as("entropy_nats"))
+      .withColumn("kept", $"entropy_nats" >= 2.0)
+      .orderBy($"doc_id")
+  }
+
   /** TF-IDF top terms: tf from one explode+groupBy, document frequency
     * via groupBy(tok).count() + shuffle join, doc count broadcast.
     * tfidf = tf · ln((N+1)/(df+1)) — per-row double math, identical in

@@ -62,6 +62,19 @@ class CorpusQualitySpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("text_entropy matches a pure-Scala re-derivation") {
+    val expected = docs.map { case (id, text) =>
+      val cc = text.toCharArray.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = text.length.toLong
+      val sumU6 = cc.values.map(c => c * roundHalfUp(math.log(c.toDouble) * 1e6)).sum
+      val ent = (n * roundHalfUp(math.log(n.toDouble) * 1e6) - sumU6).toDouble / (n.toDouble * 1e6)
+      (id, n, cc.size.toLong, ent, ent >= 2.0)
+    }
+    val got = TextSim.textEntropy(spark, sfDir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == expected)
+  }
+
   test("text_lm_score matches a pure-Scala re-derivation") {
     val allWords = docs.flatMap { case (_, t) => tok(t) }
     val total = allWords.length.toLong

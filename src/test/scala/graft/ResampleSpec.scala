@@ -1,0 +1,59 @@
+package graft
+
+import graft.ops.{Analytics, Curation}
+
+/** Pure-Scala re-derivations of the resample grid and the temperature
+  * mixture — independent of every Spark code path the operators use. */
+class ResampleSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val BucketUs = 21600000000L
+
+  test("ts_resample: contiguous per-user grid, forward-filled last value") {
+    val events = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id",
+        org.apache.spark.sql.functions.unix_micros($"ts").as("us"), $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = events.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (user, evs) =>
+        val byBucket = evs.groupBy(_._3 / BucketUs)
+        val b0 = byBucket.keys.min
+        val b1 = byBucket.keys.max
+        var lastV: Option[Double] = None
+        (b0 to b1).map { b =>
+          val in = byBucket.getOrElse(b, Array.empty[(Long, Long, Long, Double)])
+          if (in.nonEmpty) lastV = Some(in.maxBy(e => (e._3, e._2))._4)
+          (user, b, in.length.toLong, lastV)
+        }
+    }
+    val got = Analytics.tsResample(spark, sfDir).collect().map { r =>
+      (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    }.toSeq
+    // same cardinality and per-row equality (bucket_start re-derived from µs)
+    assert(got.size == expected.size)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+    expected.zip(got).foreach { case ((u, b, n, v), (gu, gts, gn, gv)) =>
+      assert(gu == u && gn == n && gv == v)
+      assert(gts == fmt.format(java.time.Instant.ofEpochSecond(b * 21600)))
+    }
+  }
+
+  test("sample_temperature: probabilities normalize and flatten the mixture") {
+    val rows = Curation.sampleTemperature(spark, sfDir).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    // temperature flattening: every language below uniform share is boosted,
+    // every language above it is damped
+    val k = rows.length.toDouble
+    rows.foreach { case (_, _, pRaw, _, boost) =>
+      if (pRaw < 1.0 / k) assert(boost > 1.0) else assert(boost < 1.0)
+    }
+    // p_temp ordering preserves p_raw ordering (monotone transform)
+    val byRaw = rows.sortBy(_._3).map(_._1).toSeq
+    val byTemp = rows.sortBy(_._4).map(_._1).toSeq
+    assert(byRaw == byTemp)
+  }
+}
