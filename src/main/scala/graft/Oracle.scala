@@ -1134,6 +1134,29 @@ object Oracle {
         |   / (varp * varp) - 3.0) * 1000000) AS BIGINT) AS kurt_u6
         |FROM e ORDER BY event_type""".stripMargin,
 
+    "scd2_lookup" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value FROM events),
+        |i AS (SELECT user_id, event_id AS click_id, us AS valid_from,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to
+        |  FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, us,
+        |  CAST(value AS DECIMAL(18,6)) AS value FROM e WHERE event_type = 'purchase')
+        |SELECT p.user_id AS user_id, purchase_id, click_id,
+        | us - valid_from AS us_since_click, value
+        |FROM p JOIN i ON p.user_id = i.user_id
+        |WHERE us >= valid_from AND (valid_to IS NULL OR us < valid_to)
+        |ORDER BY p.user_id, purchase_id""".stripMargin,
+
+    "win_moving_median" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        |f AS (SELECT user_id, event_id, value,
+        |  list_sort(list(value) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS frame
+        |  FROM e)
+        |SELECT user_id, event_id, value,
+        | (frame[(len(frame) + 1) // 2] + frame[len(frame) // 2 + 1]) / 2.0 AS med7
+        |FROM f ORDER BY user_id, event_id""".stripMargin,
+
     "text_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
         |cc AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch WHERE c <> '' GROUP BY 1, 2),

@@ -156,6 +156,8 @@ object SparkEntry {
     "path_transitions"  -> Analytics.pathTransitions _,
     "ts_ewma"           -> Analytics.tsEwma _,
     "ts_resample"       -> Analytics.tsResample _,
+    "win_moving_median" -> Windows.winMovingMedian _,
+    "agg_hll_mergeable" -> Relational.aggHllMergeable _,
     "agg_moments_exact" -> Analytics.aggMomentsExact _,
     // -- source/sink formats beyond parquet+csv
     "scan_json_roundtrip" -> Sources.scanJsonRoundtrip _,
@@ -165,6 +167,7 @@ object SparkEntry {
     "sample_stratified"   -> Curation.sampleStratified _,
     "sample_mixture"      -> Curation.sampleMixture _,
     "sample_temperature"  -> Curation.sampleTemperature _,
+    "scd2_lookup"         -> Curation.scd2Lookup _,
     "sample_group_topk"   -> Curation.sampleGroupTopk _,
     "split_train_holdout" -> Curation.splitTrainHoldout _,
     "pack_sequences"      -> Curation.packSequences _,

@@ -199,6 +199,40 @@ object Curation {
       .orderBy($"user_id", $"valid_from", $"event_id")
   }
 
+  /** Temporal point-in-interval lookup against the SCD2 history — the
+    * "which version was current when X happened" join every warehouse
+    * runs (and the last-touch attribution query in clickstream form):
+    * each purchase is matched to the click interval containing its
+    * event time. Intervals come from the user's click stream
+    * ([click µs, next click µs)); purchases join on user equality plus
+    * interval containment.
+    *
+    * Scale: the interval build is one lead() window per user; the lookup
+    * is an equi-join on user_id with the range predicate applied inside
+    * the matched key group — never a cross join. A user's clicks bound
+    * the per-key work exactly as in any sessionization. */
+  def scd2Lookup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        $"event_type", $"value")
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val intervals = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"us".as("valid_from"))
+      .withColumn("valid_to",
+        lead($"valid_from", 1).over(
+          Window.partitionBy($"user_id").orderBy($"valid_from", $"click_id")))
+    ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"us",
+        $"value".cast("decimal(18,6)").as("value"))
+      .join(intervals, Seq("user_id"))
+      .filter($"us" >= $"valid_from" &&
+        ($"valid_to".isNull || $"us" < $"valid_to"))
+      .select($"user_id", $"purchase_id", $"click_id",
+        ($"us" - $"valid_from").as("us_since_click"), $"value")
+      .orderBy($"user_id", $"purchase_id")
+  }
+
   /** Skew-safe two-stage aggregation: stage 1 aggregates on (key, salt)
     * where salt = hash(row key) % 16 splits any hot group across 16
     * partitions; stage 2 re-aggregates the 16 partials per key. DECIMAL

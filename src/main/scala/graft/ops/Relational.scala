@@ -316,6 +316,30 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Mergeable HLL sketches (DataSketches-backed `hll_sketch_agg`) — the
+    * 100 TB distinct-count architecture made explicit: per-group sketches
+    * are built in one pass, and the GLOBAL estimate is computed by
+    * MERGING the group sketches (`hll_union_agg`), never by re-scanning
+    * the input. That merge step is what lets a warehouse keep per-day /
+    * per-segment sketches and answer any rollup later — the property
+    * asserted in ApproxSpec: union-of-sketches ≈ direct global distinct.
+    * No oracle (approximate by nature); exact twins ride along. */
+  def aggHllMergeable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sk = Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(hll_sketch_agg($"user_id", lit(12)).as("sk"),
+        countDistinct($"user_id").as("exact_nd"))
+      .cache()
+    val per = sk.select($"event_type",
+      hll_sketch_estimate($"sk").as("approx_nd"), $"exact_nd")
+    val merged = sk.agg(
+      hll_sketch_estimate(hll_union_agg($"sk")).as("approx_nd"))
+      .select(lit("*merged*").as("event_type"), $"approx_nd",
+        lit(null).cast("long").as("exact_nd"))
+    per.unionAll(merged).orderBy($"event_type")
+  }
+
   // -------------------------------------------------------- sort/limit/setop
 
   /** Multi-key sort with explicit null placement; nulls injected via a

@@ -153,6 +153,31 @@ object Windows {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Trailing 7-row moving MEDIAN per user — the robust smoother (moving
+    * averages chase outliers; dashboards and anomaly baselines want the
+    * median). Exact and engine-identical by construction: the frame's
+    * values are collected, sorted, and the median is picked/averaged with
+    * the SAME arithmetic in both engines ((lo+hi)/2.0, where lo=hi for
+    * odd frames) — no reliance on each engine's quantile interpolation
+    * formula, whose float evaluation differs at the ulp level.
+    *
+    * Scale: one partitioned window, frame state bounded at 7 values —
+    * the running-sketch contract, safe at any partition size. */
+  def winMovingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy(unix_micros($"ts"), $"event_id")
+      .rowsBetween(-6, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"value",
+        sort_array(collect_list($"value").over(w)).as("frame"))
+      .select($"user_id", $"event_id", $"value",
+        ((element_at($"frame", ((size($"frame") + 1) / 2).cast("int"))
+          + element_at($"frame", (size($"frame") / 2 + 1).cast("int"))) / 2.0)
+          .as("med7"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** percent_rank + cume_dist per order status: relative standing of each
     * order's price inside its partition. Both are exact rational doubles
     * of integer ranks ((rank-1)/(n-1), n_leq/n) — identical in any

@@ -16,6 +16,26 @@ class ApproxSpec extends SparkSuite {
       s"approx $approx vs exact $exact")
   }
 
+  test("agg_hll_mergeable: union of group sketches ≈ direct global distinct") {
+    val rows = graft.ops.Relational.aggHllMergeable(spark, sfDir).collect()
+    val perType = rows.filter(_.getString(0) != "*merged*")
+    perType.foreach { r =>
+      val approx = r.getLong(1)
+      val exact = r.getLong(2)
+      assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+    val merged = rows.find(_.getString(0) == "*merged*").get.getLong(1)
+    val globalExact = Tables.events(spark, sfDir)
+      .select(countDistinct($"user_id")).head().getLong(0)
+    assert(math.abs(merged - globalExact).toDouble / globalExact <= 0.05,
+      s"merged $merged vs global exact $globalExact")
+    // the union must NOT sum overlapping groups: users appear in several
+    // event types, so the merged estimate stays near the global NDV, far
+    // below the sum of the per-group estimates
+    assert(merged < perType.map(_.getLong(1)).sum)
+  }
+
   test("approx_percentile brackets the exact percentile") {
     val li = Tables.lineitem(spark, sfDir).select($"l_extendedprice".as("v"))
     val exact = li.select(percentile($"v", lit(0.5))).head().getDouble(0)

@@ -40,6 +40,46 @@ class ResampleSpec extends SparkSuite {
     }
   }
 
+  test("scd2_lookup matches a pure-Scala interval re-derivation") {
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id",
+        org.apache.spark.sql.functions.unix_micros($"ts").as("us"), $"event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = ev.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (user, evs) =>
+      val clicks = evs.filter(_._4 == "click").sortBy(e => (e._3, e._2))
+      val purchases = evs.filter(_._4 == "purchase").sortBy(_._2)
+      purchases.flatMap { p =>
+        val container = clicks.zipWithIndex.find { case (c, i) =>
+          val to = if (i + 1 < clicks.length) Some(clicks(i + 1)._3) else None
+          p._3 >= c._3 && to.forall(p._3 < _)
+        }
+        container.map { case (c, _) => (user, p._2, c._2, p._3 - c._3) }
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.ops.Curation.scd2Lookup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("win_moving_median matches a pure-Scala sliding median") {
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id",
+        org.apache.spark.sql.functions.unix_micros($"ts").as("us"), $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (user, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._2))
+      ordered.zipWithIndex.map { case (e, i) =>
+        val frame = ordered.slice(math.max(0, i - 6), i + 1).map(_._4).sorted
+        val n = frame.length
+        val med = (frame((n + 1) / 2 - 1) + frame(n / 2)) / 2.0
+        (user, e._2, med)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.ops.Windows.winMovingMedian(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(got == expected)
+  }
+
   test("sample_temperature: probabilities normalize and flatten the mixture") {
     val rows = Curation.sampleTemperature(spark, sfDir).collect().map(r =>
       (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
