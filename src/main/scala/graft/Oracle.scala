@@ -740,6 +740,16 @@ object Oracle {
          |SELECT vec_id, label, CAST(${cosSql("v", "p")} AS DECIMAL(18,6))::DOUBLE AS cos
          |FROM e, probe ORDER BY cos DESC, vec_id LIMIT 50""".stripMargin,
 
+    "sim_hybrid_search" ->
+      s"""WITH d AS (SELECT doc_id, lang FROM documents
+         |  WHERE list_contains($toksExpr, 'vector')),
+         |e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |probe AS (SELECT v AS p FROM e WHERE vec_id = 0)
+         |SELECT doc_id, lang, CAST(${cosSql("v", "p")} AS DECIMAL(18,6))::DOUBLE AS cos
+         |FROM d JOIN e ON d.doc_id = e.vec_id, probe
+         |ORDER BY cos DESC, doc_id LIMIT 20""".stripMargin,
+
     "sim_knn_per_label" ->
       s"""WITH e AS (SELECT vec_id, label,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -1133,6 +1143,18 @@ object Oracle {
         |   - 3.0 * mean * mean * mean * mean)
         |   / (varp * varp) - 3.0) * 1000000) AS BIGINT) AS kurt_u6
         |FROM e ORDER BY event_type""".stripMargin,
+
+    "profile_drift" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT day, n, list_sort(list(n) OVER (ORDER BY day
+        |  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS base FROM daily),
+        |m AS (SELECT day, n, CASE WHEN len(base) > 0
+        |  THEN (base[(len(base) + 1) // 2] + base[len(base) // 2 + 1]) / 2.0
+        |  END AS med7 FROM f)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n, med7,
+        | abs(n - med7) > med7 * 0.5 AS drift
+        |FROM m ORDER BY day""".stripMargin,
 
     "scd2_lookup" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value FROM events),

@@ -168,6 +168,8 @@ object SparkEntry {
     "sample_mixture"      -> Curation.sampleMixture _,
     "sample_temperature"  -> Curation.sampleTemperature _,
     "scd2_lookup"         -> Curation.scd2Lookup _,
+    "sim_hybrid_search"   -> Similarity.simHybridSearch _,
+    "profile_drift"       -> Quality.profileDrift _,
     "sample_group_topk"   -> Curation.sampleGroupTopk _,
     "split_train_holdout" -> Curation.splitTrainHoldout _,
     "pack_sequences"      -> Curation.packSequences _,

@@ -62,6 +62,36 @@ object Quality {
       .orderBy($"check_name")
   }
 
+  /** Partition-volume drift monitor — the freshness/completeness check a
+    * production pipeline runs on every landing partition: per-day row
+    * counts compared against the trailing 7-day median (median, not mean:
+    * one bad day must not poison the baseline that judges the next).
+    * `drift` flags days off by more than 50% from baseline; the first day
+    * has no baseline and stays null. Exact arithmetic throughout — counts
+    * are integers and the median is the same sort-and-pick expression in
+    * both engines.
+    *
+    * Scale: one date-keyed aggregation (map-side combinable) over any
+    * volume; the window runs over |days| rows — trivially small. */
+  def profileDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy($"day").rowsBetween(-7, -1)
+    daily
+      .select($"day", $"n", sort_array(collect_list($"n").over(w)).as("base"))
+      .select($"day", $"n",
+        when(size($"base") > 0,
+          (element_at($"base", ((size($"base") + 1) / 2).cast("int"))
+            + element_at($"base", (size($"base") / 2 + 1).cast("int"))) / 2.0)
+          .as("med7"))
+      .withColumn("drift", abs($"n" - $"med7") > $"med7" * 0.5)
+      .select(date_format($"day", "yyyy-MM-dd").as("day"), $"n", $"med7", $"drift")
+      .orderBy($"day")
+  }
+
   /** Incremental aggregate maintenance (materialized-view merge): the
     * standing per-priority aggregate absorbs a delta batch by RE-AGGREGATING
     * base partials with delta partials — sums and counts merge, averages

@@ -55,6 +55,30 @@ object Similarity {
       .limit(50)
   }
 
+  /** Hybrid retrieval — the RAG-serving pattern: a lexical predicate
+    * prunes the corpus FIRST (docs whose text contains the query keyword),
+    * then only the surviving candidates pay the vector math against the
+    * broadcast probe, ranked by cosine top-k. At 100 TB the keyword
+    * filter is what makes brute-force scoring affordable: the scan prunes
+    * at the parquet level, the embedding join is an equi-join on the doc
+    * key, and top-k is a TakeOrdered heap — no global sort, no all-pairs. */
+  def simHybridSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .filter(array_contains(TextSim.tokens($"text"), "vector"))
+      .select($"doc_id", $"lang")
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", vecd($"embedding").as("v"))
+    val probe = broadcast(e.filter($"vec_id" === 0).select($"v".as("p")))
+    docs.join(e, docs("doc_id") === e("vec_id"))
+      .crossJoin(probe)
+      .select($"doc_id", $"lang",
+        cosine($"v", $"p").cast("decimal(18,6)").as("cos"))
+      .orderBy($"cos".desc, $"doc_id")
+      .limit(20)
+  }
+
   /** Unit (L2) normalization — the standard embedding pre-processing that
     * turns cosine ANN into plain dot products. Norm via the native fold;
     * the checksum re-folds the normalized elements left-to-right so the
