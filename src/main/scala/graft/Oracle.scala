@@ -965,6 +965,19 @@ object Oracle {
         |ORDER BY revenue DESC, o.o_orderkey
         |LIMIT 20""".stripMargin,
 
+    "sql_api_q18" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        | strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+        | CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+        | CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY c.c_custkey, c.c_name, o.o_orderkey,
+        | strftime(o.o_orderdate, '%Y-%m-%d'), CAST(o.o_totalprice AS DECIMAL(18,2))
+        |HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 250
+        |ORDER BY totalprice DESC, o.o_orderkey""".stripMargin,
+
     "stream_join_static" ->
       """SELECT c.c_mktsegment,
         | COUNT(*) AS n_events,
@@ -1444,6 +1457,31 @@ object Oracle {
         | COUNT(*) AS n_events
         |FROM islands GROUP BY user_id, session_id
         |ORDER BY user_id, first_ts""".stripMargin,
+
+    "win_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |o AS (SELECT user_id, event_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |i AS (SELECT user_id, us, CAST(SUM(brk) OVER (PARTITION BY user_id
+        |  ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS BIGINT) AS session_seq FROM o)
+        |SELECT user_id, session_seq, CAST(COUNT(*) AS BIGINT) AS n_events,
+        | strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S') AS first_ts,
+        | strftime(make_timestamp(max(us)), '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM i GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "stream_foreach_upsert" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |  ORDER BY us DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, event_id,
+        | strftime(make_timestamp(us), '%Y-%m-%d %H:%M:%S') AS last_ts,
+        | event_type, CAST(value AS DECIMAL(18,6)) AS value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "stream_latest_status" ->
       """SELECT user_id, event_id,

@@ -170,6 +170,10 @@ object SparkEntry {
     "scd2_lookup"         -> Curation.scd2Lookup _,
     "sim_hybrid_search"   -> Similarity.simHybridSearch _,
     "profile_drift"       -> Quality.profileDrift _,
+    "win_sessionize"      -> Windows.winSessionize _,
+    "sql_api_q18"         -> Relational.sqlApiQ18 _,
+    "agg_count_min"       -> Relational.aggCountMin _,
+    "stream_foreach_upsert" -> Streaming.streamForeachUpsert _,
     "sample_group_topk"   -> Curation.sampleGroupTopk _,
     "split_train_holdout" -> Curation.splitTrainHoldout _,
     "pack_sequences"      -> Curation.packSequences _,

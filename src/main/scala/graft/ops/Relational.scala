@@ -503,6 +503,47 @@ object Relational {
         |LIMIT 20""".stripMargin)
   }
 
+  /** TPC-H Q18 shape (large-volume customers) through the `spark.sql`
+    * entry point: orders whose summed lineitem quantity exceeds 250,
+    * joined back to the customer — the HAVING-on-a-join-aggregate pattern.
+    * Same Catalyst plan as the DataFrame form: two shuffle joins +
+    * partial-aggregated HAVING, total-ordered by (totalprice desc,
+    * orderkey) for the hash compare. */
+  def sqlApiQ18(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        | date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate,
+        | CAST(o.o_totalprice AS DECIMAL(18,2)) AS totalprice,
+        | CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM graft_customer c
+        |JOIN graft_orders o ON c.c_custkey = o.o_custkey
+        |JOIN graft_lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY c.c_custkey, c.c_name, o.o_orderkey,
+        | date_format(o.o_orderdate, 'yyyy-MM-dd'), CAST(o.o_totalprice AS DECIMAL(18,2))
+        |HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 250
+        |ORDER BY totalprice DESC, o.o_orderkey""".stripMargin)
+  }
+
+  /** Count-min sketch heavy-hitter frequencies (the mergeable frequency
+    * sketch backing streaming top-k): per event_type, a CMS over user_id
+    * with ε=0.001, δ=0.01, fixed seed. Partition merges ADD the integer
+    * count tables (commutative), so the serialized sketch — fingerprinted
+    * here as md5 — is deterministic under any partitioning. ApproxSpec
+    * deserializes and bounds the estimates (CMS never undercounts;
+    * overcount ≤ ε·N at confidence δ). No oracle: DuckDB has no CMS. */
+  def aggCountMin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(count_min_sketch($"user_id", lit(0.001), lit(0.99), lit(42)).as("sk"),
+        count(lit(1)).as("n"))
+      .select($"event_type", md5($"sk").as("sketch_md5"), $"n")
+      .orderBy($"event_type")
+  }
+
   /** Top-3 lineitems per supplier through the custom whole-operator stack
     * (org.apache.spark.sql.graft.TopKPerKey: logical node → planner
     * strategy → heap-based physical operator). Unlike the window form it

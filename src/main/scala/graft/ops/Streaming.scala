@@ -342,6 +342,52 @@ object Streaming {
     }
   }
 
+  /** Streaming CDC upsert via foreachBatch — the keep-a-table-current
+    * pattern when the sink is a plain file store with no MERGE: each
+    * micro-batch folds into a VERSIONED state snapshot (latest event per
+    * user by (µs, event_id), ties impossible — event_id unique). Writing
+    * state_v<batchId> derived only from state_v<batchId-1> + the batch
+    * makes replays idempotent — foreachBatch is at-least-once, and
+    * batch-id-addressed outputs are the standard exactly-once upgrade.
+    * One AvailableNow batch ⇒ final state ≡ batch latest-per-key, which
+    * is the SQL the oracle runs.
+    *
+    * Scale: the merge is one union + keyed window per batch — state and
+    * batch shuffle once on the key; snapshots would be partitioned/
+    * bucketed by the key in production so the window never re-sorts the
+    * whole table. */
+  def streamForeachUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/repo/target/stream/" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val src = eventsStream(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        $"event_type", $"value")
+    @volatile var current: Option[String] = None
+    val q = src.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = current.map(spark.read.parquet(_))
+          .getOrElse(batch.limit(0))
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"us".desc, $"event_id".desc)
+        val next = s"$dir/state_v$batchId"
+        prev.unionByName(batch)
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter($"rn" === 1).drop("rn")
+          .write.mode("overwrite").parquet(next)
+        current = Some(next)
+      }.start()
+    q.awaitTermination()
+    spark.read.parquet(current.get)
+      .select($"user_id", $"event_id",
+        date_format(timestamp_micros($"us"), tsFmt).as("last_ts"),
+        $"event_type", $"value".cast("decimal(18,6)").as("value"))
+      .orderBy($"user_id")
+  }
+
   /** Stateful streaming dedup on event_id under a watermark; the deduped
     * stream is then counted per type (batch-side) to a stable summary. */
   def streamDedupState(spark: SparkSession, sfDir: String): DataFrame = {

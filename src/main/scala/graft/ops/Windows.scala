@@ -153,6 +153,32 @@ object Windows {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Batch sessionization by gaps-and-islands — the window-function twin
+    * of `stream_session`'s `session_window` operator: a session break is
+    * a ≥30-minute silence (epoch-µs integer compare), the session number
+    * is the running sum of break flags, and the summary aggregates per
+    * (user, session_seq). Two window passes over ONE (user_id) exchange —
+    * Catalyst reuses the sort — then a partial-aggregated groupBy on the
+    * same key. The pattern to reach for when session IDs must be stable,
+    * numbered outputs (session_window emits opaque window structs). */
+  def winSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 1800000000L // 30 min
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    graft.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("brk",
+        when(lag($"us", 1).over(w).isNull ||
+          $"us" - lag($"us", 1).over(w) >= gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum($"brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        date_format(timestamp_micros(min($"us")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(timestamp_micros(max($"us")), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+      .orderBy($"user_id", $"session_seq")
+  }
+
   /** Trailing 7-row moving MEDIAN per user — the robust smoother (moving
     * averages chase outliers; dashboards and anomaly baselines want the
     * median). Exact and engine-identical by construction: the frame's

@@ -36,6 +36,36 @@ class ApproxSpec extends SparkSuite {
     assert(merged < perType.map(_.getLong(1)).sum)
   }
 
+  test("agg_count_min: estimates bounded, sketch bytes partition-independent") {
+    val ev = Tables.events(spark, sfDir)
+    val sk = ev.groupBy($"event_type")
+      .agg(count_min_sketch($"user_id", lit(0.001), lit(0.99), lit(42)).as("sk"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1), r.getLong(2)))
+    val exact = ev.groupBy($"event_type", $"user_id").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    sk.foreach { case (tpe, bytes, n) =>
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      exact.filter(_._1._1 == tpe).foreach { case ((_, user), c) =>
+        val est = cms.estimateCount(user)
+        assert(est >= c, s"CMS undercounted $tpe/$user: $est < $c")
+        assert(est <= c + math.ceil(0.001 * n).toLong + 1,
+          s"CMS overcount beyond eps*N for $tpe/$user: $est vs $c (n=$n)")
+      }
+    }
+    // merge order must not leak into the serialized sketch (the md5 the
+    // declared query emits): 1-partition and many-partition runs agree
+    val viaMany = graft.ops.Relational.aggCountMin(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val one = ev.repartition(1)
+    val viaOne = one.groupBy($"event_type")
+      .agg(count_min_sketch($"user_id", lit(0.001), lit(0.99), lit(42)).as("sk"))
+      .select($"event_type", md5($"sk").as("m"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sortBy(_._1)
+    assert(viaMany.map(t => t._1 -> t._2).sorted == viaOne.sorted)
+  }
+
   test("approx_percentile brackets the exact percentile") {
     val li = Tables.lineitem(spark, sfDir).select($"l_extendedprice".as("v"))
     val exact = li.select(percentile($"v", lit(0.5))).head().getDouble(0)
