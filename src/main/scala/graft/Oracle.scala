@@ -810,6 +810,15 @@ object Oracle {
          |  THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
          |FROM agg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "dedup_bloom_prefilter" ->
+      """WITH existing AS (SELECT md5(lower(trim(text))) AS k FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |incoming AS (SELECT doc_id, lang, md5(lower(trim(text))) AS k
+        |  FROM documents WHERE doc_id % 2 <> 0)
+        |SELECT doc_id, lang FROM incoming i
+        |WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.k = i.k)
+        |ORDER BY doc_id""".stripMargin,
+
     "text_repetition" ->
       s"""WITH d AS (SELECT doc_id, $toksExpr AS ts FROM documents),
          |g0 AS (SELECT doc_id, ts FROM d WHERE len(ts) >= 2),

@@ -174,6 +174,7 @@ object SparkEntry {
     "sql_api_q18"         -> Relational.sqlApiQ18 _,
     "agg_count_min"       -> Relational.aggCountMin _,
     "stream_foreach_upsert" -> Streaming.streamForeachUpsert _,
+    "dedup_bloom_prefilter" -> TextSim.dedupBloomPrefilter _,
     "sample_group_topk"   -> Curation.sampleGroupTopk _,
     "split_train_holdout" -> Curation.splitTrainHoldout _,
     "pack_sequences"      -> Curation.packSequences _,

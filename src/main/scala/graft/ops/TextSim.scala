@@ -325,6 +325,42 @@ object TextSim {
       .orderBy($"doc_id")
   }
 
+  /** Dedup against an existing key set with a BLOOM PREFILTER — how the
+    * reference's "skip rows whose externalId already exists"
+    * (BackgroundCsvProcessor.java:242) survives 100 TB: an exact anti-join
+    * against the full existing-key table shuffles BOTH sides; a bloom
+    * filter over the existing keys (here even-doc_id docs, ~1 MB per 10⁶
+    * keys at 1% fpp) broadcast to the scan eliminates ~99% of definite-
+    * misses map-side, and the exact anti-join then confirms only the
+    * bloom's false positives. Result is EXACT (bloom never false-negates
+    * a member, so no new key is wrongly dropped) — the oracle is the
+    * plain anti-join — but the shuffle carries only candidate hits.
+    * Same two expressions Spark's own runtime row-level filtering
+    * injects (pinned in RuntimeFilterSpec). */
+  def dedupBloomPrefilter(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    Tables.documents(spark, sfDir).createOrReplaceTempView("graft_docs_bloom")
+    // might_contain requires its bloom as a constant or scalar subquery —
+    // the same contract Spark's own injected runtime filters satisfy — so
+    // the plan is declared in SQL. Definite misses (NOT hit) pass with no
+    // join at all; only bloom hits reach the exact anti-join.
+    spark.sql(
+      """WITH existing AS (SELECT md5(lower(trim(text))) AS k
+        |  FROM graft_docs_bloom WHERE doc_id % 2 = 0),
+        |incoming AS (SELECT doc_id, lang, md5(lower(trim(text))) AS k
+        |  FROM graft_docs_bloom WHERE doc_id % 2 <> 0),
+        |tagged AS (SELECT doc_id, lang, k,
+        |  graft_might_contain(
+        |    (SELECT graft_bloom_agg(xxhash64(k), 1000000L, 8388608L) FROM existing),
+        |    xxhash64(k)) AS hit
+        |  FROM incoming)
+        |SELECT doc_id, lang FROM tagged WHERE NOT hit
+        |UNION ALL
+        |SELECT t.doc_id, t.lang FROM tagged t
+        |WHERE hit AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.k = t.k)
+        |ORDER BY doc_id""".stripMargin)
+  }
+
   /** Per-doc character-level Shannon entropy — the classic gibberish /
     * low-diversity gate (encoding junk and keyboard-mash score far below
     * natural text; "aaaa…" scores 0). H = ln(n) − (1/n)·Σ c·ln(c) over

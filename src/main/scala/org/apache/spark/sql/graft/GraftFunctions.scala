@@ -18,6 +18,21 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
+    // own runtime row-level filtering but leaves them out of the public
+    // registry; expose them so declared queries can build the same
+    // broadcast-bloom prefilter plan the optimizer injects.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs.head, exprs(1), exprs(2))
+        .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs.head, exprs(1)),
+      "built-in")
     if (!spark.experimental.extraOptimizations.contains(BandedLevenshteinRule)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ BandedLevenshteinRule

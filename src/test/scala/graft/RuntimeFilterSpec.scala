@@ -34,4 +34,20 @@ class RuntimeFilterSpec extends SparkSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("dedup_bloom_prefilter is exact: ≡ plain anti-join, bloom in plan") {
+    val got = graft.ops.TextSim.dedupBloomPrefilter(spark, sfDir)
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom prefilter in:\n$plan")
+    val docs = Tables.documents(spark, sfDir)
+    val existing = docs.filter($"doc_id" % 2 === 0)
+      .select(md5(lower(trim($"text"))).as("k"))
+    val expected = docs.filter($"doc_id" % 2 =!= 0)
+      .select($"doc_id", $"lang", md5(lower(trim($"text"))).as("k"))
+      .join(existing, Seq("k"), "left_anti")
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == expected)
+  }
 }
