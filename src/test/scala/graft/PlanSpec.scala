@@ -123,6 +123,20 @@ class PlanSpec extends SparkSuite {
     assert(plan("sample_stratified").contains("BroadcastHashJoin"))
   }
 
+  test("sim_hybrid_search broadcasts the probe and heaps the top-k") {
+    val p = plan("sim_hybrid_search")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"hybrid top-k is not a TakeOrdered heap:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"probe is not broadcast:\n$p")
+  }
+
+  test("scd2_lookup joins intervals on the user key, never a cartesian") {
+    val p = plan("scd2_lookup")
+    assert(!p.contains("CartesianProduct"),
+      s"interval lookup degenerated to a cartesian product:\n$p")
+  }
+
   test("agg_salted plans two aggregation stages (salt then merge)") {
     // 2 logical stages × (partial + final) = at least 4 HashAggregates
     assert("HashAggregate".r.findAllIn(plan("agg_salted")).size >= 4)
