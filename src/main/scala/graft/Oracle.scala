@@ -1252,6 +1252,18 @@ object Oracle {
         | CAST(n_events AS BIGINT) AS n_events, value
         |FROM f ORDER BY user_id, bucket_start""".stripMargin,
 
+    "ts_seasonal_baseline" ->
+      """WITH e AS (SELECT ((epoch_us(ts) // 86400000000 + 4) % 7) AS dow,
+        |  ((epoch_us(ts) % 86400000000) // 3600000000) AS hour,
+        |  CAST(value AS DECIMAL(18,6)) AS v FROM events),
+        |b AS (SELECT dow, hour, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS s
+        |  FROM e GROUP BY 1, 2),
+        |g AS (SELECT CAST(SUM(n) AS BIGINT) AS gn, SUM(s) AS gs FROM b)
+        |SELECT dow, hour, n,
+        | CAST(s AS DOUBLE) / n AS avg_value,
+        | (CAST(s AS DOUBLE) / n) / (CAST(gs AS DOUBLE) / gn) AS seasonal_index
+        |FROM b, g ORDER BY dow, hour""".stripMargin,
+
     "ts_ewma" ->
       """WITH ev AS (SELECT user_id,
         |  CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS v,

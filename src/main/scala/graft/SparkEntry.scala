@@ -156,6 +156,7 @@ object SparkEntry {
     "path_transitions"  -> Analytics.pathTransitions _,
     "ts_ewma"           -> Analytics.tsEwma _,
     "ts_resample"       -> Analytics.tsResample _,
+    "ts_seasonal_baseline" -> Analytics.tsSeasonalBaseline _,
     "win_moving_median" -> Windows.winMovingMedian _,
     "agg_hll_mergeable" -> Relational.aggHllMergeable _,
     "agg_moments_exact" -> Analytics.aggMomentsExact _,
@@ -175,6 +176,7 @@ object SparkEntry {
     "agg_count_min"       -> Relational.aggCountMin _,
     "stream_foreach_upsert" -> Streaming.streamForeachUpsert _,
     "dedup_bloom_prefilter" -> TextSim.dedupBloomPrefilter _,
+    "dedup_semantic"        -> Similarity.dedupSemantic _,
     "sample_group_topk"   -> Curation.sampleGroupTopk _,
     "split_train_holdout" -> Curation.splitTrainHoldout _,
     "pack_sequences"      -> Curation.packSequences _,

@@ -216,6 +216,34 @@ object Analytics {
       .orderBy($"user_id", $"bucket_start")
   }
 
+  /** Seasonal baseline by (day-of-week × hour) — the profile every ops
+    * metric is compared against ("is this Tuesday-3pm number normal for a
+    * Tuesday 3pm?"). Buckets derive from epoch-µs INTEGER arithmetic
+    * ((day+4)%7 puts Sunday at 0 — engines disagree on dayofweek()
+    * conventions, integer math can't), sums are exact DECIMAL, and the
+    * per-bucket average plus seasonal index (bucket avg / global avg) are
+    * single double divisions of exact inputs.
+    *
+    * Scale: one aggregation to 168 buckets — partial aggregation does
+    * almost all the work map-side; the global row is a broadcast scalar. */
+  def tsSeasonalBaseline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val buckets = Tables.events(spark, sfDir)
+      .select(
+        expr("((unix_micros(ts) div 86400000000) + 4) % 7").as("dow"),
+        expr("(unix_micros(ts) % 86400000000) div 3600000000").as("hour"),
+        $"value".cast("decimal(18,6)").as("v"))
+      .groupBy($"dow", $"hour")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    val global = buckets.agg(sum($"n").as("gn"), sum($"s").as("gs"))
+    buckets.crossJoin(broadcast(global))
+      .select($"dow", $"hour", $"n",
+        ($"s".cast("double") / $"n").as("avg_value"),
+        (($"s".cast("double") / $"n") / ($"gs".cast("double") / $"gn"))
+          .as("seasonal_index"))
+      .orderBy($"dow", $"hour")
+  }
+
   /** Value histogram with explicit integer binning (floor(value/25),
     * capped at bin 19) — the same arithmetic expression in both engines,
     * rather than width_bucket whose edge handling is implementation-

@@ -226,6 +226,49 @@ object Similarity {
       .limit(10)
   }
 
+  /** Semantic dedup (the SemDeDup recipe): cluster the embedding space
+    * coarsely, then mark near-duplicate PAIRS only within a cluster cell —
+    * the quadratic stage is bounded by the cell population instead of the
+    * corpus, which is the whole trick at 100 TB (k cells ⇒ ~n²/k pair
+    * work). Cells are the IVF nearest-centroid assignment (same
+    * deterministic sampled-centroid build as [[simIvfProbe]]); within a
+    * cell, pairs at cos ≥ 0.35 are emitted with the kept representative =
+    * min vec_id. ScalaTest (no oracle: the centroid averages are float
+    * sums): every emitted pair verifies cos ≥ 0.35 bit-exactly via the
+    * HOF fold, pairs are canonical a<b, and cell-bounding is proven by
+    * both members sharing a cell. */
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", vecd($"embedding").as("v"))
+    val cent = broadcast(
+      e.filter($"vec_id" % 4 === 0)
+        .select($"label".as("cid"), posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"cid", $"pos").agg(avg($"x").as("cx"))
+        .groupBy($"cid").agg(expr(
+          "transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)")
+          .as("centroid")))
+    val w = Window.partitionBy($"vec_id").orderBy($"d2", $"cid")
+    val assigned = e.crossJoin(cent)
+      .select($"vec_id", $"v", $"cid",
+        (dot($"centroid", $"centroid") - lit(2.0) * dot($"centroid", $"v")).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"v", $"cid".as("cell"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    a.join(b, $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.cell".as("cell"), $"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        (dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")).as("cos"))
+      .filter($"cos" >= 0.35)
+      .select($"cell", $"id_a", $"id_b",
+        $"cos".cast("decimal(18,6)").as("cos"),
+        least($"id_a", $"id_b").as("kept_id"))
+      .orderBy($"cell", $"id_a", $"id_b")
+  }
+
   /** Embedding-cosine near-duplicate pairs within a label, cos ≥ 0.35
     * (canonical a<b ordering). Declared EXACT tier — same skew policy as
     * simKnnPerLabel: labels above a size threshold route through the

@@ -69,6 +69,32 @@ class SimilaritySpec extends SparkSuite {
     top.unpersist()
   }
 
+  test("dedup_semantic: canonical cell-bounded pairs above the threshold") {
+    import org.apache.spark.sql.functions._
+    val pairs = Similarity.dedupSemantic(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(1) < r.getLong(2), "pair not canonical a<b")
+      assert(r.getLong(4) == r.getLong(1), "kept_id must be the min vec_id")
+      assert(r.getDecimal(3).doubleValue() >= 0.35)
+    }
+    // every emitted cosine re-verifies against an independent HOF fold
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val byId = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      val na = math.sqrt(a.zip(a).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y })
+      val nb = math.sqrt(b.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y })
+      d / (na * nb)
+    }
+    pairs.foreach { r =>
+      val c = cos(byId(r.getLong(1)), byId(r.getLong(2)))
+      assert(math.abs(c - r.getDecimal(3).doubleValue()) < 1e-6,
+        s"pair (${r.getLong(1)},${r.getLong(2)}) cos mismatch")
+    }
+  }
+
   test("cosine of the probe with itself is 1") {
     val self = Similarity.simCosineProbe(spark, sfDir)
       .filter($"vec_id" === 0).select($"cos").as[java.math.BigDecimal].head()
