@@ -564,6 +564,13 @@ object Oracle {
         | FROM trimmed WHERE ext <> '')
         |ORDER BY line_id""".stripMargin),
 
+    "dedup_first_wins_heap" -> (ingestCte +
+      """SELECT line_id, ext FROM (
+        | SELECT line_id, ext,
+        |   row_number() OVER (PARTITION BY ext ORDER BY line_id) AS rn
+        | FROM trimmed WHERE ext <> '')
+        |WHERE rn = 1 ORDER BY line_id""".stripMargin),
+
     "proj_entity_cast" -> (ingestCte +
       """SELECT line_id, ext AS external_id, nam AS name,
         | CASE WHEN qty = '' THEN NULL ELSE try_cast(qty AS INTEGER) END AS quantity,

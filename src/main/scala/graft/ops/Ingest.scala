@@ -246,6 +246,25 @@ object Ingest {
       .orderBy($"line_id")
   }
 
+  /** First-wins dedup with the rank column dropped — the TRUE dedup
+    * output (dedupFirstWins above keeps rn/kept for the audit view). The
+    * declared pattern is the idiomatic window filter; because the rank
+    * is projected away, [[org.apache.spark.sql.graft.FirstRowPerKeyRule]]
+    * rewrites it to the bounded-heap TopKPerKey operator — no per-group
+    * sort. The oracle runs the window SQL, so the gate proves the rewrite
+    * changes nothing. */
+  def dedupFirstWinsHeap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"ext").orderBy($"line_id")
+    itemsRaw(spark, sfDir)
+      .withColumn("ext", trim(coalesce($"external_id_raw", lit(""))))
+      .filter($"ext" =!= "")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"line_id", $"ext")
+      .orderBy($"line_id")
+  }
+
   /** Valid rows → typed entity (trim + int cast + strict date). */
   def projEntityCast(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

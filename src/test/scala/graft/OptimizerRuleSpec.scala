@@ -55,4 +55,67 @@ class OptimizerRuleSpec extends SparkSuite {
     assert(q.count() == viaProjection.count(),
       "null rows must filter out identically in both forms")
   }
+
+  // ---------------------------------------------------- FirstRowPerKeyRule
+
+  /** Isolated session: the rule is session-global, and these tests must
+    * not change other suites' plans. */
+  private lazy val ruleSession = {
+    val s = spark.newSession()
+    org.apache.spark.sql.graft.FirstRowPerKeyRule.register(s)
+    s
+  }
+
+  private def heapIn(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case n: org.apache.spark.sql.graft.TopKPerKeyNode => n
+    }.nonEmpty
+
+  test("row_number=1 dedup with rank dropped rewrites to the heap operator") {
+    import org.apache.spark.sql.expressions.Window
+    val s = ruleSession
+    import s.implicits._
+    val ev = s.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+    def pattern(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+    val q = pattern(ev)
+    assert(heapIn(q), s"no heap rewrite in:\n${q.queryExecution.optimizedPlan}")
+    // same rows as the un-rewritten window form on a plain session
+    val expected = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("o_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = q.orderBy($"o_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    // rn <= 3 with rank dropped also rewrites, emitting 3 rows per key max
+    val q3 = ev.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3).drop("rn")
+    assert(heapIn(q3))
+    val maxPerKey = q3.groupBy($"o_custkey").count()
+      .agg(max($"count")).head().getLong(0)
+    assert(maxPerKey <= 3)
+  }
+
+  test("rank survivors and rank() variants stay on the window plan") {
+    import org.apache.spark.sql.expressions.Window
+    val s = ruleSession
+    import s.implicits._
+    val ev = s.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_custkey", $"o_orderkey")
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+    // rank column kept in the output → heap cannot produce it
+    val kept = ev.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    assert(!heapIn(kept), "must not rewrite when the rank survives")
+    // rank() admits ties beyond k → never rewritten
+    val rk = ev.withColumn("rk", rank().over(w)).filter($"rk" === 1).drop("rk")
+    assert(!heapIn(rk), "must not rewrite rank()")
+  }
 }
