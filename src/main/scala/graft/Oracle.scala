@@ -1185,6 +1185,20 @@ object Oracle {
         | abs(n - med7) > med7 * 0.5 AS drift
         |FROM m ORDER BY day""".stripMargin,
 
+    "merge_cdc_delete" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, 'I' AS op, 0 AS version
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |u AS (SELECT o_orderkey, 'U2' AS o_orderstatus, 'U' AS op, 1 AS version
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |d AS (SELECT o_orderkey, CAST(NULL AS VARCHAR) AS o_orderstatus,
+        |  'D' AS op, 2 AS version FROM orders WHERE o_orderkey % 5 = 0),
+        |allr AS (SELECT * FROM base UNION ALL SELECT * FROM u
+        |  UNION ALL SELECT * FROM d),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |  ORDER BY version DESC) AS rn FROM allr)
+        |SELECT o_orderkey, o_orderstatus, op, version
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""".stripMargin,
+
     "scd2_lookup" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value FROM events),
         |i AS (SELECT user_id, event_id AS click_id, us AS valid_from,

@@ -188,6 +188,7 @@ object SparkEntry {
     "dedup_bloom_prefilter" -> TextSim.dedupBloomPrefilter _,
     "dedup_semantic"        -> Similarity.dedupSemantic _,
     "dedup_first_wins_heap" -> Ingest.dedupFirstWinsHeap _,
+    "merge_cdc_delete"      -> Curation.mergeCdcDelete _,
     "sample_group_topk"   -> Curation.sampleGroupTopk _,
     "split_train_holdout" -> Curation.splitTrainHoldout _,
     "pack_sequences"      -> Curation.packSequences _,

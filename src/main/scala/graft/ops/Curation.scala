@@ -181,6 +181,33 @@ object Curation {
       .orderBy($"o_orderkey")
   }
 
+  /** CDC MERGE with tombstones — the full I/U/D change-feed fold a real
+    * CDC pipeline needs (mergeUpsert handles updates; deletes are the
+    * part plain unions get wrong): base rows carry op='I', the change
+    * feed carries updates (op='U') and deletes (op='D', keys % 5 == 0).
+    * Latest version wins per key, then surviving tombstones REMOVE the
+    * row entirely. One union + one keyed window + one filter — the
+    * shuffle-once no-point-lookup plan, same as mergeUpsert.
+    * Deterministic: version is the explicit change sequence. */
+  def mergeCdcDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sfDir)
+    val base = orders.filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_orderstatus", lit("I").as("op"), lit(0).as("version"))
+    val updates = orders.filter($"o_orderkey" % 3 === 0)
+      .select($"o_orderkey", lit("U2").as("o_orderstatus"), lit("U").as("op"),
+        lit(1).as("version"))
+    val deletes = orders.filter($"o_orderkey" % 5 === 0)
+      .select($"o_orderkey", lit(null).cast("string").as("o_orderstatus"),
+        lit("D").as("op"), lit(2).as("version"))
+    val w = Window.partitionBy($"o_orderkey").orderBy($"version".desc)
+    base.unionByName(updates).unionByName(deletes)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"op" =!= "D")
+      .select($"o_orderkey", $"o_orderstatus", $"op", $"version")
+      .orderBy($"o_orderkey")
+  }
+
   /** SCD2 interval build: each user's event stream becomes validity
     * intervals [valid_from, valid_to) via lead() over (user, time); the
     * open interval is the current row. Timestamps surface as exact epoch

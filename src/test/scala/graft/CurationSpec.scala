@@ -44,6 +44,24 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("merge_cdc_delete: tombstones remove rows, updates win, upserts land") {
+    import spark.implicits._
+    val out = Curation.mergeCdcDelete(spark, sfDir).collect()
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    out.foreach { r =>
+      val key = r.getLong(0)
+      assert(key % 5 != 0, s"tombstoned key $key survived the merge")
+      if (key % 3 == 0) assert(r.getString(2) == "U" && r.getString(1) == "U2")
+      else assert(key % 2 == 0 && r.getString(2) == "I")
+    }
+    // every non-deleted key from either source is present
+    val keys = out.map(_.getLong(0)).toSet
+    val orders = Tables.orders(spark, sfDir).select($"o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    orders.filter(k => (k % 2 == 0 || k % 3 == 0) && k % 5 != 0)
+      .foreach(k => assert(keys.contains(k), s"key $k missing"))
+  }
+
   test("pack_sequences: seq_id is the running-token-count bin per language") {
     val rows = Curation.packSequences(spark, sfDir).collect()
       .map(r => (r.getString(1), r.getLong(0), r.getInt(2), r.getLong(3)))
