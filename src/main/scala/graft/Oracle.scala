@@ -1212,6 +1212,15 @@ object Oracle {
         |WHERE us >= valid_from AND (valid_to IS NULL OR us < valid_to)
         |ORDER BY p.user_id, purchase_id""".stripMargin,
 
+    "win_ratio_to_report" ->
+      """WITH l AS (SELECT l_orderkey, l_linenumber, l_partkey,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS price FROM lineitem),
+        |t AS (SELECT *, SUM(price) OVER (PARTITION BY l_orderkey) AS order_total
+        |  FROM l)
+        |SELECT l_orderkey, l_linenumber, l_partkey,
+        | CAST(price AS DOUBLE) / CAST(order_total AS DOUBLE) AS share
+        |FROM t ORDER BY l_orderkey, l_linenumber, l_partkey, share""".stripMargin,
+
     "win_moving_median" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
         |f AS (SELECT user_id, event_id, value,

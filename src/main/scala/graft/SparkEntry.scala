@@ -168,6 +168,7 @@ object SparkEntry {
     "ts_resample"       -> Analytics.tsResample _,
     "ts_seasonal_baseline" -> Analytics.tsSeasonalBaseline _,
     "win_moving_median" -> Windows.winMovingMedian _,
+    "win_ratio_to_report" -> Windows.winRatioToReport _,
     "agg_hll_mergeable" -> Relational.aggHllMergeable _,
     "agg_moments_exact" -> Analytics.aggMomentsExact _,
     // -- source/sink formats beyond parquet+csv

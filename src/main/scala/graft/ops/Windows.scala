@@ -153,6 +153,24 @@ object Windows {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Ratio-to-report: each line's share of its order's revenue — the
+    * percent-of-total window every BI layer ships. The denominator is an
+    * EXACT decimal sum over the partition (order-independent), the share
+    * one double division of exact inputs; revenue stays decimal so the
+    * partition total is bit-stable under any merge order. One partitioned
+    * window over a key whose cardinality grows with the data. */
+  def winRatioToReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_orderkey")
+    Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey",
+        dec2($"l_extendedprice").as("price"))
+      .withColumn("order_total", sum($"price").over(w))
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey",
+        ($"price".cast("double") / $"order_total".cast("double")).as("share"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"share")
+  }
+
   /** Batch sessionization by gaps-and-islands — the window-function twin
     * of `stream_session`'s `session_window` operator: a session break is
     * a ≥30-minute silence (epoch-µs integer compare), the session number

@@ -21,6 +21,27 @@ class LayoutSpec extends SparkSuite {
       }.toSeq
   }
 
+  test("codec control: zstd writes smaller files than uncompressed, reads back equal") {
+    // at 100 TB the write codec is a first-order storage/scan-cost lever;
+    // pin that the option plumbs through and round-trips losslessly
+    val src = Tables.documents(spark, sfDir)
+    def writeWith(codec: String): (Long, String) = {
+      val dir = Files.createTempDirectory(s"graft_codec_$codec").toString
+      src.coalesce(1).write.mode("overwrite")
+        .option("compression", codec).parquet(dir)
+      val bytes = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      (bytes, dir)
+    }
+    val (zstdBytes, zstdDir) = writeWith("zstd")
+    val (noneBytes, _) = writeWith("none")
+    assert(zstdBytes < noneBytes,
+      s"zstd ($zstdBytes B) not smaller than uncompressed ($noneBytes B)")
+    val back = spark.read.parquet(zstdDir)
+      .orderBy($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(back == src.orderBy($"doc_id").collect().map(_.getLong(0)).toSeq)
+  }
+
   test("compact rewrites a splintered directory to the target file count") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/table"
     Tables.orders(spark, sfDir).repartition(64)
