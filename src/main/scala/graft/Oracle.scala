@@ -525,6 +525,15 @@ object Oracle {
         |              header=true, all_varchar=true)
         |ORDER BY externalId""".stripMargin,
 
+    "scan_csv_dropmalformed" ->
+      """SELECT externalId, name,
+        | CAST(quantity AS INTEGER) AS quantity,
+        | strftime(try_strptime(expiryDate, '%Y-%m-%d'), '%Y-%m-%d') AS expiry_date
+        |FROM read_csv('/root/repo/src/test/resources/items_malformed.csv',
+        |              header=true, all_varchar=true, ignore_errors=true,
+        |              null_padding=false)
+        |ORDER BY externalId""".stripMargin,
+
     "proj_trim" -> (ingestCte +
       "SELECT line_id, ext, nam, qty, exp FROM trimmed ORDER BY line_id"),
 
@@ -1566,6 +1575,11 @@ object Oracle {
   val multimodal: Map[String, String] = Map(
     // sha256(VARCHAR) in DuckDB hashes the utf-8 bytes — identical to
     // Spark's sha2(encode(text,'UTF-8'), 256) over the binary payload.
+    "multimodal_dedup" ->
+      """SELECT sha256(text) AS sha, min(doc_id) AS kept_id,
+        | CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY kept_id""".stripMargin,
+
     "multimodal_binary_meta" ->
       """SELECT doc_id AS asset_id,
         | CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

@@ -190,6 +190,8 @@ object SparkEntry {
     "dedup_semantic"        -> Similarity.dedupSemantic _,
     "dedup_first_wins_heap" -> Ingest.dedupFirstWinsHeap _,
     "merge_cdc_delete"      -> Curation.mergeCdcDelete _,
+    "multimodal_dedup"      -> Multimodal.payloadDedup _,
+    "scan_csv_dropmalformed" -> Ingest.scanCsvDropMalformed _,
     "sample_group_topk"   -> Curation.sampleGroupTopk _,
     "split_train_holdout" -> Curation.splitTrainHoldout _,
     "pack_sequences"      -> Curation.packSequences _,

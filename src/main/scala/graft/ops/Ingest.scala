@@ -146,6 +146,28 @@ object Ingest {
       .orderBy($"externalId")
   }
 
+  /** Malformed-CSV robustness — the wrong-arity lines a real upload feed
+    * always contains (the reference's per-row try/catch,
+    * BackgroundCsvProcessor.java:96-100, at file granularity): an
+    * explicit 4-column schema + DROPMALFORMED keeps exactly the rows
+    * with the declared arity; short AND long rows drop, the job never
+    * fails. The oracle reads the same file with DuckDB's ignore_errors —
+    * both engines agree on arity violations (no quoting tricks in the
+    * fixture, so the corruption class is unambiguous). */
+  def scanCsvDropMalformed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = StructType(Seq("externalId", "name", "quantity", "expiryDate")
+      .map(StructField(_, StringType)))
+    spark.read.option("header", "true").option("mode", "DROPMALFORMED")
+      .schema(schema)
+      .csv("/root/repo/src/test/resources/items_malformed.csv")
+      .select($"externalId", $"name", $"quantity".cast("int").as("quantity"),
+        date_format(try_to_date($"expiryDate", "yyyy-MM-dd"), "yyyy-MM-dd")
+          .as("expiry_date"))
+      .orderBy($"externalId")
+  }
+
   /** Pre-scan row count (the progress denominator; countLines analog). */
   def scanLineCount(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

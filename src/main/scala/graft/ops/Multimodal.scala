@@ -75,6 +75,20 @@ object Multimodal {
 
   /** Frame sampling for "video" assets: every k-th frame index up to a
     * deterministic per-asset frame count — pure column ops, one explode. */
+  /** Content-hash dedup of binary payloads — identical media stored under
+    * different ids collapse to one kept asset (min id) per sha-256. The
+    * hash computes next to the bytes (map-side); only the 32-byte digest
+    * ever shuffles — the blob itself never moves, which is the entire
+    * design constraint for multi-TB media dedup. */
+  def payloadDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, sfDir)
+      .select($"asset_id", sha2($"payload", 256).as("sha"))
+      .groupBy($"sha")
+      .agg(min($"asset_id").as("kept_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"kept_id")
+  }
+
   def frameSample(spark: SparkSession, sfDir: String, everyK: Int = 10): DataFrame = {
     import spark.implicits._
     assets(spark, sfDir)
