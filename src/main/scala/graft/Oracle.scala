@@ -990,6 +990,23 @@ object Oracle {
         |ORDER BY revenue DESC, o.o_orderkey
         |LIMIT 20""".stripMargin,
 
+    "agg_listagg" ->
+      """WITH d AS (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
+        |SELECT l_returnflag,
+        | string_agg(l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+        | CAST(count(*) AS BIGINT) AS n_statuses
+        |FROM d GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "join_lateral_top1" ->
+      """SELECT r.r_name, t.s_suppkey, t.s_acctbal
+        |FROM region r,
+        |LATERAL (
+        |  SELECT s.s_suppkey, s.s_acctbal
+        |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  ORDER BY s.s_acctbal DESC, s.s_suppkey LIMIT 1) t
+        |ORDER BY r.r_name""".stripMargin,
+
     "sql_api_q18" ->
       """SELECT c.c_custkey, c.c_name, o.o_orderkey,
         | strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,

@@ -192,6 +192,8 @@ object SparkEntry {
     "merge_cdc_delete"      -> Curation.mergeCdcDelete _,
     "multimodal_dedup"      -> Multimodal.payloadDedup _,
     "scan_csv_dropmalformed" -> Ingest.scanCsvDropMalformed _,
+    "agg_listagg"           -> Relational.aggListagg _,
+    "join_lateral_top1"     -> Relational.joinLateralTop1 _,
     "sample_group_topk"   -> Curation.sampleGroupTopk _,
     "split_train_holdout" -> Curation.splitTrainHoldout _,
     "pack_sequences"      -> Curation.packSequences _,

@@ -316,6 +316,43 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Ordered string aggregation (LISTAGG, SQL:2016) — the "collapse the
+    * group to a readable list" reporting aggregate. Determinism requires
+    * the WITHIN GROUP order: sorted DISTINCT statuses per returnflag,
+    * made total by the distinct + explicit order. */
+  def aggListagg(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_li_listagg")
+    spark.sql(
+      """WITH d AS (SELECT DISTINCT l_returnflag, l_linestatus
+        |  FROM graft_li_listagg)
+        |SELECT l_returnflag,
+        | listagg(l_linestatus, ',') WITHIN GROUP (ORDER BY l_linestatus)
+        |   AS statuses,
+        | count(*) AS n_statuses
+        |FROM d GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** Lateral join — the per-row correlated subquery (SQL:1999 LATERAL):
+    * for each region, the single cheapest part supplied from that region
+    * via a correlated TOP-1 subquery. The planner decorrelates it to a
+    * join + per-key min — same plan family as win_topk_group, written
+    * the way a SQL user would. */
+  def joinLateralTop1(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.region(spark, sfDir).createOrReplaceTempView("graft_lat_region")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("graft_lat_nation")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("graft_lat_supplier")
+    spark.sql(
+      """SELECT r.r_name, t.s_suppkey, t.s_acctbal
+        |FROM graft_lat_region r,
+        |LATERAL (
+        |  SELECT s.s_suppkey, s.s_acctbal
+        |  FROM graft_lat_supplier s JOIN graft_lat_nation n
+        |    ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  ORDER BY s.s_acctbal DESC, s.s_suppkey LIMIT 1) t
+        |ORDER BY r.r_name""".stripMargin)
+  }
+
   /** Mergeable HLL sketches (DataSketches-backed `hll_sketch_agg`) — the
     * 100 TB distinct-count architecture made explicit: per-group sketches
     * are built in one pass, and the GLOBAL estimate is computed by
