@@ -372,9 +372,13 @@ object Similarity {
     // whole corpus through every round just multiplies each round's
     // shuffle by corpus/|V(edges)| (near-dup graphs are sparse — at
     // 100 TB that ratio is ~10^4). Isolated docs rejoin at the end as a
-    // map-side coalesce.
-    var labels = edges.select($"id_a".as("doc_id")).distinct()
-      .select($"doc_id", $"doc_id".as("cluster")).localCheckpoint()
+    // map-side coalesce. Initial labels FUSE the first propagation step:
+    // min(self, direct neighbors) comes out of the same aggregation that
+    // enumerates the vertex set, saving one full checkpoint+count round.
+    var labels = edges
+      .groupBy($"id_a".as("doc_id")).agg(min($"id_b").as("nbmin"))
+      .select($"doc_id", least($"doc_id", $"nbmin").as("cluster"))
+      .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 30) {
