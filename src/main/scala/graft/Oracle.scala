@@ -885,6 +885,39 @@ object Oracle {
          | CAST(sum_nll_u6 AS DOUBLE) / (n_tok * 1000000.0) AS avg_nll
          |FROM per ORDER BY doc_id""".stripMargin,
 
+    "pipeline_curation_e2e" ->
+      s"""WITH s0 AS (SELECT doc_id, lang, source, n_chars, text, $toksExpr AS ts
+         |  FROM documents),
+         |s1 AS (SELECT * FROM s0 WHERE lang IN ('en', 'de', 'fr')),
+         |s2 AS (SELECT * FROM s1 WHERE n_chars >= 100 AND len(ts) >= 20),
+         |s3 AS (SELECT * FROM (SELECT *, row_number() OVER (
+         |  PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn FROM s2)
+         |  WHERE rn = 1),
+         |grams AS (SELECT doc_id, source, unnest(list_distinct(
+         |  list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))) AS gram
+         |  FROM s3 WHERE len(ts) >= 2),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM grams a JOIN grams b ON a.source = b.source
+         |    AND a.doc_id < b.doc_id AND a.gram = b.gram
+         |  GROUP BY 1, 2),
+         |drops AS (SELECT DISTINCT id_b AS doc_id
+         |  FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+         |               JOIN sizes sb ON i.id_b = sb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter) >= 0.3),
+         |s4 AS (SELECT * FROM s3
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+         |s5 AS (SELECT * FROM s4
+         |  WHERE substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 1) < 'c')
+         |SELECT * FROM (
+         | SELECT '0_all' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM s0
+         | UNION ALL SELECT '1_lang', CAST(COUNT(*) AS BIGINT) FROM s1
+         | UNION ALL SELECT '2_quality', CAST(COUNT(*) AS BIGINT) FROM s2
+         | UNION ALL SELECT '3_exact_dedup', CAST(COUNT(*) AS BIGINT) FROM s3
+         | UNION ALL SELECT '4_near_dedup', CAST(COUNT(*) AS BIGINT) FROM s4
+         | UNION ALL SELECT '5_train', CAST(COUNT(*) AS BIGINT) FROM s5)
+         |ORDER BY stage""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, source, $toksExpr AS ts FROM documents),
          |g0 AS (SELECT doc_id, source, ts FROM d WHERE len(ts) >= 2),

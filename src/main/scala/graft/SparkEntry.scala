@@ -194,6 +194,7 @@ object SparkEntry {
     "scan_csv_dropmalformed" -> Ingest.scanCsvDropMalformed _,
     "agg_listagg"           -> Relational.aggListagg _,
     "join_lateral_top1"     -> Relational.joinLateralTop1 _,
+    "pipeline_curation_e2e" -> Curation.pipelineCurationE2e _,
     "sample_group_topk"   -> Curation.sampleGroupTopk _,
     "split_train_holdout" -> Curation.splitTrainHoldout _,
     "pack_sequences"      -> Curation.packSequences _,

@@ -181,6 +181,53 @@ object Curation {
       .orderBy($"o_orderkey")
   }
 
+  /** The WHOLE curation pipeline as one composed query — the point of the
+    * operator library: language filter → deterministic quality gate →
+    * exact dedup (min id per normalized text) → near-dup removal (bigram
+    * Jaccard ≥ 0.3 within source, larger id of each pair dropped) →
+    * hash-stable train split, with the per-stage survivor funnel as the
+    * output. Every stage is the declared operator's exact logic, so the
+    * DuckDB twin replays the same chain and the hash compare proves the
+    * COMPOSITION, not just the pieces.
+    *
+    * Scale: the chain is linear (each stage consumes the previous
+    * stage's survivors); the only super-linear stage is the gram join,
+    * bounded by source blocking exactly as in dedup_ngram_jaccard. */
+  def pipelineCurationE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val s0 = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"source", $"n_chars", $"text",
+        TextSim.tokens($"text").as("ts"))
+    val s1 = s0.filter($"lang".isin("en", "de", "fr"))
+    val s2 = s1.filter($"n_chars" >= 100 && size($"ts") >= 20)
+    val keepW = Window.partitionBy(lower(trim($"text"))).orderBy($"doc_id")
+    val s3 = s2.withColumn("rn", row_number().over(keepW))
+      .filter($"rn" === 1).drop("rn")
+    val grams = s3
+      .filter(size($"ts") >= 2)
+      .select($"doc_id", $"source", explode(array_distinct(expr(
+        "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")))
+        .as("gram"))
+      .withColumn("n_grams", count(lit(1)).over(Window.partitionBy($"doc_id")))
+    val dropIds = grams.as("a").join(grams.as("b"),
+        $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id" &&
+          $"a.gram" === $"b.gram")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        $"a.n_grams".as("na"), $"b.n_grams".as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .filter($"inter".cast("double") / ($"na" + $"nb" - $"inter") >= 0.3)
+      .select($"id_b".as("doc_id")).distinct()
+    val s4 = s3.join(dropIds, Seq("doc_id"), "left_anti")
+    val s5 = s4.filter(
+      substring(md5(concat(lit("split|"), $"doc_id".cast("string"))), 1, 1) < "c")
+    def n(stage: String, df: DataFrame) =
+      df.agg(lit(stage).as("stage"), count(lit(1)).as("n_docs"))
+    n("0_all", s0).unionByName(n("1_lang", s1)).unionByName(n("2_quality", s2))
+      .unionByName(n("3_exact_dedup", s3)).unionByName(n("4_near_dedup", s4))
+      .unionByName(n("5_train", s5))
+      .orderBy($"stage")
+  }
+
   /** CDC MERGE with tombstones — the full I/U/D change-feed fold a real
     * CDC pipeline needs (mergeUpsert handles updates; deletes are the
     * part plain unions get wrong): base rows carry op='I', the change
