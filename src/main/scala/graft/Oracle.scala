@@ -1023,6 +1023,25 @@ object Oracle {
         |ORDER BY revenue DESC, o.o_orderkey
         |LIMIT 20""".stripMargin,
 
+    "join_null_safe" ->
+      """WITH o AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS pri
+        |  FROM orders),
+        |dim AS (SELECT pri, CAST(COUNT(*) AS BIGINT) AS n_side FROM o GROUP BY 1)
+        |SELECT o.pri, CAST(COUNT(*) AS BIGINT) AS n_orders, max(dim.n_side) AS n_side
+        |FROM o JOIN dim ON o.pri IS NOT DISTINCT FROM dim.pri
+        |GROUP BY o.pri ORDER BY o.pri ASC NULLS FIRST""".stripMargin,
+
+    "agg_percentile_disc" ->
+      """WITH g AS (SELECT l_returnflag,
+        |  list_sort(list(CAST(l_quantity AS DECIMAL(18,2)))) AS vs
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        | vs[CAST(ceil(len(vs) * 0.25) AS INTEGER)] AS p25,
+        | vs[CAST(ceil(len(vs) * 0.5) AS INTEGER)] AS p50,
+        | vs[CAST(ceil(len(vs) * 0.75) AS INTEGER)] AS p75
+        |FROM g ORDER BY l_returnflag""".stripMargin,
+
     "agg_listagg" ->
       """WITH d AS (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
         |SELECT l_returnflag,

@@ -195,6 +195,8 @@ object SparkEntry {
     "agg_listagg"           -> Relational.aggListagg _,
     "join_lateral_top1"     -> Relational.joinLateralTop1 _,
     "pipeline_curation_e2e" -> Curation.pipelineCurationE2e _,
+    "join_null_safe"        -> Relational.joinNullSafe _,
+    "agg_percentile_disc"   -> Relational.aggPercentileDisc _,
     "sample_group_topk"   -> Curation.sampleGroupTopk _,
     "split_train_holdout" -> Curation.splitTrainHoldout _,
     "pack_sequences"      -> Curation.packSequences _,

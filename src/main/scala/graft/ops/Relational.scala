@@ -316,6 +316,47 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): null keys
+    * MATCH each other instead of vanishing — the semantic corner that
+    * silently drops rows in a plain equi-join. Nulls are injected
+    * deterministically (every 7th order loses its priority) on both
+    * sides; the null-bucket rows survive the join and are counted.
+    * Still a hash-partitionable equi-join (null hashes like any value
+    * under null-safe equality). */
+  def joinNullSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderkey",
+        when($"o_orderkey" % 7 === 0, lit(null).cast("string"))
+          .otherwise($"o_orderpriority").as("pri"))
+    val dim = o.groupBy($"pri").agg(count(lit(1)).as("n_side"))
+      .select($"pri".as("d_pri"), $"n_side")
+    o.join(dim, $"pri" <=> $"d_pri")
+      .groupBy($"pri")
+      .agg(count(lit(1)).as("n_orders"), max($"n_side").as("n_side"))
+      .orderBy($"pri".asc_nulls_first)
+  }
+
+  /** Discrete percentiles (PERCENTILE_DISC): the p-th value actually
+    * PRESENT in the data — an element pick at ceil(p·n), no
+    * interpolation arithmetic at all, so the result is engine-identical
+    * by construction (both engines pick the same element of the same
+    * sorted multiset). Computed via sorted collect per group — the
+    * per-group array is one group's values, the same bounded-state
+    * contract as agg_array_sorted. */
+  def aggPercentileDisc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def pick(p: Double) =
+      element_at($"vs", ceil(size($"vs") * p).cast("int").as("i"))
+    Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_quantity".cast("decimal(18,2)").as("q"))
+      .groupBy($"l_returnflag")
+      .agg(sort_array(collect_list($"q")).as("vs"))
+      .select($"l_returnflag",
+        pick(0.25).as("p25"), pick(0.5).as("p50"), pick(0.75).as("p75"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Ordered string aggregation (LISTAGG, SQL:2016) — the "collapse the
     * group to a readable list" reporting aggregate. Determinism requires
     * the WITHIN GROUP order: sorted DISTINCT statuses per returnflag,
