@@ -1360,6 +1360,18 @@ object Oracle {
         | CAST(n_events AS BIGINT) AS n_events, value
         |FROM f ORDER BY user_id, bucket_start""".stripMargin,
 
+    "ts_calendar_spine" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1),
+        |b AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+        |  max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+        |spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM b)
+        |SELECT strftime(s.day, '%Y-%m-%d') AS day,
+        | coalesce(daily.n, 0) AS n_orders
+        |FROM spine s LEFT JOIN daily ON s.day = daily.day
+        |ORDER BY day""".stripMargin,
+
     "ts_seasonal_baseline" ->
       """WITH e AS (SELECT ((epoch_us(ts) // 86400000000 + 4) % 7) AS dow,
         |  ((epoch_us(ts) % 86400000000) // 3600000000) AS hour,

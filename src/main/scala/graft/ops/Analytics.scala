@@ -216,6 +216,31 @@ object Analytics {
       .orderBy($"user_id", $"bucket_start")
   }
 
+  /** Calendar spine with zero-filled daily counts — the date dimension
+    * every warehouse joins against: a contiguous day sequence spanning
+    * the order history, left-joined to per-day order counts so quiet
+    * days surface as explicit zeros (a groupBy alone silently omits
+    * them — the classic time-series reporting bug). Pure date/integer
+    * arithmetic, engine-identical.
+    *
+    * Scale: the spine is |days| rows from one min/max aggregate —
+    * generated, never scanned; the count side is one date-keyed partial
+    * aggregation. */
+  def tsCalendarSpine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = Tables.orders(spark, sfDir)
+      .agg(min($"o_orderdate".cast("date")).as("d0"),
+        max($"o_orderdate".cast("date")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    spine.join(daily, Seq("day"), "left_outer")
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        coalesce($"n", lit(0L)).as("n_orders"))
+      .orderBy($"day")
+  }
+
   /** Seasonal baseline by (day-of-week × hour) — the profile every ops
     * metric is compared against ("is this Tuesday-3pm number normal for a
     * Tuesday 3pm?"). Buckets derive from epoch-µs INTEGER arithmetic
