@@ -826,6 +826,15 @@ object Oracle {
          |  THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
          |FROM agg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "fn_regex" ->
+      """SELECT doc_id,
+        | coalesce(array_to_string(regexp_extract_all(text, '[a-z]*ing'), ','), '')
+        |   AS ing_words,
+        | CAST(len(regexp_extract_all(text, 'data')) AS INTEGER) AS n_data,
+        | CAST(instr(text, 'the ') AS INTEGER) AS first_the,
+        | regexp_matches(text, 'join .* group') AS has_join_group
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "dedup_bloom_prefilter" ->
       """WITH existing AS (SELECT md5(lower(trim(text))) AS k FROM documents
         |  WHERE doc_id % 2 = 0),

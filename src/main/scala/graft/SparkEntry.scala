@@ -168,6 +168,7 @@ object SparkEntry {
     "ts_resample"       -> Analytics.tsResample _,
     "ts_seasonal_baseline" -> Analytics.tsSeasonalBaseline _,
     "ts_calendar_spine"    -> Analytics.tsCalendarSpine _,
+    "fn_regex"             -> Functions.fnRegex _,
     "win_moving_median" -> Windows.winMovingMedian _,
     "win_ratio_to_report" -> Windows.winRatioToReport _,
     "agg_hll_mergeable" -> Relational.aggHllMergeable _,

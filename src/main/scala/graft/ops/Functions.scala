@@ -13,6 +13,24 @@ import graft.Tables
 object Functions {
 
   /** String functions over the customer slice. */
+  /** Regex function pack beyond the single-match extract in fnString:
+    * extract-ALL (array → canonical comma string for the compare),
+    * match counting, match position, and the boolean rlike — the
+    * remaining regex surface a text pipeline leans on. Patterns use the
+    * RE2-compatible subset both engines implement identically (character
+    * classes, quantifiers — no lookarounds or backrefs). */
+  def fnRegex(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        concat_ws(",", expr("regexp_extract_all(text, '[a-z]*ing', 0)")).as("ing_words"),
+        expr("regexp_count(text, 'data')").as("n_data"),
+        expr("regexp_instr(text, 'the ')").as("first_the"),
+        $"text".rlike("join .* group").as("has_join_group"))
+      .orderBy($"doc_id")
+  }
+
   def fnString(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.customer(spark, sfDir)
