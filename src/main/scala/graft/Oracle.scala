@@ -1272,6 +1272,18 @@ object Oracle {
         | abs(n - med7) > med7 * 0.5 AS drift
         |FROM m ORDER BY day""".stripMargin,
 
+    "impute_missing" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CASE WHEN l_orderkey % 13 = 0 THEN NULL
+        |       ELSE CAST(l_quantity AS DECIMAL(18,2)) END AS q FROM lineitem),
+        |m AS (SELECT l_returnflag, CAST(SUM(q) AS DOUBLE) / COUNT(q) AS mean_q
+        |  FROM li GROUP BY 1)
+        |SELECT li.l_orderkey, li.l_linenumber, li.l_returnflag,
+        | coalesce(CAST(q AS DOUBLE), mean_q) AS qty_filled,
+        | (q IS NULL) AS imputed
+        |FROM li JOIN m USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, qty_filled""".stripMargin,
+
     "merge_cdc_delete" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, 'I' AS op, 0 AS version
         |  FROM orders WHERE o_orderkey % 2 = 0),

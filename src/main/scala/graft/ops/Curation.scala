@@ -273,6 +273,30 @@ object Curation {
       .orderBy($"user_id", $"valid_from", $"event_id")
   }
 
+  /** Missing-value imputation — the repair step between validation and
+    * load: nulls (injected deterministically, every 13th order key) fill
+    * with their group's mean, and an `imputed` flag preserves the audit
+    * trail. The mean comes from EXACT decimal sums over non-null values
+    * (order-independent) divided once as doubles — engine-identical, so
+    * even the filled values hash-match.
+    *
+    * Scale: one groupBy to |groups| rows broadcast back onto the stream —
+    * the same aggregate-then-enrich shape as outlier_zscore. */
+  def imputeMissing(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        when($"l_orderkey" % 13 === 0, lit(null))
+          .otherwise($"l_quantity".cast("decimal(18,2)")).as("q"))
+    val means = li.groupBy($"l_returnflag")
+      .agg((sum($"q").cast("double") / count($"q")).as("mean_q"))
+    li.join(broadcast(means), Seq("l_returnflag"))
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        coalesce($"q".cast("double"), $"mean_q").as("qty_filled"),
+        $"q".isNull.as("imputed"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_returnflag", $"qty_filled")
+  }
+
   /** Temporal point-in-interval lookup against the SCD2 history — the
     * "which version was current when X happened" join every warehouse
     * runs (and the last-touch attribution query in clickstream form):
