@@ -1068,6 +1068,23 @@ object Oracle {
         |  ORDER BY s.s_acctbal DESC, s.s_suppkey LIMIT 1) t
         |ORDER BY r.r_name""".stripMargin,
 
+    "sql_api_q5" ->
+      """SELECT n.n_name,
+        | CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n.n_name""".stripMargin,
+
     "sql_api_q18" ->
       """SELECT c.c_custkey, c.c_name, o.o_orderkey,
         | strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,

@@ -170,6 +170,7 @@ object SparkEntry {
     "ts_calendar_spine"    -> Analytics.tsCalendarSpine _,
     "fn_regex"             -> Functions.fnRegex _,
     "impute_missing"       -> Curation.imputeMissing _,
+    "sql_api_q5"           -> Relational.sqlApiQ5 _,
     "win_moving_median" -> Windows.winMovingMedian _,
     "win_ratio_to_report" -> Windows.winRatioToReport _,
     "agg_hll_mergeable" -> Relational.aggHllMergeable _,

@@ -605,6 +605,36 @@ object Relational {
         |ORDER BY totalprice DESC, o.o_orderkey""".stripMargin)
   }
 
+  /** TPC-H Q5 shape (local-supplier revenue): the six-table star join —
+    * customer ⋈ orders ⋈ lineitem ⋈ supplier restricted to customer and
+    * supplier in the SAME nation, nations of one region, one order year.
+    * The canonical multi-join stress: two small dims broadcast, the
+    * fact-fact joins shuffle on their keys, revenue in exact DECIMAL. */
+  def sqlApiQ5(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("graft_supplier")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("graft_nation")
+    Tables.region(spark, sfDir).createOrReplaceTempView("graft_region")
+    spark.sql(
+      """SELECT n.n_name,
+        | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+        |FROM graft_customer c
+        |JOIN graft_orders o ON c.c_custkey = o.o_custkey
+        |JOIN graft_lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN graft_supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |JOIN graft_nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN graft_region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n.n_name""".stripMargin)
+  }
+
   /** Count-min sketch heavy-hitter frequencies (the mergeable frequency
     * sketch backing streaming top-k): per event_type, a CMS over user_id
     * with ε=0.001, δ=0.01, fixed seed. Partition merges ADD the integer
