@@ -80,6 +80,20 @@ class ResampleSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("win_sessionize and session_window produce identical session sets") {
+    // two independent mechanisms — Spark's native session_window operator
+    // vs the gaps-and-islands window composition — must agree exactly
+    val native = graft.ops.Streaming.streamSession(spark, sfDir)
+      .select($"user_id", $"first_ts", $"last_ts", $"n_events")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val islands = graft.ops.Windows.winSessionize(spark, sfDir)
+      .select($"user_id", $"first_ts", $"last_ts", $"n_events")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(native == islands)
+  }
+
   test("sample_temperature: probabilities normalize and flatten the mixture") {
     val rows = Curation.sampleTemperature(spark, sfDir).collect().map(r =>
       (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
