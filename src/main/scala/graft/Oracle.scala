@@ -1422,6 +1422,32 @@ object Oracle {
         | (CAST(s AS DOUBLE) / n) / (CAST(gs AS DOUBLE) / gn) AS seasonal_index
         |FROM b, g ORDER BY dow, hour""".stripMargin,
 
+    "win_streak" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |  FROM events),
+        |c AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |r AS (SELECT user_id, event_type, CAST(SUM(chg) OVER (
+        |  PARTITION BY user_id ORDER BY us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+        |  FROM c),
+        |runs AS (SELECT user_id, run_id, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS len FROM r GROUP BY 1, 2, 3),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |  ORDER BY len DESC, run_id) AS rn FROM runs)
+        |SELECT user_id, event_type AS streak_type, len AS streak_len,
+        | run_id AS streak_run
+        |FROM p WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "agg_bitwise_group" ->
+      """WITH m AS (SELECT l_returnflag,
+        |  (CAST(1 AS BIGINT) << (CAST(l_quantity AS INTEGER) % 16)) AS m
+        |  FROM lineitem)
+        |SELECT l_returnflag, bit_or(m) AS mask_any, bit_and(m) AS mask_all,
+        | bit_xor(m) AS mask_parity, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM m GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "ts_ewma" ->
       """WITH ev AS (SELECT user_id,
         |  CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS v,

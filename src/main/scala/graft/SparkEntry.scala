@@ -171,6 +171,8 @@ object SparkEntry {
     "fn_regex"             -> Functions.fnRegex _,
     "impute_missing"       -> Curation.imputeMissing _,
     "sql_api_q5"           -> Relational.sqlApiQ5 _,
+    "win_streak"           -> Analytics.winStreak _,
+    "agg_bitwise_group"    -> Relational.aggBitwiseGroup _,
     "win_moving_median" -> Windows.winMovingMedian _,
     "win_ratio_to_report" -> Windows.winRatioToReport _,
     "agg_hll_mergeable" -> Relational.aggHllMergeable _,

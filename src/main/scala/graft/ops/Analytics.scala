@@ -216,6 +216,36 @@ object Analytics {
       .orderBy($"user_id", $"bucket_start")
   }
 
+  /** Longest same-type streak per user — run-length analytics (the
+    * "longest consecutive X" family: login streaks, repeated-failure
+    * alerts). Runs come from the change-flag gaps-and-islands trick on
+    * event_type; the longest run per user is picked deterministically
+    * (length desc, earliest run first). Integer-only — engine-identical.
+    *
+    * Scale: two windows and one aggregation over a single (user_id)
+    * exchange; per-partition state is one user's history. */
+  def winStreak(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val runs = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"event_type")
+      .withColumn("chg",
+        when(lag($"event_type", 1).over(w).isNull ||
+          lag($"event_type", 1).over(w) =!= $"event_type", 1L).otherwise(0L))
+      .withColumn("run_id",
+        sum($"chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"run_id", $"event_type")
+      .agg(count(lit(1)).as("len"))
+    val pick = Window.partitionBy($"user_id").orderBy($"len".desc, $"run_id")
+    runs
+      .withColumn("rn", row_number().over(pick))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type".as("streak_type"),
+        $"len".as("streak_len"), $"run_id".as("streak_run"))
+      .orderBy($"user_id")
+  }
+
   /** Calendar spine with zero-filled daily counts — the date dimension
     * every warehouse joins against: a contiguous day sequence spanning
     * the order history, left-joined to per-day order counts so quiet

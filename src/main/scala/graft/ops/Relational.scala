@@ -316,6 +316,24 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Bitwise AGGREGATES (bit_or / bit_and / bit_xor over a group) — the
+    * presence-bitmask pattern: each row sets bit (quantity % 16), bit_or
+    * accumulates the domain mask per group (which buckets occur), bit_and
+    * the always-set mask, bit_xor the odd-parity mask. Commutative and
+    * associative integer folds — partial aggregation does the work
+    * map-side and the result is partition-order independent. */
+  def aggBitwiseGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(CAST(l_quantity AS INT) % 16 AS INT))")
+          .as("m"))
+      .groupBy($"l_returnflag")
+      .agg(bit_or($"m").as("mask_any"), bit_and($"m").as("mask_all"),
+        bit_xor($"m").as("mask_parity"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): null keys
     * MATCH each other instead of vanishing — the semantic corner that
     * silently drops rows in a plain equi-join. Nulls are injected
