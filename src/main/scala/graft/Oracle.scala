@@ -826,6 +826,16 @@ object Oracle {
          |  THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
          |FROM agg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "fn_array_setops" ->
+      s"""WITH d AS (SELECT doc_id, list_distinct($toksExpr) AS ts FROM documents),
+         |p AS (SELECT ['data', 'spark', 'join'] AS probe)
+         |SELECT doc_id,
+         | coalesce(array_to_string(list_sort(list_filter(ts, t -> list_contains(probe, t))), ','), '') AS inter,
+         | coalesce(array_to_string(list_sort(list_filter(probe, t -> NOT list_contains(ts, t))), ','), '') AS missing,
+         | CAST(len(list_distinct(list_concat(ts, probe))) AS INTEGER) AS n_union,
+         | list_has_any(ts, probe) AS hits
+         |FROM d, p ORDER BY doc_id""".stripMargin,
+
     "fn_regex" ->
       """SELECT doc_id,
         | coalesce(array_to_string(regexp_extract_all(text, '[a-z]*ing'), ','), '')

@@ -173,6 +173,7 @@ object SparkEntry {
     "sql_api_q5"           -> Relational.sqlApiQ5 _,
     "win_streak"           -> Analytics.winStreak _,
     "agg_bitwise_group"    -> Relational.aggBitwiseGroup _,
+    "fn_array_setops"      -> Functions.fnArraySetops _,
     "win_moving_median" -> Windows.winMovingMedian _,
     "win_ratio_to_report" -> Windows.winRatioToReport _,
     "agg_hll_mergeable" -> Relational.aggHllMergeable _,

@@ -13,6 +13,25 @@ import graft.Tables
 object Functions {
 
   /** String functions over the customer slice. */
+  /** Array set operations (intersect / except / union vs a probe set) —
+    * the vocabulary-overlap primitives (keyword matching, tag algebra).
+    * Spark's array_intersect/except/union dedup their result; both
+    * engines emit the same distinct multiset, canonicalized by sort +
+    * comma join for the hash compare. Per-row HOF math — map-only. */
+  def fnArraySetops(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val probe = array(lit("data"), lit("spark"), lit("join"))
+    val ts = TextSim.tokens($"text")
+    Tables.documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        concat_ws(",", sort_array(array_intersect(ts, probe))).as("inter"),
+        concat_ws(",", sort_array(array_except(probe, ts))).as("missing"),
+        size(array_union(ts, probe)).as("n_union"),
+        arrays_overlap(ts, probe).as("hits"))
+      .orderBy($"doc_id")
+  }
+
   /** Regex function pack beyond the single-match extract in fnString:
     * extract-ALL (array → canonical comma string for the compare),
     * match counting, match position, and the boolean rlike — the
