@@ -1432,6 +1432,23 @@ object Oracle {
         | (CAST(s AS DOUBLE) / n) / (CAST(gs AS DOUBLE) / gn) AS seasonal_index
         |FROM b, g ORDER BY dow, hour""".stripMargin,
 
+    "win_session_running_sum" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  CAST(value AS DECIMAL(18,6)) AS v FROM events),
+        |c AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |    OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, event_id, us, v, CAST(SUM(brk) OVER (
+        |  PARTITION BY user_id ORDER BY us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM c)
+        |SELECT user_id, event_id, session_seq,
+        | CAST(row_number() OVER (PARTITION BY user_id, session_seq
+        |   ORDER BY us, event_id) AS INTEGER) AS sess_row,
+        | CAST(SUM(v) OVER (PARTITION BY user_id, session_seq ORDER BY us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)) AS run_spend
+        |FROM s ORDER BY user_id, event_id""".stripMargin,
+
     "win_streak" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
         |  FROM events),

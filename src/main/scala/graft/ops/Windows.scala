@@ -153,6 +153,39 @@ object Windows {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Session-scoped running sum — a cumulative aggregate that RESETS at
+    * every session boundary (spend-within-visit, bytes-within-burst):
+    * the gaps-and-islands session number becomes part of the partition
+    * key of a second running-sum window. Demonstrates window composition
+    * where the second window's key is derived by the first. Money stays
+    * DECIMAL so the running prefix sums are order-exact.
+    *
+    * Scale: both windows share the (user_id) exchange; the derived
+    * (user, session) partitions only subdivide it — no extra shuffle. */
+  def winSessionRunningSum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 1800000000L
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val sessions = graft.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        $"value".cast("decimal(18,6)").as("v"))
+      .withColumn("brk",
+        when(lag($"us", 1).over(w).isNull ||
+          $"us" - lag($"us", 1).over(w) >= gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum($"brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy($"user_id", $"session_seq")
+      .orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions
+      .select($"user_id", $"event_id", $"session_seq",
+        row_number().over(
+          Window.partitionBy($"user_id", $"session_seq").orderBy($"us", $"event_id"))
+          .as("sess_row"),
+        sum($"v").over(ws).cast("decimal(18,6)").as("run_spend"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** Ratio-to-report: each line's share of its order's revenue — the
     * percent-of-total window every BI layer ships. The denominator is an
     * EXACT decimal sum over the partition (order-independent), the share
