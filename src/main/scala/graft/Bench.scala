@@ -87,7 +87,44 @@ object Bench {
     val fams = results.groupBy(_._1.takeWhile(_ != '_')).toSeq.sortBy(_._1)
       .map { case (f, rs) => s"\"" + f + "\":" + ms(rs.map(_._2).sum) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"queries":$qs,"families":$fams,"errors":$errs,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
+    // Run-alone lane: the shared pass above times 178 queries in ONE
+    // session, so a heavy neighbor's GC/cache pressure inflates successors
+    // by ±20-50% run-to-run (the r2/r3 noise caveat — e.g. r3 measured
+    // dedup_edit_distance at 5.9 s in-bench vs ~1 s isolated). Re-time the
+    // heaviest queries in a FRESH SparkContext each, cold (first run, plan
+    // compile + shuffle included) and warm (second run), so the per-query
+    // numbers in bench_detail.json are evidence rather than noise.
+    val heavy = results.filter(_._3).sortBy(-_._2).take(5).map(_._1)
+    val alone = heavy.flatMap { name => try {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      try {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime(); fn(s, sfDir).count()
+        val cold = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime(); fn(s, sfDir).count()
+        val warm = (System.nanoTime() - t1) / 1e9
+        Some((name, cold, warm))
+      } finally s.stop()
+    } catch { case e: Throwable =>
+      // the lane is diagnostic: a failure here must not sink the shared
+      // pass's summary line
+      System.err.println(s"[bench-alone] $name failed: ${e.getMessage}"); None
+    } }
+    val aloneJson = alone.map { case (k, c, w) =>
+      s"\"" + k + "\":{\"cold\":" + ms(c) + ",\"warm\":" + ms(w) + "}"
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"),
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$detail,"alone":$aloneJson,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"queries":$qs,"families":$fams,"alone":$aloneJson,"errors":$errs,"detail":"bench_detail.json","sf":"$sfDir"}""")
   }
 }

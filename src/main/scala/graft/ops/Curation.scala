@@ -373,38 +373,46 @@ object Curation {
       .orderBy($"s_nationkey")
   }
 
-  /** Single-pass table profile (the ANALYZE-style stats a 100 TB ingest
-    * emits for query planning and data-quality gates): row count, null
-    * count, exact NDV, numeric min/max per column — computed in ONE scan
-    * of the table (one multi-distinct aggregate), then unpivoted with
-    * stack() into a long-format report. */
+  /** Table profile (the ANALYZE-style stats a 100 TB ingest emits for
+    * query planning and data-quality gates): row count, null count, exact
+    * NDV, numeric min/max per column, as a long-format report.
+    *
+    * Scale design: NOT a single multi-distinct aggregate — Spark rewrites
+    * N distinct aggregates with an Expand node that replicates every
+    * scanned row ×(N+1) before one giant shuffle, a plan that dies on a
+    * wide 100 TB table. Instead, one branch per column: scan just that
+    * column (parquet column pruning — each branch reads ~1/Nth of the
+    * bytes), partial-aggregate map-side to per-value counts (the shuffle
+    * carries |distinct values| narrow rows, never |rows| wide ones), then
+    * fold the tiny per-value frame into one stats row. The branches union
+    * into the report; total I/O equals one full scan split column-wise,
+    * and the stats stay exact. PlanSpec pins the no-Expand property. */
   def profileTable(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.customer(spark, sfDir).agg(
-      count(lit(1)).as("n_rows"),
-      count($"c_custkey").as("nn_custkey"),
-      countDistinct($"c_custkey").as("nd_custkey"),
-      min($"c_custkey").cast("double").as("mn_custkey"),
-      max($"c_custkey").cast("double").as("mx_custkey"),
-      count($"c_name").as("nn_name"),
-      countDistinct($"c_name").as("nd_name"),
-      count($"c_nationkey").as("nn_nationkey"),
-      countDistinct($"c_nationkey").as("nd_nationkey"),
-      min($"c_nationkey").cast("double").as("mn_nationkey"),
-      max($"c_nationkey").cast("double").as("mx_nationkey"),
-      count($"c_acctbal").as("nn_acctbal"),
-      countDistinct($"c_acctbal").as("nd_acctbal"),
-      min($"c_acctbal").as("mn_acctbal"),
-      max($"c_acctbal").as("mx_acctbal"),
-      count($"c_mktsegment").as("nn_mktsegment"),
-      countDistinct($"c_mktsegment").as("nd_mktsegment"))
-      .selectExpr("""stack(5,
-        'c_custkey',    n_rows, n_rows - nn_custkey,    nd_custkey,    mn_custkey, mx_custkey,
-        'c_name',       n_rows, n_rows - nn_name,       nd_name,       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-        'c_nationkey',  n_rows, n_rows - nn_nationkey,  nd_nationkey,  mn_nationkey, mx_nationkey,
-        'c_acctbal',    n_rows, n_rows - nn_acctbal,    nd_acctbal,    mn_acctbal, mx_acctbal,
-        'c_mktsegment', n_rows, n_rows - nn_mktsegment, nd_mktsegment, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
-        ) AS (column_name, n_rows, n_null, n_distinct, min_num, max_num)""")
+    val customer = Tables.customer(spark, sfDir)
+
+    // One column's profile: per-value counts (null is its own group), then
+    // a single-row fold. n_distinct counts non-null groups == COUNT(DISTINCT c).
+    def columnProfile(c: String, numeric: Boolean): DataFrame = {
+      val perValue = customer.select(col(c).as("v"))
+        .groupBy($"v").agg(count(lit(1)).as("cnt"))
+      val (mn, mx) =
+        if (numeric) (min($"v").cast("double"), max($"v").cast("double"))
+        else (lit(null).cast("double"), lit(null).cast("double"))
+      perValue.agg(
+        sum($"cnt").as("n_rows"),
+        coalesce(sum(when($"v".isNull, $"cnt")), lit(0L)).as("n_null"),
+        count($"v").as("n_distinct"),
+        mn.as("min_num"), mx.as("max_num"))
+        .select(lit(c).as("column_name"), $"n_rows", $"n_null",
+          $"n_distinct", $"min_num", $"max_num")
+    }
+
+    columnProfile("c_custkey", numeric = true)
+      .unionAll(columnProfile("c_name", numeric = false))
+      .unionAll(columnProfile("c_nationkey", numeric = true))
+      .unionAll(columnProfile("c_acctbal", numeric = true))
+      .unionAll(columnProfile("c_mktsegment", numeric = false))
       .orderBy($"column_name")
   }
 

@@ -437,7 +437,11 @@ object Similarity {
     // still runs in the join stage. The fix is to pre-partition the join
     // INPUTS with an explicit partition count (user repartitions are
     // exempt from AQE coalescing and already satisfy the join's
-    // distribution), making the join stage itself parallel (→ 0.9 s).
+    // distribution), making the join stage itself parallel. Measured at
+    // sf0.1/local[32]: ~2.5 s cold (plan compile + shuffle setup
+    // dominate; the ~115k-pair DP itself adds <0.1 s over the bare join),
+    // ~0.9 s warm — the bench's run-alone lane records both, and PlanSpec
+    // pins the join-stage partition count so AQE can't re-serialize it.
     // Same rule at 100 TB: partition CPU-bound work by compute, not bytes.
     val dp = d.repartition(spark.sparkContext.defaultParallelism,
       $"source", $"len_bkt")

@@ -166,6 +166,49 @@ class PlanSpec extends SparkSuite {
     assert(df.collect().map(_.toSeq).toSet == viaWindow)
   }
 
+  test("profile_table plans no Expand and prunes each branch to one column") {
+    val p = plan("profile_table")
+    // a multi-distinct aggregate would plan Expand (×6 row replication
+    // before the shuffle) — the one shape that fails a 100 TB scale-up
+    assert(!p.contains("Expand"), s"multi-distinct Expand found:\n$p")
+    // every per-column branch must scan exactly its one column
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(reads.nonEmpty && reads.forall(!_.contains(",")),
+      s"profile branch reads more than one column:\n${reads.mkString("\n")}")
+  }
+
+  test("dedup_edit_distance DP join stage keeps full parallelism under AQE") {
+    // the pair rows are byte-small but CPU-heavy; if AQE coalesces the
+    // join stage to one partition the whole DP bill lands on a single
+    // core (the 8 s regression this query's pre-partition exists to fix)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val df = SparkEntry.queries("dedup_edit_distance")(spark, sfDir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // AQE may plan the pair join shuffled (large inputs) or broadcast
+    // (small side fits); either way the DP evaluates at the join's output
+    // partitioning — that count is what must not collapse to 1. Query
+    // stages don't expose their subtree as children, so descend manually.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val joins = flatten(finalPlan).collect {
+      case j: SortMergeJoinExec => j.outputPartitioning.numPartitions
+      case j: ShuffledHashJoinExec => j.outputPartitioning.numPartitions
+      case j: BroadcastHashJoinExec => j.outputPartitioning.numPartitions
+    }
+    assert(joins.nonEmpty, s"no pair join in:\n$finalPlan")
+    assert(joins.forall(_ >= spark.sparkContext.defaultParallelism),
+      s"DP join stage coalesced below defaultParallelism: $joins")
+  }
+
   test("proj_key_only scan reads a single column") {
     val read = plan("proj_key_only").linesIterator
       .filter(_.contains("ReadSchema")).mkString("\n")
