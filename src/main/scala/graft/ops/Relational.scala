@@ -175,35 +175,44 @@ object Relational {
       .orderBy($"orderkey", $"line_a", $"line_b", $"part_a", $"part_b")
   }
 
-  /** Per-user as-of-backward join: each event matched to the latest order
-    * of the same customer with o_orderdate <= event ts. Implemented as a
-    * window over the union of both streams ordered by time — the classic
-    * scalable as-of formulation (no per-row subquery, one shuffle by key).
-    * events.user_id ranges over customer keys; order dates are 1995-2001
-    * vs events in 2024, so every order predates every event; the query
-    * therefore pins each event to the single latest order per user, which
-    * still exercises the full as-of machinery deterministically. */
   /** As-of backward join: each event matched to the latest order of the
     * same key at or before its cutoff (events' real timestamps all
     * post-date every order, so the cutoff is a deterministic per-event
     * date inside the orders domain — this keeps the time condition
     * load-bearing: different events of one user get different matches,
-    * some none). Winner picked by max(struct(date, key)) — a map-side-
-    * combinable aggregation, one shuffle on the event key, no window
-    * sort; the same plan DuckDB's ASOF JOIN or the rn=1 window computes. */
+    * some none).
+    *
+    * LINEAR formulation — the classic scalable as-of shape: union both
+    * streams into one per-key timeline (orders sort before events at
+    * equal time), then a running `last(order, ignoreNulls)` window pins
+    * every event to the latest order at or before it. One shuffle on the
+    * key, one per-key sort, zero pair rows — vs the pairwise range join,
+    * whose per-event cost grows with orders-per-user (O(events × matching
+    * orders) pair throughput at 100 TB). Ties (several orders of one user
+    * on one date) resolve to the max order key: the timeline sorts by
+    * (t, kind, order key), so the running last == max(struct(date, key)),
+    * which is exactly what DuckDB's ASOF JOIN oracle picks. */
   def joinAsof(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val ord = Tables.orders(spark, sfDir)
+      .select($"o_custkey".as("k"),
+        $"o_orderdate".cast("timestamp").as("t"),
+        lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+        struct($"o_orderdate", $"o_orderkey").as("ord"))
     val ev = Tables.events(spark, sfDir)
-      .select($"user_id", $"event_id",
+      .select($"user_id".as("k"),
         date_add(lit("1995-01-01").cast("date"),
-          ($"event_id" % 2500).cast("int")).as("cutoff"))
-    ev.join(Tables.orders(spark, sfDir)
-        .select($"o_custkey", $"o_orderkey", $"o_orderdate"),
-        $"user_id" === $"o_custkey" && $"o_orderdate" <= $"cutoff", "left_outer")
-      .groupBy($"event_id", $"user_id", $"cutoff")
-      .agg(max(struct($"o_orderdate", $"o_orderkey")).as("best"))
-      .select($"event_id", $"user_id",
-        date_format($"cutoff", "yyyy-MM-dd").as("cutoff"),
+          ($"event_id" % 2500).cast("int")).cast("timestamp").as("t"),
+        lit(1).as("is_event"), $"event_id",
+        lit(null).cast("struct<o_orderdate:timestamp,o_orderkey:bigint>").as("ord"))
+    val w = Window.partitionBy($"k")
+      .orderBy($"t", $"is_event", $"ord.o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("best", last($"ord", ignoreNulls = true).over(w))
+      .filter($"is_event" === 1)
+      .select($"event_id", $"k".as("user_id"),
+        date_format($"t", "yyyy-MM-dd").as("cutoff"),
         $"best.o_orderkey".as("asof_orderkey"),
         date_format($"best.o_orderdate", "yyyy-MM-dd").as("asof_date"))
       .orderBy($"event_id")

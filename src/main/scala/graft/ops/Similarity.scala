@@ -40,6 +40,40 @@ object Similarity {
 
   private def vecd(c: Column): Column = c.cast("array<double>")
 
+  /** Per-label row cap above which the exact pair tiers switch to bucketed
+    * pairing (see [[withPairRoute]]). Defaults far above any declared-query
+    * label (oracle output unchanged); tunable per job. */
+  private[graft] def maxExactLabel(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.dedup.maxExactLabel")
+      .map(_.toLong).getOrElse(100000L)
+
+  /** Skew-threshold router for the exact pair tiers (simKnnPerLabel /
+    * dedupEmbeddingCosine): within-label pair joins are quadratic in the
+    * label's row count, so ONE label holding millions of vectors melts a
+    * single task at 100 TB. One cheap count-per-label pre-aggregation
+    * (broadcast back — |labels| rows) tags each row with a routing bucket:
+    * labels at or under `maxExact` rows keep bucket −1 (pairs = the exact
+    * within-label join, unchanged results); hotter labels are subdivided
+    * by 3-bit sign-LSH (8 buckets, same planes as [[simAnnLsh]]), so their
+    * pair space shrinks from n² to Σ n_b² with pairs only inside a
+    * (label, bucket) cell — bounded per-task work at approximate-recall
+    * cost (bucket-crossing near-dups are missed; more bands recover them).
+    * This is the coded form of the size-threshold policy — the engine
+    * decides per label at runtime, the way it must when one key's share
+    * of the corpus is extreme. Pair joins add `route_bkt` to their keys. */
+  private[graft] def withPairRoute(e: DataFrame, maxExact: Long): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val counts = e.groupBy($"label").agg(count(lit(1)).as("n_label"))
+    val signBkt = (element_at($"v", 1) > 0.0).cast("int") * 4 +
+      (element_at($"v", 2) > 0.0).cast("int") * 2 +
+      (element_at($"v", 3) > 0.0).cast("int")
+    e.join(broadcast(counts), "label")
+      .withColumn("route_bkt",
+        when($"n_label" > maxExact, signBkt).otherwise(lit(-1)))
+      .drop("n_label")
+  }
+
   /** Brute-force cosine top-50 of every embedding vs the probe vector
     * (vec_id = 0): broadcast the probe, one map pass, TakeOrdered top-k. */
   def simCosineProbe(spark: SparkSession, sfDir: String): DataFrame = {
@@ -126,17 +160,11 @@ object Similarity {
   }
 
   /** k=3 nearest neighbors within each label group: the pair join is
-    * quadratic only within a label (the coarse partition).
-    *
-    * SKEW POLICY (100 TB): this is the declared EXACT tier — correct for
-    * bounded label groups. A label holding millions of vectors makes the
-    * within-label pair join quadratic in that one key; above a size
-    * threshold (count per label from one cheap pre-aggregation), route
-    * those labels through the bucketed tiers instead: simAnnLsh's
-    * sign-LSH buckets or simIvfProbe's IVF cells subdivide a hot label
-    * into bounded cells, turning the quadratic blow-up into per-bucket
-    * work, at approximate-recall cost. Same policy as Spark's own
-    * MinHashLSH: exact within small buckets, banded elsewhere. */
+    * quadratic only within a label (the coarse partition), and the
+    * [[withPairRoute]] skew router bounds that quadratic — labels above
+    * the size threshold pair only inside sign-LSH buckets (approximate
+    * kNN for hot labels, exact everywhere else; same policy as Spark's
+    * own MinHashLSH: exact within small buckets, banded elsewhere). */
   def simKnnPerLabel(spark: SparkSession, sfDir: String): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     import spark.implicits._
@@ -144,13 +172,16 @@ object Similarity {
     // pair stage then evaluates a single dot fold instead of three —
     // same doubles bit-for-bit (sqrt(dot(v,v)) is the identical
     // expression), 3× less interpreted-HOF work on the quadratic stage.
-    val e = Tables.embeddings(spark, sfDir)
-      .select($"vec_id", $"label", vecd($"embedding").as("v"))
-      .withColumn("nrm", sqrt(dot($"v", $"v")))
+    val e = withPairRoute(
+      Tables.embeddings(spark, sfDir)
+        .select($"vec_id", $"label", vecd($"embedding").as("v"))
+        .withColumn("nrm", sqrt(dot($"v", $"v"))),
+      maxExactLabel(spark))
     val a = e.as("a")
     val b = e.as("b")
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
-    a.join(b, $"a.label" === $"b.label" && $"a.vec_id" =!= $"b.vec_id")
+    a.join(b, $"a.label" === $"b.label" && $"a.route_bkt" === $"b.route_bkt" &&
+        $"a.vec_id" =!= $"b.vec_id")
       .select($"a.vec_id".as("qid"), $"b.vec_id".as("nid"), $"a.label".as("label"),
         (dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")).cast("decimal(18,6)").as("cos"))
       .withColumn("rn", row_number().over(w))
@@ -270,19 +301,21 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs within a label, cos ≥ 0.35
-    * (canonical a<b ordering). Declared EXACT tier — same skew policy as
-    * simKnnPerLabel: labels above a size threshold route through the
-    * LSH/IVF bucketed tiers, whose bucket-key equi-joins bound the
-    * per-task pair count. */
+    * (canonical a<b ordering). Exact tier with the [[withPairRoute]] skew
+    * router: labels above the size threshold pair only inside sign-LSH
+    * buckets, bounding the per-task pair count. */
   def dedupEmbeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     import spark.implicits._
-    val e = Tables.embeddings(spark, sfDir)
-      .select($"vec_id", $"label", vecd($"embedding").as("v"))
-      .withColumn("nrm", sqrt(dot($"v", $"v")))
+    val e = withPairRoute(
+      Tables.embeddings(spark, sfDir)
+        .select($"vec_id", $"label", vecd($"embedding").as("v"))
+        .withColumn("nrm", sqrt(dot($"v", $"v"))),
+      maxExactLabel(spark))
     val a = e.as("a")
     val b = e.as("b")
-    a.join(b, $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+    a.join(b, $"a.label" === $"b.label" && $"a.route_bkt" === $"b.route_bkt" &&
+        $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"), $"a.label".as("label"),
         (dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")).cast("decimal(18,6)").as("cos"))
       .filter($"cos" >= 0.35)
@@ -359,10 +392,22 @@ object Similarity {
     * Rounds = graph diameter, and near-dup graphs are short chains
     * (diameter ≤ a handful); at 100 TB the standard upgrade is the
     * small-star/large-star contraction (O(log n) rounds) with the same
-    * per-round join shape. localCheckpoint truncates the growing
-    * iteration lineage. Oracle: DuckDB recursive-CTE transitive closure. */
+    * per-round join shape. Each round's labels are checkpointed to
+    * truncate the growing iteration lineage — `localCheckpoint()` by
+    * default (executor-local blocks: fastest, right for bench/local),
+    * or a RELIABLE `checkpoint()` to the configured checkpoint dir when
+    * `spark.graft.cluster.reliableCheckpoint=true`: on a 1000-executor
+    * run, losing one executor mid-fixpoint destroys local checkpoint
+    * blocks and kills the whole job, while reliable checkpoints replay
+    * from distributed storage — the fault-tolerance story an iterative
+    * 100 TB job needs (requires `sparkContext.setCheckpointDir`).
+    * Oracle: DuckDB recursive-CTE transitive closure. */
   def dedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val reliable = spark.conf.getOption("spark.graft.cluster.reliableCheckpoint")
+      .exists(_.toBoolean)
+    def truncateLineage(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val pairs = dedupNgramJaccard(spark, sfDir).select($"id_a", $"id_b")
     val edges = pairs
       .union(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
@@ -375,10 +420,9 @@ object Similarity {
     // map-side coalesce. Initial labels FUSE the first propagation step:
     // min(self, direct neighbors) comes out of the same aggregation that
     // enumerates the vertex set, saving one full checkpoint+count round.
-    var labels = edges
+    var labels = truncateLineage(edges
       .groupBy($"id_a".as("doc_id")).agg(min($"id_b").as("nbmin"))
-      .select($"doc_id", least($"doc_id", $"nbmin").as("cluster"))
-      .localCheckpoint()
+      .select($"doc_id", least($"doc_id", $"nbmin").as("cluster")))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 30) {
@@ -395,13 +439,12 @@ object Similarity {
       // O(component diameter) rounds into O(log d) — measured 8 → 4
       // rounds here, and the difference between unbounded and
       // logarithmic iteration count on a 100 TB pair graph.
-      val next = stepped
+      val next = truncateLineage(stepped
         .join(stepped.select($"doc_id".as("j_id"), $"mid".as("j_min")),
           $"mid" === $"j_id", "left_outer")
         .select($"doc_id",
           least($"mid", coalesce($"j_min", $"mid")).as("cluster"),
-          (least($"mid", coalesce($"j_min", $"mid")) < $"prev").as("chg"))
-        .localCheckpoint()
+          (least($"mid", coalesce($"j_min", $"mid")) < $"prev").as("chg")))
       // convergence check is a filter-count on the materialized round
       // result — no extra join against the previous labels
       changed = next.filter($"chg").count()

@@ -110,6 +110,75 @@ class SimilaritySpec extends SparkSuite {
     knn.unpersist()
   }
 
+  test("skew router: hot labels pair inside bounded buckets, cold labels stay exact") {
+    // synthetic corpus: one hot label (64 vectors, over the threshold) and
+    // one cold label (8, under it) — the shape a real skewed key produces
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(8)(rnd.nextGaussian())
+    val rows = (0L until 64L).map(i => (i, "hot", vec())) ++
+      (100L until 108L).map(i => (i, "cold", vec()))
+    val e = rows.toDF("vec_id", "label", "v")
+    val routed = Similarity.withPairRoute(e, maxExact = 16).cache()
+    // cold label keeps bucket -1: its pair join is the exact one, unchanged
+    val coldBkts = routed.filter($"label" === "cold")
+      .select($"route_bkt").distinct().as[Int].collect().toSet
+    assert(coldBkts == Set(-1))
+    // hot label subdivides into >1 sign-LSH cell, all within 0..7
+    val hotCells = routed.filter($"label" === "hot")
+      .groupBy($"route_bkt").count().as[(Int, Long)].collect()
+    assert(hotCells.forall { case (b, _) => b >= 0 && b <= 7 })
+    assert(hotCells.length > 1, "hot label was not subdivided")
+    // the point of the router: per-task pair work is bounded — the sum of
+    // per-cell pair counts is strictly below the unrouted n·(n-1)/2
+    val cellPairs = hotCells.map { case (_, c) => c * (c - 1) / 2 }.sum
+    val exactPairs = 64L * 63L / 2
+    assert(cellPairs < exactPairs,
+      s"routing did not shrink the pair space: $cellPairs vs $exactPairs")
+    // and the routed pair join realizes exactly that bounded pair space
+    // (cold label unchanged: all 8·7/2 exact pairs survive)
+    val a = routed.as("a"); val b = routed.as("b")
+    val pairs = a.join(b, $"a.label" === $"b.label" &&
+        $"a.route_bkt" === $"b.route_bkt" && $"a.vec_id" < $"b.vec_id")
+      .groupBy($"a.label").count().as[(String, Long)].collect().toMap
+    assert(pairs("hot") == cellPairs)
+    assert(pairs("cold") == 8L * 7 / 2)
+    routed.unpersist()
+  }
+
+  test("skew router: declared corpus is all-exact at the default threshold") {
+    // no sf-scale label approaches the default cap, so the declared
+    // queries' pair joins are provably the plain exact ones (route_bkt is
+    // -1 everywhere and the extra join key is a constant match)
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    val routed = Similarity.withPairRoute(e, Similarity.maxExactLabel(spark))
+    assert(routed.select($"route_bkt").distinct().as[Int].collect().toSeq == Seq(-1))
+  }
+
+  test("dedup_cluster under reliable checkpointing matches the local-checkpoint run") {
+    // the fault-tolerant mode a 1000-executor fixpoint needs: per-round
+    // labels go to the checkpoint dir instead of executor-local blocks
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val prior = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.cluster.reliableCheckpoint", "true")
+    try {
+      val reliable = Similarity.dedupCluster(spark, sfDir)
+        .collect().map(_.toSeq).toSet
+      spark.conf.set("spark.graft.cluster.reliableCheckpoint", "false")
+      val local = Similarity.dedupCluster(spark, sfDir)
+        .collect().map(_.toSeq).toSet
+      assert(reliable == local)
+      // reliable mode really wrote round snapshots to the checkpoint dir
+      val written = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(written > 0, "no reliable checkpoint files were written")
+    } finally {
+      spark.conf.unset("spark.graft.cluster.reliableCheckpoint")
+      prior.foreach(spark.sparkContext.setCheckpointDir)
+    }
+  }
+
   test("minhash candidates are a superset of high-jaccard pairs") {
     val cand = Similarity.dedupMinhashLsh(spark, sfDir)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
