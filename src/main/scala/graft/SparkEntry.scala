@@ -63,7 +63,7 @@ object SparkEntry {
     "agg_approx_distinct" -> Relational.aggApproxDistinct _,
     "agg_percentile"      -> Relational.aggPercentile _,
     "agg_array_sorted"    -> Relational.aggArraySorted _,
-    "agg_pivot"           -> Relational.aggPivot _,
+    "agg_pivot"           -> ((s: SparkSession, d: String) => Relational.aggPivot(s, d)),
     "agg_mode_deterministic" -> Relational.aggModeDeterministic _,
     "join_bucketed"       -> Relational.joinBucketed _,
     "agg_unpivot"         -> Relational.aggUnpivot _,
@@ -184,7 +184,7 @@ object SparkEntry {
     "scan_orc_roundtrip"  -> Sources.scanOrcRoundtrip _,
     "scan_partition_prune" -> Sources.scanPartitionPrune _,
     // -- training-data curation / pipeline maintenance
-    "sample_stratified"   -> Curation.sampleStratified _,
+    "sample_stratified"   -> ((s: SparkSession, d: String) => Curation.sampleStratified(s, d)),
     "sample_mixture"      -> Curation.sampleMixture _,
     "sample_temperature"  -> Curation.sampleTemperature _,
     "scd2_lookup"         -> Curation.scd2Lookup _,

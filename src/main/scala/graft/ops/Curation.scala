@@ -29,12 +29,17 @@ object Curation {
     * 'c0'/256 ≈ 75%). The rate table is a broadcast dimension, the corpus
     * side is one map-only pass — no shuffle of the 100 TB side at all,
     * and re-running on a grown corpus keeps previously-sampled rows
-    * (hash-stable sampling, unlike rand()). */
-  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    * (hash-stable sampling, unlike rand()).
+    *
+    * The per-stratum rate table is a PARAMETER (the declared query passes
+    * the default) — a user ports their own language mix the way
+    * [[UploadService.Service]] parameterizes commit mode. */
+  def sampleStratified(spark: SparkSession, sfDir: String,
+                       rateTable: Seq[(String, String)] = Seq(
+                         ("en", "40"), ("de", "c0"), ("es", "c0"),
+                         ("fr", "c0"), ("zh", "c0"))): DataFrame = {
     import spark.implicits._
-    val rates = Seq(
-      ("en", "40"), ("de", "c0"), ("es", "c0"), ("fr", "c0"), ("zh", "c0"))
-      .toDF("lang", "keep_below")
+    val rates = rateTable.toDF("lang", "keep_below")
     Tables.documents(spark, sfDir)
       .join(broadcast(rates), "lang")
       .filter(substring(md5(concat(lit("strat|"), $"doc_id".cast("string"))), 1, 2) < $"keep_below")

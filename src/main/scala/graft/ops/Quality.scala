@@ -21,19 +21,22 @@ object Quality {
     * true). Row-local expectations share one scan. */
   final case class Expectation(name: String, violation: Column)
 
-  /** Evaluate row-local expectations in one aggregate pass. */
+  /** Evaluate row-local expectations in one aggregate pass. Names are
+    * carried as literal VALUES (never spliced into parsed SQL or used as
+    * column aliases), so any string — quotes, commas, backticks — is a
+    * valid expectation name. */
   def checkRowLocal(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
     val counts = df.agg(
       count(lit(1)).as("__n"),
-      expectations.map(e =>
-        count(when(e.violation, 1)).as(s"__v_${e.name}")): _*)
-    val stack = expectations.map(e =>
-      s"'${e.name}', __v_${e.name}").mkString(", ")
-    counts.selectExpr(
-      s"stack(${expectations.size}, $stack) AS (check_name, violations)",
-      "__n AS n_rows")
-      .selectExpr("check_name", "n_rows", "violations",
-        "(violations = 0) AS pass")
+      expectations.zipWithIndex.map { case (e, i) =>
+        count(when(e.violation, 1)).as(s"__v_$i") }: _*)
+    val entries = array(expectations.zipWithIndex.map { case (e, i) =>
+      struct(lit(e.name).as("check_name"), col(s"__v_$i").as("violations"))
+    }: _*)
+    counts.select(explode(entries).as("e"), col("__n").as("n_rows"))
+      .select(col("e.check_name").as("check_name"), col("n_rows"),
+        col("e.violations").as("violations"),
+        (col("e.violations") === 0).as("pass"))
   }
 
   /** The declared quality gate on `orders`: key non-null + unique,

@@ -504,14 +504,16 @@ object Relational {
   }
 
   /** Pivot: order counts per priority × status, statuses becoming
-    * columns. Explicit value list (F/O/P) keeps the schema static — the
+    * columns. Explicit value list (F/O/P by default — a PARAMETER for
+    * users with a different domain) keeps the schema static — the
     * dynamic form needs a driver-side distinct pass first, which at
     * 100 TB should always be replaced by a declared domain. */
-  def aggPivot(spark: SparkSession, sfDir: String): DataFrame = {
+  def aggPivot(spark: SparkSession, sfDir: String,
+               statusDomain: Seq[String] = Seq("F", "O", "P")): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, sfDir)
       .groupBy($"o_orderpriority")
-      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .pivot("o_orderstatus", statusDomain)
       .agg(count(lit(1)))
       .na.fill(0L)
       .orderBy($"o_orderpriority")

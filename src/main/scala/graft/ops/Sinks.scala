@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -77,31 +78,50 @@ object Sinks {
     * complete new one — never a partial directory; a crashed producer
     * leaves only a hidden staging dir that `abortStaged` (or a janitor)
     * removes. Same contract object stores implement with a temp prefix +
-    * atomic manifest swap. */
+    * atomic manifest swap.
+    *
+    * Swap protocol (old version survives every failure point): the prior
+    * published directory is first renamed ASIDE to `_old-<id>` — never
+    * deleted up front — then staging renames into place, and only after
+    * that succeeds is the old copy removed. If the swap-in rename fails,
+    * the old version is restored and staging aborted, so `finalDir` always
+    * holds a complete version. Paths go through Hadoop [[FileSystem]], so
+    * the same code serves local disk, HDFS, and any store with a rename. */
   def stagedPublish(df: DataFrame, finalDir: String): Boolean = {
+    val hconf = df.sparkSession.sessionState.newHadoopConf()
+    val target = new HPath(finalDir)
+    val fs = target.getFileSystem(hconf)
     val id = java.util.UUID.randomUUID.toString.replace("-", "")
-    val staging = new java.io.File(
-      new java.io.File(finalDir).getParentFile, s"_staging-$id")
+    val parent = target.getParent
+    val staging = new HPath(parent, s"_staging-$id")
+    val oldAside = new HPath(parent, s"_old-$id")
     try {
-      df.write.mode(SaveMode.Overwrite).parquet(staging.getPath)
-      val target = new java.io.File(finalDir)
-      if (target.exists()) deleteRec(target)
-      val ok = staging.renameTo(target)
-      if (!ok) abortStaged(staging)
-      ok
+      df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val hadOld = fs.exists(target) && fs.rename(target, oldAside)
+      if (fs.exists(target)) { abortStaged(fs, staging); return false }
+      if (fs.rename(staging, target)) {
+        if (hadOld) fs.delete(oldAside, true)
+        true
+      } else {
+        if (hadOld) fs.rename(oldAside, target) // restore the old version
+        abortStaged(fs, staging)
+        false
+      }
     } catch {
-      case _: Throwable => abortStaged(staging); false
+      case _: Throwable => abortStaged(fs, staging); false
     }
   }
 
   /** Failure path: remove the staging directory, leave the published
     * directory untouched. */
-  def abortStaged(staging: java.io.File): Unit =
-    if (staging.exists()) deleteRec(staging)
+  def abortStaged(fs: org.apache.hadoop.fs.FileSystem, staging: HPath): Unit =
+    if (fs.exists(staging)) fs.delete(staging, true)
 
-  private def deleteRec(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRec))
-    f.delete()
+  /** Local-file overload kept for callers that manage staging dirs as
+    * java.io.File (SinksSpec janitor path). */
+  def abortStaged(staging: java.io.File): Unit = {
+    val p = new HPath(staging.getPath)
+    abortStaged(p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
   }
 
   /** Deterministic seeded synthetic items generator (CsvGenerator.java:

@@ -131,30 +131,36 @@ object Streaming {
     * back as a batch frame. A memory sink would materialize the entire
     * result on the driver — at 100 TB the deduped event stream is a
     * driver OOM; the file sink keeps every row executor-side (the
-    * explicit schema covers the zero-finalized-windows read-back). */
-  private def runToParquet(df: DataFrame): DataFrame = {
+    * explicit schema covers the zero-finalized-windows read-back).
+    *
+    * The stream is BUILT AND RUN in a child session (`newSession`: shared
+    * SparkContext, isolated SQLConf), so per-query streaming conf — state
+    * partition count, state store provider — never mutates the caller's
+    * session. Set-and-restore on a shared session would race any query
+    * running concurrently on it; conf isolation makes the facade safe.
+    *
+    * State partition sizing: a streaming query fixes its STATE partition
+    * count at first start from spark.sql.shuffle.partitions, and every
+    * stateful operator then pays per-partition store open/commit overhead
+    * each batch. These harness streams are single AvailableNow batches of
+    * ≤100k rows, where 8 state partitions are plenty; a production
+    * deployment sizes this to throughput the same way (state partitioning
+    * is a per-query capacity decision, not a session constant). */
+  private def runToParquet(spark: SparkSession,
+                           extraConf: Map[String, String] = Map.empty)
+                          (build: SparkSession => DataFrame): DataFrame = {
     val dir = "/root/repo/target/stream/" +
       java.util.UUID.randomUUID.toString.replace("-", "")
-    val spark = df.sparkSession
-    // A streaming query fixes its STATE partition count at first start
-    // from spark.sql.shuffle.partitions — and every stateful operator
-    // then pays per-partition store open/commit overhead each batch.
-    // Size it to the workload: these harness streams are single
-    // AvailableNow batches of ≤100k rows, where 8 state partitions are
-    // plenty; a production deployment sizes this to throughput the same
-    // way (state partitioning is a per-query capacity decision, not a
-    // session constant). Scoped and restored — batch queries keep the
-    // session's 32.
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(prev.toInt, 8).toString)
-    try {
-      val q = df.writeStream.outputMode("append").format("parquet")
-        .option("path", s"$dir/out")
-        .option("checkpointLocation", s"$dir/chk")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    } finally spark.conf.set(key, prev)
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions",
+      math.min(spark.conf.get("spark.sql.shuffle.partitions").toInt, 8).toString)
+    extraConf.foreach { case (k, v) => child.conf.set(k, v) }
+    val df = build(child)
+    val q = df.writeStream.outputMode("append").format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
     spark.read.schema(df.schema).parquet(s"$dir/out")
   }
 
@@ -163,11 +169,12 @@ object Streaming {
     * watermark would be dropped — asserted with MemoryStream in the spec). */
   def streamWatermarkLate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val agg = eventsStream(spark, sfDir)
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window($"ts", "1 hour"), $"event_type")
-      .agg(count(lit(1)).as("n"))
-    runToParquet(agg)
+    runToParquet(spark) { s =>
+      eventsStream(s, sfDir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }
       .select(date_format($"window.start", tsFmt).as("win_start"),
         $"event_type", $"n")
       .orderBy($"win_start", $"event_type")
@@ -187,25 +194,28 @@ object Streaming {
   def streamKeyedState(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
-    val src = eventsStream(spark, sfDir)
-      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"event_type")
-      .as[KeyedEvent]
-    val updated = src.groupByKey(_.user_id)
-      .flatMapGroupsWithState[JobState, JobUpdate](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: Long, events: Iterator[KeyedEvent], state: GroupState[JobState]) =>
-          var s = state.getOption.getOrElse(JobState(0L, Long.MinValue, Long.MinValue, ""))
-          events.foreach { e =>
-            val newer = e.us > s.lastUs || (e.us == s.lastUs && e.event_id > s.lastId)
-            s = JobState(s.n + 1,
-              if (newer) e.us else s.lastUs,
-              if (newer) e.event_id else s.lastId,
-              if (newer) e.event_type else s.lastType)
-          }
-          state.update(s)
-          Iterator(JobUpdate(key, s.n, s.lastUs, s.lastType))
-      }.toDF()
-    runToParquet(updated)
+    runToParquet(spark) { session =>
+      import session.implicits._
+      val src = eventsStream(session, sfDir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .as[KeyedEvent]
+      src.groupByKey(_.user_id)
+        .flatMapGroupsWithState[JobState, JobUpdate](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (key: Long, events: Iterator[KeyedEvent], state: GroupState[JobState]) =>
+            var s = state.getOption.getOrElse(JobState(0L, Long.MinValue, Long.MinValue, ""))
+            events.foreach { e =>
+              val newer = e.us > s.lastUs || (e.us == s.lastUs && e.event_id > s.lastId)
+              s = JobState(s.n + 1,
+                if (newer) e.us else s.lastUs,
+                if (newer) e.event_id else s.lastId,
+                if (newer) e.event_type else s.lastType)
+            }
+            state.update(s)
+            Iterator(JobUpdate(key, s.n, s.lastUs, s.lastType))
+        }.toDF()
+    }
       .select($"user_id", $"n_events",
         date_format(timestamp_micros($"lastUs"), tsFmt).as("last_ts"),
         $"event_type")
@@ -224,24 +234,25 @@ object Streaming {
   def streamCsvIngest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    val schema = StructType(Seq("externalId", "name", "quantity", "expiryDate")
-      .map(StructField(_, StringType)))
-    val raw = spark.readStream.schema(schema)
-      .option("header", "true")
-      .option("pathGlobFilter", "items_scan.csv")
-      .csv("/root/repo/src/test/resources")
-    val k = $"externalId".cast("long") - 1000000000L
-    val staged = raw.select(
-      $"externalId",
-      when(k % 13 === 0, "").otherwise(trim($"name")).as("nam"),
-      when(k % 7 === 0, "x9").otherwise(trim($"quantity")).as("qty"),
-      when(k % 11 === 0, "2026-13-40").otherwise(trim($"expiryDate")).as("exp"))
-    val classified = staged.withColumn("error",
-      when($"nam" === "", Ingest.ErrNameEmpty)
-        .when(expr("try_cast(qty AS INT)").isNull, Ingest.ErrQty)
-        .when(try_to_date($"exp", "yyyy-MM-dd").isNull, Ingest.ErrDate)
-        .otherwise(lit(null).cast("string")))
-    runToParquet(classified)
+    runToParquet(spark) { session =>
+      val schema = StructType(Seq("externalId", "name", "quantity", "expiryDate")
+        .map(StructField(_, StringType)))
+      val raw = session.readStream.schema(schema)
+        .option("header", "true")
+        .option("pathGlobFilter", "items_scan.csv")
+        .csv("/root/repo/src/test/resources")
+      val k = col("externalId").cast("long") - 1000000000L
+      val staged = raw.select(
+        col("externalId"),
+        when(k % 13 === 0, "").otherwise(trim(col("name"))).as("nam"),
+        when(k % 7 === 0, "x9").otherwise(trim(col("quantity"))).as("qty"),
+        when(k % 11 === 0, "2026-13-40").otherwise(trim(col("expiryDate"))).as("exp"))
+      staged.withColumn("error",
+        when(col("nam") === "", Ingest.ErrNameEmpty)
+          .when(expr("try_cast(qty AS INT)").isNull, Ingest.ErrQty)
+          .when(try_to_date(col("exp"), "yyyy-MM-dd").isNull, Ingest.ErrDate)
+          .otherwise(lit(null).cast("string")))
+    }
       .groupBy(coalesce($"error", lit("OK")).as("status"))
       .agg(count(lit(1)).as("n"),
         min($"externalId").as("first_key"),
@@ -259,12 +270,13 @@ object Streaming {
     * join, which is the SQL the oracle runs). */
   def streamJoinStatic(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val static = Tables.customer(spark, sfDir)
-      .select($"c_custkey", $"c_mktsegment")
-    val enriched = eventsStream(spark, sfDir)
-      .select($"user_id", $"event_id", $"value")
-      .join(broadcast(static), $"user_id" === $"c_custkey")
-    runToParquet(enriched)
+    runToParquet(spark) { session =>
+      val static = Tables.customer(session, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      eventsStream(session, sfDir)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .join(broadcast(static), col("user_id") === col("c_custkey"))
+    }
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_events"),
         countDistinct($"user_id").as("n_users"),
@@ -283,20 +295,21 @@ object Streaming {
     * decimal spend) happens batch-side on the sink read-back. */
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ev = eventsStream(spark, sfDir)
-    val clicks = ev.filter($"event_type" === "click")
-      .select($"user_id".as("c_user"), $"event_id".as("click_id"),
-        $"ts".as("click_ts"))
-      .withWatermark("click_ts", "1 hour")
-    val purchases = ev.filter($"event_type" === "purchase")
-      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
-        $"ts".as("purchase_ts"), $"value")
-      .withWatermark("purchase_ts", "1 hour")
-    val joined = clicks.join(purchases,
-      $"c_user" === $"p_user" &&
-        $"purchase_ts" >= $"click_ts" &&
-        $"purchase_ts" < $"click_ts" + expr("INTERVAL 1 HOUR"))
-    runToParquet(joined)
+    runToParquet(spark) { session =>
+      val ev = eventsStream(session, sfDir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), col("value"))
+        .withWatermark("purchase_ts", "1 hour")
+      clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+    }
       .groupBy($"c_user".as("user_id"))
       .agg(count(lit(1)).as("n_conversions"),
         countDistinct($"click_id").as("n_clicks_converted"),
@@ -310,36 +323,31 @@ object Streaming {
     * flatMapGroupsWithState): per-key (count, latest event) snapshot,
     * commutative fold, identical output contract to
     * [[streamKeyedState]] so the same SQL oracle pins both APIs.
-    * TWS requires the RocksDB state store provider; the conf is set for
-    * the duration of the run and restored after. */
+    * TWS requires the RocksDB state store provider; the conf is set on
+    * the run's own child session only (see [[runToParquet]]) — the
+    * caller's session is never mutated. */
   def streamTwsState(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
-    val src = eventsStream(spark, sfDir)
-      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"event_type")
-      .as[KeyedEvent]
-    val updated = src.groupByKey(_.user_id)
-      .transformWithState(new StatusProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
-        OutputMode.Append(),
-        org.apache.spark.sql.Encoders.product[JobUpdate])
-      .toDF()
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      runToParquet(updated)
-        .select($"user_id", $"n_events",
-          date_format(timestamp_micros($"lastUs"), tsFmt).as("last_ts"),
-          $"event_type")
-        .orderBy($"user_id")
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
+    runToParquet(spark, Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { session =>
+      import session.implicits._
+      val src = eventsStream(session, sfDir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .as[KeyedEvent]
+      src.groupByKey(_.user_id)
+        .transformWithState(new StatusProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[JobUpdate])
+        .toDF()
     }
+      .select($"user_id", $"n_events",
+        date_format(timestamp_micros($"lastUs"), tsFmt).as("last_ts"),
+        $"event_type")
+      .orderBy($"user_id")
   }
 
   /** Streaming CDC upsert via foreachBatch — the keep-a-table-current
@@ -351,6 +359,13 @@ object Streaming {
     * batch-id-addressed outputs are the standard exactly-once upgrade.
     * One AvailableNow batch ⇒ final state ≡ batch latest-per-key, which
     * is the SQL the oracle runs.
+    *
+    * State lineage is ADDRESSED BY BATCH ID, not by in-memory state: each
+    * batch reads the newest `state_v<b>` with b < batchId from the store
+    * itself, so a replayed batch (foreachBatch is at-least-once) or a
+    * restarted driver re-derives the same snapshot — no @volatile
+    * last-path var that a crash would lose. A source that yields zero
+    * batches returns an empty frame with the output schema.
     *
     * Scale: the merge is one union + keyed window per batch — state and
     * batch shuffle once on the key; snapshots would be partitioned/
@@ -364,24 +379,32 @@ object Streaming {
     val src = eventsStream(spark, sfDir)
       .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
         $"event_type", $"value")
-    @volatile var current: Option[String] = None
+    def stateVersions(): Seq[(Long, java.io.File)] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("state_v"))
+        .map(f => (f.getName.stripPrefix("state_v").toLong, f))
+        .sortBy(_._1)
     val q = src.writeStream.outputMode("append")
       .option("checkpointLocation", s"$dir/chk")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val prev = current.map(spark.read.parquet(_))
+        val prev = stateVersions().filter(_._1 < batchId).lastOption
+          .map { case (_, f) => spark.read.parquet(f.getPath) }
           .getOrElse(batch.limit(0))
         val w = Window.partitionBy($"user_id")
           .orderBy($"us".desc, $"event_id".desc)
-        val next = s"$dir/state_v$batchId"
         prev.unionByName(batch)
           .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
           .filter($"rn" === 1).drop("rn")
-          .write.mode("overwrite").parquet(next)
-        current = Some(next)
+          .write.mode("overwrite").parquet(s"$dir/state_v$batchId")
       }.start()
     q.awaitTermination()
-    spark.read.parquet(current.get)
+    val latest = stateVersions().lastOption
+      .map { case (_, f) => spark.read.parquet(f.getPath) }
+      // zero batches: empty BATCH frame with the same schema
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], src.schema))
+    latest
       .select($"user_id", $"event_id",
         date_format(timestamp_micros($"us"), tsFmt).as("last_ts"),
         $"event_type", $"value".cast("decimal(18,6)").as("value"))
@@ -392,10 +415,11 @@ object Streaming {
     * stream is then counted per type (batch-side) to a stable summary. */
   def streamDedupState(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val deduped = eventsStream(spark, sfDir)
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
-    runToParquet(deduped)
+    runToParquet(spark) { session =>
+      eventsStream(session, sfDir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+    }
       .groupBy($"event_type").agg(count(lit(1)).as("n"))
       .orderBy($"event_type")
   }

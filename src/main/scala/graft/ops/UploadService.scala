@@ -51,21 +51,29 @@ object UploadService {
     /** Status poll, like GET /api/uploads/status?jobId=. */
     def status(jobId: String): Progress.Status = statusStore.get(jobId)
 
-    /** Block for the final result (tests / synchronous callers). */
+    /** Block for the final result (tests / synchronous callers). Unknown
+      * job ids fail descriptively, mirroring the reference's 404 poll. */
     def await(jobId: String): UploadResult = {
       import scala.concurrent.duration._
-      scala.concurrent.Await.result(results.get(jobId), 10.minutes)
+      val f = Option(results.get(jobId)).getOrElse(throw
+        new IllegalArgumentException(s"unknown job id: $jobId"))
+      scala.concurrent.Await.result(f, 10.minutes)
     }
 
     private def process(jobId: String, csvPath: String, mode: CommitMode,
                         chunkRows: Int): UploadResult = try {
       import spark.implicits._
-      // header CSV, all columns as strings (no inference — deterministic),
-      // physical line order preserved: monotonically_increasing_id is
-      // monotone in (split, row-in-split) and splits follow file offsets
-      val raw = spark.read.option("header", "true")
+      // header CSV, all columns as strings (no inference — deterministic).
+      // Explicit global line id via zipWithIndex: contiguous and
+      // independent of the split layout (a CSV big enough to be read as
+      // multiple splits gets the same ids), unlike
+      // monotonically_increasing_id whose values encode the partitioning.
+      val parsed = spark.read.option("header", "true")
         .option("mode", "PERMISSIVE").csv(csvPath)
-        .withColumn("line_id", monotonically_increasing_id())
+      val raw = spark.createDataFrame(
+        parsed.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+        parsed.schema.add("line_id", org.apache.spark.sql.types.LongType))
         .select($"line_id",
           col("externalId").as("external_id_raw"),
           col("name").as("name_raw"),

@@ -31,6 +31,10 @@ case class TopKPerKeyNode(groupKeys: Seq[Expression], order: Seq[SortOrder],
     copy(child = newChild)
 }
 
+/** Physical top-k-per-key heap operator. Memory bound: O(#keys · k) rows
+  * held on-heap per task with no spill path — correct for the bounded-k,
+  * bounded-key-cardinality workloads it targets; a key-explosive input
+  * should use the window form instead. */
 case class TopKPerKeyExec(groupKeys: Seq[Expression], order: Seq[SortOrder],
                           k: Int, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
@@ -47,6 +51,14 @@ case class TopKPerKeyExec(groupKeys: Seq[Expression], order: Seq[SortOrder],
     val kk = k
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(gk, schema)
+      // identity projection to UnsafeRow: the child may satisfy the
+      // required distribution without a shuffle and emit plain
+      // InternalRows — never assume the row class
+      val toUnsafe = UnsafeProjection.create(schema, schema)
+      def keep(r: InternalRow): UnsafeRow = r match {
+        case u: UnsafeRow => u.copy()
+        case other        => toUnsafe(other).copy()
+      }
       // ascending `ordering` = the requested order; the queue's head is
       // the LARGEST kept row, i.e. the eviction candidate
       val ordering = new LazilyGeneratedOrdering(so, schema)
@@ -63,10 +75,10 @@ case class TopKPerKeyExec(groupKeys: Seq[Expression], order: Seq[SortOrder],
         }
         if (heap.size < kk) {
           // iterator rows are reused buffers — copy what we keep
-          heap.enqueue(row.copy().asInstanceOf[UnsafeRow])
+          heap.enqueue(keep(row))
         } else if (ordering.compare(row, heap.head) < 0) {
           heap.dequeue()
-          heap.enqueue(row.copy().asInstanceOf[UnsafeRow])
+          heap.enqueue(keep(row))
         }
       }
       heaps.iterator.flatMap { case (_, heap) =>

@@ -94,6 +94,28 @@ class ResampleSpec extends SparkSuite {
     assert(native == islands)
   }
 
+  test("win_session_running_sum: exact 30-min gap breaks; single-event session resets") {
+    // synthetic events fixture: ts stored as long NANOS like the harness data
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_edge").toString
+    val us0 = 1700000000000000L
+    val rows = Seq(
+      (1L, 1L, us0, 1.0),
+      (1L, 2L, us0 + 1799999999L, 2.0),               // 1 µs under the gap: same session
+      (1L, 3L, us0 + 1799999999L + 1800000000L, 3.0), // gap EXACTLY 30 min: new session
+      (1L, 4L, us0 + 1799999999L + 1800000000L + 7200000000L, 4.0)) // e3 left alone
+    rows.toDF("user_id", "event_id", "us", "value")
+      .select($"user_id", $"event_id", ($"us" * 1000).as("ts"), $"value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.ops.Windows.winSessionRunningSum(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getDecimal(4).doubleValue)).toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, 1, 1.0),  // session 1 opens
+      (1L, 2L, 1L, 2, 3.0),  // still session 1: running sum accumulates
+      (1L, 3L, 2L, 1, 3.0),  // 30:00.000000 gap RESETS — single-event session
+      (1L, 4L, 3L, 1, 4.0))) // next session resets again
+  }
+
   test("sample_temperature: probabilities normalize and flatten the mixture") {
     val rows = Curation.sampleTemperature(spark, sfDir).collect().map(r =>
       (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))

@@ -76,6 +76,38 @@ class UploadServiceSpec extends SparkSuite {
     assert(svc.status(j1).step == "JOB_COMPLETE" && svc.status(j2).step == "JOB_COMPLETE")
   }
 
+  test("unknown job id: await fails descriptively, status reports NOT_FOUND") {
+    val out = Files.createTempDirectory("graft_upload_unknown").toString
+    val svc = new UploadService.Service(spark,
+      Seq.empty[String].toDF("external_id"), out)
+    val e = intercept[IllegalArgumentException](svc.await("no-such-job"))
+    assert(e.getMessage.contains("no-such-job"))
+    assert(svc.status("no-such-job").step == "NOT_FOUND")
+  }
+
+  test("line ids follow file order even when the CSV reads as multiple splits") {
+    val (csv, nClean, nBroken) = fixture()
+    val out = Files.createTempDirectory("graft_upload_split").toString
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "1024") // ~4 KB fixture → several input splits
+    try {
+      // precondition: the conf really makes this a multi-split read
+      assert(spark.read.option("header", "true").csv(csv)
+        .rdd.getNumPartitions > 1)
+      val svc = new UploadService.Service(spark,
+        Seq.empty[String].toDF("external_id"), out)
+      val res = svc.await(svc.submit(csv))
+      assert(res.inserted == nClean && res.failed == nBroken)
+      // first-wins dedup is line-order dependent: the generator row on
+      // line 1 must beat its duplicate on line 101 regardless of splits
+      val kept = spark.read.parquet(res.loadedDir)
+        .filter($"externalId" === "1000000000")
+        .select($"name").head().getString(0)
+      assert(kept.startsWith("Item_"), s"dup row won over the first row: $kept")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("a missing input fails the job with JOB_FAILED status") {
     val out = Files.createTempDirectory("graft_upload_out3").toString
     val svc = new UploadService.Service(spark,
