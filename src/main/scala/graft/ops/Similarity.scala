@@ -408,6 +408,18 @@ object Similarity {
       .exists(_.toBoolean)
     def truncateLineage(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
+    // The blocks behind a round's localCheckpoint stay in executor
+    // storage until the driver GCs the Dataset and the ContextCleaner
+    // notices — across N rounds that is N stale label snapshots of
+    // storage (measured: a second in-JVM run was ~30% SLOWER than the
+    // first from accumulated blocks). Free each round's blocks as soon
+    // as the next round is materialized. Reliable checkpoint files are
+    // lifecycle-managed by the ContextCleaner instead.
+    def freeCheckpoint(df: DataFrame): Unit =
+      if (!reliable) df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+      }
     val pairs = dedupNgramJaccard(spark, sfDir).select($"id_a", $"id_b")
     val edges = pairs
       .union(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
@@ -448,6 +460,7 @@ object Similarity {
       // convergence check is a filter-count on the materialized round
       // result — no extra join against the previous labels
       changed = next.filter($"chg").count()
+      freeCheckpoint(labels) // next is materialized; prev blocks are dead
       labels = next.select($"doc_id", $"cluster")
       rounds += 1
     }
