@@ -112,6 +112,76 @@ object Sinks {
     }
   }
 
+  /** Manifest-pointer publish — the strongest publication contract:
+    * readers NEVER observe a missing or partial table, even in the
+    * instant of the swap ([[stagedPublish]]'s directory rename still has
+    * a sub-millisecond window where the target is absent). Each publish
+    * writes a fresh immutable `v<n>` directory under `tableDir`, then
+    * atomically REPLACES the tiny `_CURRENT` manifest file (tmp file +
+    * overwrite-rename — atomic on POSIX and HDFS) to point at it.
+    * [[readPublished]] resolves the manifest first, so a reader holds a
+    * complete version for its whole query lifetime regardless of
+    * concurrent publishes — the snapshot-pointer scheme every table
+    * format (manifest lists, transaction logs) builds on. A failed
+    * producer leaves an orphan `v<n>` (janitor-prunable) and an untouched
+    * manifest. Old versions beyond `keepVersions` are pruned AFTER the
+    * swap — a reader mid-query on version n−1 keeps its files while the
+    * default keeps one prior version. */
+  def publishVersioned(df: DataFrame, tableDir: String,
+                       keepVersions: Int = 2): Boolean = {
+    val hconf = df.sparkSession.sessionState.newHadoopConf()
+    val root = new HPath(tableDir)
+    val fs = root.getFileSystem(hconf)
+    fs.mkdirs(root)
+    val cur = new HPath(root, "_CURRENT")
+    def currentVersion(): Option[Long] =
+      if (!fs.exists(cur)) None
+      else {
+        val in = fs.open(cur)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.stripPrefix("v").toLong)
+        finally in.close()
+      }
+    val next = currentVersion().getOrElse(0L) + 1
+    val vdir = new HPath(root, s"v$next")
+    try {
+      df.write.mode(SaveMode.ErrorIfExists).parquet(vdir.toString)
+      // atomic pointer flip: tmp manifest + overwrite-rename
+      val tmp = new HPath(root,
+        s"_CURRENT.tmp-${java.util.UUID.randomUUID.toString.replace("-", "")}")
+      val out = fs.create(tmp, true)
+      try out.write(s"v$next".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, hconf)
+      fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      // prune stale versions, never the one just published or the reader
+      // grace window of keepVersions-1 priors
+      val keep = (next - keepVersions + 1) to next
+      fs.listStatus(root).map(_.getPath)
+        .filter(p => p.getName.matches("v\\d+") &&
+          !keep.contains(p.getName.stripPrefix("v").toLong))
+        .foreach(fs.delete(_, true))
+      true
+    } catch {
+      case _: Throwable =>
+        if (fs.exists(vdir)) fs.delete(vdir, true) // orphan, manifest untouched
+        false
+    }
+  }
+
+  /** Reader side of [[publishVersioned]]: resolve `_CURRENT`, load the
+    * version it pins. Throws if nothing was ever published. */
+  def readPublished(spark: SparkSession, tableDir: String): DataFrame = {
+    val root = new HPath(tableDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = new HPath(root, "_CURRENT")
+    require(fs.exists(cur), s"no published version at $tableDir")
+    val in = fs.open(cur)
+    val v = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+    spark.read.parquet(new HPath(root, v).toString)
+  }
+
   /** Failure path: remove the staging directory, leave the published
     * directory untouched. */
   def abortStaged(fs: org.apache.hadoop.fs.FileSystem, staging: HPath): Unit =

@@ -53,10 +53,42 @@ class SinksSpec extends SparkSuite {
     // v2 replaces v1 atomically
     assert(Sinks.stagedPublish(spark.range(250).toDF("id"), finalDir))
     assert(spark.read.parquet(finalDir).count() == 250)
-    // no staging residue after either publish
+    // no staging or renamed-aside residue after either publish
     val residue = new java.io.File(base).listFiles()
-      .filter(_.getName.startsWith("_staging-"))
-    assert(residue.isEmpty, s"staging residue: ${residue.mkString(",")}")
+      .filter(f => f.getName.startsWith("_staging-") || f.getName.startsWith("_old-"))
+    assert(residue.isEmpty, s"residue: ${residue.mkString(",")}")
+  }
+
+  test("versioned publish: manifest always points at a complete version") {
+    val table = tmp() + "/table"
+    assert(Sinks.publishVersioned(spark.range(100).toDF("id"), table))
+    assert(Sinks.readPublished(spark, table).count() == 100)
+    assert(Sinks.publishVersioned(spark.range(250).toDF("id"), table))
+    assert(Sinks.readPublished(spark, table).count() == 250)
+    // keepVersions=2: v1 retained for in-flight readers, v2 current
+    val dirs = new java.io.File(table).listFiles().map(_.getName).toSet
+    assert(dirs.contains("v1") && dirs.contains("v2") && dirs.contains("_CURRENT"))
+    // a third publish prunes v1
+    assert(Sinks.publishVersioned(spark.range(300).toDF("id"), table))
+    val dirs3 = new java.io.File(table).listFiles().map(_.getName)
+      .filter(_.matches("v\\d+")).toSet
+    assert(dirs3 == Set("v2", "v3"), s"expected v2,v3 got $dirs3")
+    assert(Sinks.readPublished(spark, table).count() == 300)
+  }
+
+  test("versioned publish: failed producer leaves manifest and data untouched") {
+    val table = tmp() + "/table"
+    assert(Sinks.publishVersioned(spark.range(100).toDF("id"), table))
+    val boom = udf((i: Long) => {
+      if (i == 42) throw new RuntimeException("poison row"); i
+    })
+    assert(!Sinks.publishVersioned(
+      spark.range(50).select(boom($"id").as("id")), table))
+    // readers still resolve v1; no orphan v2 or tmp manifest remains
+    assert(Sinks.readPublished(spark, table).count() == 100)
+    val names = new java.io.File(table).listFiles().map(_.getName)
+    assert(!names.exists(_.startsWith("_CURRENT.tmp-")))
+    assert(!names.contains("v2"))
   }
 
   test("staged publish: failed producer leaves published version intact") {
