@@ -937,6 +937,23 @@ object Oracle {
          | UNION ALL SELECT '5_train', CAST(COUNT(*) AS BIGINT) FROM s5)
          |ORDER BY stage""".stripMargin,
 
+    "dedup_containment" ->
+      s"""WITH d AS (SELECT doc_id, source, $toksExpr AS ts FROM documents),
+         |g0 AS (SELECT doc_id, source, ts FROM d WHERE len(ts) >= 2),
+         |grams AS (SELECT doc_id, source, unnest(list_distinct(
+         |  list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))) AS gram FROM g0),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM grams a JOIN grams b ON a.source = b.source
+         |    AND a.doc_id < b.doc_id AND a.gram = b.gram
+         |  GROUP BY 1, 2),
+         |c AS (SELECT id_a, id_b,
+         |  CAST(CAST(inter AS DOUBLE) / least(sa.n_grams, sb.n_grams) AS DECIMAL(18,6))::DOUBLE AS containment
+         |  FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+         |               JOIN sizes sb ON i.id_b = sb.doc_id)
+         |SELECT id_a, id_b, containment FROM c WHERE containment >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, source, $toksExpr AS ts FROM documents),
          |g0 AS (SELECT doc_id, source, ts FROM d WHERE len(ts) >= 2),
@@ -1298,6 +1315,16 @@ object Oracle {
         |SELECT strftime(day, '%Y-%m-%d') AS day, n, med7,
         | abs(n - med7) > med7 * 0.5 AS drift
         |FROM m ORDER BY day""".stripMargin,
+
+    "profile_skew" ->
+      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys FROM c)
+        |SELECT user_id, n,
+        | CAST(CAST(n AS DOUBLE) / total AS DECIMAL(18,6))::DOUBLE AS share,
+        | CAST(CAST(n * n_keys AS DOUBLE) / total AS DECIMAL(18,6))::DOUBLE AS skew_x
+        |FROM c, t ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
 
     "impute_missing" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber, l_returnflag,

@@ -151,6 +151,7 @@ object SparkEntry {
     "dedup_minhash_lsh"      -> Similarity.dedupMinhashLsh _,
     "dedup_simhash"          -> Similarity.dedupSimhash _,
     "dedup_ngram_jaccard"    -> Similarity.dedupNgramJaccard _,
+    "dedup_containment"      -> Similarity.dedupContainment _,
     "dedup_cluster"          -> Similarity.dedupCluster _,
     "dedup_edit_distance"    -> Similarity.dedupEditDistance _,
     "embed_normalize"        -> Similarity.embedNormalize _,
@@ -190,6 +191,7 @@ object SparkEntry {
     "scd2_lookup"         -> Curation.scd2Lookup _,
     "sim_hybrid_search"   -> Similarity.simHybridSearch _,
     "profile_drift"       -> Quality.profileDrift _,
+    "profile_skew"        -> Quality.profileSkew _,
     "win_sessionize"      -> Windows.winSessionize _,
     "sql_api_q18"         -> Relational.sqlApiQ18 _,
     "agg_count_min"       -> Relational.aggCountMin _,

@@ -95,6 +95,31 @@ object Quality {
       .orderBy($"day")
   }
 
+  /** Key-skew profiler — the diagnostic that decides whether a key column
+    * can be a join/groupBy key as-is or needs the salted/bucketed path:
+    * per-key volumes for the top heavy hitters, each with its share of
+    * total rows and its multiple of the mean key volume (`skew_x` = 1.0
+    * for a perfectly uniform key). This is the measurement the skew-router
+    * in [[Similarity]] acts on — route keys with skew_x over threshold
+    * through the bounded path, keep the rest exact.
+    *
+    * Scale: one map-side-combinable count per key, one broadcast scalar,
+    * and a TakeOrdered top-k — nothing corpus-sized moves, any key
+    * cardinality works. All derived ratios are single IEEE divisions of
+    * exact longs, so the numbers are engine-identical. */
+  def profileSkew(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.events(spark, sfDir)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum($"n").as("total"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select($"user_id", $"n",
+        ($"n".cast("double") / $"total").cast("decimal(18,6)").as("share"),
+        (($"n" * $"n_keys").cast("double") / $"total").cast("decimal(18,6)").as("skew_x"))
+      .orderBy($"n".desc, $"user_id")
+      .limit(20)
+  }
+
   /** Incremental aggregate maintenance (materialized-view merge): the
     * standing per-priority aggregate absorbs a delta batch by RE-AGGREGATING
     * base partials with delta partials — sums and counts merge, averages

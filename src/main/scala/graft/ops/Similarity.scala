@@ -542,4 +542,35 @@ object Similarity {
       .filter($"jaccard" >= 0.1)
       .orderBy($"id_a", $"id_b")
   }
+
+  /** Containment near-dup: |A∩B| / min(|A|, |B|) over distinct word
+    * bigrams — the asymmetric companion to [[dedupNgramJaccard]]. Jaccard
+    * misses the doc-in-doc case (a document pasted inside a much larger
+    * one scores inter/union ≈ |A|/|B| → 0); containment normalizes by the
+    * SMALLER gram set, so a fully-embedded document scores 1.0 regardless
+    * of the host's size. Same inverted-index equi-join blocked on source —
+    * the pair space never goes all-pairs, and ReuseExchange materializes
+    * the tokenize+explode once (identical a/b subtrees, as in the Jaccard
+    * twin). */
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val grams = TextSim.rebalanceDocs(Tables.documents(spark, sfDir))
+      .select($"doc_id", $"source", TextSim.tokens($"text").as("ts"))
+      .filter(size($"ts") >= 2)
+      .select($"doc_id", $"source", explode(array_distinct(expr(
+        "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")))
+        .as("gram"))
+      .withColumn("n_grams", count(lit(1)).over(Window.partitionBy($"doc_id")))
+    val a = grams.as("a")
+    val b = grams.as("b")
+    a.join(b,
+        $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id" && $"a.gram" === $"b.gram")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        $"a.n_grams".as("na"), $"b.n_grams".as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select($"id_a", $"id_b",
+        ($"inter".cast("double") / least($"na", $"nb")).cast("decimal(18,6)").as("containment"))
+      .filter($"containment" >= 0.2)
+      .orderBy($"id_a", $"id_b")
+  }
 }
