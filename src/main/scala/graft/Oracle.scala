@@ -1680,6 +1680,27 @@ object Oracle {
         |FROM events e JOIN st ON e.event_type = st.event_type
         |WHERE abs((CAST(CAST(e.value AS DECIMAL(18,6)) AS DOUBLE) - st.mean) / st.std) > 3
         |ORDER BY e.event_id""".stripMargin,
+
+    "anomaly_mad" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events),
+        |r AS (SELECT event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM e),
+        |med AS (SELECT event_type, AVG(value) AS med FROM r
+        |  WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1 GROUP BY 1),
+        |d AS (SELECT e.event_type, e.event_id, m.med, abs(e.value - m.med) AS dev
+        |  FROM e JOIN med m USING (event_type)),
+        |r2 AS (SELECT event_type, event_id, med, dev,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM d),
+        |mad AS (SELECT event_type, AVG(dev) AS mad FROM r2
+        |  WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1 GROUP BY 1)
+        |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(CAST(MIN(d.med) AS DECIMAL(18,6)) AS DOUBLE) AS med,
+        | CAST(CAST(MIN(a.mad) AS DECIMAL(18,6)) AS DOUBLE) AS mad,
+        | CAST(COUNT(CASE WHEN d.dev > a.mad * 4.4478 THEN 1 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN mad a USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
   )
 
   val streaming: Map[String, String] = Map(

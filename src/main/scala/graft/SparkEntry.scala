@@ -218,6 +218,7 @@ object SparkEntry {
     "profile_table"       -> Curation.profileTable _,
     "zorder_cluster"      -> Curation.zorderCluster _,
     "outlier_zscore"      -> Curation.outlierZscore _,
+    "anomaly_mad"         -> Curation.anomalyMad _,
     // -- streaming (batch-declared oracle forms + true streaming runners)
     "stream_tumbling"       -> Streaming.streamTumbling _,
     "stream_sliding"        -> Streaming.streamSliding _,

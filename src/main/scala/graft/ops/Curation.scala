@@ -464,4 +464,42 @@ object Curation {
         $"z".cast("decimal(18,6)").as("z"))
       .orderBy($"event_id")
   }
+
+  /** Robust outlier detection via median absolute deviation — the
+    * estimator z-scores can't give you: one wild value inflates mean AND
+    * std (masking itself), while the median/MAD pair has a 50% breakdown
+    * point. Flags `|v - med| > 3·1.4826·MAD` per event_type (1.4826 scales
+    * MAD to σ for normal data).
+    *
+    * The medians are EXACT but distributed: rank rows per group
+    * (`row_number` over value), keep only the 1-2 middle positions, avg —
+    * no `collect_list`, per-group state is the sort Spark already spills.
+    * Two such passes (median of values, then median of deviations), each a
+    * filter to ≤2 rows/group, then the 5-row med/MAD table broadcasts back
+    * for one map-side counting pass. Same small-domain-partition caveat as
+    * `win_percent_rank`: with a huge single group the rank pass becomes a
+    * per-group distributed sort — swap in `approx_percentile(0.5)` when
+    * exactness isn't contractual. */
+  def anomalyMad(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def groupMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy($"event_type").orderBy(col(valueCol), $"event_id")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"event_type")))
+        .filter(expr(s"rn = (cnt + 1) div 2 OR rn = cnt div 2 + 1"))
+        .groupBy($"event_type").agg(avg(col(valueCol)).as(out))
+    }
+    val ev = Tables.events(spark, sfDir).select($"event_type", $"event_id", $"value")
+    val med = groupMedian(ev, "value", "med")
+    val dev = ev.join(broadcast(med), "event_type")
+      .select($"event_type", $"event_id", $"med", abs($"value" - $"med").as("dev"))
+    val mad = groupMedian(dev, "dev", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        min($"med").cast("decimal(18,6)").as("med"),
+        min($"mad").cast("decimal(18,6)").as("mad"),
+        count(when($"dev" > $"mad" * 4.4478, 1)).as("n_outliers"))
+      .orderBy($"event_type")
+  }
 }
