@@ -1326,6 +1326,32 @@ object Oracle {
         | CAST(CAST(n * n_keys AS DOUBLE) / total AS DECIMAL(18,6))::DOUBLE AS skew_x
         |FROM c, t ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
 
+    "graph_degree" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey % 10 = 0),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        |  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1)
+        |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin,
+
+    "graph_triangle_count" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey % 10 = 0),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1
+        |  JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nodes AS (SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |FROM nodes GROUP BY 1 ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
+
     "impute_missing" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber, l_returnflag,
         |  CASE WHEN l_orderkey % 13 = 0 THEN NULL

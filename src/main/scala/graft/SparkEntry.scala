@@ -164,6 +164,8 @@ object SparkEntry {
     "funnel_conversion" -> Analytics.funnelConversion _,
     "cohort_retention"  -> Analytics.cohortRetention _,
     "agg_histogram"     -> Analytics.aggHistogram _,
+    "graph_degree"      -> Analytics.graphDegree _,
+    "graph_triangle_count" -> Analytics.graphTriangleCount _,
     "path_transitions"  -> Analytics.pathTransitions _,
     "ts_ewma"           -> Analytics.tsEwma _,
     "ts_resample"       -> Analytics.tsResample _,

@@ -299,6 +299,81 @@ object Analytics {
       .orderBy($"dow", $"hour")
   }
 
+  /** Co-occurrence edge set shared by the graph queries: distinct
+    * undirected part pairs (u < v) appearing in the same order, from a
+    * bounded 10%-of-orders slice (the same quadratic-bounding move as
+    * `join_self`). One self-equi-join on orderkey — pair work is bounded
+    * by lines-per-order, never corpus². */
+  private def coOccurrenceEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .filter($"l_orderkey" % 10 === 0)
+      .select($"l_orderkey", $"l_partkey")
+    val a = li.as("a")
+    val b = li.as("b")
+    a.join(b, $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .distinct()
+  }
+
+  /** Degree distribution of the part co-occurrence graph — the
+    * shape-of-the-graph diagnostic (power-law vs uniform) that decides
+    * whether downstream graph algorithms need hub mitigation. Linear:
+    * explode each edge to its two endpoints, two map-side-combinable
+    * aggregations. */
+  def graphDegree(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = coOccurrenceEdges(spark, sfDir)
+    e.select($"u".as("node")).unionAll(e.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("degree"))
+      .groupBy($"degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"degree")
+  }
+
+  /** Per-node triangle participation (top-20) — the clustering signal
+    * behind community/near-dup group detection on a similarity graph.
+    *
+    * Scale design: compact-forward enumeration. Each undirected edge is
+    * ORIENTED from its lower-(degree, id) endpoint to the higher, so every
+    * triangle is counted exactly once from its lowest-ranked vertex and —
+    * the part that matters on a skewed graph — a degree-d hub generates
+    * wedges only from edges DIRECTED AT it, bounding per-node wedge work
+    * by out-degree ≤ O(√|E|) instead of d² (the arboricity bound behind
+    * every production triangle count). The wedge set then closes with one
+    * equi-join against the oriented edges. */
+  def graphTriangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = coOccurrenceEdges(spark, sfDir)
+    val deg = e.select($"u".as("node")).unionAll(e.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+    // total order consistent with (degree, id): rank = d·2^32 + id
+    val ranked = e
+      .join(deg.select($"node".as("u"), $"d".as("du")), "u")
+      .join(deg.select($"node".as("v"), $"d".as("dv")), "v")
+      .select($"u", $"v",
+        (shiftleft($"du", 32) + $"u").as("ru"),
+        (shiftleft($"dv", 32) + $"v").as("rv"))
+    val oriented = ranked.select(
+      when($"ru" < $"rv", $"u").otherwise($"v").as("src"),
+      when($"ru" < $"rv", $"v").otherwise($"u").as("dst"),
+      greatest($"ru", $"rv").as("dst_rnk"))
+    val e1 = oriented.as("e1")
+    val e2 = oriented.as("e2")
+    val wedges = e1.join(e2,
+        $"e1.src" === $"e2.src" && $"e1.dst_rnk" < $"e2.dst_rnk")
+      .select($"e1.src".as("s"), $"e1.dst".as("lo"), $"e2.dst".as("hi"))
+    // oriented edges always point low-rank → high-rank, so the closing
+    // edge of a (s, lo, hi) wedge can only be lo → hi
+    val tris = wedges.join(oriented,
+      $"lo" === $"src" && $"hi" === $"dst", "left_semi")
+    tris.select($"s".as("node"))
+      .unionAll(tris.select($"lo".as("node")))
+      .unionAll(tris.select($"hi".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("n_tri"))
+      .orderBy($"n_tri".desc, $"node")
+      .limit(20)
+  }
+
   /** Value histogram with explicit integer binning (floor(value/25),
     * capped at bin 19) — the same arithmetic expression in both engines,
     * rather than width_bucket whose edge handling is implementation-
