@@ -1461,6 +1461,43 @@ object Oracle {
         | CAST(n_events AS BIGINT) AS n_events, value
         |FROM f ORDER BY user_id, bucket_start""".stripMargin,
 
+    "ts_interpolate" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |  epoch_us(ts) // 21600000000 AS bucket FROM events),
+        |pb AS (SELECT user_id, bucket, n_events, value AS v FROM (
+        |  SELECT user_id, bucket, value,
+        |    COUNT(*) OVER (PARTITION BY user_id, bucket) AS n_events,
+        |    row_number() OVER (PARTITION BY user_id, bucket
+        |      ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM e) WHERE rn = 1),
+        |b AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        |  FROM e GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM b),
+        |j AS (SELECT g.user_id, g.bucket,
+        |  coalesce(pb.n_events, 0) AS n_events, pb.v
+        |  FROM grid g LEFT JOIN pb
+        |    ON g.user_id = pb.user_id AND g.bucket = pb.bucket),
+        |f AS (SELECT user_id, bucket, n_events, v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+        |  last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bp,
+        |  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+        |  first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY bucket
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bn
+        |  FROM j)
+        |SELECT user_id,
+        | strftime(make_timestamp(bucket * 21600000000), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+        | CAST(n_events AS BIGINT) AS n_events,
+        | CAST(CAST(CASE WHEN v IS NOT NULL THEN v
+        |   WHEN vp IS NOT NULL AND vn IS NOT NULL
+        |   THEN vp + (vn - vp) * (CAST(bucket - bp AS DOUBLE) / (bn - bp))
+        |   END AS DECIMAL(18,6)) AS DOUBLE) AS v_interp
+        |FROM f ORDER BY user_id, bucket_start""".stripMargin,
+
     "ts_calendar_spine" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
         |  CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1),

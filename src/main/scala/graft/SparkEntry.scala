@@ -169,6 +169,7 @@ object SparkEntry {
     "path_transitions"  -> Analytics.pathTransitions _,
     "ts_ewma"           -> Analytics.tsEwma _,
     "ts_resample"       -> Analytics.tsResample _,
+    "ts_interpolate"    -> Analytics.tsInterpolate _,
     "ts_seasonal_baseline" -> Analytics.tsSeasonalBaseline _,
     "ts_calendar_spine"    -> Analytics.tsCalendarSpine _,
     "fn_regex"             -> Functions.fnRegex _,

@@ -216,6 +216,57 @@ object Analytics {
       .orderBy($"user_id", $"bucket_start")
   }
 
+  /** Regular-grid resample with LINEAR INTERPOLATION per user — the
+    * numeric companion to [[tsResample]]'s forward-fill: an empty bucket
+    * gets the straight line between the surrounding observations,
+    * `v_prev + (v_next − v_prev)·(b − b_prev)/(b_next − b_prev)` (the
+    * gap-fill rule for continuously-varying signals where step-holding
+    * biases downstream features). Buckets before the first / after the
+    * last observation stay NULL — extrapolation is a modeling decision,
+    * not a resample. The fraction is one IEEE division of exact bucket
+    * longs and the blend is the same fixed expression in both engines.
+    *
+    * Scale: identical shape to tsResample — per-user grid explode bounded
+    * by time-range/bucket, then two frame-bounded windows (running last,
+    * reversed running first) over ONE user_id exchange. */
+  def tsInterpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bucketUs = 21600000000L // 6 hours in µs
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"value")
+      .withColumn("bucket", expr(s"us div $bucketUs"))
+    val perBucket = ev.groupBy($"user_id", $"bucket")
+      .agg(count(lit(1)).as("n_events"),
+        max(struct($"us", $"event_id", $"value")).as("last"))
+      .select($"user_id", $"bucket", $"n_events", $"last.value".as("v"))
+    val grid = ev.groupBy($"user_id")
+      .agg(min($"bucket").as("b0"), max($"bucket").as("b1"))
+      .select($"user_id", explode(sequence($"b0", $"b1")).as("bucket"))
+    val wp = Window.partitionBy($"user_id").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy($"user_id").orderBy($"bucket")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(perBucket, Seq("user_id", "bucket"), "left_outer")
+      .select($"user_id", $"bucket", coalesce($"n_events", lit(0L)).as("n_events"),
+        $"v",
+        last($"v", ignoreNulls = true).over(wp).as("vp"),
+        last(when($"v".isNotNull, $"bucket"), ignoreNulls = true).over(wp).as("bp"),
+        first($"v", ignoreNulls = true).over(wn).as("vn"),
+        first(when($"v".isNotNull, $"bucket"), ignoreNulls = true).over(wn).as("bn"))
+      .select($"user_id", $"bucket", $"n_events",
+        when($"v".isNotNull, $"v")
+          .when($"vp".isNotNull && $"vn".isNotNull,
+            $"vp" + ($"vn" - $"vp")
+              * (($"bucket" - $"bp").cast("double") / ($"bn" - $"bp")))
+          .cast("decimal(18,6)").as("v_interp"))
+      .select($"user_id",
+        date_format(timestamp_micros($"bucket" * bucketUs), "yyyy-MM-dd HH:mm:ss")
+          .as("bucket_start"),
+        $"n_events", $"v_interp")
+      .orderBy($"user_id", $"bucket_start")
+  }
+
   /** Longest same-type streak per user — run-length analytics (the
     * "longest consecutive X" family: login streaks, repeated-failure
     * alerts). Runs come from the change-flag gaps-and-islands trick on
