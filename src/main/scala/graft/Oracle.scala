@@ -1721,6 +1721,31 @@ object Oracle {
          | CAST(${fold("list_transform(v, x -> CASE WHEN abs(round(x * scale)) = 127 THEN 1.0 ELSE 0.0 END)")} AS BIGINT) AS n_saturated
          |FROM m ORDER BY vec_id""".stripMargin,
 
+    "embed_centroid_distance" ->
+      """WITH ex AS (SELECT vec_id, label,
+        |  unnest(range(1, len(embedding) + 1)) AS pos,
+        |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS u6
+        |  FROM embeddings),
+        |cent AS (SELECT label, pos, CAST(SUM(u6) AS BIGINT) AS su6
+        |  FROM ex GROUP BY 1, 2),
+        |nc AS (SELECT label,
+        |  SUM(CAST(CAST(su6 AS DECIMAL(19,0)) * su6 AS DECIMAL(38,0))) AS nc
+        |  FROM cent GROUP BY 1),
+        |per AS (SELECT ex.vec_id, ex.label,
+        |  CAST(SUM(ex.u6 * c.su6) AS BIGINT) AS dot,
+        |  CAST(SUM(ex.u6 * ex.u6) AS BIGINT) AS nv
+        |  FROM ex JOIN cent c ON ex.label = c.label AND ex.pos = c.pos
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT p.label, p.vec_id,
+        |  CAST(p.dot AS DOUBLE)
+        |    / (sqrt(CAST(p.nv AS DOUBLE)) * sqrt(CAST(n.nc AS DOUBLE))) AS cos
+        |  FROM per p JOIN nc n ON p.label = n.label),
+        |rk AS (SELECT label, vec_id, cos, row_number() OVER (
+        |  PARTITION BY label ORDER BY cos, vec_id) AS rk FROM scored)
+        |SELECT label, CAST(rk AS INTEGER) AS rk, vec_id,
+        | CAST(CAST(cos AS DECIMAL(18,6)) AS DOUBLE) AS cos_centroid
+        |FROM rk WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
+
     "join_salted" ->
       """SELECT s_nationkey,
         | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,

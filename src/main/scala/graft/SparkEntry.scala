@@ -156,6 +156,7 @@ object SparkEntry {
     "dedup_edit_distance"    -> Similarity.dedupEditDistance _,
     "embed_normalize"        -> Similarity.embedNormalize _,
     "embed_quantize"         -> Similarity.embedQuantize _,
+    "embed_centroid_distance" -> Similarity.embedCentroidDistance _,
     // -- data-quality gates / incremental maintenance
     "quality_expectations" -> Quality.qualityExpectations _,
     "incr_agg_merge"       -> Quality.incrAggMerge _,

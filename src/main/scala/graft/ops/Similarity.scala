@@ -159,6 +159,49 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** Distance-to-own-centroid mislabel/outlier scan — the curation pass
+    * that prunes a labeled embedding set before training: vectors far
+    * from their label's centroid are either mislabeled or junk. Reports
+    * the 3 lowest-cosine vectors per label.
+    *
+    * Exactness across engines: components are fixed to integer
+    * micro-units (`round(x·1e6)`), so the per-(label, dim) centroid
+    * direction is an EXACT bigint sum — order-independent, unlike a
+    * float mean — and cosine is scale-invariant, so the un-normalized
+    * sum IS the centroid for scoring. Dot and norms are integer sums
+    * (the centroid-norm square via DECIMAL — it crosses 2^63 at corpus
+    * scale); the cosine is then one fixed double expression of exact
+    * inputs.
+    *
+    * Scale: explode to (label, dim) partial sums — map-side combinable,
+    * dim × n rows but tiny ones; the score join keys on (label, dim)
+    * and the final per-vector fold is one groupBy. The |labels|·dim
+    * centroid table would broadcast, but keying the join on (label, dim)
+    * keeps the whole pipeline one exchange family. Top-3 per label via
+    * the bounded-heap rank path. */
+  def embedCentroidDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ex = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "comp")))
+      .select($"vec_id", $"label", $"pos",
+        round($"comp".cast("double") * 1e6).cast("long").as("u6"))
+    val cent = ex.groupBy($"label", $"pos").agg(sum($"u6").as("su6"))
+    val nc = cent.groupBy($"label")
+      .agg(sum(($"su6".cast("decimal(19,0)") * $"su6").cast("decimal(38,0)")).as("nc"))
+    val per = ex.join(cent, Seq("label", "pos"))
+      .groupBy($"vec_id", $"label")
+      .agg(sum($"u6" * $"su6").as("dot"), sum($"u6" * $"u6").as("nv"))
+    val w = Window.partitionBy($"label").orderBy($"cos", $"vec_id")
+    per.join(broadcast(nc), "label")
+      .select($"label", $"vec_id",
+        ($"dot".cast("double")
+          / (sqrt($"nv".cast("double")) * sqrt($"nc".cast("double")))).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"label", $"rk", $"vec_id", $"cos".cast("decimal(18,6)").as("cos_centroid"))
+      .orderBy($"label", $"rk")
+  }
+
   /** k=3 nearest neighbors within each label group: the pair join is
     * quadratic only within a label (the coarse partition), and the
     * [[withPairRoute]] skew router bounds that quadratic — labels above
