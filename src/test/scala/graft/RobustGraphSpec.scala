@@ -1,0 +1,107 @@
+package graft
+
+import graft.ops.{Analytics, Curation}
+
+/** Hand-computable fixtures for the round-4 robust-stats / graph /
+  * interpolation operators — the oracle proves them on harness data;
+  * these pin the edge semantics (orientation, exact-gap medians, NULL
+  * edges) on inputs small enough to derive by eye. */
+class RobustGraphSpec extends SparkSuite {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  /** lineitem fixture: only the columns the graph ops read. Order 10
+    * carries parts {1,2,3} (a triangle), 20 carries {3,4}, 30 carries
+    * {1,2} (a duplicate edge — must not double-count), and 15 carries
+    * {7,8,9} but is dropped by the %10 slice. */
+  private lazy val graphDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_graph").toString
+    Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 3L), (20L, 4L),
+      (30L, 1L), (30L, 2L),
+      (15L, 7L), (15L, 8L), (15L, 9L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("graph_degree: distinct-edge degrees, sliced input, histogram form") {
+    val got = Analytics.graphDegree(spark, graphDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // degrees: 1→{2,3}, 2→{1,3}, 3→{1,2,4}, 4→{3} ⇒ one node of degree 1,
+    // two of degree 2, one of degree 3; parts 7/8/9 sliced away
+    assert(got == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
+  }
+
+  test("graph_triangle_count: one triangle, counted once per member node") {
+    val got = Analytics.graphTriangleCount(spark, graphDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  /** events fixture for MAD + interpolation: nanosecond ts longs like the
+    * harness parquet (SparkSuite sessions read ts as long). */
+  private def eventsDir(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev").toString
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .select($"event_id", ($"us" * 1000).as("ts"), $"user_id",
+        $"event_type", $"value")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("anomaly_mad: odd and even group sizes, deviation median, outlier count") {
+    val us0 = 1700000000000000L
+    val dir = eventsDir(Seq(
+      // odd group: values 1,2,3,4,100 → med 3, devs sorted 0,1,1,2,97 →
+      // mad 1 → threshold 4.4478 → exactly the 100 flagged
+      (1L, us0 + 1, 1L, "a", 1.0), (2L, us0 + 2, 1L, "a", 2.0),
+      (3L, us0 + 3, 1L, "a", 3.0), (4L, us0 + 4, 1L, "a", 4.0),
+      (5L, us0 + 5, 1L, "a", 100.0),
+      // even group: 1,2,3,4 → med 2.5, devs sorted .5,.5,1.5,1.5 →
+      // mad (0.5+1.5)/2 = 1.0 → no outliers
+      (6L, us0 + 6, 1L, "b", 1.0), (7L, us0 + 7, 1L, "b", 2.0),
+      (8L, us0 + 8, 1L, "b", 3.0), (9L, us0 + 9, 1L, "b", 4.0)))
+    val got = Curation.anomalyMad(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue,
+        r.getDecimal(3).doubleValue, r.getLong(4))).toSeq
+    assert(got == Seq(("a", 5L, 3.0, 1.0, 1L), ("b", 4L, 2.5, 1.0, 0L)))
+  }
+
+  test("ts_interpolate: straight line through the gap, NULL never invented at edges") {
+    val bucketUs = 21600000000L
+    val b0 = 1700006400000000L - (1700006400000000L % bucketUs)
+    val dir = eventsDir(Seq(
+      // user 1: observations in buckets 0 (v=10) and 4 (v=30): buckets
+      // 1..3 must read 15, 20, 25 with n_events = 0
+      (1L, b0 + 1L, 1L, "a", 10.0),
+      (2L, b0 + 4 * bucketUs + 1L, 1L, "a", 30.0),
+      // user 2: a single event → a single already-observed row
+      (3L, b0 + 1L, 2L, "a", 7.0)))
+    val got = Analytics.tsInterpolate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDecimal(3).doubleValue))).toSeq
+    assert(got == Seq(
+      (1L, 1L, Some(10.0)), (1L, 0L, Some(15.0)), (1L, 0L, Some(20.0)),
+      (1L, 0L, Some(25.0)), (1L, 1L, Some(30.0)),
+      (2L, 1L, Some(7.0))))
+  }
+
+  test("profile_skew: shares and skew multiples from a known distribution") {
+    val us0 = 1700000000000000L
+    // user 1: 6 events, users 2..4: 2 each ⇒ total 12, 4 keys, mean 3
+    val rows = (1 to 6).map(i => (i.toLong, us0 + i, 1L, "a", 1.0)) ++
+      Seq(2L, 3L, 4L).flatMap(u =>
+        Seq((u * 10, us0 + u * 10, u, "a", 1.0),
+          (u * 10 + 1, us0 + u * 10 + 1, u, "a", 1.0)))
+    val got = graft.ops.Quality.profileSkew(spark, eventsDir(rows)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue,
+        r.getDecimal(3).doubleValue)).toSeq
+    assert(got == Seq(
+      (1L, 6L, 0.5, 2.0),
+      (2L, 2L, 0.166667, 0.666667),
+      (3L, 2L, 0.166667, 0.666667),
+      (4L, 2L, 0.166667, 0.666667)))
+  }
+}
