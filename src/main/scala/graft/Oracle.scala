@@ -1461,6 +1461,23 @@ object Oracle {
         | CAST(n_events AS BIGINT) AS n_events, value
         |FROM f ORDER BY user_id, bucket_start""".stripMargin,
 
+    "ts_regression" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS x,
+        |  CAST(value AS DECIMAL(18,6)) AS y FROM events),
+        |m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(x) AS BIGINT) AS sx, SUM(y) AS sy,
+        |  SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy,
+        |  CAST(SUM(x * x) AS BIGINT) AS sxx FROM e GROUP BY 1),
+        |s AS (SELECT user_id, n,
+        |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        |  sx, sy FROM m)
+        |SELECT user_id, n,
+        | CAST(CAST(slope AS DECIMAL(18,6)) AS DOUBLE) AS slope,
+        | CAST(CAST((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n
+        |   AS DECIMAL(18,6)) AS DOUBLE) AS intercept
+        |FROM s ORDER BY user_id""".stripMargin,
+
     "ts_interpolate" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value,
         |  epoch_us(ts) // 21600000000 AS bucket FROM events),

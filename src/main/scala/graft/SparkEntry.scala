@@ -171,6 +171,7 @@ object SparkEntry {
     "ts_ewma"           -> Analytics.tsEwma _,
     "ts_resample"       -> Analytics.tsResample _,
     "ts_interpolate"    -> Analytics.tsInterpolate _,
+    "ts_regression"     -> Analytics.tsRegression _,
     "ts_seasonal_baseline" -> Analytics.tsSeasonalBaseline _,
     "ts_calendar_spine"    -> Analytics.tsCalendarSpine _,
     "fn_regex"             -> Functions.fnRegex _,

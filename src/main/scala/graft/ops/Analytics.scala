@@ -216,6 +216,34 @@ object Analytics {
       .orderBy($"user_id", $"bucket_start")
   }
 
+  /** Per-user value trend via least-squares regression over time — the
+    * drift detector behind "is this metric creeping up" alerts. Same
+    * exactness recipe as [[aggCorrExact]]: x is INTEGER epoch-hours, y is
+    * DECIMAL-quantized, and the five moments (n, Σx, Σy, Σxy, Σx²) are
+    * order-independent integer/DECIMAL sums; slope and intercept are then
+    * single fixed IEEE expressions over those exact inputs, so both
+    * engines emit identical doubles. One map-side-combinable aggregation,
+    * any key cardinality. */
+  def tsRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val yd = $"value".cast("decimal(18,6)")
+    Tables.events(spark, sfDir)
+      .select($"user_id", expr("unix_micros(ts) div 3600000000").as("x"), yd.as("y"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(($"x" * $"y").cast("decimal(38,6)")).as("sxy"),
+        sum($"x" * $"x").as("sxx"))
+      .select($"user_id", $"n",
+        (($"n" * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double"))
+          / ($"n" * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double")))
+          .as("slope"),
+        $"sx", $"sy")
+      .select($"user_id", $"n", $"slope".cast("decimal(18,6)").as("slope"),
+        (($"sy".cast("double") - $"slope" * $"sx".cast("double")) / $"n")
+          .cast("decimal(18,6)").as("intercept"))
+      .orderBy($"user_id")
+  }
+
   /** Regular-grid resample with LINEAR INTERPOLATION per user — the
     * numeric companion to [[tsResample]]'s forward-fill: an empty bucket
     * gets the straight line between the surrounding observations,
