@@ -1364,6 +1364,44 @@ object Oracle {
         |FROM li JOIN m USING (l_returnflag)
         |ORDER BY l_orderkey, l_linenumber, l_returnflag, qty_filled""".stripMargin,
 
+    "merge_scd2_apply" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |h0 AS (SELECT user_id, event_id, event_type, us,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |  FROM ev WHERE us < 1705795200000000),
+        |ch AS (SELECT user_id, event_id, event_type, us AS valid_from
+        |  FROM h0 WHERE prev IS NULL OR prev <> event_type),
+        |hist AS (SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from, event_id) AS valid_to FROM ch),
+        |delta AS (SELECT user_id, event_type AS new_type, us AS eff_us FROM (
+        |  SELECT user_id, event_type, us, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id) AS rn
+        |  FROM ev WHERE us >= 1705795200000000) WHERE rn = 1),
+        |cur AS (SELECT * FROM hist WHERE valid_to IS NULL),
+        |closed AS (SELECT user_id, event_type, valid_from, valid_to
+        |  FROM hist WHERE valid_to IS NOT NULL),
+        |curj AS (SELECT c.user_id, c.event_type, c.valid_from, d.new_type, d.eff_us
+        |  FROM cur c LEFT JOIN delta d USING (user_id)),
+        |kept AS (SELECT user_id, event_type, valid_from,
+        |  CAST(NULL AS BIGINT) AS valid_to FROM curj
+        |  WHERE new_type IS NULL OR new_type = event_type),
+        |closednow AS (SELECT user_id, event_type, valid_from, eff_us AS valid_to
+        |  FROM curj WHERE new_type IS NOT NULL AND new_type <> event_type),
+        |ins AS (SELECT user_id, new_type AS event_type, eff_us AS valid_from,
+        |  CAST(NULL AS BIGINT) AS valid_to
+        |  FROM curj WHERE new_type IS NOT NULL AND new_type <> event_type),
+        |brandnew AS (SELECT d.user_id, d.new_type AS event_type,
+        |  d.eff_us AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        |  FROM delta d WHERE d.user_id NOT IN (SELECT user_id FROM cur)),
+        |allrows AS (SELECT * FROM closed UNION ALL SELECT * FROM kept
+        |  UNION ALL SELECT * FROM closednow UNION ALL SELECT * FROM ins
+        |  UNION ALL SELECT * FROM brandnew)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        | (valid_to IS NULL) AS is_current
+        |FROM allrows ORDER BY user_id, valid_from, event_type""".stripMargin,
+
     "merge_cdc_delete" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, 'I' AS op, 0 AS version
         |  FROM orders WHERE o_orderkey % 2 = 0),

@@ -205,6 +205,7 @@ object SparkEntry {
     "dedup_semantic"        -> Similarity.dedupSemantic _,
     "dedup_first_wins_heap" -> Ingest.dedupFirstWinsHeap _,
     "merge_cdc_delete"      -> Curation.mergeCdcDelete _,
+    "merge_scd2_apply"      -> Curation.mergeScd2Apply _,
     "multimodal_dedup"      -> Multimodal.payloadDedup _,
     "scan_csv_dropmalformed" -> Ingest.scanCsvDropMalformed _,
     "agg_listagg"           -> Relational.aggListagg _,

@@ -278,6 +278,55 @@ object Curation {
       .orderBy($"user_id", $"valid_from", $"event_id")
   }
 
+  /** SCD2 MERGE-apply — the maintenance operation on a type-2 dimension:
+    * a CDC delta batch (first post-cutoff observation per user) lands on
+    * the standing history by CLOSING the open interval where the tracked
+    * attribute changed, INSERTING the new current version, leaving
+    * no-change users untouched, and opening brand-new users' first
+    * intervals. History is built from pre-cutoff events with consecutive
+    * same-value runs collapsed (gaps-and-islands change filter) — true
+    * SCD2, one row per value change, not per event.
+    *
+    * Scale: every stage — history windows, delta first-per-key, the
+    * apply join and anti-join — keys on user_id, so the whole merge is
+    * ONE exchange family; unions are free. Pure integer-µs and string
+    * comparisons, engine-identical. */
+  def mergeScd2Apply(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cut = 1705795200000000L // 2024-01-21 00:00:00 UTC in epoch-µs
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+    val wEv = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val hist = ev.filter($"us" < cut)
+      .withColumn("prev", lag($"event_type", 1).over(wEv))
+      .filter($"prev".isNull || $"prev" =!= $"event_type")
+      .withColumn("valid_from", $"us")
+      .withColumn("valid_to", lead($"valid_from", 1).over(
+        Window.partitionBy($"user_id").orderBy($"valid_from", $"event_id")))
+    val delta = ev.filter($"us" >= cut)
+      .groupBy($"user_id")
+      .agg(min(struct($"us", $"event_id", $"event_type")).as("d"))
+      .select($"user_id", $"d.event_type".as("new_type"), $"d.us".as("eff_us"))
+    val cur = hist.filter($"valid_to".isNull)
+    val closedHist = hist.filter($"valid_to".isNotNull)
+      .select($"user_id", $"event_type", $"valid_from", $"valid_to")
+    val curJ = cur.join(delta, Seq("user_id"), "left_outer")
+    val nullTo = lit(null).cast("long").as("valid_to")
+    val kept = curJ.filter($"new_type".isNull || $"new_type" === $"event_type")
+      .select($"user_id", $"event_type", $"valid_from", nullTo)
+    val changed = curJ.filter($"new_type".isNotNull && $"new_type" =!= $"event_type")
+    val closedNow = changed
+      .select($"user_id", $"event_type", $"valid_from", $"eff_us".as("valid_to"))
+    val inserted = changed
+      .select($"user_id", $"new_type".as("event_type"), $"eff_us".as("valid_from"), nullTo)
+    val brandNew = delta.join(cur.select($"user_id"), Seq("user_id"), "left_anti")
+      .select($"user_id", $"new_type".as("event_type"), $"eff_us".as("valid_from"), nullTo)
+    closedHist.unionByName(kept).unionByName(closedNow)
+      .unionByName(inserted).unionByName(brandNew)
+      .withColumn("is_current", $"valid_to".isNull)
+      .orderBy($"user_id", $"valid_from", $"event_type")
+  }
+
   /** Missing-value imputation — the repair step between validation and
     * load: nulls (injected deterministically, every 13th order key) fill
     * with their group's mean, and an `imputed` flag preserves the audit
