@@ -88,6 +88,31 @@ class RobustGraphSpec extends SparkSuite {
       (2L, 1L, Some(7.0))))
   }
 
+  test("merge_scd2_apply: change, no-op, brand-new, and run-collapse paths") {
+    // the harness data has no delta-only users, so the INSERT-new-user
+    // path of the MERGE only gets exercised here
+    val cut = 1705795200000000L
+    val Seq(t1, t2, t3, t9) =
+      Seq(cut - 3000L, cut - 2000L, cut - 1000L, cut + 1000L)
+    val dir = eventsDir(Seq(
+      // user 1: a,a (one collapsed run), then b; delta changes to c
+      (1L, t1, 1L, "a", 0.0), (2L, t2, 1L, "a", 0.0), (3L, t3, 1L, "b", 0.0),
+      (4L, t9, 1L, "c", 0.0),
+      // user 2: delta value equals current → no-op, interval stays open
+      (5L, t1, 2L, "a", 0.0), (6L, t9, 2L, "a", 0.0),
+      // user 3: no history at all → brand-new current row
+      (7L, t9, 3L, "d", 0.0)))
+    val got = Curation.mergeScd2Apply(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      (1L, "a", t1, Some(t3), false),
+      (1L, "b", t3, Some(t9), false),
+      (1L, "c", t9, None, true),
+      (2L, "a", t1, None, true),
+      (3L, "d", t9, None, true)))
+  }
+
   test("profile_skew: shares and skew multiples from a known distribution") {
     val us0 = 1700000000000000L
     // user 1: 6 events, users 2..4: 2 each ⇒ total 12, 4 keys, mean 3
