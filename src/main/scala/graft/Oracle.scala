@@ -1808,6 +1808,19 @@ object Oracle {
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
+    "join_interval_overlap" ->
+      """WITH w AS (SELECT o_custkey, o_orderkey,
+        |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS s,
+        |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) + 604800000000 AS e
+        |  FROM orders WHERE o_custkey % 10 = 0)
+        |SELECT a.o_custkey AS custkey,
+        | a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+        | CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_us
+        |FROM w a JOIN w b ON a.o_custkey = b.o_custkey
+        |  AND a.o_orderkey < b.o_orderkey
+        |  AND a.s < b.e AND b.s < a.e
+        |ORDER BY custkey, key_a, key_b""".stripMargin,
+
     "outlier_zscore" ->
       """WITH s AS (SELECT event_type, COUNT(*) AS n,
         |  SUM(CAST(value AS DECIMAL(18,6))) AS s,

@@ -76,6 +76,7 @@ object SparkEntry {
     "join_left_anti"   -> Relational.joinLeftAnti _,
     "join_cross_theta" -> Relational.joinCrossTheta _,
     "join_range"       -> Relational.joinRange _,
+    "join_interval_overlap" -> Relational.joinIntervalOverlap _,
     "join_self"        -> Relational.joinSelf _,
     "join_asof"        -> Relational.joinAsof _,
     // -- reference ingestion pack (§2.A)

@@ -157,6 +157,45 @@ object Relational {
       .orderBy($"l_orderkey", $"l_linenumber", $"p_partkey", $"p_size", $"quantity")
   }
 
+  /** Interval × interval overlap join — overlapping 7-day fulfillment
+    * windows of the same customer (the double-booking / concurrent-open-
+    * orders detector). The naive form is a per-key quadratic with a range
+    * predicate Spark can only nested-loop; at scale the standard move is
+    * BUCKETIZATION: explode each interval to the week buckets it covers
+    * (≤ 2 here — bucket width ≥ interval length caps the blow-up), turn
+    * the range condition into an EQUI-join on (key, bucket), and emit
+    * each true pair exactly once by keeping it only in the bucket that
+    * contains max(start_a, start_b) — no distinct pass, no double
+    * counting, hash-partitionable all the way.
+    *
+    * Overlap arithmetic is half-open integer µs: exact, engine-identical.
+    * 10%-of-customers slice bounds the declared output. */
+  def joinIntervalOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val weekUs = 604800000000L // 7 days in µs
+    val win = Tables.orders(spark, sfDir)
+      .filter($"o_custkey" % 10 === 0)
+      .select($"o_custkey", $"o_orderkey",
+        // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC, so the cast
+        // re-types the same instant for unix_micros
+        unix_micros($"o_orderdate".cast("timestamp")).as("s"))
+      .withColumn("e", $"s" + weekUs)
+    val banded = win.select($"o_custkey", $"o_orderkey", $"s", $"e",
+      explode(sequence(expr("s div 604800000000"), expr("(e - 1) div 604800000000")))
+        .as("bucket"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        $"a.o_custkey" === $"b.o_custkey" && $"a.bucket" === $"b.bucket" &&
+        $"a.o_orderkey" < $"b.o_orderkey" &&
+        $"a.s" < $"b.e" && $"b.s" < $"a.e" &&
+        $"a.bucket" === expr("greatest(a.s, b.s) div 604800000000"))
+      .select($"a.o_custkey".as("custkey"),
+        $"a.o_orderkey".as("key_a"), $"b.o_orderkey".as("key_b"),
+        (least($"a.e", $"b.e") - greatest($"a.s", $"b.s")).as("overlap_us"))
+      .orderBy($"custkey", $"key_a", $"key_b")
+  }
+
   /** Lineitem self-join: pairs of lines of the same order with different
     * parts (canonical pair ordering to stay deterministic + halve output). */
   def joinSelf(spark: SparkSession, sfDir: String): DataFrame = {
