@@ -1182,6 +1182,12 @@ object Oracle {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang IN ('en', 'zh') ORDER BY doc_id""".stripMargin,
 
+    "scan_binaryfile" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | sha256(text) AS sha256
+        |FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin,
+
     "agg_mode_deterministic" ->
       """WITH c AS (SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS n
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey

@@ -190,6 +190,7 @@ object SparkEntry {
     "scan_json_roundtrip" -> Sources.scanJsonRoundtrip _,
     "scan_orc_roundtrip"  -> Sources.scanOrcRoundtrip _,
     "scan_partition_prune" -> Sources.scanPartitionPrune _,
+    "scan_binaryfile"     -> Sources.scanBinaryfile _,
     // -- training-data curation / pipeline maintenance
     "sample_stratified"   -> ((s: SparkSession, d: String) => Curation.sampleStratified(s, d)),
     "sample_mixture"      -> Curation.sampleMixture _,

@@ -84,4 +84,35 @@ object Sources {
       .select($"doc_id", $"lang".cast("string").as("lang"), $"source", $"n_chars")
       .orderBy($"doc_id")
   }
+
+  /** `binaryFile` source — the entry point for raw media/blob corpora
+    * (one file per object: images, audio, model shards). A bounded doc
+    * slice is staged as one .bin per document by EXECUTOR-side writers
+    * (no driver collect; on a cluster the same code targets shared
+    * storage), then read back through `binaryFile`, which yields (path,
+    * length, content) per file with content loaded lazily per task —
+    * exactly how a 100 TB blob ingest fans out: one file ≈ one task, no
+    * splitting, metadata (length) available without touching bytes. The
+    * query proves the bytes survive intact via sha-256 against the
+    * source table. */
+  def scanBinaryfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir, "doc_blobs")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 5 === 0)
+      .select($"doc_id", $"text")
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val base = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.createDirectories(base)
+        rows.foreach { r =>
+          java.nio.file.Files.write(base.resolve(f"doc_${r.getLong(0)}%08d.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    spark.read.format("binaryFile").load(dir)
+      .select(regexp_extract($"path", "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        $"length".as("n_bytes"), sha2($"content", 256).as("sha256"))
+      .orderBy($"doc_id")
+  }
 }

@@ -215,4 +215,22 @@ class PlanSpec extends SparkSuite {
     assert(read.nonEmpty && !read.contains(","),
       s"key-only projection reads extra columns: $read")
   }
+
+  test("join_interval_overlap plans a hash equi-join, never a nested loop") {
+    // the bucketization exists to turn the interval range predicate into
+    // an equi-join on (key, bucket); a NestedLoop/Cartesian here means the
+    // banding silently stopped keying the join
+    val p = plan("join_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join fell back to a non-equi plan:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"no hash equi-join in:\n$p")
+  }
+
+  test("profile_skew plans TakeOrdered for the top-k, partial agg below") {
+    val p = plan("profile_skew")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial + final HashAggregate")
+  }
 }
