@@ -86,9 +86,9 @@ object Bench {
       "text_tfidf", "text_langid", "text_lm_score",
       "stream_session", "stream_keyed_state", "stream_csv_ingest",
       "stream_stream_join", "merge_upsert", "agg_salted", "profile_table",
-      "zorder_cluster", "agg_moments_exact", "funnel_conversion",
+      "zorder_cluster", "funnel_conversion",
       "sql_api_q3", "quality_expectations", "sample_stratified",
-      "scan_csv_file")
+      "graph_triangle_count", "anomaly_mad", "merge_scd2_apply")
     val byName = results.map { case (k, v, _) => k -> v }.toMap
     val qs = headline.filter(byName.contains)
       .map(k => s"\"" + k + "\":" + ms(byName(k))).mkString("{", ",", "}")
