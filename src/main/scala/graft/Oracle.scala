@@ -991,6 +991,32 @@ object Oracle {
        |               JOIN sizes sb ON i.id_b = sb.doc_id)""".stripMargin
 
   val pipeline: Map[String, String] = Map(
+    "dedup_lsh_recall" ->
+      s"""WITH $jaccardCtes,
+         |exact AS (SELECT id_a, id_b, jaccard FROM jpairs WHERE jaccard >= 0.1),
+         |dm AS (SELECT doc_id, $toksExpr AS ts FROM documents),
+         |shm AS (SELECT doc_id, ts FROM dm WHERE len(ts) >= 3),
+         |sigm AS (SELECT doc_id, list_transform(range(0, 6), s ->
+         |  list_min(list_transform(range(1, len(ts) - 1),
+         |    i -> md5(CAST(s AS VARCHAR) || '|' || ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])))) AS sig
+         |  FROM shm),
+         |bandm AS (SELECT doc_id, i0, sig[i0 + 1] AS v FROM sigm, range(0, 6) t(i0)),
+         |lsh AS (SELECT id_a, id_b FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS matches
+         |  FROM bandm a JOIN bandm b
+         |    ON a.i0 = b.i0 AND a.v = b.v AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2) WHERE matches >= 2),
+         |j AS (SELECT CASE
+         |    WHEN l.id_a IS NOT NULL AND e.id_a IS NOT NULL THEN 'both'
+         |    WHEN l.id_a IS NOT NULL THEN 'lsh_only'
+         |    ELSE 'exact_only' END AS pair_class, e.jaccard
+         |  FROM lsh l FULL OUTER JOIN exact e
+         |    ON l.id_a = e.id_a AND l.id_b = e.id_b)
+         |SELECT pair_class, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         | CAST(CAST(coalesce(SUM(CAST(jaccard AS DECIMAL(18,6))),
+         |   CAST(0 AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_jaccard
+         |FROM j GROUP BY pair_class ORDER BY pair_class""".stripMargin,
+
     // transitive closure by recursive CTE == min-label-propagation fixpoint
     "dedup_cluster" ->
       s"""WITH RECURSIVE

@@ -153,6 +153,7 @@ object SparkEntry {
     "dedup_simhash"          -> Similarity.dedupSimhash _,
     "dedup_ngram_jaccard"    -> Similarity.dedupNgramJaccard _,
     "dedup_containment"      -> Similarity.dedupContainment _,
+    "dedup_lsh_recall"       -> Similarity.dedupLshRecall _,
     "dedup_cluster"          -> Similarity.dedupCluster _,
     "dedup_edit_distance"    -> Similarity.dedupEditDistance _,
     "embed_normalize"        -> Similarity.embedNormalize _,

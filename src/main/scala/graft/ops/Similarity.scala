@@ -586,6 +586,36 @@ object Similarity {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Recall audit of the approximate near-dup path — the evaluation every
+    * production dedup ships with: full-outer-join the MinHash-LSH
+    * candidate pairs against the exact n-gram-Jaccard pairs and report,
+    * per agreement class (`both`, `lsh_only`, `exact_only`), the pair
+    * count and the exact-Jaccard mass. `exact_only` is the LSH recall
+    * loss (pairs the banding missed), `lsh_only` the precision cost
+    * (candidates the exact verify would discard) — the two numbers that
+    * justify (or veto) switching the 100 TB corpus to the sub-quadratic
+    * path. Composes the two declared pipelines unchanged; the join keys
+    * are canonical (id_a < id_b) pair ids, and the Jaccard mass sums the
+    * DECIMAL scores exactly. */
+  def dedupLshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lsh = dedupMinhashLsh(spark, sfDir)
+      .select($"id_a", $"id_b", lit(true).as("in_lsh"))
+    val exact = dedupNgramJaccard(spark, sfDir)
+      .select($"id_a", $"id_b", $"jaccard")
+    lsh.join(exact, Seq("id_a", "id_b"), "full_outer")
+      .select(
+        when($"in_lsh".isNotNull && $"jaccard".isNotNull, "both")
+          .when($"in_lsh".isNotNull, "lsh_only")
+          .otherwise("exact_only").as("pair_class"),
+        $"jaccard")
+      .groupBy($"pair_class")
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum($"jaccard"), lit(0).cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("sum_jaccard"))
+      .orderBy($"pair_class")
+  }
+
   /** Containment near-dup: |A∩B| / min(|A|, |B|) over distinct word
     * bigrams — the asymmetric companion to [[dedupNgramJaccard]]. Jaccard
     * misses the doc-in-doc case (a document pasted inside a much larger
