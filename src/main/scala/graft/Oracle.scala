@@ -638,6 +638,13 @@ object Oracle {
   private val toksExpr =
     "list_filter(string_split_regex(lower(trim(text)), '[^a-z]+'), t -> t <> '')"
 
+  /** DuckDB mirror of Spark's conv(substr(md5, 1, 8), 16, 10): parse the
+    * first 8 md5 nibbles into a 32-bit integer (no conv() in DuckDB). */
+  private def hex32Sql(md5Expr: String): String =
+    (1 to 8).map { i =>
+      s"(CAST(strpos('0123456789abcdef', substr($md5Expr, $i, 1)) AS BIGINT) - 1) * ${1L << (4 * (8 - i))}"
+    }.mkString("(", " + ", ")")
+
   /** DuckDB mirror of Curation.zorderCluster's 10-bit Morton interleave. */
   private def zorderSql: String = {
     val x = "(l_partkey % 1024)"
@@ -1347,6 +1354,34 @@ object Oracle {
         |SELECT strftime(day, '%Y-%m-%d') AS day, n, med7,
         | abs(n - med7) > med7 * 0.5 AS drift
         |FROM m ORDER BY day""".stripMargin,
+
+    "sample_weighted" ->
+      s"""WITH m AS (SELECT doc_id, lang, n_chars,
+         |  md5('wt|' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |t AS (SELECT MAX(n_chars) AS max_chars FROM documents)
+         |SELECT doc_id, lang, n_chars,
+         | CAST(CAST(CAST(n_chars AS DOUBLE) / max_chars AS DECIMAL(18,6)) AS DOUBLE) AS p_keep
+         |FROM m, t
+         |WHERE ${hex32Sql("h")} * max_chars < n_chars * 4294967296
+         |ORDER BY doc_id""".stripMargin,
+
+    "profile_mix_entropy" ->
+      """WITH sl AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |dom AS (SELECT source, lang AS dominant FROM (
+        |  SELECT source, lang, row_number() OVER (
+        |    PARTITION BY source ORDER BY c DESC, lang) AS rn FROM sl)
+        |  WHERE rn = 1),
+        |per AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_langs,
+        |  CAST(SUM(c * CAST(round(ln(c) * 1e6) AS BIGINT)) AS BIGINT) AS sum_u6
+        |  FROM sl GROUP BY 1)
+        |SELECT p.source, p.n_docs, p.n_langs,
+        | CAST(CAST(CAST(p.n_docs * CAST(round(ln(p.n_docs) * 1e6) AS BIGINT)
+        |     - p.sum_u6 AS DOUBLE)
+        |   / (p.n_docs * 1000000.0) AS DECIMAL(18,6)) AS DOUBLE) AS mix_entropy_nats,
+        | d.dominant
+        |FROM per p JOIN dom d USING (source) ORDER BY p.source""".stripMargin,
 
     "profile_skew" ->
       """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n

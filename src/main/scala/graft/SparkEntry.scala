@@ -200,6 +200,8 @@ object SparkEntry {
     "sim_hybrid_search"   -> Similarity.simHybridSearch _,
     "profile_drift"       -> Quality.profileDrift _,
     "profile_skew"        -> Quality.profileSkew _,
+    "profile_mix_entropy" -> Quality.profileMixEntropy _,
+    "sample_weighted"     -> Curation.sampleWeighted _,
     "win_sessionize"      -> Windows.winSessionize _,
     "sql_api_q18"         -> Relational.sqlApiQ18 _,
     "agg_count_min"       -> Relational.aggCountMin _,

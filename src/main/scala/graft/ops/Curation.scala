@@ -47,6 +47,27 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Length-weighted deterministic sampling: each document keeps with
+    * probability n_chars / max(n_chars) — the upsample-long-documents
+    * curation move — decided by comparing a 32-bit key hash against the
+    * length-scaled threshold ENTIRELY in integers
+    * (`h32·max < n_chars·2^32`), so the decision is hash-stable across
+    * reruns, repartitioning, and engines (no float threshold, no rand()).
+    * The corpus max is one broadcast scalar; the pass is map-only. */
+  def sampleWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val maxc = docs.agg(max($"n_chars").as("max_chars"))
+    docs.crossJoin(broadcast(maxc))
+      .withColumn("h32",
+        conv(substring(md5(concat(lit("wt|"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+          .cast("long"))
+      .filter($"h32" * $"max_chars" < $"n_chars" * lit(4294967296L))
+      .select($"doc_id", $"lang", $"n_chars",
+        ($"n_chars".cast("double") / $"max_chars").cast("decimal(18,6)").as("p_keep"))
+      .orderBy($"doc_id")
+  }
+
   /** Mixture re-weighting toward a uniform language mix: weight_l =
     * min_count / count_l is the per-document acceptance probability that
     * equalizes the expected per-language contribution. Counts are exact;

@@ -120,6 +120,40 @@ object Quality {
       .limit(20)
   }
 
+  /** Per-source language-mix entropy — the composition-drift monitor for
+    * a multi-source training corpus: a source whose mix entropy collapses
+    * has started shipping one language (or junk) and needs re-weighting.
+    * Shannon entropy in nats over the source's language distribution,
+    * computed with the same integer micro-unit ln trick as
+    * `text_entropy` (`ln` of integer counts quantized to 1e-6, so
+    * `n·u6(ln n) − Σ c·u6(ln c)` is an order-independent BIGINT sum and
+    * both engines emit identical doubles). `dominant` is the modal
+    * language, ties broken lexicographically.
+    *
+    * Scale: two map-side-combinable aggregations over (source, lang) —
+    * bounded by |sources|·|langs| rows after the first. */
+  def profileMixEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def u6(c: Column) = round(log(c) * 1e6).cast("long")
+    import org.apache.spark.sql.expressions.Window
+    val sl = Tables.documents(spark, sfDir)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+    val dom = sl
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"c".desc, $"lang")))
+      .filter($"rn" === 1).select($"source", $"lang".as("dominant"))
+    sl.groupBy($"source")
+      .agg(sum($"c").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum($"c" * u6($"c")).as("sum_clnc_u6"))
+      .join(dom, "source")
+      .select($"source", $"n_docs", $"n_langs",
+        (($"n_docs" * u6($"n_docs") - $"sum_clnc_u6") /
+          ($"n_docs" * lit(1e6))).cast("decimal(18,6)").as("mix_entropy_nats"),
+        $"dominant")
+      .orderBy($"source")
+  }
+
   /** Incremental aggregate maintenance (materialized-view merge): the
     * standing per-priority aggregate absorbs a delta batch by RE-AGGREGATING
     * base partials with delta partials — sums and counts merge, averages
