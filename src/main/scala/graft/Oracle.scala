@@ -147,6 +147,21 @@ object Oracle {
         |  o_orderkey AS asof_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS asof_date
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
+    "join_asof_forward" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    DATE '1995-01-01' + CAST(event_id % 2500 AS INTEGER) AS cutoff
+        |  FROM events),
+        |j AS (
+        |  SELECT ev.event_id, ev.user_id, ev.cutoff, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY ev.event_id
+        |      ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC NULLS LAST) AS rn
+        |  FROM ev LEFT OUTER JOIN orders
+        |    ON user_id = o_custkey AND o_orderdate >= cutoff)
+        |SELECT event_id, user_id, strftime(cutoff, '%Y-%m-%d') AS cutoff,
+        |  o_orderkey AS next_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS next_date
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
     "agg_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))::DOUBLE AS sum_price

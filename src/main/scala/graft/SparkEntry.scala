@@ -79,6 +79,7 @@ object SparkEntry {
     "join_interval_overlap" -> Relational.joinIntervalOverlap _,
     "join_self"        -> Relational.joinSelf _,
     "join_asof"        -> Relational.joinAsof _,
+    "join_asof_forward" -> Relational.joinAsofForward _,
     // -- reference ingestion pack (§2.A)
     "scan_csv_header"     -> Ingest.scanCsvHeader _,
     "scan_csv_file"       -> Ingest.scanCsvFile _,

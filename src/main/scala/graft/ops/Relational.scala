@@ -257,6 +257,41 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Forward as-of join — each event matched to the EARLIEST order of
+    * the same key at or after its cutoff (the "next scheduled action"
+    * lookup; [[joinAsof]] is the backward twin). Same linear one-timeline
+    * shape: union both streams, but the window runs FORWARD
+    * (`first(ignoreNulls)` over currentRow..unboundedFollowing) with
+    * events sorted before orders at equal time so same-date orders stay
+    * eligible; order-key ties resolve to the minimum (earliest match,
+    * mirroring the backward form's max). One shuffle on the key, zero
+    * pair rows. */
+  def joinAsofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, sfDir)
+      .select($"o_custkey".as("k"),
+        $"o_orderdate".cast("timestamp").as("t"),
+        lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+        struct($"o_orderdate", $"o_orderkey").as("ord"))
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id".as("k"),
+        date_add(lit("1995-01-01").cast("date"),
+          ($"event_id" % 2500).cast("int")).cast("timestamp").as("t"),
+        lit(1).as("is_event"), $"event_id",
+        lit(null).cast("struct<o_orderdate:timestamp,o_orderkey:bigint>").as("ord"))
+    val w = Window.partitionBy($"k")
+      .orderBy($"t", $"is_event".desc, $"ord.o_orderkey")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ord.unionByName(ev)
+      .withColumn("best", first($"ord", ignoreNulls = true).over(w))
+      .filter($"is_event" === 1)
+      .select($"event_id", $"k".as("user_id"),
+        date_format($"t", "yyyy-MM-dd").as("cutoff"),
+        $"best.o_orderkey".as("next_orderkey"),
+        date_format($"best.o_orderdate", "yyyy-MM-dd").as("next_date"))
+      .orderBy($"event_id")
+  }
+
   // ------------------------------------------------------------ aggregations
 
   /** Group filter applied post-aggregation (HAVING). */
