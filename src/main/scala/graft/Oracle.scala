@@ -2046,6 +2046,18 @@ object Oracle {
         | CAST(n_chars % 640 + 16 AS INTEGER) AS width,
         | CAST(n_chars % 480 + 16 AS INTEGER) AS height
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "multimodal_shard_pack" ->
+      """WITH a AS (SELECT doc_id AS asset_id, source AS origin,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+        |c AS (SELECT asset_id, origin, n_bytes,
+        |  SUM(n_bytes) OVER (PARTITION BY origin ORDER BY asset_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM a)
+        |SELECT origin, CAST((cum - 1) // 4096 AS BIGINT) AS shard_id,
+        | CAST(COUNT(*) AS BIGINT) AS n_assets,
+        | CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+        | MIN(asset_id) AS first_asset, MAX(asset_id) AS last_asset
+        |FROM c GROUP BY 1, 2 ORDER BY origin, shard_id""".stripMargin,
   )
 
   def all: Map[String, String] =

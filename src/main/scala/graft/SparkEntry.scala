@@ -213,6 +213,7 @@ object SparkEntry {
     "merge_cdc_delete"      -> Curation.mergeCdcDelete _,
     "merge_scd2_apply"      -> Curation.mergeScd2Apply _,
     "multimodal_dedup"      -> Multimodal.payloadDedup _,
+    "multimodal_shard_pack" -> Multimodal.shardPack _,
     "scan_csv_dropmalformed" -> Ingest.scanCsvDropMalformed _,
     "agg_listagg"           -> Relational.aggListagg _,
     "join_lateral_top1"     -> Relational.joinLateralTop1 _,

@@ -98,6 +98,35 @@ object Multimodal {
       .orderBy($"asset_id", $"frame_idx")
   }
 
+  /** Size-bounded shard packing — the WebDataset/tar-sharding move that
+    * turns a blob corpus into fixed-size training shards a dataloader
+    * can stream: per origin, assets are assigned to fixed-size shards
+    * (4 KiB here, scaled to the synthetic payloads — production uses
+    * 100s of MiB) by cumulative payload size in deterministic asset-id
+    * order (`shard = (cum_bytes − 1) div shard_size`), and the query
+    * reports each shard's manifest (count, bytes, id range).
+    *
+    * Scale: only (id, origin, size) rows enter the window — the BLOBS
+    * never move for the assignment; the subsequent write would
+    * `repartitionByRange(shard)` so each task streams exactly one
+    * shard's bytes. Per-origin cumsum is one per-key sort, integer
+    * math throughout. */
+  def shardPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"origin").orderBy($"asset_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    assets(spark, sfDir)
+      .select($"asset_id", $"meta.origin".as("origin"),
+        length($"payload").cast("long").as("n_bytes"))
+      .withColumn("cum", sum($"n_bytes").over(w))
+      .withColumn("shard_id", expr("(cum - 1) div 4096"))
+      .groupBy($"origin", $"shard_id")
+      .agg(count(lit(1)).as("n_assets"), sum($"n_bytes").as("shard_bytes"),
+        min($"asset_id").as("first_asset"), max($"asset_id").as("last_asset"))
+      .orderBy($"origin", $"shard_id")
+  }
+
   /** Oracle-able metadata/binary query: byte length + sha256 of the
     * payload + pruned metadata fields (binary handled as a first-class
     * column in both engines). */
