@@ -192,12 +192,19 @@ object Similarity {
       .groupBy($"vec_id", $"label")
       .agg(sum($"u6" * $"su6").as("dot"), sum($"u6" * $"u6").as("nv"))
     val w = Window.partitionBy($"label").orderBy($"cos", $"vec_id")
-    per.join(broadcast(nc), "label")
+    // two-stage rank: the corpus-sized window drops its rank column so
+    // FirstRowPerKeyRule re-plans it as the bounded-heap TopKPerKey
+    // operator (no per-label sort of millions of vectors); the ≤3-per-
+    // label survivors then re-rank in a trivially small second window
+    val top3 = per.join(broadcast(nc), "label")
       .select($"label", $"vec_id",
         ($"dot".cast("double")
           / (sqrt($"nv".cast("double")) * sqrt($"nc".cast("double")))).as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 3)
+      .select($"label", $"vec_id", $"cos")
+    top3
+      .withColumn("rk", row_number().over(w))
       .select($"label", $"rk", $"vec_id", $"cos".cast("decimal(18,6)").as("cos_centroid"))
       .orderBy($"label", $"rk")
   }

@@ -227,6 +227,16 @@ class PlanSpec extends SparkSuite {
       || p.contains("BroadcastHashJoin"), s"no hash equi-join in:\n$p")
   }
 
+  test("embed_centroid_distance's corpus-sized rank runs on the bounded heap") {
+    // the first (big) window drops its rank column, so FirstRowPerKeyRule
+    // must re-plan it as TopKPerKey — only the ≤3-per-label survivors may
+    // see a real window sort
+    val df = SparkEntry.queries("embed_centroid_distance")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), s"bounded-heap rewrite did not fire:\n$p")
+  }
+
   test("profile_skew plans TakeOrdered for the top-k, partial agg below") {
     val p = plan("profile_skew")
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$p")
