@@ -1511,6 +1511,18 @@ object Oracle {
         |WHERE us >= valid_from AND (valid_to IS NULL OR us < valid_to)
         |ORDER BY p.user_id, purchase_id""".stripMargin,
 
+    "win_cumulative_distinct" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, us, event_type,
+        |  CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY us, event_id) = 1 THEN 1 ELSE 0 END AS is_first FROM e)
+        |SELECT user_id, event_id, event_type,
+        | CAST(SUM(is_first) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS distinct_types_seen
+        |FROM f ORDER BY user_id, event_id""".stripMargin,
+
     "win_ratio_to_report" ->
       """WITH l AS (SELECT l_orderkey, l_linenumber, l_partkey,
         |  CAST(l_extendedprice AS DECIMAL(18,2)) AS price FROM lineitem),

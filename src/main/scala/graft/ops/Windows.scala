@@ -186,6 +186,33 @@ object Windows {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Running DISTINCT count per user over time — "unique event types
+    * seen so far" (the engagement-breadth curve). The naive expanding
+    * `count(distinct)` window is quadratic state; the linear form
+    * rewrites it as a cumulative sum of FIRST-OCCURRENCE flags:
+    * `row_number` over (user, type) marks each type's first event, and
+    * the running sum of that 0/1 flag over the user's timeline IS the
+    * distinct count to date. Two windows, both on the same user_id
+    * exchange, integer-only.
+    *
+    * The derived-key subtlety: the flag window keys on (user, type), the
+    * cumsum on (user) — Catalyst plans one exchange on user_id and
+    * sub-sorts, same shape as `win_session_running_sum`. */
+  def winCumulativeDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wFirst = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"us", $"event_id")
+    val wCum = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"event_type")
+      .withColumn("is_first",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .select($"user_id", $"event_id", $"event_type",
+        sum($"is_first").over(wCum).as("distinct_types_seen"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** Ratio-to-report: each line's share of its order's revenue — the
     * percent-of-total window every BI layer ships. The denominator is an
     * EXACT decimal sum over the partition (order-independent), the share
