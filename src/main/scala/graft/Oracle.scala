@@ -858,6 +858,21 @@ object Oracle {
          | list_has_any(ts, probe) AS hits
          |FROM d, p ORDER BY doc_id""".stripMargin,
 
+    "fn_struct" ->
+      """WITH l AS (SELECT l_orderkey,
+        |  {'ln': l_linenumber, 'pk': l_partkey,
+        |   'qty': CAST(l_quantity AS DECIMAL(18,2))} AS s
+        |  FROM lineitem WHERE l_orderkey <= 1000),
+        |g AS (SELECT l_orderkey, list_sort(list(s)) AS arr FROM l GROUP BY 1)
+        |SELECT l_orderkey,
+        | CAST(len(arr) AS INTEGER) AS n_lines,
+        | arr[1].ln AS first_line,
+        | arr[1].pk AS first_part,
+        | arr[-1].pk AS last_part,
+        | CAST(CAST(list_sum(list_transform(arr, x -> x.qty)) AS DECIMAL(18,2))
+        |   AS DOUBLE) AS total_qty
+        |FROM g ORDER BY l_orderkey""".stripMargin,
+
     "fn_regex" ->
       """SELECT doc_id,
         | coalesce(array_to_string(regexp_extract_all(text, '[a-z]*ing'), ','), '')

@@ -183,6 +183,7 @@ object SparkEntry {
     "win_streak"           -> Analytics.winStreak _,
     "agg_bitwise_group"    -> Relational.aggBitwiseGroup _,
     "fn_array_setops"      -> Functions.fnArraySetops _,
+    "fn_struct"            -> Functions.fnStruct _,
     "win_session_running_sum" -> Windows.winSessionRunningSum _,
     "win_moving_median" -> Windows.winMovingMedian _,
     "win_ratio_to_report" -> Windows.winRatioToReport _,

@@ -269,4 +269,32 @@ object Functions {
         bit_count(k).cast("int").as("bcnt"))
       .orderBy(k)
   }
+
+  /** Nested-type pack: build per-order arrays of line STRUCTS, sort them
+    * structurally (field-lexicographic — identical comparison semantics
+    * in both engines), index from both ends, extract fields, and fold a
+    * DECIMAL total over the nested array. The nested-data surface
+    * (struct build/access, array-of-struct ordering, HOF folds over
+    * struct fields) that log/telemetry schemas live on.
+    *
+    * Scale: one groupBy on the natural key; per-group state is the
+    * order's own lines (bounded by lines-per-order), never corpus-sized. */
+  def fnStruct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lines = Tables.lineitem(spark, sfDir)
+      .filter($"l_orderkey" <= 1000)
+      .select($"l_orderkey",
+        struct($"l_linenumber", $"l_partkey",
+          $"l_quantity".cast("decimal(18,2)").as("qty")).as("ln"))
+    lines.groupBy($"l_orderkey")
+      .agg(sort_array(collect_list($"ln")).as("arr"))
+      .select($"l_orderkey",
+        size($"arr").as("n_lines"),
+        element_at($"arr", 1).getField("l_linenumber").as("first_line"),
+        element_at($"arr", 1).getField("l_partkey").as("first_part"),
+        element_at($"arr", -1).getField("l_partkey").as("last_part"),
+        expr("aggregate(arr, cast(0 as decimal(18,2)), (a, x) -> cast(a + x.qty as decimal(18,2)))")
+          .as("total_qty"))
+      .orderBy($"l_orderkey")
+  }
 }
