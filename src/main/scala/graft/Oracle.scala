@@ -1317,6 +1317,30 @@ object Oracle {
         |      * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1000000) AS BIGINT) AS corr_u6
         |FROM m ORDER BY l_returnflag""".stripMargin,
 
+    "funnel_window" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |c AS (SELECT user_id, MIN(us) AS click_us FROM ev
+        |      WHERE event_type = 'click' GROUP BY user_id),
+        |v AS (SELECT e.user_id, MIN(e.us) AS view_us FROM ev e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'view' AND e.us > c.click_us
+        |        AND e.us <= c.click_us + 86400000000 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.us) AS purchase_us FROM ev e
+        |      JOIN v ON e.user_id = v.user_id
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.us > v.view_us
+        |        AND e.us <= c.click_us + 86400000000 GROUP BY e.user_id)
+        |SELECT u.user_id,
+        | CASE WHEN p.purchase_us IS NOT NULL THEN 3
+        |      WHEN v.view_us IS NOT NULL THEN 2
+        |      WHEN c.click_us IS NOT NULL THEN 1 ELSE 0 END AS stage,
+        | c.click_us, v.view_us, p.purchase_us
+        |FROM (SELECT DISTINCT user_id FROM ev) u
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id""".stripMargin,
+
     "funnel_conversion" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |c AS (SELECT user_id, MIN(us) AS click_us FROM ev

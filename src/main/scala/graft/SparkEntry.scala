@@ -166,6 +166,7 @@ object SparkEntry {
     // -- event / product analytics
     "agg_corr_exact"    -> Analytics.aggCorrExact _,
     "funnel_conversion" -> Analytics.funnelConversion _,
+    "funnel_window"     -> Analytics.funnelWindow _,
     "cohort_retention"  -> Analytics.cohortRetention _,
     "agg_histogram"     -> Analytics.aggHistogram _,
     "graph_degree"      -> Analytics.graphDegree _,

@@ -111,6 +111,41 @@ object Analytics {
       .orderBy($"user_id")
   }
 
+  /** Time-BOUNDED funnel (the windowFunnel semantics every product-
+    * analytics engine ships): click → view → purchase must all land
+    * inside 24 h of the anchoring click, not merely in order — the
+    * variant that distinguishes an actual conversion journey from three
+    * unrelated events weeks apart. Same broadcast-chain shape as
+    * [[funnelConversion]] with the window bound added to each stage;
+    * exact integer-µs comparisons. */
+  def funnelWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val windowUs = 86400000000L // 24 h
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id").agg(min($"us").as("click_us"))
+    val views = ev.filter($"event_type" === "view")
+      .join(clicks, "user_id")
+      .filter($"us" > $"click_us" && $"us" <= $"click_us" + windowUs)
+      .groupBy($"user_id").agg(min($"us").as("view_us"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .join(views.join(clicks, "user_id"), "user_id")
+      .filter($"us" > $"view_us" && $"us" <= $"click_us" + windowUs)
+      .groupBy($"user_id").agg(min($"us").as("purchase_us"))
+    ev.select($"user_id").distinct()
+      .join(clicks, Seq("user_id"), "left_outer")
+      .join(views, Seq("user_id"), "left_outer")
+      .join(purchases, Seq("user_id"), "left_outer")
+      .select($"user_id",
+        when($"purchase_us".isNotNull, 3)
+          .when($"view_us".isNotNull, 2)
+          .when($"click_us".isNotNull, 1)
+          .otherwise(0).as("stage"),
+        $"click_us", $"view_us", $"purchase_us")
+      .orderBy($"user_id")
+  }
+
   /** Weekly cohort retention: users bucketed by the week of their first
     * event; for each (cohort, week offset) the distinct active users.
     * Date math is integer (datediff / 7); two aggregations, both
