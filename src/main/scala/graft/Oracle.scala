@@ -1245,6 +1245,15 @@ object Oracle {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang IN ('en', 'zh') ORDER BY doc_id""".stripMargin,
 
+    "scan_csv_multiline" ->
+      """WITH m AS (SELECT doc_id, replace(text, ' ', chr(10)) AS b
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id,
+        | CAST(length(b) AS INTEGER) AS n_chars,
+        | CAST(length(b) - length(replace(b, chr(10), '')) + 1 AS INTEGER) AS n_lines,
+        | md5(b) AS body_md5
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "scan_binaryfile" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -196,6 +196,7 @@ object SparkEntry {
     "scan_orc_roundtrip"  -> Sources.scanOrcRoundtrip _,
     "scan_partition_prune" -> Sources.scanPartitionPrune _,
     "scan_binaryfile"     -> Sources.scanBinaryfile _,
+    "scan_csv_multiline"  -> Sources.scanCsvMultiline _,
     // -- training-data curation / pipeline maintenance
     "sample_stratified"   -> ((s: SparkSession, d: String) => Curation.sampleStratified(s, d)),
     "sample_mixture"      -> Curation.sampleMixture _,

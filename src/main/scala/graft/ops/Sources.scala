@@ -85,6 +85,36 @@ object Sources {
       .orderBy($"doc_id")
   }
 
+  /** CSV with EMBEDDED NEWLINES (multiLine mode) — the format-robustness
+    * case that silently corrupts naive splitters: quoted fields spanning
+    * physical lines. A doc slice gets its spaces turned into newlines,
+    * is written quoted, and read back with `multiLine=true`; integrity
+    * is proven by md5 + char/line counts against the source table.
+    *
+    * Scale note (the honest cost): multiLine CSV files are NOT
+    * line-splittable — each file parses as one unit, so parallelism
+    * comes from file count, not byte ranges. That is exactly why this
+    * is a separate declared mode and not the default CSV path. */
+  def scanCsvMultiline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir, "docs_multiline_csv")
+    Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 3 === 0)
+      .select($"doc_id", translate($"text", " ", "\n").as("body"))
+      .write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("body", StringType)))
+    spark.read.schema(schema)
+      .option("header", "true").option("multiLine", "true").csv(dir)
+      .select($"doc_id",
+        length($"body").as("n_chars"),
+        (length($"body") - length(regexp_replace($"body", "\n", "")) + 1)
+          .as("n_lines"),
+        md5($"body").as("body_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** `binaryFile` source — the entry point for raw media/blob corpora
     * (one file per object: images, audio, model shards). A bounded doc
     * slice is staged as one .bin per document by EXECUTOR-side writers
