@@ -1559,6 +1559,21 @@ object Oracle {
         |WHERE us >= valid_from AND (valid_to IS NULL OR us < valid_to)
         |ORDER BY p.user_id, purchase_id""".stripMargin,
 
+    "win_pattern_match" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |  FROM events),
+        |l AS (SELECT user_id, event_id, us, event_type,
+        |  lead(event_type, 1) OVER w AS t1,
+        |  lead(event_type, 2) OVER w AS t2,
+        |  lead(event_id, 1) OVER w AS id1,
+        |  lead(event_id, 2) OVER w AS id2,
+        |  lead(us, 2) OVER w AS us2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT user_id, event_id AS click_id, id1 AS view_id,
+        | id2 AS purchase_id, us2 - us AS span_us
+        |FROM l WHERE event_type = 'click' AND t1 = 'view' AND t2 = 'purchase'
+        |ORDER BY user_id, click_id""".stripMargin,
+
     "win_cumulative_distinct" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
         |  FROM events),

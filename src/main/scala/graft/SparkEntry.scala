@@ -189,6 +189,7 @@ object SparkEntry {
     "win_moving_median" -> Windows.winMovingMedian _,
     "win_ratio_to_report" -> Windows.winRatioToReport _,
     "win_cumulative_distinct" -> Windows.winCumulativeDistinct _,
+    "win_pattern_match"   -> Windows.winPatternMatch _,
     "agg_hll_mergeable" -> Relational.aggHllMergeable _,
     "agg_moments_exact" -> Analytics.aggMomentsExact _,
     // -- source/sink formats beyond parquet+csv

@@ -186,6 +186,32 @@ object Windows {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Sequence-pattern detection (MATCH_RECOGNIZE-lite): every CONTIGUOUS
+    * click→view→purchase run in a user's timeline — three consecutive
+    * events, nothing in between (the strict-sequence semantics
+    * `funnel_*`'s first-occurrence joins deliberately relax). One
+    * `lead`-chain over the per-user ordered timeline: each event sees the
+    * next two types and self-selects as an anchor — linear, no joins, no
+    * pattern automaton state beyond the frame.
+    *
+    * Scale: a single (user_id) window exchange; the lead frame is O(1)
+    * per row. */
+  def winPatternMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    graft.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"event_type")
+      .withColumn("t1", lead($"event_type", 1).over(w))
+      .withColumn("t2", lead($"event_type", 2).over(w))
+      .withColumn("id1", lead($"event_id", 1).over(w))
+      .withColumn("id2", lead($"event_id", 2).over(w))
+      .withColumn("us2", lead($"us", 2).over(w))
+      .filter($"event_type" === "click" && $"t1" === "view" && $"t2" === "purchase")
+      .select($"user_id", $"event_id".as("click_id"), $"id1".as("view_id"),
+        $"id2".as("purchase_id"), ($"us2" - $"us").as("span_us"))
+      .orderBy($"user_id", $"click_id")
+  }
+
   /** Running DISTINCT count per user over time — "unique event types
     * seen so far" (the engagement-breadth curve). The naive expanding
     * `count(distinct)` window is quadratic state; the linear form
