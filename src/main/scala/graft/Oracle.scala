@@ -974,6 +974,13 @@ object Oracle {
          | UNION ALL SELECT '5_train', CAST(COUNT(*) AS BIGINT) FROM s5)
          |ORDER BY stage""".stripMargin,
 
+    "profile_dup_classes" ->
+      """WITH c AS (SELECT substr(lower(trim(text)), 1, 40) AS norm,
+        |  CAST(COUNT(*) AS BIGINT) AS class_size FROM documents GROUP BY 1)
+        |SELECT class_size, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        | CAST(class_size * COUNT(*) AS BIGINT) AS n_docs
+        |FROM c GROUP BY class_size ORDER BY class_size""".stripMargin,
+
     "dedup_containment" ->
       s"""WITH d AS (SELECT doc_id, source, $toksExpr AS ts FROM documents),
          |g0 AS (SELECT doc_id, source, ts FROM d WHERE len(ts) >= 2),

@@ -207,6 +207,7 @@ object SparkEntry {
     "profile_drift"       -> Quality.profileDrift _,
     "profile_skew"        -> Quality.profileSkew _,
     "profile_mix_entropy" -> Quality.profileMixEntropy _,
+    "profile_dup_classes" -> TextSim.profileDupClasses _,
     "sample_weighted"     -> Curation.sampleWeighted _,
     "win_sessionize"      -> Windows.winSessionize _,
     "sql_api_q18"         -> Relational.sqlApiQ18 _,

@@ -45,6 +45,25 @@ object TextSim {
       .orderBy($"doc_id")
   }
 
+  /** Corpus-duplication profile: the histogram of duplicate-class sizes
+    * under a prefix fingerprint (normalized first 40 chars — the
+    * boilerplate-header signal; full-text classes degenerate to all-1s
+    * on this corpus) plus the doc mass in each class — the first number
+    * a dedup effort needs ("what fraction of the corpus is copies?") and
+    * the calibration input for near-dup thresholds. Two
+    * map-side-combinable aggregations over one hash shuffle on the
+    * fingerprint. */
+  def profileDupClasses(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .groupBy(substring(lower(trim($"text")), 1, 40).as("norm"))
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy($"class_size")
+      .agg(count(lit(1)).as("n_classes"),
+        ($"class_size" * count(lit(1))).as("n_docs"))
+      .orderBy($"class_size")
+  }
+
   /** Among docs sharing a (lang, source) group keep the longest
     * (max_by n_chars, doc_id tiebreak). */
   def dedupDocsKeepLongest(spark: SparkSession, sfDir: String): DataFrame = {
