@@ -848,6 +848,30 @@ object Oracle {
          |  THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
          |FROM agg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "dedup_simhash_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksExpr) AS tok FROM documents),
+         |votes AS (SELECT doc_id, b,
+         |  (((CAST(strpos('0123456789abcdef',
+         |       substr(md5(tok), 1 + CAST(b // 4 AS INTEGER), 1)) AS INTEGER) - 1)
+         |    >> CAST(b % 4 AS INTEGER)) & 1) * 2 - 1 AS vote
+         |  FROM toks, range(0, 60) t(b)),
+         |agg AS (SELECT doc_id, b, SUM(vote) AS votes FROM votes GROUP BY 1, 2),
+         |s AS (SELECT doc_id, CAST(SUM(CASE WHEN votes > 0
+         |  THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM agg GROUP BY doc_id),
+         |ch AS (SELECT doc_id, simhash, i,
+         |  (simhash >> CAST(15 * i AS INTEGER)) & 32767 AS c
+         |  FROM s, range(0, 4) t(i)),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.simhash AS sa, b.simhash AS sb,
+         |  CAST(COUNT(*) AS BIGINT) AS shared_chunks
+         |  FROM ch a JOIN ch b ON a.i = b.i AND a.c = b.c AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b, shared_chunks,
+         | CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "fn_array_setops" ->
       s"""WITH d AS (SELECT doc_id, list_distinct($toksExpr) AS ts FROM documents),
          |p AS (SELECT ['data', 'spark', 'join'] AS probe)

@@ -152,6 +152,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> Similarity.dedupEmbeddingCosine _,
     "dedup_minhash_lsh"      -> Similarity.dedupMinhashLsh _,
     "dedup_simhash"          -> Similarity.dedupSimhash _,
+    "dedup_simhash_pairs"    -> Similarity.dedupSimhashPairs _,
     "dedup_ngram_jaccard"    -> Similarity.dedupNgramJaccard _,
     "dedup_containment"      -> Similarity.dedupContainment _,
     "dedup_lsh_recall"       -> Similarity.dedupLshRecall _,

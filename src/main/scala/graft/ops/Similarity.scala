@@ -410,7 +410,7 @@ object Similarity {
   /** 60-bit SimHash signature per document: per-token md5 nibbles vote on
     * each bit; bit set where the vote is positive. One explode + one
     * integer aggregation — linear, shuffle only on (doc_id, bit). */
-  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+  private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val votes = Tables.documents(spark, sfDir)
       .select($"doc_id", explode(TextSim.tokens($"text")).as("tok"))
@@ -426,7 +426,37 @@ object Similarity {
       .groupBy($"doc_id")
       .agg(sum(when($"votes" > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
         .otherwise(0L)).as("simhash"))
-      .orderBy($"doc_id")
+  }
+
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    simhashSigs(spark, sfDir).orderBy($"doc_id")
+  }
+
+  /** SimHash near-dup PAIRS — the index-and-verify step the signature
+    * alone leaves open: signatures split into 4 × 15-bit chunks, pairs
+    * sharing any chunk become candidates (pigeonhole: ≤ 3 differing bits
+    * cannot break all 4 chunks, so the candidate set is EXHAUSTIVE for
+    * the Hamming ≤ 3 threshold — banding here is exact, not heuristic),
+    * then one codegen'd `bit_count(xor)` verifies true distance. The
+    * chunk equi-join is the standard simhash index: candidate volume is
+    * driven by chunk collisions, never all-pairs. */
+  def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = simhashSigs(spark, sfDir)
+      .select($"doc_id", $"simhash", explode(sequence(lit(0), lit(3))).as("i"))
+      .select($"doc_id", $"simhash", $"i",
+        expr("shiftright(simhash, CAST(15 * i AS INT)) & 32767").as("c"))
+    val a = chunks.as("a")
+    val b = chunks.as("b")
+    a.join(b, $"a.i" === $"b.i" && $"a.c" === $"b.c" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        $"a.simhash".as("sa"), $"b.simhash".as("sb"))
+      .agg(count(lit(1)).as("shared_chunks"))
+      .select($"id_a", $"id_b", $"shared_chunks",
+        bit_count($"sa".bitwiseXOR($"sb")).cast("int").as("hamming"))
+      .filter($"hamming" <= 3)
+      .orderBy($"id_a", $"id_b")
   }
 
   /** Near-duplicate CLUSTERS: connected components over the n-gram
