@@ -147,6 +147,24 @@ object Oracle {
         |  o_orderkey AS asof_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS asof_date
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
+    "join_asof_tolerance" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    DATE '1995-01-01' + CAST(event_id % 2500 AS INTEGER) AS cutoff
+        |  FROM events),
+        |j AS (
+        |  SELECT ev.event_id, ev.user_id, ev.cutoff, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY ev.event_id
+        |      ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC NULLS LAST) AS rn
+        |  FROM ev LEFT OUTER JOIN orders
+        |    ON user_id = o_custkey AND o_orderdate <= cutoff)
+        |SELECT event_id, user_id, strftime(cutoff, '%Y-%m-%d') AS cutoff,
+        |  CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), cutoff) <= 90
+        |    THEN o_orderkey END AS asof_orderkey,
+        |  CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), cutoff) <= 90
+        |    THEN strftime(o_orderdate, '%Y-%m-%d') END AS asof_date
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
     "join_asof_forward" ->
       """WITH ev AS (
         |  SELECT event_id, user_id,

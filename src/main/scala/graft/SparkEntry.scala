@@ -80,6 +80,7 @@ object SparkEntry {
     "join_self"        -> Relational.joinSelf _,
     "join_asof"        -> Relational.joinAsof _,
     "join_asof_forward" -> Relational.joinAsofForward _,
+    "join_asof_tolerance" -> Relational.joinAsofTolerance _,
     // -- reference ingestion pack (§2.A)
     "scan_csv_header"     -> Ingest.scanCsvHeader _,
     "scan_csv_file"       -> Ingest.scanCsvFile _,

@@ -257,6 +257,40 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** As-of join with a STALENESS TOLERANCE — backward match, but only if
+    * the latest prior order is within 90 days of the cutoff (the
+    * sensor-alignment rule: a reading paired with a reference that's too
+    * old is worse than no pair). Same linear one-timeline window as
+    * [[joinAsof]]; the tolerance is one post-window predicate that NULLs
+    * out stale matches, preserving the left row. */
+  def joinAsofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, sfDir)
+      .select($"o_custkey".as("k"),
+        $"o_orderdate".cast("timestamp").as("t"),
+        lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+        struct($"o_orderdate", $"o_orderkey").as("ord"))
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id".as("k"),
+        date_add(lit("1995-01-01").cast("date"),
+          ($"event_id" % 2500).cast("int")).cast("timestamp").as("t"),
+        lit(1).as("is_event"), $"event_id",
+        lit(null).cast("struct<o_orderdate:timestamp,o_orderkey:bigint>").as("ord"))
+    val w = Window.partitionBy($"k")
+      .orderBy($"t", $"is_event", $"ord.o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("best", last($"ord", ignoreNulls = true).over(w))
+      .filter($"is_event" === 1)
+      .withColumn("fresh",
+        when(datediff($"t", $"best.o_orderdate") <= 90, $"best"))
+      .select($"event_id", $"k".as("user_id"),
+        date_format($"t", "yyyy-MM-dd").as("cutoff"),
+        $"fresh.o_orderkey".as("asof_orderkey"),
+        date_format($"fresh.o_orderdate", "yyyy-MM-dd").as("asof_date"))
+      .orderBy($"event_id")
+  }
+
   /** Forward as-of join — each event matched to the EARLIEST order of
     * the same key at or after its cutoff (the "next scheduled action"
     * lookup; [[joinAsof]] is the backward twin). Same linear one-timeline
