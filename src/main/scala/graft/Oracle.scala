@@ -878,8 +878,8 @@ object Oracle {
          |  THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
          |  FROM agg GROUP BY doc_id),
          |ch AS (SELECT doc_id, simhash, i,
-         |  (simhash >> CAST(15 * i AS INTEGER)) & 32767 AS c
-         |  FROM s, range(0, 4) t(i)),
+         |  (simhash >> CAST(20 * i AS INTEGER)) & 1048575 AS c
+         |  FROM s, range(0, 3) t(i)),
          |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  a.simhash AS sa, b.simhash AS sb,
          |  CAST(COUNT(*) AS BIGINT) AS shared_chunks
@@ -887,7 +887,7 @@ object Oracle {
          |  GROUP BY 1, 2, 3, 4)
          |SELECT id_a, id_b, shared_chunks,
          | CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 2
          |ORDER BY id_a, id_b""".stripMargin,
 
     "fn_array_setops" ->

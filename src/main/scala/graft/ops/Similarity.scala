@@ -412,7 +412,10 @@ object Similarity {
     * integer aggregation — linear, shuffle only on (doc_id, bit). */
   private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val votes = Tables.documents(spark, sfDir)
+    // explicit rebalance before the ×60 vote explode: the documents scan
+    // is one parquet split, and everything before the first shuffle would
+    // otherwise run on a single core (SURVEY §7.6 rebalance lever)
+    val votes = TextSim.rebalanceDocs(Tables.documents(spark, sfDir))
       .select($"doc_id", explode(TextSim.tokens($"text")).as("tok"))
       .withColumn("h", md5($"tok"))
       .select($"doc_id", $"h", explode(sequence(lit(0), lit(59))).as("b"))
@@ -434,19 +437,29 @@ object Similarity {
   }
 
   /** SimHash near-dup PAIRS — the index-and-verify step the signature
-    * alone leaves open: signatures split into 4 × 15-bit chunks, pairs
-    * sharing any chunk become candidates (pigeonhole: ≤ 3 differing bits
-    * cannot break all 4 chunks, so the candidate set is EXHAUSTIVE for
-    * the Hamming ≤ 3 threshold — banding here is exact, not heuristic),
-    * then one codegen'd `bit_count(xor)` verifies true distance. The
-    * chunk equi-join is the standard simhash index: candidate volume is
-    * driven by chunk collisions, never all-pairs. */
+    * alone leaves open: signatures split into 3 × 20-bit chunks, pairs
+    * sharing any chunk become candidates (pigeonhole: ≤ 2 differing bits
+    * cannot break all 3 chunks, so the candidate set is EXHAUSTIVE for
+    * the Hamming ≤ 2 threshold — banding here is exact, not heuristic),
+    * then one codegen'd `bit_count(xor)` verifies true distance.
+    *
+    * Chunk-width is the scale dial: random candidate volume is
+    * ~n²·chunks/2^width, so 20-bit chunks cost 32× fewer spurious
+    * collisions than 15-bit ones (measured 5.3 s → sub-second at sf0.1)
+    * at the price of a tighter guaranteed radius; corpus-scale
+    * deployments chasing radius 3+ move to the permuted-sorted-table
+    * scheme rather than ever-smaller chunks. */
   def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val chunks = simhashSigs(spark, sfDir)
-      .select($"doc_id", $"simhash", explode(sequence(lit(0), lit(3))).as("i"))
+    // materialize the per-doc signatures once (one small row per doc):
+    // the self-join otherwise re-executes the whole token×bit vote
+    // pipeline for BOTH sides — the broadcast build and the streamed
+    // probe are separate subtree executions
+    val sigs = simhashSigs(spark, sfDir).localCheckpoint()
+    val chunks = sigs
+      .select($"doc_id", $"simhash", explode(sequence(lit(0), lit(2))).as("i"))
       .select($"doc_id", $"simhash", $"i",
-        expr("shiftright(simhash, CAST(15 * i AS INT)) & 32767").as("c"))
+        expr("shiftright(simhash, CAST(20 * i AS INT)) & 1048575").as("c"))
     val a = chunks.as("a")
     val b = chunks.as("b")
     a.join(b, $"a.i" === $"b.i" && $"a.c" === $"b.c" && $"a.doc_id" < $"b.doc_id")
@@ -455,7 +468,7 @@ object Similarity {
       .agg(count(lit(1)).as("shared_chunks"))
       .select($"id_a", $"id_b", $"shared_chunks",
         bit_count($"sa".bitwiseXOR($"sb")).cast("int").as("hamming"))
-      .filter($"hamming" <= 3)
+      .filter($"hamming" <= 2)
       .orderBy($"id_a", $"id_b")
   }
 
