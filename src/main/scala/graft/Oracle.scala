@@ -1155,6 +1155,22 @@ object Oracle {
          |SELECT doc_id, n_tok, reject_reason, (reject_reason IS NULL) AS kept
          |FROM r ORDER BY doc_id""".stripMargin,
 
+    "sql_api_q10" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        | CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY c.c_custkey, c.c_name, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
+
     "sql_api_q3" ->
       """SELECT o.o_orderkey,
         | CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))

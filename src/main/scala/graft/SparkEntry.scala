@@ -213,6 +213,7 @@ object SparkEntry {
     "sample_weighted"     -> Curation.sampleWeighted _,
     "win_sessionize"      -> Windows.winSessionize _,
     "sql_api_q18"         -> Relational.sqlApiQ18 _,
+    "sql_api_q10"         -> Relational.sqlApiQ10 _,
     "agg_count_min"       -> Relational.aggCountMin _,
     "stream_foreach_upsert" -> Streaming.streamForeachUpsert _,
     "dedup_bloom_prefilter" -> TextSim.dedupBloomPrefilter _,

@@ -718,6 +718,33 @@ object Relational {
         |LIMIT 20""".stripMargin)
   }
 
+  /** TPC-H Q10 shape (returned-item reporting) through the `spark.sql`
+    * entry point: customers ranked by revenue lost to returns in one
+    * order-year — the three-fact-join + broadcast-dim + top-k report.
+    * The returnflag filter pushes into the lineitem scan, the date range
+    * into orders; nation broadcasts; TakeOrdered caps the result. */
+  def sqlApiQ10(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("graft_nation")
+    spark.sql(
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM graft_customer c
+        |JOIN graft_orders o ON c.c_custkey = o.o_custkey
+        |JOIN graft_lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN graft_nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY c.c_custkey, c.c_name, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin)
+  }
+
   /** TPC-H Q18 shape (large-volume customers) through the `spark.sql`
     * entry point: orders whose summed lineitem quantity exceeds 250,
     * joined back to the customer — the HAVING-on-a-join-aggregate pattern.
