@@ -222,8 +222,11 @@ object Windows {
     * exchange, integer-only.
     *
     * The derived-key subtlety: the flag window keys on (user, type), the
-    * cumsum on (user) — Catalyst plans one exchange on user_id and
-    * sub-sorts, same shape as `win_session_running_sum`. */
+    * cumsum on (user). Left alone Catalyst exchanges TWICE — hash(user,
+    * type) for the first window does NOT satisfy the second's
+    * ClusteredDistribution(user). The explicit user_id repartition
+    * satisfies BOTH (user ⊆ each window's clustering), so one exchange
+    * feeds two sub-sorts — pinned in PlanSpec. */
   def winCumulativeDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val wFirst = Window.partitionBy($"user_id", $"event_type")
@@ -232,6 +235,7 @@ object Windows {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     graft.Tables.events(spark, sfDir)
       .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"event_type")
+      .repartition($"user_id")
       .withColumn("is_first",
         when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
       .select($"user_id", $"event_id", $"event_type",

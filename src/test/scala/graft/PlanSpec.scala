@@ -237,6 +237,25 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TopKPerKey"), s"bounded-heap rewrite did not fire:\n$p")
   }
 
+  test("win_cumulative_distinct runs both windows off ONE exchange") {
+    val df = SparkEntry.queries("win_cumulative_distinct")(spark, sfDir)
+    df.collect()
+    // executedPlan prints Final AND Initial AQE sections — count only the
+    // final one. The explicit user_id repartition must satisfy both
+    // window distributions: exactly one hash shuffle (the trailing
+    // rangepartitioning belongs to the output ORDER BY contract).
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, found $exchanges:\n$p")
+  }
+
+  test("sql_api_q10 broadcasts the nation dim and heaps the top-20") {
+    val p = plan("sql_api_q10")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
+  }
+
   test("profile_skew plans TakeOrdered for the top-k, partial agg below") {
     val p = plan("profile_skew")
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$p")
