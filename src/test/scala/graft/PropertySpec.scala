@@ -1,0 +1,191 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.ops.{Analytics, Curation}
+
+/** Randomized-fixture properties: each operator is replayed against an
+  * independent in-memory reference on small random inputs (seeded by
+  * ScalaCheck), catching tie/boundary cases the hand fixtures and the
+  * harness-data oracle don't reach. Spark round-trips are expensive, so
+  * each property runs a small number of cases. */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val cases = SCTest.Parameters.default.withMinSuccessfulTests(6)
+
+  private def graphDir(rows: Seq[(Long, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pgraph").toString
+    rows.toDF("l_orderkey", "l_partkey").write.parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("graph_triangle_count equals brute-force enumeration on random graphs") {
+    // random co-occurrence input: 3-6 orders (keys multiples of 10 so the
+    // %10 slice keeps them), 2-5 parts each from a small universe so
+    // triangles and duplicate edges actually occur
+    val orderGen = for {
+      nParts <- Gen.chooseNum(2, 5)
+      parts <- Gen.listOfN(nParts, Gen.chooseNum(1L, 7L))
+    } yield parts.distinct
+    val inputGen = for {
+      nOrders <- Gen.chooseNum(3, 6)
+      orders <- Gen.listOfN(nOrders, orderGen)
+    } yield orders
+    val prop = Prop.forAll(inputGen) { orders =>
+      val rows = orders.zipWithIndex.flatMap { case (ps, i) =>
+        ps.map(p => ((i + 1) * 10L, p))
+      }
+      val edges = rows.groupBy(_._1).values.flatMap { grp =>
+        val ps = grp.map(_._2).distinct
+        for (a <- ps; b <- ps if a < b) yield (a, b)
+      }.toSet
+      val nodes = edges.flatMap(e => Seq(e._1, e._2))
+      val expected = nodes.map { n =>
+        n -> (for {
+          (a, b) <- edges.toSeq
+          c <- nodes
+          if c != a && c != b
+          if edges.contains((math.min(a, c), math.max(a, c)))
+          if edges.contains((math.min(b, c), math.max(b, c)))
+        } yield Set(a, b, c)).distinct.count(_.contains(n)).toLong
+      }.toMap.filter(_._2 > 0)
+      val got = Analytics.graphTriangleCount(spark, graphDir(rows)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected.toSeq.sortBy { case (n, t) => (-t, n) }.take(20).toMap
+    }
+    val res = SCTest.check(cases, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def eventsDir(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pev").toString
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .select($"event_id", ($"us" * 1000).as("ts"), $"user_id",
+        $"event_type", $"value")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  /** Exact middle-rank median: avg of positions (n+1)/2 and n/2+1. */
+  private def refMedian(vs: Seq[Double]): Double = {
+    val s = vs.sorted
+    val n = s.length
+    (s((n + 1) / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  test("anomaly_mad equals the reference on random tied-value groups") {
+    // integer-ish values from a tiny domain force heavy ties — the case
+    // where rank-based medians usually go wrong
+    val grpGen = for {
+      n <- Gen.chooseNum(1, 9)
+      vs <- Gen.listOfN(n, Gen.chooseNum(0, 6).map(_.toDouble))
+    } yield vs
+    val prop = Prop.forAll(grpGen, grpGen) { (va, vb) =>
+      val us0 = 1700000000000000L
+      val rows = (va.zipWithIndex.map { case (v, i) =>
+        ((i + 1).toLong, us0 + i, 1L, "a", v)
+      }) ++ (vb.zipWithIndex.map { case (v, i) =>
+        ((100 + i).toLong, us0 + 100 + i, 1L, "b", v)
+      })
+      val got = Curation.anomalyMad(spark, eventsDir(rows)).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2).doubleValue,
+          r.getDecimal(3).doubleValue, r.getLong(4)))).toMap
+      Seq("a" -> va, "b" -> vb).forall { case (t, vs) =>
+        val med = refMedian(vs)
+        val mad = refMedian(vs.map(v => math.abs(v - med)))
+        val out = vs.count(v => math.abs(v - med) > mad * 4.4478).toLong
+        got(t) == ((vs.length.toLong, med, mad, out))
+      }
+    }
+    val res = SCTest.check(cases, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("ts_interpolate equals the reference line on random sparse series") {
+    val bucketUs = 21600000000L
+    val b0us = 1700006400000000L - (1700006400000000L % bucketUs)
+    // observations in random buckets 0..7 with random values
+    val obsGen = for {
+      n <- Gen.chooseNum(1, 5)
+      bs <- Gen.listOfN(n, Gen.chooseNum(0, 7))
+      vs <- Gen.listOfN(n, Gen.chooseNum(-50, 50).map(_.toDouble))
+    } yield bs.zip(vs).toMap.toSeq.sortBy(_._1) // last write per bucket wins
+    val prop = Prop.forAll(obsGen) { obs =>
+      val rows = obs.zipWithIndex.map { case ((b, v), i) =>
+        ((i + 1).toLong, b0us + b * bucketUs + 7L, 1L, "a", v)
+      }
+      val got = Analytics.tsInterpolate(spark, eventsDir(rows)).collect()
+        .map(r => (r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDecimal(3).doubleValue)))
+      val bMin = obs.map(_._1).min
+      val bMax = obs.map(_._1).max
+      val byB = obs.toMap
+      val expected = (bMin to bMax).map { b =>
+        val n = if (byB.contains(b)) 1L else 0L
+        val v = byB.get(b).orElse {
+          val prevs = obs.filter(_._1 < b)
+          val nexts = obs.filter(_._1 > b)
+          for {
+            (bp, vp) <- prevs.lastOption
+            (bn, vn) <- nexts.headOption
+          } yield {
+            val raw = vp + (vn - vp) * ((b - bp).toDouble / (bn - bp))
+            BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+        }
+        (n, v)
+      }
+      got.toSeq == expected
+    }
+    val res = SCTest.check(cases, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("merge_scd2_apply invariants hold on random event streams") {
+    val cut = 1705795200000000L
+    val types = Gen.oneOf("a", "b", "c")
+    val userGen = for {
+      nPre <- Gen.chooseNum(0, 5)
+      nPost <- Gen.chooseNum(0, 2)
+      pre <- Gen.listOfN(nPre, types)
+      post <- Gen.listOfN(nPost, types)
+    } yield (pre, post)
+    val prop = Prop.forAll(Gen.listOfN(3, userGen)) { users =>
+      var eid = 0L
+      val rows = users.zipWithIndex.flatMap { case ((pre, post), u) =>
+        val preRows = pre.zipWithIndex.map { case (t, i) =>
+          eid += 1; (eid, cut - 1000L + i, (u + 1).toLong, t, 0.0)
+        }
+        val postRows = post.zipWithIndex.map { case (t, i) =>
+          eid += 1; (eid, cut + 1000L + i, (u + 1).toLong, t, 0.0)
+        }
+        preRows ++ postRows
+      }
+      rows.isEmpty || {
+        val out = Curation.mergeScd2Apply(spark, eventsDir(rows)).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+        val byUser = out.groupBy(_._1)
+        byUser.values.forall { ivs =>
+          val sorted = ivs.sortBy(_._3)
+          // exactly one open (current) interval per user with any history
+          sorted.count(_._4.isEmpty) == 1 &&
+          sorted.count(_._5) == 1 &&
+          // closed intervals chain: valid_to == next valid_from
+          sorted.sliding(2).forall {
+            case Array(a, b) => a._4.contains(b._3)
+            case _           => true
+          } &&
+          // run-collapse: adjacent intervals never carry the same value
+          sorted.sliding(2).forall {
+            case Array(a, b) => a._2 != b._2
+            case _           => true
+          }
+        }
+      }
+    }
+    val res = SCTest.check(cases, prop)
+    assert(res.passed, res.status.toString)
+  }
+}
