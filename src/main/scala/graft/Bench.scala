@@ -96,6 +96,11 @@ object Bench {
       .map { case (f, rs) => s"\"" + f + "\":" + ms(rs.map(_._2).sum) }
       .mkString("{", ",", "}")
     spark.stop()
+    // Print the shared-pass summary BEFORE the diagnostic run-alone lane:
+    // if a lane rerun hangs (fresh SparkContext, streaming query), the
+    // harness tail still holds this parseable line; on success the final
+    // line below (with the alone numbers) supersedes it.
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"queries":$qs,"families":$fams,"errors":$errs,"detail":"bench_detail.json","sf":"$sfDir"}""")
     // Run-alone lane: the shared pass above times 178 queries in ONE
     // session, so a heavy neighbor's GC/cache pressure inflates successors
     // by ±20-50% run-to-run (the r2/r3 noise caveat — e.g. r3 measured

@@ -1729,8 +1729,9 @@ object Oracle {
         |  SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy,
         |  CAST(SUM(x * x) AS BIGINT) AS sxx FROM e GROUP BY 1),
         |s AS (SELECT user_id, n,
-        |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |   / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        |  CASE WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0
+        |    THEN (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope,
         |  sx, sy FROM m)
         |SELECT user_id, n,
         | CAST(CAST(slope AS DECIMAL(18,6)) AS DOUBLE) AS slope,

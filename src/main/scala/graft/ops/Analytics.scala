@@ -269,9 +269,16 @@ object Analytics {
         sum(($"x" * $"y").cast("decimal(38,6)")).as("sxy"),
         sum($"x" * $"x").as("sxx"))
       .select($"user_id", $"n",
-        (($"n" * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double"))
-          / ($"n" * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double")))
-          .as("slope"),
+        ($"n" * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double"))
+          .as("den"),
+        ($"n" * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double"))
+          .as("num"),
+        $"sx", $"sy")
+      // a user whose events all share one epoch-hour has zero x-variance:
+      // the trend is undefined (0/0 → NaN) — surface NULL, identically in
+      // both engines, instead of letting NaN hit the decimal cast
+      .select($"user_id", $"n",
+        when($"den" =!= 0.0, $"num" / $"den").as("slope"),
         $"sx", $"sy")
       .select($"user_id", $"n", $"slope".cast("decimal(18,6)").as("slope"),
         (($"sy".cast("double") - $"slope" * $"sx".cast("double")) / $"n")

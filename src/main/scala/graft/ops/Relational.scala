@@ -157,6 +157,27 @@ object Relational {
       .orderBy($"l_orderkey", $"l_linenumber", $"p_partkey", $"p_size", $"quantity")
   }
 
+  /** The shared as-of timeline: both streams unioned into one per-key
+    * sequence (orders sort before events at equal time via `is_event`,
+    * so same-date orders are visible to the backward frame; the forward
+    * variant re-sorts). Every as-of flavor — backward, forward,
+    * tolerance — windows over THIS one frame. */
+  private def asofTimeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, sfDir)
+      .select($"o_custkey".as("k"),
+        $"o_orderdate".cast("timestamp").as("t"),
+        lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+        struct($"o_orderdate", $"o_orderkey").as("ord"))
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id".as("k"),
+        date_add(lit("1995-01-01").cast("date"),
+          ($"event_id" % 2500).cast("int")).cast("timestamp").as("t"),
+        lit(1).as("is_event"), $"event_id",
+        lit(null).cast("struct<o_orderdate:timestamp,o_orderkey:bigint>").as("ord"))
+    ord.unionByName(ev)
+  }
+
   /** Interval × interval overlap join — overlapping 7-day fulfillment
     * windows of the same customer (the double-booking / concurrent-open-
     * orders detector). The naive form is a per-key quadratic with a range
@@ -233,21 +254,10 @@ object Relational {
     * which is exactly what DuckDB's ASOF JOIN oracle picks. */
   def joinAsof(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ord = Tables.orders(spark, sfDir)
-      .select($"o_custkey".as("k"),
-        $"o_orderdate".cast("timestamp").as("t"),
-        lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
-        struct($"o_orderdate", $"o_orderkey").as("ord"))
-    val ev = Tables.events(spark, sfDir)
-      .select($"user_id".as("k"),
-        date_add(lit("1995-01-01").cast("date"),
-          ($"event_id" % 2500).cast("int")).cast("timestamp").as("t"),
-        lit(1).as("is_event"), $"event_id",
-        lit(null).cast("struct<o_orderdate:timestamp,o_orderkey:bigint>").as("ord"))
     val w = Window.partitionBy($"k")
       .orderBy($"t", $"is_event", $"ord.o_orderkey")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ord.unionByName(ev)
+    asofTimeline(spark, sfDir)
       .withColumn("best", last($"ord", ignoreNulls = true).over(w))
       .filter($"is_event" === 1)
       .select($"event_id", $"k".as("user_id"),
@@ -265,21 +275,10 @@ object Relational {
     * out stale matches, preserving the left row. */
   def joinAsofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ord = Tables.orders(spark, sfDir)
-      .select($"o_custkey".as("k"),
-        $"o_orderdate".cast("timestamp").as("t"),
-        lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
-        struct($"o_orderdate", $"o_orderkey").as("ord"))
-    val ev = Tables.events(spark, sfDir)
-      .select($"user_id".as("k"),
-        date_add(lit("1995-01-01").cast("date"),
-          ($"event_id" % 2500).cast("int")).cast("timestamp").as("t"),
-        lit(1).as("is_event"), $"event_id",
-        lit(null).cast("struct<o_orderdate:timestamp,o_orderkey:bigint>").as("ord"))
     val w = Window.partitionBy($"k")
       .orderBy($"t", $"is_event", $"ord.o_orderkey")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ord.unionByName(ev)
+    asofTimeline(spark, sfDir)
       .withColumn("best", last($"ord", ignoreNulls = true).over(w))
       .filter($"is_event" === 1)
       .withColumn("fresh",
@@ -302,21 +301,10 @@ object Relational {
     * pair rows. */
   def joinAsofForward(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ord = Tables.orders(spark, sfDir)
-      .select($"o_custkey".as("k"),
-        $"o_orderdate".cast("timestamp").as("t"),
-        lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
-        struct($"o_orderdate", $"o_orderkey").as("ord"))
-    val ev = Tables.events(spark, sfDir)
-      .select($"user_id".as("k"),
-        date_add(lit("1995-01-01").cast("date"),
-          ($"event_id" % 2500).cast("int")).cast("timestamp").as("t"),
-        lit(1).as("is_event"), $"event_id",
-        lit(null).cast("struct<o_orderdate:timestamp,o_orderkey:bigint>").as("ord"))
     val w = Window.partitionBy($"k")
       .orderBy($"t", $"is_event".desc, $"ord.o_orderkey")
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    ord.unionByName(ev)
+    asofTimeline(spark, sfDir)
       .withColumn("best", first($"ord", ignoreNulls = true).over(w))
       .filter($"is_event" === 1)
       .select($"event_id", $"k".as("user_id"),

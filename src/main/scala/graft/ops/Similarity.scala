@@ -454,8 +454,12 @@ object Similarity {
     // materialize the per-doc signatures once (one small row per doc):
     // the self-join otherwise re-executes the whole token×bit vote
     // pipeline for BOTH sides — the broadcast build and the streamed
-    // probe are separate subtree executions
-    val sigs = simhashSigs(spark, sfDir).localCheckpoint()
+    // probe are separate subtree executions. cache() (not
+    // localCheckpoint): the entry is plan-keyed so repeat invocations
+    // reuse ONE snapshot instead of accumulating executor blocks, and
+    // catalog.clearCache() frees it
+    val sigs = simhashSigs(spark, sfDir).cache()
+    sigs.count()
     val chunks = sigs
       .select($"doc_id", $"simhash", explode(sequence(lit(0), lit(2))).as("i"))
       .select($"doc_id", $"simhash", $"i",

@@ -144,27 +144,38 @@ object Sinks {
       }
     val next = currentVersion().getOrElse(0L) + 1
     val vdir = new HPath(root, s"v$next")
+    val tmp = new HPath(root,
+      s"_CURRENT.tmp-${java.util.UUID.randomUUID.toString.replace("-", "")}")
+    // the new-version directory may only be rolled back while the
+    // manifest still points at the OLD version — after the pointer flip
+    // it IS the published table and must survive any later failure
+    var flipped = false
     try {
       df.write.mode(SaveMode.ErrorIfExists).parquet(vdir.toString)
       // atomic pointer flip: tmp manifest + overwrite-rename
-      val tmp = new HPath(root,
-        s"_CURRENT.tmp-${java.util.UUID.randomUUID.toString.replace("-", "")}")
       val out = fs.create(tmp, true)
       try out.write(s"v$next".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, hconf)
       fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      flipped = true
       // prune stale versions, never the one just published or the reader
-      // grace window of keepVersions-1 priors
-      val keep = (next - keepVersions + 1) to next
-      fs.listStatus(root).map(_.getPath)
-        .filter(p => p.getName.matches("v\\d+") &&
-          !keep.contains(p.getName.stripPrefix("v").toLong))
-        .foreach(fs.delete(_, true))
+      // grace window of keepVersions-1 priors. Prune failures are
+      // non-fatal: the publish already succeeded, orphans are
+      // janitor-prunable.
+      try {
+        val keep = (next - keepVersions + 1) to next
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.matches("v\\d+") &&
+            !keep.contains(p.getName.stripPrefix("v").toLong))
+          .foreach(fs.delete(_, true))
+      } catch { case _: Throwable => () }
       true
     } catch {
-      case _: Throwable =>
-        if (fs.exists(vdir)) fs.delete(vdir, true) // orphan, manifest untouched
+      case _: Throwable if !flipped =>
+        // manifest untouched: remove the orphan version and tmp manifest
+        if (fs.exists(vdir)) fs.delete(vdir, true)
+        if (fs.exists(tmp)) fs.delete(tmp, false)
         false
     }
   }

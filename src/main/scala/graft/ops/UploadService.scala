@@ -70,8 +70,13 @@ object UploadService {
       // monotonically_increasing_id whose values encode the partitioning.
       val parsed = spark.read.option("header", "true")
         .option("mode", "PERMISSIVE").csv(csvPath)
+      // persist the parsed rows across zipWithIndex's two passes: it
+      // first runs a partition-size job, then the data pass — uncached,
+      // both would re-scan and re-parse the CSV
+      val parsedRdd = parsed.rdd.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val raw = spark.createDataFrame(
-        parsed.rdd.zipWithIndex.map { case (r, i) =>
+        parsedRdd.zipWithIndex.map { case (r, i) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
         parsed.schema.add("line_id", org.apache.spark.sql.types.LongType))
         .select($"line_id",
@@ -126,6 +131,7 @@ object UploadService {
       } finally {
         detach()
         classified.unpersist()
+        parsedRdd.unpersist(blocking = false)
       }
     } catch {
       case e: Throwable =>
