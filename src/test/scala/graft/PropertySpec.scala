@@ -142,6 +142,29 @@ class PropertySpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("win_pattern_match equals a reference scan on random event streams") {
+    // random streams over the funnel types force the overlap edges:
+    // click,view,purchase,view,purchase must anchor ONCE (strict
+    // contiguity), back-to-back runs must both match
+    val typeGen = Gen.oneOf("click", "view", "purchase", "error")
+    val prop = Prop.forAll(Gen.chooseNum(3, 12).flatMap(n =>
+      Gen.listOfN(n, typeGen))) { types =>
+      val us0 = 1700000000000000L
+      val rows = types.zipWithIndex.map { case (t, i) =>
+        ((i + 1).toLong, us0 + i, 1L, t, 0.0)
+      }
+      val expected = types.sliding(3).zipWithIndex.collect {
+        case (Seq("click", "view", "purchase"), i) =>
+          ((i + 1).toLong, (i + 2).toLong, (i + 3).toLong)
+      }.toSeq
+      val got = graft.ops.Windows.winPatternMatch(spark, eventsDir(rows))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      got == expected
+    }
+    val res = SCTest.check(cases, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("merge_scd2_apply invariants hold on random event streams") {
     val cut = 1705795200000000L
     val types = Gen.oneOf("a", "b", "c")
