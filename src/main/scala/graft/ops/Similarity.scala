@@ -454,10 +454,7 @@ object Similarity {
     // materialize the per-doc signatures once (one small row per doc):
     // the self-join otherwise re-executes the whole token×bit vote
     // pipeline for BOTH sides — the broadcast build and the streamed
-    // probe are separate subtree executions. cache() (not
-    // localCheckpoint): the entry is plan-keyed so repeat invocations
-    // reuse ONE snapshot instead of accumulating executor blocks, and
-    // catalog.clearCache() frees it
+    // probe are separate subtree executions
     val sigs = simhashSigs(spark, sfDir).cache()
     sigs.count()
     val chunks = sigs
@@ -466,14 +463,20 @@ object Similarity {
         expr("shiftright(simhash, CAST(20 * i AS INT)) & 1048575").as("c"))
     val a = chunks.as("a")
     val b = chunks.as("b")
-    a.join(b, $"a.i" === $"b.i" && $"a.c" === $"b.c" && $"a.doc_id" < $"b.doc_id")
+    val pairs = a.join(b, $"a.i" === $"b.i" && $"a.c" === $"b.c" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
         $"a.simhash".as("sa"), $"b.simhash".as("sb"))
       .agg(count(lit(1)).as("shared_chunks"))
       .select($"id_a", $"id_b", $"shared_chunks",
         bit_count($"sa".bitwiseXOR($"sb")).cast("int").as("hamming"))
       .filter($"hamming" <= 2)
-      .orderBy($"id_a", $"id_b")
+      // eager localCheckpoint materializes the (tiny) pair set NOW, so the
+      // signature cache can be dropped inside the operator instead of
+      // leaking blocks until some external catalog.clearCache() — in a
+      // shared session those resident blocks taxed every later query's GC
+      .localCheckpoint()
+    sigs.unpersist(blocking = false)
+    pairs.orderBy($"id_a", $"id_b")
   }
 
   /** Near-duplicate CLUSTERS: connected components over the n-gram

@@ -40,7 +40,9 @@ object Sinks {
       df.write.mode(SaveMode.Overwrite).parquet(outDir)
       true
     } catch {
-      case _: Throwable => false
+      // NonFatal only: an OutOfMemoryError / fatal JVM error must
+      // propagate, not report as a clean "write failed"
+      case scala.util.control.NonFatal(_) => false
     }
   }
 
@@ -169,7 +171,7 @@ object Sinks {
           .filter(p => p.getName.matches("v\\d+") &&
             !keep.contains(p.getName.stripPrefix("v").toLong))
           .foreach(fs.delete(_, true))
-      } catch { case _: Throwable => () }
+      } catch { case scala.util.control.NonFatal(_) => () }
       true
     } catch {
       case _: Throwable if !flipped =>

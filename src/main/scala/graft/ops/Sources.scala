@@ -128,7 +128,16 @@ object Sources {
   def scanBinaryfile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = scratch(sfDir, "doc_blobs")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val base = java.nio.file.Paths.get(dir)
+    // overwrite semantics, like the other round-trip sources: stale
+    // doc_*.bin files from a prior run of a since-changed dataset would
+    // otherwise read back as phantom rows the live table no longer has
+    if (java.nio.file.Files.isDirectory(base)) {
+      val it = java.nio.file.Files.newDirectoryStream(base, "doc_*.bin")
+      try it.forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally it.close()
+    }
+    java.nio.file.Files.createDirectories(base)
     Tables.documents(spark, sfDir)
       .filter($"doc_id" % 5 === 0)
       .select($"doc_id", $"text")

@@ -8,14 +8,37 @@ import graft.ops.{Analytics, Curation}
   * ScalaCheck), catching tie/boundary cases the hand fixtures and the
   * harness-data oracle don't reach. Spark round-trips are expensive, so
   * each property runs a small number of cases. */
-class PropertySpec extends SparkSuite {
+class PropertySpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
   import org.apache.spark.sql.functions._
 
   private val cases = SCTest.Parameters.default.withMinSuccessfulTests(6)
 
+  // every randomized fixture dir is tracked and removed in afterAll —
+  // without this each run leaks dozens of parquet dirs into /tmp
+  private val scratchDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  override def afterAll(): Unit = {
+    scratchDirs.foreach { d =>
+      val root = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
+    super.afterAll()
+  }
+
+  private def tracked(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    scratchDirs.synchronized { scratchDirs += dir }
+    dir
+  }
+
   private def graphDir(rows: Seq[(Long, Long)]): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_pgraph").toString
+    val dir = tracked("graft_pgraph")
     rows.toDF("l_orderkey", "l_partkey").write.parquet(s"$dir/lineitem.parquet")
     dir
   }
@@ -59,7 +82,7 @@ class PropertySpec extends SparkSuite {
   }
 
   private def eventsDir(rows: Seq[(Long, Long, Long, String, Double)]): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_pev").toString
+    val dir = tracked("graft_pev")
     rows.toDF("event_id", "us", "user_id", "event_type", "value")
       .select($"event_id", ($"us" * 1000).as("ts"), $"user_id",
         $"event_type", $"value")
