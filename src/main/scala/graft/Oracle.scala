@@ -751,9 +751,15 @@ object Oracle {
 
     "text_langid" ->
       s"""WITH toks AS (SELECT doc_id, lang, unnest($toksExpr) AS tok FROM documents),
-         |profile AS (SELECT tok, lang AS cand_lang, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
-         |scored AS (SELECT t.doc_id, t.lang, p.cand_lang, CAST(SUM(p.cnt) AS BIGINT) AS score
-         |  FROM toks t JOIN profile p ON t.tok = p.tok GROUP BY 1, 2, 3),
+         |tf AS (SELECT doc_id, lang, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3),
+         |pl AS (SELECT tok, lang AS cand_lang, SUM(tf) AS cnt, COUNT(*) AS df
+         |  FROM tf GROUP BY 1, 2),
+         |profile AS (SELECT tok, cand_lang, cnt FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cand_lang
+         |    ORDER BY df DESC, tok) AS rn FROM pl)
+         |  WHERE rn <= ${graft.ops.TextSim.LangidTopK}),
+         |scored AS (SELECT t.doc_id, t.lang, p.cand_lang, CAST(SUM(t.tf * p.cnt) AS BIGINT) AS score
+         |  FROM tf t JOIN profile p ON t.tok = p.tok GROUP BY 1, 2, 3),
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
          |  ORDER BY score DESC, cand_lang) AS rn FROM scored)
          |SELECT doc_id, lang AS actual, cand_lang AS predicted,
@@ -973,12 +979,14 @@ object Oracle {
     "text_lm_score" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksExpr) AS w FROM documents),
          |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-         |tot AS (SELECT COUNT(*) AS total FROM toks),
+         |vc AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vc),
          |lm AS (SELECT w, CAST(round(-ln(CAST(cnt AS DOUBLE) / total) * 1e6) AS BIGINT) AS nll_u6
-         |  FROM (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY 1), tot),
+         |  FROM vc, tot WHERE cnt >= ${graft.ops.TextSim.LmMinCount}),
          |per AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
-         |  CAST(SUM(tf * nll_u6) AS BIGINT) AS sum_nll_u6
-         |  FROM tf JOIN lm USING (w) GROUP BY 1)
+         |  CAST(SUM(tf * coalesce(nll_u6,
+         |    CAST(round(ln(CAST(total AS DOUBLE)) * 1e6) AS BIGINT))) AS BIGINT) AS sum_nll_u6
+         |  FROM tf LEFT JOIN lm USING (w), tot GROUP BY 1)
          |SELECT doc_id, n_tok, sum_nll_u6,
          | CAST(sum_nll_u6 AS DOUBLE) / (n_tok * 1000000.0) AS avg_nll
          |FROM per ORDER BY doc_id""".stripMargin,

