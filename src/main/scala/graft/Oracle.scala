@@ -1032,57 +1032,44 @@ object Oracle {
         |FROM c GROUP BY class_size ORDER BY class_size""".stripMargin,
 
     "dedup_containment" ->
-      s"""WITH d AS (SELECT doc_id, source, $toksExpr AS ts FROM documents),
-         |g0 AS (SELECT doc_id, source, ts FROM d WHERE len(ts) >= 2),
-         |grams AS (SELECT doc_id, source, unnest(list_distinct(
-         |  list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))) AS gram FROM g0),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-         |  FROM grams a JOIN grams b ON a.source = b.source
-         |    AND a.doc_id < b.doc_id AND a.gram = b.gram
-         |  GROUP BY 1, 2),
-         |c AS (SELECT id_a, id_b,
-         |  CAST(CAST(inter AS DOUBLE) / least(sa.n_grams, sb.n_grams) AS DECIMAL(18,6))::DOUBLE AS containment
-         |  FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
-         |               JOIN sizes sb ON i.id_b = sb.doc_id)
-         |SELECT id_a, id_b, containment FROM c WHERE containment >= 0.2
+      s"""WITH $jaccardCtes
+         |SELECT id_a, id_b,
+         |  CAST(CAST(inter AS DOUBLE) / least(na, nb) AS DECIMAL(18,6))::DOUBLE AS containment
+         |FROM ipairs WHERE CAST(CAST(inter AS DOUBLE) / least(na, nb) AS DECIMAL(18,6)) >= 0.2
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      s"""WITH d AS (SELECT doc_id, source, $toksExpr AS ts FROM documents),
-         |g0 AS (SELECT doc_id, source, ts FROM d WHERE len(ts) >= 2),
-         |grams AS (SELECT doc_id, source, unnest(list_distinct(
-         |  list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))) AS gram FROM g0),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-         |  FROM grams a JOIN grams b ON a.source = b.source
-         |    AND a.doc_id < b.doc_id AND a.gram = b.gram
-         |  GROUP BY 1, 2),
-         |j AS (SELECT id_a, id_b,
-         |  CAST(CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter) AS DECIMAL(18,6))::DOUBLE AS jaccard
-         |  FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
-         |               JOIN sizes sb ON i.id_b = sb.doc_id)
-         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.1
+      s"""WITH $jaccardCtes
+         |SELECT id_a, id_b, jaccard FROM jpairs WHERE jaccard >= 0.1
          |ORDER BY id_a, id_b""".stripMargin,
   )
 
   /** The n-gram Jaccard candidate-pair pipeline as a CTE body (everything
-    * after WITH), shared by dedup_ngram_jaccard's twin and the cluster
-    * oracle's edge set. */
-  private val jaccardCtes: String =
+    * after WITH), shared by dedup_ngram_jaccard, dedup_containment, the
+    * lsh-recall audit and the cluster oracle's edge set. Mirrors the
+    * df-capped gram universe of Similarity.gramPairs: grams in more than
+    * GramDfCap documents are dropped before pair generation, and set
+    * sizes count kept grams only. (A `def`, not a `val`: it is referenced
+    * from map initializers declared above it.) */
+  private def jaccardCtes: String =
     s"""d AS (SELECT doc_id, source, $toksExpr AS ts FROM documents),
        |g0 AS (SELECT doc_id, source, ts FROM d WHERE len(ts) >= 2),
-       |grams AS (SELECT doc_id, source, unnest(list_distinct(
+       |grams0 AS (SELECT doc_id, source, unnest(list_distinct(
        |  list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))) AS gram FROM g0),
+       |gd AS (SELECT gram, COUNT(*) AS df FROM grams0 GROUP BY 1),
+       |grams AS (SELECT g.doc_id, g.source, g.gram FROM grams0 g
+       |  JOIN gd USING (gram) WHERE df <= ${graft.ops.Similarity.GramDfCap}),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
-       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |inter0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
        |  FROM grams a JOIN grams b ON a.source = b.source
        |    AND a.doc_id < b.doc_id AND a.gram = b.gram
        |  GROUP BY 1, 2),
+       |ipairs AS (SELECT id_a, id_b, inter, sa.n_grams AS na, sb.n_grams AS nb
+       |  FROM inter0 i JOIN sizes sa ON i.id_a = sa.doc_id
+       |                JOIN sizes sb ON i.id_b = sb.doc_id),
        |jpairs AS (SELECT id_a, id_b,
-       |  CAST(CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter) AS DECIMAL(18,6))::DOUBLE AS jaccard
-       |  FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
-       |               JOIN sizes sb ON i.id_b = sb.doc_id)""".stripMargin
+       |  CAST(CAST(inter AS DOUBLE) / (na + nb - inter) AS DECIMAL(18,6))::DOUBLE AS jaccard
+       |  FROM ipairs)""".stripMargin
 
   val pipeline: Map[String, String] = Map(
     "dedup_lsh_recall" ->

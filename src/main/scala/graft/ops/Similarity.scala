@@ -613,30 +613,60 @@ object Similarity {
       .orderBy($"id_a", $"id_b")
   }
 
-  /** Exact n-gram Jaccard for same-source candidate pairs: distinct word
-    * bigram sets, |A∩B| via a gram-level equi-join (never a full document
-    * compare), pairs with jaccard ≥ 0.1. */
-  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Corpus-wide document-frequency cap for the exact gram tiers: grams
+    * occurring in more than this many documents are dropped BEFORE pair
+    * generation. Mirrored verbatim in the DuckDB oracles; binds on the
+    * declared corpus (gram df reaches 46 at sf0.01), so the capping
+    * semantics are oracle-proven, not dead configuration. */
+  private[graft] val GramDfCap = 40L
+
+  /** Shared candidate stage of [[dedupNgramJaccard]] / [[dedupContainment]]:
+    * distinct word-bigram sets, df-capped, joined into same-source candidate
+    * pairs carrying |A∩B| and both kept-set sizes.
+    *
+    * The df cap is the round-4 scale fix: the inverted-index equi-join emits
+    * k² rows for a gram shared by k same-source docs, and a stop-bigram
+    * ("of the") inside ONE dominant source (a web crawl is one source) is
+    * exactly such a gram — quadratic fan-out hiding in an otherwise linear
+    * plan. Dropping grams with df > cap (the RefinedWeb recipe) removes the
+    * quadratic head while keeping every discriminative gram: a gram shared
+    * by half the corpus carries no near-dup signal. Set sizes count KEPT
+    * grams only, so jaccard/containment are exact over the capped universe.
+    *
+    * Plan shape: gram df via one partial-aggregating groupBy whose exchange
+    * (hash on gram) is REUSED by the attach join — the tokenize+explode scan
+    * runs once; per-doc sizes by a window on the kept rows; the a/b pair
+    * sides are identical subtrees so ReuseExchange materializes the kept
+    * pipeline once. SimilaritySpec proves the bounded fan-out on a
+    * synthetic hot-gram corpus. */
+  private[graft] def gramPairs(docs: DataFrame, dfCap: Long): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    // Per-doc gram count attached to the gram rows by a window instead of
-    // a separate groupBy branch: the join's a/b sides are then IDENTICAL
-    // subtrees, so ReuseExchange materializes the tokenize+explode scan
-    // once (it was the dominant cost, recomputed 3× in the branched form),
-    // and no extra joins against a sizes table are needed.
-    val grams = TextSim.rebalanceDocs(Tables.documents(spark, sfDir))
+    val grams = TextSim.rebalanceDocs(docs)
       .select($"doc_id", $"source", TextSim.tokens($"text").as("ts"))
       .filter(size($"ts") >= 2)
       .select($"doc_id", $"source", explode(array_distinct(expr(
         "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")))
         .as("gram"))
+    val gd = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
+    val kept = grams.join(gd.filter($"df" <= dfCap), "gram")
+      .select($"doc_id", $"source", $"gram")
       .withColumn("n_grams", count(lit(1)).over(Window.partitionBy($"doc_id")))
-    val a = grams.as("a")
-    val b = grams.as("b")
+    val a = kept.as("a")
+    val b = kept.as("b")
     a.join(b,
         $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id" && $"a.gram" === $"b.gram")
       .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
         $"a.n_grams".as("na"), $"b.n_grams".as("nb"))
       .agg(count(lit(1)).as("inter"))
+  }
+
+  /** Exact n-gram Jaccard for same-source candidate pairs: df-capped
+    * distinct word bigram sets (see [[gramPairs]]), |A∩B| via a gram-level
+    * equi-join (never a full document compare), pairs with jaccard ≥ 0.1. */
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    gramPairs(Tables.documents(spark, sfDir), GramDfCap)
       .select($"id_a", $"id_b",
         ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).cast("decimal(18,6)").as("jaccard"))
       .filter($"jaccard" >= 0.1)
@@ -673,31 +703,16 @@ object Similarity {
       .orderBy($"pair_class")
   }
 
-  /** Containment near-dup: |A∩B| / min(|A|, |B|) over distinct word
-    * bigrams — the asymmetric companion to [[dedupNgramJaccard]]. Jaccard
-    * misses the doc-in-doc case (a document pasted inside a much larger
-    * one scores inter/union ≈ |A|/|B| → 0); containment normalizes by the
-    * SMALLER gram set, so a fully-embedded document scores 1.0 regardless
-    * of the host's size. Same inverted-index equi-join blocked on source —
-    * the pair space never goes all-pairs, and ReuseExchange materializes
-    * the tokenize+explode once (identical a/b subtrees, as in the Jaccard
-    * twin). */
+  /** Containment near-dup: |A∩B| / min(|A|, |B|) over df-capped distinct
+    * word bigrams — the asymmetric companion to [[dedupNgramJaccard]].
+    * Jaccard misses the doc-in-doc case (a document pasted inside a much
+    * larger one scores inter/union ≈ |A|/|B| → 0); containment normalizes
+    * by the SMALLER gram set, so a fully-embedded document scores 1.0
+    * regardless of the host's size. Candidate stage shared with the
+    * Jaccard twin (see [[gramPairs]] for the df-cap scale rationale). */
   def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val grams = TextSim.rebalanceDocs(Tables.documents(spark, sfDir))
-      .select($"doc_id", $"source", TextSim.tokens($"text").as("ts"))
-      .filter(size($"ts") >= 2)
-      .select($"doc_id", $"source", explode(array_distinct(expr(
-        "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")))
-        .as("gram"))
-      .withColumn("n_grams", count(lit(1)).over(Window.partitionBy($"doc_id")))
-    val a = grams.as("a")
-    val b = grams.as("b")
-    a.join(b,
-        $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id" && $"a.gram" === $"b.gram")
-      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
-        $"a.n_grams".as("na"), $"b.n_grams".as("nb"))
-      .agg(count(lit(1)).as("inter"))
+    gramPairs(Tables.documents(spark, sfDir), GramDfCap)
       .select($"id_a", $"id_b",
         ($"inter".cast("double") / least($"na", $"nb")).cast("decimal(18,6)").as("containment"))
       .filter($"containment" >= 0.2)

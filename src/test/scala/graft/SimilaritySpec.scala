@@ -145,6 +145,32 @@ class SimilaritySpec extends SparkSuite {
     routed.unpersist()
   }
 
+  test("gram df cap bounds the hot-gram pair fan-out inside one source") {
+    // synthetic hot-gram corpus: 40 docs of ONE source all share the stop
+    // bigram "of the" (plus one private gram each); 3 docs are true
+    // near-dups sharing rare grams. Uncapped, the stop gram alone emits
+    // 40·39/2 = 780 join rows; with the cap it contributes ZERO pairs and
+    // only the rare-gram dups survive — the round-4 scale fix in miniature.
+    val hot = (0L until 40L).map(i => (i, "crawl", s"of the unique$i token$i"))
+    val dups = Seq(
+      (100L, "crawl", "rare alpha beta gamma"),
+      (101L, "crawl", "rare alpha beta gamma"),
+      (102L, "crawl", "rare alpha beta delta"))
+    val docs = (hot ++ dups).toDF("doc_id", "source", "text")
+    val capped = Similarity.gramPairs(docs, dfCap = 10L)
+      .select($"id_a", $"id_b", $"inter").collect()
+    // every surviving pair comes from the rare-gram dups, never the stop gram
+    assert(capped.nonEmpty)
+    assert(capped.forall(r => r.getLong(0) >= 100L && r.getLong(1) >= 100L),
+      s"stop-gram pair leaked through the cap: ${capped.mkString(", ")}")
+    // candidate volume is the dup-block quadratic (3 pairs), not the hot one
+    assert(capped.length == 3, s"expected 3 dup pairs, got ${capped.length}")
+    // control: without the cap the stop gram fans out quadratically
+    val uncapped = Similarity.gramPairs(docs, dfCap = Long.MaxValue).count()
+    assert(uncapped >= 40L * 39 / 2,
+      s"control without cap should be quadratic, got $uncapped")
+  }
+
   test("skew router: declared corpus is all-exact at the default threshold") {
     // no sf-scale label approaches the default cap, so the declared
     // queries' pair joins are provably the plain exact ones (route_bkt is
