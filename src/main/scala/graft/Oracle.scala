@@ -1042,7 +1042,46 @@ object Oracle {
       s"""WITH $jaccardCtes
          |SELECT id_a, id_b, jaccard FROM jpairs WHERE jaccard >= 0.1
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_ivf_probe" ->
+      s"""WITH $ivfCtes,
+         |probe AS (SELECT v AS p, cell AS pcell FROM assigned WHERE vec_id = 0)
+         |SELECT vec_id, cell, CAST(${cosSql("v", "p")} AS DECIMAL(18,6))::DOUBLE AS cos
+         |FROM assigned JOIN probe ON cell = pcell
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""WITH $ivfCtes,
+         |pairs AS (SELECT a.cell AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosSql("a.v", "b.v")} AS cosr
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT cell, id_a, id_b, CAST(cosr AS DECIMAL(18,6))::DOUBLE AS cos,
+         | least(id_a, id_b) AS kept_id
+         |FROM pairs WHERE cosr >= 0.35
+         |ORDER BY cell, id_a, id_b""".stripMargin,
   )
+
+  /** DuckDB twin of Similarity.ivfAssigned as a CTE body (everything after
+    * WITH): exact integer-micro-unit centroid means over the deterministic
+    * 1-in-4 sample, nearest-cell assignment by the L2 identity |c|²−2c·v
+    * with (d2, cid) rank order — shared by sim_ivf_probe and
+    * dedup_semantic. (A `def`: referenced from map initializers above.) */
+  private def ivfCtes: String =
+    s"""ex AS (SELECT vec_id, label,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cent AS (SELECT cid, list(cx ORDER BY pos) AS centroid FROM (
+       |  SELECT label AS cid, pos,
+       |    CAST(SUM(CAST(round(v[pos] * 1e6) AS BIGINT)) AS DOUBLE)
+       |      / (COUNT(*) * 1000000.0) AS cx
+       |  FROM ex, range(1, 65) t(pos) WHERE vec_id % 4 = 0 GROUP BY 1, 2)
+       |  GROUP BY cid),
+       |scored AS (SELECT vec_id, v, cid,
+       |  (${dotSql("centroid", "centroid")} - 2.0 * ${dotSql("centroid", "v")}) AS d2
+       |  FROM ex, cent),
+       |assigned AS (SELECT vec_id, v, cid AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM scored) WHERE rn = 1)""".stripMargin
 
   /** The n-gram Jaccard candidate-pair pipeline as a CTE body (everything
     * after WITH), shared by dedup_ngram_jaccard, dedup_containment, the

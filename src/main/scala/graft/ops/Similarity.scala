@@ -263,42 +263,55 @@ object Similarity {
       .limit(10)
   }
 
-  /** IVF-style ANN probe. Coarse centroids are per-label mean vectors
-    * (one posexplode + (cell, dim) average — scalar-row shuffle, never
-    * vector rows); every vector is then quantized to its NEAREST centroid
-    * (broadcast centroid set, argmin of the L2 identity |c|²−2c·v), which
-    * builds the inverted lists; the probe searches only its own cell.
-    * Classic IVF scale shape: the centroid set is tiny and broadcast,
-    * assignment is one map pass, the quadratic work is bounded by one
-    * cell, and at real scale the cell id is the partitioning key. Using
-    * one quantizer for members and probe guarantees the probe's own
-    * vector is inside the searched list. No SQL oracle (the per-dim
-    * average pivot has no tractable DuckDB twin) — SimilaritySpec. */
-  def simIvfProbe(spark: SparkSession, sfDir: String): DataFrame = {
-    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+  /** Deterministic IVF nearest-centroid assignment, shared by
+    * [[simIvfProbe]] and [[dedupSemantic]]. Coarse centroids are per-label
+    * mean vectors over a DETERMINISTIC 1-in-4 training sample
+    * (vec_id % 4 == 0) — the k-means-training-set idiom: centroid quality
+    * needs only a sample, so the posexplode (dim × rows scalar blow-up)
+    * never touches the full corpus. Every vector is then quantized to its
+    * NEAREST centroid (broadcast centroid set, argmin of the L2 identity
+    * |c|²−2c·v) — one map pass building the inverted lists.
+    *
+    * Exactness across engines (the [[embedCentroidDistance]] recipe): each
+    * component is fixed to integer micro-units, so the per-(cell, dim) sum
+    * is an EXACT bigint — order-independent, unlike a float avg() — and
+    * the centroid component is ONE double division of exact integers.
+    * That makes the whole assignment (and everything downstream)
+    * hash-matchable against the DuckDB twin. */
+  private def ivfAssigned(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
     import spark.implicits._
-    val e = Tables.embeddings(spark, sfDir)
-      .select($"vec_id", $"label", vecd($"embedding").as("v"))
-    // K coarse centroids seeded from the label partition: per-dim averages
-    // over a DETERMINISTIC 1-in-4 training sample (vec_id % 4 == 0) — the
-    // k-means-training-set idiom: centroid quality needs only a sample,
-    // so the posexplode (dim × rows scalar blow-up) never touches the
-    // full corpus. Assignment below still covers every vector.
     val cent = broadcast(
       e.filter($"vec_id" % 4 === 0)
         .select($"label".as("cid"), posexplode($"v").as(Seq("pos", "x")))
-        .groupBy($"cid", $"pos").agg(avg($"x").as("cx"))
+        .groupBy($"cid", $"pos")
+        .agg((sum(round($"x" * 1e6).cast("long")).cast("double")
+          / (count(lit(1)) * lit(1e6))).as("cx"))
         .groupBy($"cid").agg(expr(
           "transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)")
           .as("centroid")))
-    // quantize every vector to its nearest centroid → inverted lists
     val w = Window.partitionBy($"vec_id").orderBy($"d2", $"cid")
-    val assigned = e.crossJoin(cent)
+    e.crossJoin(cent)
       .select($"vec_id", $"v", $"cid",
         (dot($"centroid", $"centroid") - lit(2.0) * dot($"centroid", $"v")).as("d2"))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"vec_id", $"v", $"cid".as("cell"))
+  }
+
+  /** IVF-style ANN probe. Coarse centroids and nearest-cell assignment
+    * via [[ivfAssigned]] (exact integer-micro-unit centroids → DuckDB
+    * oracle-backed); the probe searches only its own cell. Classic IVF
+    * scale shape: the centroid set is tiny and broadcast, assignment is
+    * one map pass, the quadratic work is bounded by one cell, and at real
+    * scale the cell id is the partitioning key. Using one quantizer for
+    * members and probe guarantees the probe's own vector is inside the
+    * searched list. */
+  def simIvfProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    import spark.implicits._
+    val assigned = ivfAssigned(Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", vecd($"embedding").as("v")))
     val probe = broadcast(assigned.filter($"vec_id" === 0)
       .select($"v".as("p"), $"cell".as("pcell")))
     assigned.join(probe, $"cell" === $"pcell")
@@ -314,29 +327,16 @@ object Similarity {
     * work). Cells are the IVF nearest-centroid assignment (same
     * deterministic sampled-centroid build as [[simIvfProbe]]); within a
     * cell, pairs at cos ≥ 0.35 are emitted with the kept representative =
-    * min vec_id. ScalaTest (no oracle: the centroid averages are float
-    * sums): every emitted pair verifies cos ≥ 0.35 bit-exactly via the
-    * HOF fold, pairs are canonical a<b, and cell-bounding is proven by
-    * both members sharing a cell. */
+    * min vec_id. Centroids/assignment via [[ivfAssigned]] — exact
+    * integer-micro-unit means, so the whole pipeline is DuckDB
+    * oracle-backed; SimilaritySpec additionally re-verifies every emitted
+    * cosine bit-exactly via the HOF fold, canonical a<b ordering, and
+    * cell bounding. */
   def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     import spark.implicits._
-    val e = Tables.embeddings(spark, sfDir)
-      .select($"vec_id", $"label", vecd($"embedding").as("v"))
-    val cent = broadcast(
-      e.filter($"vec_id" % 4 === 0)
-        .select($"label".as("cid"), posexplode($"v").as(Seq("pos", "x")))
-        .groupBy($"cid", $"pos").agg(avg($"x").as("cx"))
-        .groupBy($"cid").agg(expr(
-          "transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)")
-          .as("centroid")))
-    val w = Window.partitionBy($"vec_id").orderBy($"d2", $"cid")
-    val assigned = e.crossJoin(cent)
-      .select($"vec_id", $"v", $"cid",
-        (dot($"centroid", $"centroid") - lit(2.0) * dot($"centroid", $"v")).as("d2"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"v", $"cid".as("cell"))
+    val assigned = ivfAssigned(Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", vecd($"embedding").as("v")))
       .withColumn("nrm", sqrt(dot($"v", $"v")))
     val a = assigned.as("a")
     val b = assigned.as("b")
