@@ -8,12 +8,14 @@ import graft.Tables
 /** Multimodal-column plumbing (north_star: image/audio/video as opaque
   * binary columns with typed metadata).
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic STUB; everything around it — the binary
-  * column, the metadata struct, the batched mapPartitions feature
-  * extractor, the frame sampler, the partitioning — is real, tested Spark
-  * plumbing. Swapping `stubDecode` for a JNI/codec call changes no schema
-  * and no plan shape.
+  * The image path is REAL end-to-end: JDK 17 ships a PNG codec in
+  * `javax.imageio`, so [[pngAssets]] renders deterministic per-asset PNG
+  * payloads and [[extractFeatures]] decodes them back to pixel statistics
+  * inside a batched mapPartitions — encode, byte transport, decode and
+  * feature math all execute for real (MultimodalSpec re-derives the
+  * expected features from the pixel formula without touching the codec).
+  * Audio/video codecs are genuinely absent from the JDK, so "video" is
+  * modeled as metadata-only frame sampling.
   *
   * Scale: media bytes travel only inside their partition (mapPartitions,
   * no shuffle of blobs); metadata-only queries prune the binary column at
@@ -36,26 +38,71 @@ object Multimodal {
         $"source".as("origin")).as("meta"))
   }
 
-  /** ===== STUB ===== deterministic fake decoder: a real implementation
-    * would decode image bytes to pixels here (no codec libs in this
-    * container). Produces an 8-float "feature" vector from the payload
-    * bytes so downstream plumbing is exercised end-to-end. */
-  private def stubDecode(payload: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](8)
-    var i = 0
-    while (i < payload.length) {
-      out(i % 8) += (payload(i) & 0xff) / 255.0f
-      i += 1
+  /** Deterministic per-asset pixel formula: channel values are a pure
+    * function of (asset_id, x, y), so a test can re-derive the expected
+    * post-decode statistics without ever touching the codec — the proof
+    * that encode → PNG bytes → decode preserved every pixel. */
+  private[graft] def pixel(assetId: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((assetId * 31 + x * 7 + y * 13) % 256).toInt,
+    ((assetId * 17 + x * 11 + y * 3) % 256).toInt,
+    ((assetId * 23 + x * 5 + y * 19) % 256).toInt)
+
+  /** Renders the deterministic image for one asset and encodes it through
+    * the JDK's real PNG codec (javax.imageio — present in every JDK 17,
+    * no external libs). */
+  private[graft] def pngBytes(assetId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pixel(assetId, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
     }
-    out
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image-asset table with REAL PNG payloads: small deterministic
+    * renders (≤ 64×48 — the thumbnail scale a feature extractor sees
+    * after a resize stage), encoded executor-side inside mapPartitions so
+    * the blobs are born distributed and never pass through the driver. */
+  def pngAssets(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("mime", StringType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("origin", StringType))))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 48 + 16).toInt
+        val h = (id % 32 + 16).toInt
+        Row(id, pngBytes(id, w, h), Row("image/png", w, h, r.getString(1)))
+      }
+    }(enc)
   }
 
   /** Batched feature extraction over the binary column: mapPartitions (the
     * Scala analog of mapInPandas batches) keeps the blob local to its
-    * partition and amortizes per-batch setup (a real decoder would init
-    * its codec once per partition here). */
+    * partition and amortizes per-batch codec setup. The decode is REAL —
+    * javax.imageio parses the PNG bytes back to pixels — and the 8-float
+    * feature vector is channel means, luminance mean/min/max and the
+    * decoded dimensions; `width` comes from the DECODED image, not the
+    * metadata, so a broken codec path cannot pass silently. */
   def extractFeatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = assets(spark, sfDir)
+    val df = pngAssets(spark, sfDir)
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType),
       StructField("byte_len", IntegerType),
@@ -63,12 +110,38 @@ object Multimodal {
       StructField("width", IntegerType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
-      // per-partition init would go here (codec handles, model weights)
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
       rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val meta = r.getAs[Row]("meta")
-        Row(r.getLong(0), payload.length, stubDecode(payload),
-          meta.getAs[Int]("width"))
+        // positional access: rows from the upstream mapPartitions carry
+        // no field-name schema
+        val payload = r.getAs[Array[Byte]](1)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var minL = 255; var maxL = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val rr = (rgb >> 16) & 0xff
+            val gg = (rgb >> 8) & 0xff
+            val bb = rgb & 0xff
+            sr += rr; sg += gg; sb += bb
+            val lum = (rr + gg + bb) / 3
+            if (lum < minL) minL = lum
+            if (lum > maxL) maxL = lum
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w * h).toFloat
+        val feats = Array(sr / n, sg / n, sb / n,
+          (sr + sg + sb) / (3f * n), minL.toFloat, maxL.toFloat,
+          w.toFloat, h.toFloat)
+        Row(r.getLong(0), payload.length, feats, w)
       }
     }(enc)
   }

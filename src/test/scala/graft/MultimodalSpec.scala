@@ -4,10 +4,43 @@ import org.apache.spark.sql.functions._
 import graft.ops.Multimodal
 
 /** Multimodal plumbing: binary columns, metadata struct, batched feature
-  * extraction (decode step stubbed — no codecs in container), frame
+  * extraction over REAL PNG encode/decode (javax.imageio), frame
   * sampling. */
 class MultimodalSpec extends SparkSuite {
   import spark.implicits._
+
+  test("feature extraction decodes real PNG pixels (codec round-trip)") {
+    // expected features re-derived from the pure pixel formula, never
+    // touching the codec: equality proves encode -> PNG bytes -> decode
+    // preserved every pixel and the stats really come from the image
+    val id = 7L
+    val w = (id % 48 + 16).toInt
+    val h = (id % 32 + 16).toInt
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var minL = 255; var maxL = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = Multimodal.pixel(id, x, y)
+      sr += r; sg += g; sb += b
+      val lum = (r + g + b) / 3
+      if (lum < minL) minL = lum
+      if (lum > maxL) maxL = lum
+    }
+    val n = (w * h).toFloat
+    val row = Multimodal.extractFeatures(spark, sfDir)
+      .filter($"asset_id" === id).collect().head
+    val feats = row.getSeq[Float](2)
+    assert(feats(0) == sr / n && feats(1) == sg / n && feats(2) == sb / n,
+      s"channel means diverge from the pixel formula: $feats")
+    assert(feats(4) == minL.toFloat && feats(5) == maxL.toFloat)
+    assert(row.getInt(3) == w && feats(6) == w.toFloat && feats(7) == h.toFloat,
+      "decoded dimensions must match the rendered image")
+    // and the payload really is PNG-encoded (magic header)
+    val payload = Multimodal.pngAssets(spark, sfDir)
+      .filter($"asset_id" === id).select($"payload")
+      .collect().head.getAs[Array[Byte]](0)
+    val magic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    assert(payload.take(8).sameElements(magic), "payload is not a PNG")
+  }
 
   test("assets carry binary payloads with typed metadata") {
     val a = Multimodal.assets(spark, sfDir).cache()
