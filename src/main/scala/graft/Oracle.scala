@@ -1274,6 +1274,24 @@ object Oracle {
         |GROUP BY n.n_name
         |ORDER BY revenue DESC, n.n_name""".stripMargin,
 
+    "sql_api_q21" ->
+      """SELECT s.s_name, COUNT(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+
     "sql_api_q18" ->
       """SELECT c.c_custkey, c.c_name, o.o_orderkey,
         | strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,

@@ -183,6 +183,7 @@ object SparkEntry {
     "fn_regex"             -> Functions.fnRegex _,
     "impute_missing"       -> Curation.imputeMissing _,
     "sql_api_q5"           -> Relational.sqlApiQ5 _,
+    "sql_api_q21"          -> Relational.sqlApiQ21 _,
     "win_streak"           -> Analytics.winStreak _,
     "agg_bitwise_group"    -> Relational.aggBitwiseGroup _,
     "fn_array_setops"      -> Functions.fnArraySetops _,

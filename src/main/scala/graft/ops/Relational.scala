@@ -787,6 +787,43 @@ object Relational {
         |ORDER BY revenue DESC, n.n_name""".stripMargin)
   }
 
+  /** TPC-H Q21 shape (suppliers who kept orders waiting) through the
+    * `spark.sql` entry point — the correlated-subquery stress: EXISTS and
+    * NOT EXISTS against the SAME fact table, correlated on the outer row's
+    * order key. The synthetic lineitem has no commit/receipt dates, so
+    * "late" is modeled by the returnflag: finished orders where this
+    * supplier is the ONLY one with returned items among several suppliers.
+    *
+    * The Catalyst surface this exercises is `RewritePredicateSubquery`
+    * decorrelation: both correlated predicates MUST plan as one left-semi
+    * and one left-anti hash join (PlanSpec pins it) — a per-row subquery
+    * execution here would be a 100 TB × per-row-scan disaster. This is the
+    * same manual-decorrelation discipline the reference applies by
+    * prefetching the existing-key set once instead of probing per row
+    * (BackgroundCsvProcessor.java:59-61, ItemRepository.java:16-17). */
+  def sqlApiQ21(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("graft_supplier")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT s.s_name, COUNT(*) AS numwait
+        |FROM graft_supplier s
+        |JOIN graft_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN graft_orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM graft_lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin)
+  }
+
   /** Count-min sketch heavy-hitter frequencies (the mergeable frequency
     * sketch backing streaming top-k): per event_type, a CMS over user_id
     * with ε=0.001, δ=0.01, fixed seed. Partition merges ADD the integer

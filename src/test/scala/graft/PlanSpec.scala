@@ -285,6 +285,15 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("sql_api_q21 decorrelates both subqueries into semi/anti joins") {
+    // EXISTS + NOT EXISTS correlated on the outer order key must plan as
+    // one LeftSemi and one LeftAnti hash join (RewritePredicateSubquery);
+    // a per-row subquery execution would re-scan lineitem per outer row
+    val p = plan("sql_api_q21")
+    assert(p.contains("LeftSemi"), s"EXISTS not decorrelated to a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not decorrelated to an anti join:\n$p")
+  }
+
   test("profile_skew plans TakeOrdered for the top-k, partial agg below") {
     val p = plan("profile_skew")
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$p")
