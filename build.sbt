@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 200+ benched queries each compile unique codegen classes; the JDK
+  // default 240 MB code cache fills mid-run, the JIT stops compiling and
+  // later queries run partially interpreted — one measured source of the
+  // ±20-50% shared-run bench noise. Size it so compilation never stops.
+  "-XX:ReservedCodeCacheSize=512m",
 )

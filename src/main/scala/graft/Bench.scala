@@ -55,6 +55,13 @@ object Bench {
       // shared vs 0.59 s alone). The measured work is unchanged; only
       // cross-query interference moves out of the timed window.
       spark.catalog.clearCache()
+      // two GC passes with a settle gap: the first queues soft/weak refs
+      // and ContextCleaner work (broadcast/shuffle/RDD cleanup posts to an
+      // async queue), the pause lets that queue drain, the second collects
+      // what the cleanup freed. One pass left dead executor blocks to be
+      // collected INSIDE the next query's timed region.
+      System.gc()
+      Thread.sleep(50)
       System.gc()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -108,7 +115,7 @@ object Bench {
     // heaviest queries in a FRESH SparkContext each, cold (first run, plan
     // compile + shuffle included) and warm (second run), so the per-query
     // numbers in bench_detail.json are evidence rather than noise.
-    val heavy = results.filter(_._3).sortBy(-_._2).take(5).map(_._1)
+    val heavy = results.filter(_._3).sortBy(-_._2).take(10).map(_._1)
     val alone = heavy.flatMap { name => try {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
