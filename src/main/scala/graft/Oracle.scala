@@ -1274,6 +1274,17 @@ object Oracle {
         |GROUP BY n.n_name
         |ORDER BY revenue DESC, n.n_name""".stripMargin,
 
+    "sql_api_q2" ->
+      """SELECT DISTINCT p.p_partkey, p.p_brand, l.l_suppkey,
+        | CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS min_price
+        |FROM part p
+        |JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size >= 40
+        |  AND l.l_extendedprice = (
+        |    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+        |    WHERE l2.l_partkey = p.p_partkey)
+        |ORDER BY p_partkey, l_suppkey""".stripMargin,
+
     "sql_api_q21" ->
       """SELECT s.s_name, COUNT(*) AS numwait
         |FROM supplier s

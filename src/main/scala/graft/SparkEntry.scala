@@ -184,6 +184,7 @@ object SparkEntry {
     "impute_missing"       -> Curation.imputeMissing _,
     "sql_api_q5"           -> Relational.sqlApiQ5 _,
     "sql_api_q21"          -> Relational.sqlApiQ21 _,
+    "sql_api_q2"           -> Relational.sqlApiQ2 _,
     "win_streak"           -> Analytics.winStreak _,
     "agg_bitwise_group"    -> Relational.aggBitwiseGroup _,
     "fn_array_setops"      -> Functions.fnArraySetops _,

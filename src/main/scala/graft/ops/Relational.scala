@@ -824,6 +824,32 @@ object Relational {
         |LIMIT 100""".stripMargin)
   }
 
+  /** TPC-H Q2 shape (minimum-cost supplier) through the `spark.sql`
+    * entry point — the CORRELATED SCALAR subquery companion to
+    * [[sqlApiQ21]]'s EXISTS pair: each part keeps only the lineitems
+    * matching `= (SELECT MIN(...) WHERE correlated)`. The synthetic
+    * schema has no partsupp, so extendedprice stands in for supplycost.
+    *
+    * Catalyst surface: `RewriteCorrelatedScalarSubquery` — the subquery
+    * MUST decorrelate into a per-part min aggregate joined back to the
+    * outer side (PlanSpec pins the aggregate-join shape, no per-row
+    * subquery execution). DISTINCT collapses tied minimum rows so the
+    * output is deterministic. */
+  def sqlApiQ2(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir).createOrReplaceTempView("graft_part")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT DISTINCT p.p_partkey, p.p_brand, l.l_suppkey,
+        | CAST(l.l_extendedprice AS DECIMAL(18,2)) AS min_price
+        |FROM graft_part p
+        |JOIN graft_lineitem l ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size >= 40
+        |  AND l.l_extendedprice = (
+        |    SELECT MIN(l2.l_extendedprice) FROM graft_lineitem l2
+        |    WHERE l2.l_partkey = p.p_partkey)
+        |ORDER BY p_partkey, l_suppkey""".stripMargin)
+  }
+
   /** Count-min sketch heavy-hitter frequencies (the mergeable frequency
     * sketch backing streaming top-k): per event_type, a CMS over user_id
     * with ε=0.001, δ=0.01, fixed seed. Partition merges ADD the integer

@@ -294,6 +294,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("LeftAnti"), s"NOT EXISTS not decorrelated to an anti join:\n$p")
   }
 
+  test("sql_api_q2 decorrelates the scalar min subquery into an aggregate join") {
+    // RewriteCorrelatedScalarSubquery must turn `= (SELECT MIN(...) WHERE
+    // correlated)` into a per-part min aggregate joined back to the outer
+    // side — the plan shows the aggregate + join, never a per-row subquery
+    val p = plan("sql_api_q2")
+    assert(!p.toLowerCase.contains("scalar-subquery"),
+      s"scalar subquery left undecorrelated:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no decorrelated min aggregate in:\n$p")
+  }
+
   test("profile_skew plans TakeOrdered for the top-k, partial agg below") {
     val p = plan("profile_skew")
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$p")

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalacheck.{Gen, Prop, Test => SCTest}
-import graft.ops.{Analytics, Curation}
+import graft.ops.{Analytics, Curation, Similarity}
 
 /** Randomized-fixture properties: each operator is replayed against an
   * independent in-memory reference on small random inputs (seeded by
@@ -35,6 +35,43 @@ class PropertySpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     val dir = java.nio.file.Files.createTempDirectory(prefix).toString
     scratchDirs.synchronized { scratchDirs += dir }
     dir
+  }
+
+  test("star contraction equals brute-force connected components (ScalaCheck)") {
+    // random multigraphs with self-dups and parallel edges; reference is
+    // an in-memory union-find rooting every component at its min vertex
+    val edgeGen = for {
+      n <- Gen.chooseNum(2, 12)
+      m <- Gen.chooseNum(1, 18)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong)
+        b <- Gen.chooseNum(0L, n.toLong)
+      } yield (a, b))
+    } yield edges.filter(e => e._1 != e._2)
+    val prop = Prop.forAll(edgeGen) { edges =>
+      edges.isEmpty || {
+        val df = edges.toDF("id_a", "id_b")
+        val (labels, rounds) = Similarity.starContract(df,
+          d => d.localCheckpoint(), _ => ())
+        val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = verts.groupBy(find).flatMap { case (_, vs) =>
+          val m = vs.min; vs.map(_ -> m)
+        }.toMap
+        got == expected && rounds <= 10
+      }
+    }
+    val res = SCTest.check(cases, prop)
+    assert(res.passed, res.status.toString)
   }
 
   private def graphDir(rows: Seq[(Long, Long)]): String = {
