@@ -761,10 +761,13 @@ object Oracle {
          |scored AS (SELECT t.doc_id, t.lang, p.cand_lang, CAST(SUM(t.tf * p.cnt) AS BIGINT) AS score
          |  FROM tf t JOIN profile p ON t.tok = p.tok GROUP BY 1, 2, 3),
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-         |  ORDER BY score DESC, cand_lang) AS rn FROM scored)
-         |SELECT doc_id, lang AS actual, cand_lang AS predicted,
-         | (lang = cand_lang) AS correct
-         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+         |  ORDER BY score DESC, cand_lang) AS rn FROM scored),
+         |best AS (SELECT doc_id, cand_lang FROM ranked WHERE rn = 1),
+         |docs0 AS (SELECT DISTINCT doc_id, lang FROM tf)
+         |SELECT d.doc_id, d.lang AS actual, b.cand_lang AS predicted,
+         | (d.lang = b.cand_lang) AS correct
+         |FROM docs0 d LEFT JOIN best b ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "text_quality_score" ->
       s"""WITH d AS (SELECT doc_id, $toksExpr AS ts FROM documents),

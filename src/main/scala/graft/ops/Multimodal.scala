@@ -64,7 +64,8 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val written = javax.imageio.ImageIO.write(img, "png", bos)
+    require(written, s"no PNG writer available for asset $assetId")
     bos.toByteArray
   }
 
@@ -117,6 +118,9 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](1)
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(payload))
+        // ImageIO.read signals an unparseable payload with null, not an
+        // exception — name the asset instead of NPE-ing three lines down
+        require(img != null, s"undecodable image payload for asset ${r.getLong(0)}")
         val w = img.getWidth
         val h = img.getHeight
         var sr = 0L; var sg = 0L; var sb = 0L

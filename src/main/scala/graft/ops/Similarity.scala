@@ -470,11 +470,12 @@ object Similarity {
       .select($"id_a", $"id_b", $"shared_chunks",
         bit_count($"sa".bitwiseXOR($"sb")).cast("int").as("hamming"))
       .filter($"hamming" <= 2)
-      // eager localCheckpoint materializes the (tiny) pair set NOW, so the
-      // signature cache can be dropped inside the operator instead of
-      // leaking blocks until some external catalog.clearCache() — in a
-      // shared session those resident blocks taxed every later query's GC
-      .localCheckpoint()
+      // plan-keyed cache: materializing the (tiny) pair set NOW lets the
+      // signature cache drop inside the operator, repeat invocations
+      // reuse ONE snapshot (no per-call block accumulation), and
+      // catalog.clearCache() frees it
+      .cache()
+    pairs.count()
     sigs.unpersist(blocking = false)
     pairs.orderBy($"id_a", $"id_b")
   }

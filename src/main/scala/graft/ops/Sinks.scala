@@ -174,7 +174,9 @@ object Sinks {
       } catch { case scala.util.control.NonFatal(_) => () }
       true
     } catch {
-      case _: Throwable if !flipped =>
+      // NonFatal, like the other catches in this file: an OutOfMemoryError
+      // mid-write must propagate, not clean up and report `false`
+      case scala.util.control.NonFatal(_) if !flipped =>
         // manifest untouched: remove the orphan version and tmp manifest
         if (fs.exists(vdir)) fs.delete(vdir, true)
         if (fs.exists(tmp)) fs.delete(tmp, false)

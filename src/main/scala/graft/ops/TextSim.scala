@@ -144,12 +144,17 @@ object TextSim {
     * is tokenized exactly once: the cached per-doc term-frequency table
     * (far smaller than the raw token stream — bounded by per-doc vocab)
     * feeds both the profile build and the scoring join; the result is
-    * materialized via localCheckpoint so the cache can be dropped inside
-    * the operator (no leaked blocks). PlanSpec pins the single-scan shape. */
+    * materialized into a plan-keyed cache so the tf cache can be dropped
+    * inside the operator. PlanSpec pins the single-scan shape. */
   def textLangid(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val (tf, core) = langidCore(spark, sfDir)
-    val mat = core.localCheckpoint()
+    // cache (plan-keyed), not localCheckpoint: repeat invocations in a
+    // long-lived session reuse ONE snapshot instead of accumulating
+    // per-call checkpoint blocks, and catalog.clearCache() frees it;
+    // materializing it here lets the tf cache drop inside the operator
+    val mat = core.cache()
+    mat.count()
     tf.unpersist(blocking = false)
     mat.orderBy($"doc_id")
   }
@@ -176,8 +181,16 @@ object TextSim {
       .groupBy($"doc_id", $"lang", $"cand_lang")
       .agg(sum($"tf" * $"cnt").as("score"))
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand_lang")
-    val core = scored.withColumn("rn", row_number().over(w))
+    val best = scored.withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
+      .select($"doc_id", $"cand_lang")
+    // LEFT join from the full doc set: capping the profile must not turn
+    // the scoring join into a silent document filter — a doc whose tokens
+    // all miss every language's top-K head still gets a row, with NULL
+    // predicted (= "unidentifiable"), exactly like textLmScore's rare-
+    // token fallback keeps its scoring total
+    val core = tf.select($"doc_id", $"lang").distinct()
+      .join(best, Seq("doc_id"), "left_outer")
       .select($"doc_id", $"lang".as("actual"), $"cand_lang".as("predicted"),
         ($"lang" === $"cand_lang").as("correct"))
     (tf, core)
@@ -373,12 +386,14 @@ object TextSim {
     * table feeds the vocabulary aggregate (whose sum IS the corpus total —
     * no separate counting pass) and the scoring join; the round-4 plan
     * executed the tokenize subtree three times. PlanSpec pins the
-    * single-scan shape; localCheckpoint + unpersist keeps the cache from
-    * outliving the operator. */
+    * single-scan shape; the materialized result cache lets the tf cache
+    * drop inside the operator. */
   def textLmScore(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val (tf, core) = lmScoreCore(spark, sfDir)
-    val mat = core.localCheckpoint()
+    // plan-keyed cache, not localCheckpoint — see textLangid
+    val mat = core.cache()
+    mat.count()
     tf.unpersist(blocking = false)
     mat.orderBy($"doc_id")
   }

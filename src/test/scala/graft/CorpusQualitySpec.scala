@@ -22,6 +22,33 @@ class CorpusQualitySpec extends SparkSuite {
       .select($"doc_id", $"text")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
 
+  test("langid keeps docs whose tokens all miss the capped profiles") {
+    // 20 docs share 16 head tokens (df 20 each); one doc holds only two
+    // unique tokens that rank 17th+ by df and get dropped by the top-15
+    // cap. That doc must STILL appear — with NULL prediction — not vanish
+    // through the scoring inner join.
+    // letter-only tokens: digits split on the [^a-z]+ tokenizer
+    val head = ('a' to 'p').map(c => s"tok$c$c").mkString(" ")
+    val rows = (1L to 20L).map(i => (i, head, "en", "crawl", head.length.toLong)) :+
+      (99L, "zzzz qqqq", "en", "crawl", 9L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_langid").toString
+    try {
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val out = TextSim.textLangid(spark, dir).collect()
+      assert(out.length == 21, s"doc dropped: ${out.length} rows")
+      val rare = out.find(_.getLong(0) == 99L).get
+      assert(rare.isNullAt(2), s"rare-token doc got a prediction: $rare")
+      assert(rare.isNullAt(3), "correct must be NULL for an unidentifiable doc")
+      assert(out.filter(_.getLong(0) != 99L).forall(_.getString(2) == "en"))
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("text_repetition matches a pure-Scala re-derivation") {
     val expected = docs.flatMap { case (id, text) =>
       val ts = tok(text)
