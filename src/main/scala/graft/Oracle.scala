@@ -1277,6 +1277,14 @@ object Oracle {
         |GROUP BY n.n_name
         |ORDER BY revenue DESC, n.n_name""".stripMargin,
 
+    "join_existence_flag" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | (o_custkey IN (SELECT c_custkey FROM customer
+        |                WHERE c_mktsegment = 'BUILDING')
+        |  OR o_orderpriority = '1-URGENT') AS covered
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
     "sql_api_q2" ->
       """SELECT DISTINCT p.p_partkey, p.p_brand, l.l_suppkey,
         | CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS min_price

@@ -185,6 +185,7 @@ object SparkEntry {
     "sql_api_q5"           -> Relational.sqlApiQ5 _,
     "sql_api_q21"          -> Relational.sqlApiQ21 _,
     "sql_api_q2"           -> Relational.sqlApiQ2 _,
+    "join_existence_flag"  -> Relational.joinExistenceFlag _,
     "win_streak"           -> Analytics.winStreak _,
     "agg_bitwise_group"    -> Relational.aggBitwiseGroup _,
     "fn_array_setops"      -> Functions.fnArraySetops _,

@@ -824,6 +824,26 @@ object Relational {
         |LIMIT 100""".stripMargin)
   }
 
+  /** ExistenceJoin surface: an IN-subquery under a DISJUNCTION cannot
+    * rewrite to a plain semi join (rows failing the membership test must
+    * still survive when the other disjunct holds), so Catalyst plans the
+    * dedicated ExistenceJoin — a hash semi-join variant that EMITS the
+    * membership boolean as a column instead of filtering on it. The third
+    * subquery-decorrelation surface next to [[sqlApiQ21]] (semi/anti) and
+    * [[sqlApiQ2]] (scalar agg). At scale: one hash join on the customer
+    * key — the membership probe never re-executes per row. */
+  def joinExistenceFlag(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
+    spark.sql(
+      """SELECT o_orderkey, o_orderpriority,
+        | (o_custkey IN (SELECT c_custkey FROM graft_customer
+        |                WHERE c_mktsegment = 'BUILDING')
+        |  OR o_orderpriority = '1-URGENT') AS covered
+        |FROM graft_orders
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** TPC-H Q2 shape (minimum-cost supplier) through the `spark.sql`
     * entry point — the CORRELATED SCALAR subquery companion to
     * [[sqlApiQ21]]'s EXISTS pair: each part keeps only the lineitems

@@ -305,6 +305,14 @@ class PlanSpec extends SparkSuite {
       s"no decorrelated min aggregate in:\n$p")
   }
 
+  test("join_existence_flag plans the ExistenceJoin variant") {
+    // IN-subquery under a disjunction: rows failing the membership probe
+    // must survive, so the semi join must EMIT the boolean, not filter —
+    // Catalyst's ExistenceJoin, never a per-row subquery
+    assert(plan("join_existence_flag").contains("ExistenceJoin"),
+      s"membership probe not planned as ExistenceJoin:\n${plan("join_existence_flag")}")
+  }
+
   test("profile_skew plans TakeOrdered for the top-k, partial agg below") {
     val p = plan("profile_skew")
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$p")
