@@ -1002,9 +1002,12 @@ object Oracle {
          |s3 AS (SELECT * FROM (SELECT *, row_number() OVER (
          |  PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn FROM s2)
          |  WHERE rn = 1),
-         |grams AS (SELECT doc_id, source, unnest(list_distinct(
+         |grams0 AS (SELECT doc_id, source, unnest(list_distinct(
          |  list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))) AS gram
          |  FROM s3 WHERE len(ts) >= 2),
+         |gde AS (SELECT gram, COUNT(*) AS df FROM grams0 GROUP BY 1),
+         |grams AS (SELECT g.doc_id, g.source, g.gram FROM grams0 g
+         |  JOIN gde USING (gram) WHERE df <= ${graft.ops.Similarity.GramDfCap}),
          |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
          |  FROM grams a JOIN grams b ON a.source = b.source

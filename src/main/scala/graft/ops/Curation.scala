@@ -218,7 +218,9 @@ object Curation {
     *
     * Scale: the chain is linear (each stage consumes the previous
     * stage's survivors); the only super-linear stage is the gram join,
-    * bounded by source blocking exactly as in dedup_ngram_jaccard. */
+    * bounded by source blocking AND the corpus-wide gram df cap exactly
+    * as in dedup_ngram_jaccard (Similarity.GramDfCap — a hot stop-gram
+    * inside one dominant source must not fan out k² here either). */
   def pipelineCurationE2e(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val s0 = Tables.documents(spark, sfDir)
@@ -229,11 +231,14 @@ object Curation {
     val keepW = Window.partitionBy(lower(trim($"text"))).orderBy($"doc_id")
     val s3 = s2.withColumn("rn", row_number().over(keepW))
       .filter($"rn" === 1).drop("rn")
-    val grams = s3
+    val grams0 = s3
       .filter(size($"ts") >= 2)
       .select($"doc_id", $"source", explode(array_distinct(expr(
         "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")))
         .as("gram"))
+    val gd = grams0.groupBy($"gram").agg(count(lit(1)).as("df"))
+    val grams = grams0.join(gd.filter($"df" <= Similarity.GramDfCap), "gram")
+      .select($"doc_id", $"source", $"gram")
       .withColumn("n_grams", count(lit(1)).over(Window.partitionBy($"doc_id")))
     val dropIds = grams.as("a").join(grams.as("b"),
         $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id" &&
