@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.TextSim
+import graft.ops.{Similarity, TextSim}
 
 /** Independent pure-Scala re-derivation of the corpus-quality operators
   * (repetition metrics, cross-doc gram duplication, unigram-LM score) at
@@ -86,6 +86,36 @@ class CorpusQualitySpec extends SparkSuite {
     }
     val got = TextSim.dedupGramCorpus(spark, sfDir).collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == expected)
+  }
+
+  test("dedup_ngram_jaccard (df-capped) matches a pure-Scala re-derivation") {
+    val docsSrc = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val perDoc = docsSrc.flatMap { case (id, src, text) =>
+      val ts = tok(text)
+      if (ts.length < 2) None
+      else Some((id, src, ts.sliding(2).map(_.mkString(" ")).toSet))
+    }
+    // corpus-wide gram document frequency over per-doc DISTINCT grams,
+    // then the df cap applied before any pairing — the operator's rule
+    val gramDf = perDoc.flatMap(_._3).groupBy(identity).view.mapValues(_.size).toMap
+    val kept = perDoc.map { case (id, src, gs) =>
+      (id, src, gs.filter(g => gramDf(g) <= Similarity.GramDfCap))
+    }
+    val expected = (for {
+      a <- kept
+      b <- kept
+      if a._2 == b._2 && a._1 < b._1
+      inter = (a._3 & b._3).size
+      if inter > 0
+      jr = BigDecimal(inter.toDouble / (a._3.size + b._3.size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jr >= 0.1
+    } yield (a._1, b._1, jr)).sortBy(t => (t._1, t._2))
+    val got = Similarity.dedupNgramJaccard(spark, sfDir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue)).toSeq
     assert(got == expected)
   }
 
