@@ -2265,6 +2265,14 @@ object Oracle {
         | CAST(n_chars % 480 + 16 AS INTEGER) AS height
         |FROM documents ORDER BY asset_id""".stripMargin,
 
+    "multimodal_frame_sample" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+        |  CAST((n_chars % 640 + 16) % 90 + 10 AS INTEGER) AS n_frames
+        |  FROM documents)
+        |SELECT asset_id, n_frames,
+        | CAST(unnest(range(0, n_frames, 10)) AS INTEGER) AS frame_idx
+        |FROM a ORDER BY asset_id, frame_idx""".stripMargin,
+
     "multimodal_shard_pack" ->
       """WITH a AS (SELECT doc_id AS asset_id, source AS origin,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
