@@ -1056,6 +1056,28 @@ object Oracle {
          |FROM assigned JOIN probe ON cell = pcell
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
+    "embed_kmeans" ->
+      s"""WITH $ivfCtes,
+         |m1 AS (SELECT cell, pos,
+         |  CAST(SUM(CAST(round(v[pos] * 1e6) AS BIGINT)) AS DOUBLE)
+         |    / (COUNT(*) * 1000000.0) AS cx
+         |  FROM assigned, range(1, 65) t(pos) GROUP BY 1, 2),
+         |cent1 AS (SELECT cell, list(cx ORDER BY pos) AS centroid FROM m1 GROUP BY 1),
+         |scored2 AS (SELECT e2.vec_id, c.cell,
+         |  (${dotSql("centroid", "centroid")} - 2.0 * ${dotSql("centroid", "v")}) AS d2
+         |  FROM ex e2, cent1 c),
+         |assigned2 AS (SELECT vec_id, cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |  FROM scored2) WHERE rn = 1),
+         |chk AS (SELECT cell, CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(centroid, c_ -> CAST(round(c_ * 1e6) AS BIGINT))),
+         |  (a_, b_) -> a_ + b_) AS BIGINT) AS centroid_checksum_u6 FROM cent1)
+         |SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+         | MIN(a.vec_id) AS first_member, chk.centroid_checksum_u6
+         |FROM assigned2 a JOIN chk ON a.cell = chk.cell
+         |GROUP BY a.cell, chk.centroid_checksum_u6
+         |ORDER BY a.cell""".stripMargin,
+
     "dedup_semantic" ->
       s"""WITH $ivfCtes,
          |pairs AS (SELECT a.cell AS cell, a.vec_id AS id_a, b.vec_id AS id_b,

@@ -150,6 +150,7 @@ object SparkEntry {
     "sim_knn_per_label"      -> Similarity.simKnnPerLabel _,
     "sim_ann_lsh"            -> Similarity.simAnnLsh _,
     "sim_ivf_probe"          -> Similarity.simIvfProbe _,
+    "embed_kmeans"           -> Similarity.embedKmeans _,
     "dedup_embedding_cosine" -> Similarity.dedupEmbeddingCosine _,
     "dedup_minhash_lsh"      -> Similarity.dedupMinhashLsh _,
     "dedup_simhash"          -> Similarity.dedupSimhash _,

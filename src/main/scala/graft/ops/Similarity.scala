@@ -320,6 +320,51 @@ object Similarity {
       .limit(10)
   }
 
+  /** One full Lloyd (k-means) iteration on top of the [[ivfAssigned]]
+    * seed assignment: centroids re-estimated from EVERY member as exact
+    * per-(cell, dim) integer-micro-unit sums divided once, then every
+    * vector re-assigned to its nearest updated centroid — the
+    * topic-balance clustering step of a curation pipeline (cell counts
+    * expose over/under-represented regions; samplers re-weight by cell).
+    *
+    * The point of the exact-integer recipe: every float in BOTH
+    * iterations is a fixed expression of exact integer sums, so a full
+    * iterative ML step hash-matches the DuckDB twin — correctness of the
+    * whole loop body, not just one assignment, is oracle-pinned.
+    *
+    * Scale: per iteration, one (cell, dim) scalar partial-aggregation
+    * (map-side combinable, never vector rows) + one broadcast of the
+    * k×dim centroid table + one map-pass argmin — the canonical
+    * distributed k-means shape; iterations add linearly. */
+  def embedKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", vecd($"embedding").as("v"))
+    val cent1 = ivfAssigned(e)
+      .select($"cell", posexplode($"v").as(Seq("pos", "x")))
+      .select($"cell", $"pos", round($"x" * 1e6).cast("long").as("u6"))
+      .groupBy($"cell", $"pos")
+      .agg((sum($"u6").cast("double") / (count(lit(1)) * lit(1e6))).as("cx"))
+      .groupBy($"cell").agg(expr(
+        "transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)")
+        .as("centroid"))
+    val w = Window.partitionBy($"vec_id").orderBy($"d2", $"cell")
+    val assign2 = e.crossJoin(broadcast(cent1))
+      .select($"vec_id", $"cell",
+        (dot($"centroid", $"centroid") - lit(2.0) * dot($"centroid", $"v")).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"cell")
+    val chk = cent1.select($"cell",
+      aggregate(transform($"centroid", c => round(c * lit(1e6)).cast("long")),
+        lit(0L), (a, x) => a + x).as("centroid_checksum_u6"))
+    assign2.groupBy($"cell")
+      .agg(count(lit(1)).as("n_members"), min($"vec_id").as("first_member"))
+      .join(chk, "cell")
+      .orderBy($"cell")
+  }
+
   /** Semantic dedup (the SemDeDup recipe): cluster the embedding space
     * coarsely, then mark near-duplicate PAIRS only within a cluster cell —
     * the quadratic stage is bounded by the cell population instead of the

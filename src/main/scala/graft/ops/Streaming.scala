@@ -263,7 +263,11 @@ object Streaming {
   /** Stream-static enrichment join, run as a REAL streaming job: the event
     * stream joins a broadcast static dimension (customer segment) per
     * micro-batch — no state store, no watermark; the static side is
-    * re-broadcast per batch and the stream side never shuffles. The
+    * re-broadcast per batch and the stream side never shuffles. (The
+    * explicit broadcast is the 2-column projected dim; a dimension too
+    * large to broadcast drops the hint and the same code plans a
+    * shuffled stream-static equi-join — the hint, not the shape, is the
+    * size-dependent choice.) The
     * enriched stream lands in a file sink; the segment rollup happens
     * batch-side on the read-back, so the end result is deterministic and
     * oracle-checkable (one AvailableNow batch ⇒ stream result ≡ batch

@@ -69,6 +69,15 @@ class SimilaritySpec extends SparkSuite {
     top.unpersist()
   }
 
+  test("embed_kmeans partitions the corpus across cells") {
+    val out = Similarity.embedKmeans(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val total = Tables.embeddings(spark, sfDir).count()
+    assert(out.map(_.getLong(1)).sum == total,
+      "every vector must land in exactly one cell")
+    out.foreach(r => assert(r.getLong(1) >= 1 && r.getLong(2) >= 0))
+  }
+
   test("dedup_semantic: canonical cell-bounded pairs above the threshold") {
     import org.apache.spark.sql.functions._
     val pairs = Similarity.dedupSemantic(spark, sfDir).collect()
