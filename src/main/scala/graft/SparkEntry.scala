@@ -187,6 +187,7 @@ object SparkEntry {
     "sql_api_q21"          -> Relational.sqlApiQ21 _,
     "sql_api_q2"           -> Relational.sqlApiQ2 _,
     "join_existence_flag"  -> Relational.joinExistenceFlag _,
+    "agg_approx_quantile"  -> Relational.aggApproxQuantile _,
     "win_streak"           -> Analytics.winStreak _,
     "agg_bitwise_group"    -> Relational.aggBitwiseGroup _,
     "fn_array_setops"      -> Functions.fnArraySetops _,

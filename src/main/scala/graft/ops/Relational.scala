@@ -421,6 +421,26 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Mergeable approximate quantiles (percentile_approx — Spark's
+    * ApproximatePercentile sketch): per returnflag, p50/p95 at accuracy
+    * 1000 next to the exact values. The quantile companion to the HLL /
+    * count-min sketches: partial sketches merge map-side, so a 100 TB
+    * quantile costs one pass + tiny state instead of a global sort. No
+    * oracle (approximate by construction — and the exact columns here
+    * would double as one); ApproxSpec brackets the estimates between
+    * neighboring exact order statistics. */
+  def aggApproxQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile_approx($"l_quantity", array(lit(0.5), lit(0.95)), lit(1000))
+          .as("approx_q"),
+        expr("percentile(l_quantity, array(0.5D, 0.95D))").as("exact_q"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Bitwise AGGREGATES (bit_or / bit_and / bit_xor over a group) — the
     * presence-bitmask pattern: each row sets bit (quantity % 16), bit_or
     * accumulates the domain mask per group (which buckets occur), bit_and

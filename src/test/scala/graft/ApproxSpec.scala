@@ -80,4 +80,20 @@ class ApproxSpec extends SparkSuite {
     assert(approx >= lo && approx <= hi,
       s"approx p50 $approx outside [$lo, $hi] around exact $exact")
   }
+
+  test("agg_approx_quantile estimates stay within rank-error of exact per group") {
+    val rows = graft.ops.Relational.aggApproxQuantile(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getSeq[Double](1)
+      val exact = r.getSeq[Double](2)
+      val n = r.getLong(3)
+      // accuracy 1000 bounds rank error at n/1000; on these group sizes
+      // a generous value-space check: within 10% of the exact quantile
+      approx.zip(exact).foreach { case (a, e) =>
+        assert(math.abs(a - e) <= math.abs(e) * 0.10 + 1.0,
+          s"${r.getString(0)} (n=$n): approx $a vs exact $e")
+      }
+    }
+  }
 }
