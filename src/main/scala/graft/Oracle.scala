@@ -180,6 +180,26 @@ object Oracle {
         |  o_orderkey AS next_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS next_date
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
+    "join_asof_nearest" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    DATE '1995-01-01' + CAST(event_id % 2500 AS INTEGER) AS cutoff
+        |  FROM events),
+        |j AS (
+        |  SELECT ev.event_id, ev.user_id, ev.cutoff, o_orderkey, o_orderdate,
+        |    abs(date_diff('day', CAST(o_orderdate AS DATE), cutoff)) AS d,
+        |    row_number() OVER (PARTITION BY ev.event_id
+        |      ORDER BY abs(date_diff('day', CAST(o_orderdate AS DATE), cutoff)) ASC NULLS LAST,
+        |        o_orderdate ASC NULLS LAST,
+        |        CASE WHEN CAST(o_orderdate AS DATE) <= cutoff
+        |          THEN -o_orderkey ELSE o_orderkey END ASC NULLS LAST) AS rn
+        |  FROM ev LEFT OUTER JOIN orders ON user_id = o_custkey)
+        |SELECT event_id, user_id, strftime(cutoff, '%Y-%m-%d') AS cutoff,
+        |  o_orderkey AS nearest_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS nearest_date,
+        |  CAST(d AS INTEGER) AS days_away
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
     "agg_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))::DOUBLE AS sum_price
@@ -1405,6 +1425,10 @@ object Oracle {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    "scan_xml_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
     "scan_partition_prune" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang IN ('en', 'zh') ORDER BY doc_id""".stripMargin,
@@ -1619,6 +1643,36 @@ object Oracle {
         | CAST(CAST(n AS DOUBLE) / total AS DECIMAL(18,6))::DOUBLE AS share,
         | CAST(CAST(n * n_keys AS DOUBLE) / total AS DECIMAL(18,6))::DOUBLE AS skew_x
         |FROM c, t ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
+
+    "graph_pagerank" -> {
+      // one synchronous integer-µ-unit power iteration (see
+      // Analytics.graphPagerank): rank = 150000 + (85·Σ contrib) // 100,
+      // contrib = prev rank // out-degree — all floor divisions on
+      // positive integers, identical in both engines
+      def iter(prev: String, out: String): String =
+        s"""$out AS (SELECT deg.src AS node,
+           |  CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+           |  FROM deg LEFT JOIN (
+           |    SELECT d.dst, SUM($prev.r // deg.deg) AS s
+           |    FROM d JOIN $prev ON d.src = $prev.node
+           |           JOIN deg ON deg.src = d.src
+           |    GROUP BY d.dst) c ON deg.src = c.dst)""".stripMargin
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+         |  WHERE l_orderkey % 10 = 0),
+         |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey),
+         |d AS (SELECT u AS src, v AS dst FROM e
+         |  UNION ALL SELECT v, u FROM e),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM d GROUP BY 1),
+         |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT node, r AS rank_u6 FROM r3
+         |ORDER BY rank_u6 DESC, node LIMIT 20""".stripMargin
+    },
 
     "graph_degree" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
@@ -1941,6 +1995,25 @@ object Oracle {
         |SELECT l_returnflag, bit_or(m) AS mask_any, bit_and(m) AS mask_all,
         | bit_xor(m) AS mask_parity, CAST(COUNT(*) AS BIGINT) AS n
         |FROM m GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "ts_cusum" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  SUM(CAST(round(value * 1e6) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, day, x,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |  SUM(x) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |  SUM(x) OVER (PARTITION BY event_type) AS tt
+        |  FROM daily),
+        |s AS (SELECT *, abs(n * cum - t * tt) AS s FROM c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |  ORDER BY s DESC, day ASC) AS rn FROM s)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS change_day,
+        | CAST(n AS BIGINT) AS n_days,
+        | CAST(CAST(CAST(s AS DOUBLE) / (n * 1000000.0) AS DECIMAL(18,6)) AS DOUBLE) AS dev
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     "ts_ewma" ->
       """WITH ev AS (SELECT user_id,

@@ -81,6 +81,7 @@ object SparkEntry {
     "join_asof"        -> Relational.joinAsof _,
     "join_asof_forward" -> Relational.joinAsofForward _,
     "join_asof_tolerance" -> Relational.joinAsofTolerance _,
+    "join_asof_nearest" -> Relational.joinAsofNearest _,
     // -- reference ingestion pack (§2.A)
     "scan_csv_header"     -> Ingest.scanCsvHeader _,
     "scan_csv_file"       -> Ingest.scanCsvFile _,
@@ -174,12 +175,14 @@ object SparkEntry {
     "agg_histogram"     -> Analytics.aggHistogram _,
     "graph_degree"      -> Analytics.graphDegree _,
     "graph_triangle_count" -> Analytics.graphTriangleCount _,
+    "graph_pagerank"    -> Analytics.graphPagerank _,
     "path_transitions"  -> Analytics.pathTransitions _,
     "ts_ewma"           -> Analytics.tsEwma _,
     "ts_resample"       -> Analytics.tsResample _,
     "ts_interpolate"    -> Analytics.tsInterpolate _,
     "ts_regression"     -> Analytics.tsRegression _,
     "ts_seasonal_baseline" -> Analytics.tsSeasonalBaseline _,
+    "ts_cusum"          -> Analytics.tsCusum _,
     "ts_calendar_spine"    -> Analytics.tsCalendarSpine _,
     "fn_regex"             -> Functions.fnRegex _,
     "impute_missing"       -> Curation.imputeMissing _,
@@ -202,6 +205,7 @@ object SparkEntry {
     // -- source/sink formats beyond parquet+csv
     "scan_json_roundtrip" -> Sources.scanJsonRoundtrip _,
     "scan_orc_roundtrip"  -> Sources.scanOrcRoundtrip _,
+    "scan_xml_roundtrip"  -> Sources.scanXmlRoundtrip _,
     "scan_partition_prune" -> Sources.scanPartitionPrune _,
     "scan_binaryfile"     -> Sources.scanBinaryfile _,
     "scan_csv_multiline"  -> Sources.scanCsvMultiline _,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -420,6 +421,47 @@ object Analytics {
       .orderBy($"dow", $"hour")
   }
 
+  /** CUSUM changepoint detection per event_type — the classic
+    * mean-shift detector: with daily totals x_1..x_N (micro-unit
+    * bigints) and grand total T, the centered cumulative sum at day t is
+    * S_t = Σ_{i≤t}(x_i − T/N); the day maximizing |S_t| is the most
+    * likely level-shift point. Multiplying through by N keeps EVERYTHING
+    * integer — S'_t = N·cumsum_t − t·T — so the argmax is exact in both
+    * engines (no float accumulation order anywhere); only the reported
+    * deviation is one final double division of exact integers. Ties
+    * resolve to the earliest day. (Magnitudes: |S'| ≤ N·T ≈ 2^60 at
+    * sf1 — beyond that the micro-unit scale or a DECIMAL(38) carrier is
+    * the documented upgrade, same as the other micro-unit ops.)
+    *
+    * Scale: one date-keyed partial aggregation (map-side combine does
+    * the heavy lifting), then windows over the TINY daily frame — all
+    * four window passes share one event_type partitioning, so the plan
+    * is one shuffle of |types × days| rows regardless of event volume. */
+  def tsCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", $"ts".cast("date").as("day"))
+      .agg(sum(round($"value" * 1e6).cast("long")).as("x"))
+    val byDay = Window.partitionBy($"event_type").orderBy($"day")
+    val whole = Window.partitionBy($"event_type")
+    daily
+      .withColumn("t", row_number().over(byDay))
+      .withColumn("cum", sum($"x").over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("tt", sum($"x").over(whole))
+      .withColumn("s", abs($"n" * $"cum" - $"t" * $"tt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"s".desc, $"day")))
+      .filter($"rn" === 1)
+      .select($"event_type",
+        date_format($"day", "yyyy-MM-dd").as("change_day"),
+        $"n".as("n_days"),
+        ($"s".cast("double") / ($"n" * lit(1e6)))
+          .cast("decimal(18,6)").cast("double").as("dev"))
+      .orderBy($"event_type")
+  }
+
   /** Co-occurrence edge set shared by the graph queries: distinct
     * undirected part pairs (u < v) appearing in the same order, from a
     * bounded 10%-of-orders slice (the same quadratic-bounding move as
@@ -449,6 +491,45 @@ object Analytics {
       .groupBy($"node").agg(count(lit(1)).as("degree"))
       .groupBy($"degree").agg(count(lit(1)).as("n_nodes"))
       .orderBy($"degree")
+  }
+
+  /** PageRank over the part co-occurrence graph — 3 synchronous power
+    * iterations, top-20 nodes. The floating-point recurrence is recast
+    * to INTEGER micro-units so both engines agree bit-for-bit despite
+    * different summation orders: ranks start at 1e6 µ-units and step by
+    *   r'(v) = 150000 + (85 · Σ_{u→v} (r(u) div deg(u))) div 100
+    * — every operation an exact integer op (div = floor division on
+    * positive operands), so the per-node sums are order-independent.
+    * The div-truncation "leaks" ≤1 µ-unit per in-edge per round: a
+    * deterministic quantization of the damping, not noise.
+    *
+    * Scale: the canonical iterative join+agg shape — each round is one
+    * equi-join of the rank vector against the edge list partitioned on
+    * src, then a map-side-combinable sum keyed on dst. The edge list is
+    * the loop invariant: joined with degrees ONCE and localCheckpointed,
+    * so the per-round subtree is (checkpointed edges ⋈ ranks), never a
+    * re-execution of the edge build. Hub skew routes through AQE's skew
+    * split; round count is fixed (3), not data-dependent. */
+  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = coOccurrenceEdges(spark, sfDir)
+    val dir = e.select($"u".as("src"), $"v".as("dst"))
+      .unionAll(e.select($"v".as("src"), $"u".as("dst")))
+    val deg = dir.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val edges = dir.join(deg, "src")
+      .select($"src", $"dst", $"deg").localCheckpoint()
+    var r = deg.select($"src".as("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges.join(r, edges("src") === r("node"))
+        .select($"dst", expr("r div deg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("s"))
+      r = deg.join(contrib, deg("src") === contrib("dst"), "left_outer")
+        .select($"src".as("node"),
+          (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+    }
+    r.select($"node", $"r".as("rank_u6"))
+      .orderBy($"rank_u6".desc, $"node")
+      .limit(20)
   }
 
   /** Per-node triangle participation (top-20) — the clustering signal

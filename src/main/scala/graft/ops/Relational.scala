@@ -314,6 +314,43 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** NEAREST as-of join — each event matched to the closest order of its
+    * key in EITHER direction (|order date − cutoff| minimized), the
+    * sensor-alignment rule when past and future references are equally
+    * valid. Composed from the two directed window passes over the SAME
+    * timeline ([[joinAsof]]'s backward `last` + [[joinAsofForward]]'s
+    * forward `first`): both windows share the per-key hash partitioning,
+    * so the plan is one shuffle + two per-partition sorts — still zero
+    * pair rows, vs a pairwise |Δt| argmin whose cost is events × orders
+    * per key. Ties (equal distance both directions) resolve BACKWARD,
+    * and within a side to the directed pass's own rule (backward → max
+    * key, forward → min key), mirrored exactly by the oracle's
+    * (|Δdays|, date, signed-key) rank order. */
+  def joinAsofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wb = Window.partitionBy($"k")
+      .orderBy($"t", $"is_event", $"ord.o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy($"k")
+      .orderBy($"t", $"is_event".desc, $"ord.o_orderkey")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    asofTimeline(spark, sfDir)
+      .withColumn("b", last($"ord", ignoreNulls = true).over(wb))
+      .withColumn("f", first($"ord", ignoreNulls = true).over(wf))
+      .filter($"is_event" === 1)
+      .withColumn("db", datediff($"t", $"b.o_orderdate"))
+      .withColumn("df", datediff($"f.o_orderdate", $"t"))
+      .withColumn("best",
+        when($"f".isNull || ($"b".isNotNull && $"db" <= $"df"), $"b")
+          .otherwise($"f"))
+      .select($"event_id", $"k".as("user_id"),
+        date_format($"t", "yyyy-MM-dd").as("cutoff"),
+        $"best.o_orderkey".as("nearest_orderkey"),
+        date_format($"best.o_orderdate", "yyyy-MM-dd").as("nearest_date"),
+        abs(datediff($"best.o_orderdate", $"t")).as("days_away"))
+      .orderBy($"event_id")
+  }
+
   // ------------------------------------------------------------ aggregations
 
   /** Group filter applied post-aggregation (HAVING). */

@@ -115,6 +115,30 @@ object Sources {
       .orderBy($"doc_id")
   }
 
+  /** XML round-trip through Spark 4's BUILT-IN xml source (the spark-xml
+    * package merged into sql/core): supplier slice → `<supplier>` row
+    * elements → read back with an explicit schema and the same rowTag.
+    * Strings survive via XML entity escaping, doubles via shortest-repr
+    * stringification (exact round-trip), so the oracle is a plain
+    * projection of the source table. Scale note: XML files split by
+    * rowTag boundaries like multiLine CSV — parallelism comes from file
+    * count, which the write side controls; this is the
+    * interchange-format lane, not the analytics-storage lane (that is
+    * parquet/ORC). */
+  def scanXmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir, "supplier_xml")
+    Tables.supplier(spark, sfDir)
+      .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
+      .write.mode("overwrite")
+      .option("rootTag", "suppliers").option("rowTag", "supplier").xml(dir)
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("s_name", StringType),
+      StructField("s_nationkey", LongType), StructField("s_acctbal", DoubleType)))
+    spark.read.schema(schema).option("rowTag", "supplier").xml(dir)
+      .orderBy($"s_suppkey")
+  }
+
   /** `binaryFile` source — the entry point for raw media/blob corpora
     * (one file per object: images, audio, model shards). A bounded doc
     * slice is staged as one .bin per document by EXECUTOR-side writers

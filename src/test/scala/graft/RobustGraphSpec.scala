@@ -113,6 +113,33 @@ class RobustGraphSpec extends SparkSuite {
       (3L, "d", t9, None, true)))
   }
 
+  test("graph_pagerank: 3 integer-µ-unit iterations on the tiny graph, by hand") {
+    // edges {1-2,1-3,2-3,3-4}; deg 1:2, 2:2, 3:3, 4:1. Each round:
+    // r'(v) = 150000 + (85·Σ (r(u) div deg(u))) div 100 from r0 = 1e6.
+    // r1 = (858333, 858333, 1850000, 433333)
+    // r2 = (1038957, 1038957, 1247915, 674166)
+    // r3 = (945131, 945131, 1606153, 503575)
+    val got = Analytics.graphPagerank(spark, graphDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(
+      (3L, 1606153L), (1L, 945131L), (2L, 945131L), (4L, 503575L)))
+  }
+
+  test("ts_cusum: argmax of the integer centered cumulative sum, by hand") {
+    val d = 86400000000L // one day in µs
+    val us0 = 1700000000000000L // 2023-11-14 UTC
+    // daily µ-sums 1e6, 1e6, 4e6 → N=3, T=6e6; S' = 3·cum − t·6e6 =
+    // (−3e6, −6e6, 0) → argmax |S'| at day 2, dev = 6e6/(3·1e6) = 2.0
+    val dir = eventsDir(Seq(
+      (1L, us0, 1L, "a", 1.0),
+      (2L, us0 + d, 1L, "a", 1.0),
+      (3L, us0 + 2 * d, 1L, "a", 4.0)))
+    val got = Analytics.tsCusum(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq(("a", "2023-11-15", 3L, 2.0)))
+  }
+
   test("profile_skew: shares and skew multiples from a known distribution") {
     val us0 = 1700000000000000L
     // user 1: 6 events, users 2..4: 2 each ⇒ total 12, 4 keys, mean 3
