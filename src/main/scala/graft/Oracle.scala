@@ -712,6 +712,9 @@ object Oracle {
     s"list_reduce(list_prepend(0.0, $l), (acc_, x_) -> acc_ + x_)"
   private def dotSql(a: String, b: String) =
     fold(s"list_transform(range(1, 65), i_ -> $a[i_] * $b[i_])")
+  /** 16-dim variant for the PQ subspaces. */
+  private def dot16Sql(a: String, b: String) =
+    fold(s"list_transform(range(1, 17), i_ -> $a[i_] * $b[i_])")
   private def cosSql(a: String, b: String) =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
@@ -817,6 +820,25 @@ object Oracle {
          |r AS (SELECT doc_id, fingerprint,
          |  row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn FROM d)
          |SELECT doc_id, fingerprint, (rn = 1) AS kept FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_line_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+         |w AS (SELECT doc_id, u.i AS i, u.w AS w FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(sp) + 1),
+         |    i -> {'i': i, 'w': sp[i]})) AS u FROM d)),
+         |ch AS (SELECT doc_id, (i - 1) // 3 AS cid,
+         |  string_agg(w, ' ' ORDER BY i) AS chunk
+         |  FROM w GROUP BY 1, 2),
+         |df AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY 1),
+         |kept AS (SELECT ch.doc_id, ch.cid, ch.chunk FROM ch JOIN df USING (chunk)
+         |  WHERE df <= ${graft.ops.TextSim.LineDfCap}),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY 1),
+         |ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |  md5(string_agg(chunk, ' ' ORDER BY cid)) AS cleaned_md5
+         |  FROM kept GROUP BY 1)
+         |SELECT t.doc_id, t.n_chunks, COALESCE(ka.n_kept, 0) AS n_kept,
+         | ka.cleaned_md5
+         |FROM tot t LEFT JOIN ka USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     "sim_cosine_probe" ->
       s"""WITH e AS (SELECT vec_id, label,
@@ -1097,6 +1119,28 @@ object Oracle {
          |FROM assigned2 a JOIN chk ON a.cell = chk.cell
          |GROUP BY a.cell, chk.centroid_checksum_u6
          |ORDER BY a.cell""".stripMargin,
+
+    "embed_pq_quantize" ->
+      s"""WITH ex AS (SELECT vec_id, label,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |subs AS (SELECT vec_id, label, CAST(m AS INTEGER) AS m,
+         |  v[CAST(m * 16 + 1 AS INTEGER):CAST(m * 16 + 16 AS INTEGER)] AS vs
+         |  FROM ex, range(0, 4) t(m)),
+         |cent AS (SELECT m, cid, list(cx ORDER BY pos) AS centroid FROM (
+         |  SELECT m, label AS cid, pos,
+         |    CAST(SUM(CAST(round(vs[pos] * 1e6) AS BIGINT)) AS DOUBLE)
+         |      / (COUNT(*) * 1000000.0) AS cx
+         |  FROM subs, range(1, 17) t2(pos) WHERE vec_id % 4 = 0 GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2),
+         |scored AS (SELECT s.vec_id, s.m, c.cid,
+         |  (${dot16Sql("centroid", "centroid")} - 2.0 * ${dot16Sql("centroid", "vs")}) AS score,
+         |  ${dot16Sql("vs", "vs")} AS vv
+         |  FROM subs s JOIN cent c ON s.m = c.m),
+         |a AS (SELECT vec_id, m, cid, score, vv, row_number() OVER (
+         |  PARTITION BY vec_id, m ORDER BY score, cid) AS rn FROM scored)
+         |SELECT vec_id, m AS subspace, cid AS code,
+         | CAST(CAST(score + vv AS DECIMAL(18,6)) AS DOUBLE) AS err
+         |FROM a WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
 
     "dedup_semantic" ->
       s"""WITH $ivfCtes,

@@ -139,6 +139,7 @@ object SparkEntry {
     "text_quality_score"     -> TextSim.textQualityScore _,
     "text_token_count"       -> TextSim.textTokenCount _,
     "text_fingerprint"       -> TextSim.textFingerprint _,
+    "text_line_dedup"        -> TextSim.textLineDedup _,
     "text_tfidf"             -> TextSim.textTfidf _,
     "text_pii_scrub"         -> TextSim.textPiiScrub _,
     "text_curation_filter"   -> TextSim.textCurationFilter _,
@@ -163,6 +164,7 @@ object SparkEntry {
     "dedup_edit_distance"    -> Similarity.dedupEditDistance _,
     "embed_normalize"        -> Similarity.embedNormalize _,
     "embed_quantize"         -> Similarity.embedQuantize _,
+    "embed_pq_quantize"      -> Similarity.embedPqQuantize _,
     "embed_centroid_distance" -> Similarity.embedCentroidDistance _,
     // -- data-quality gates / incremental maintenance
     "quality_expectations" -> Quality.qualityExpectations _,

@@ -136,6 +136,51 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** Product quantization (PQ) — the codebook compression behind every
+    * billion-scale ANN index (IVF-PQ): each 64-d vector splits into 4
+    * contiguous 16-d subvectors, and each subvector is replaced by the id
+    * of its nearest codeword in that subspace's codebook (64 floats →
+    * 4 code bytes). Codebooks reuse the [[ivfAssigned]] training recipe —
+    * per-label exact integer-micro-unit means over the deterministic
+    * 1-in-4 sample, per subspace — so every centroid component, argmin
+    * (L2 identity |c|²−2c·v, ties to lowest code), and residual error is
+    * engine-identical and the whole assignment is DuckDB-hash-matchable.
+    *
+    * Scale: the codebook is 4×10 centroids — broadcast; assignment is one
+    * map pass over (vector × 4 subspaces) with a per-(vec, subspace)
+    * bounded argmin. No shuffle touches raw vectors beyond the explode;
+    * at index-build scale the output codes are 16× smaller than the
+    * input, which is the point. */
+  def embedPqQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    import spark.implicits._
+    val subs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", vecd($"embedding").as("v"))
+      .select($"vec_id", $"label", explode(expr(
+        "transform(sequence(0, 3), m -> struct(m AS m, slice(v, m*16+1, 16) AS vs))"))
+        .as("s"))
+      .select($"vec_id", $"label", $"s.m".as("m"), $"s.vs".as("vs"))
+    val cents = broadcast(subs.filter($"vec_id" % 4 === 0)
+      .select($"m", $"label".as("cid"), posexplode($"vs").as(Seq("pos", "x")))
+      .groupBy($"m", $"cid", $"pos")
+      .agg((sum(round($"x" * 1e6).cast("long")).cast("double")
+        / (count(lit(1)) * lit(1e6))).as("cx"))
+      .groupBy($"m", $"cid").agg(expr(
+        "transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)")
+        .as("centroid")))
+    val w = Window.partitionBy($"vec_id", $"m").orderBy($"score", $"cid")
+    subs.join(cents, "m")
+      .select($"vec_id", $"m", $"cid", $"vs", $"centroid",
+        (dot($"centroid", $"centroid") - lit(2.0) * dot($"centroid", $"vs"))
+          .as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"m".as("subspace"), $"cid".as("code"),
+        ($"score" + dot($"vs", $"vs"))
+          .cast("decimal(18,6)").cast("double").as("err"))
+      .orderBy($"vec_id", $"subspace")
+  }
+
   /** Int8 max-abs quantization — the storage/compute compression step of a
     * production vector store (4 B float32 → 1 B int8 per dim). Per-vector
     * scale = 127 / max|x|; elements round half-away-from-zero in BOTH

@@ -77,6 +77,53 @@ object TextSim {
       .orderBy($"lang", $"source")
   }
 
+  /** Line-frequency cap for [[textLineDedup]]: a chunk appearing in more
+    * than this many DISTINCT documents is boilerplate and is removed
+    * everywhere. Bounded-by-construction: the cap is on document
+    * frequency, so the retained-chunk join is 1:1 regardless of how hot
+    * a boilerplate line is. */
+  val LineDfCap = 2
+
+  /** Line-level boilerplate removal (CCNet's line dedup / RefinedWeb's
+    * repeated-line filter): split every document into fixed 3-word
+    * chunks — the "line" unit on this newline-free corpus — count each
+    * chunk's document frequency, and strip chunks appearing in more
+    * than [[LineDfCap]] distinct docs (navigation bars, cookie banners,
+    * license headers at web scale). Output per doc: chunk counts before/
+    * after and the md5 of the cleaned reassembled text.
+    *
+    * Scale design: the chunk frame is built once and localCheckpointed —
+    * its three consumers (df count, keep join, per-doc totals) would
+    * otherwise re-run the tokenize+explode subtree 3×. The df count is a
+    * map-side-combinable aggregation; the keep join is chunk-keyed and
+    * 1:1 per occurrence (a hot boilerplate line fans out to its df rows
+    * on the COUNT side, never k² pairs — contrast the gram join's df cap,
+    * Similarity.GramDfCap). Only chunk strings of ≤ a few words shuffle,
+    * never documents. */
+  def textLineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = rebalanceDocs(
+      Tables.documents(spark, sfDir).select($"doc_id", $"text"))
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("i0", "w")))
+      .groupBy($"doc_id", expr("i0 div 3").as("cid"))
+      .agg(concat_ws(" ",
+        expr("transform(array_sort(collect_list(struct(i0, w))), s -> s.w)"))
+        .as("chunk"))
+      .localCheckpoint()
+    val df = chunks.groupBy($"chunk")
+      .agg(countDistinct($"doc_id").as("df"))
+    val kept = chunks.join(df.filter($"df" <= LineDfCap).select($"chunk"), "chunk")
+    val tot = chunks.groupBy($"doc_id").agg(count(lit(1)).as("n_chunks"))
+    val ka = kept.groupBy($"doc_id").agg(count(lit(1)).as("n_kept"),
+      md5(concat_ws(" ",
+        expr("transform(array_sort(collect_list(struct(cid, chunk))), s -> s.chunk)")))
+        .as("cleaned_md5"))
+    tot.join(ka, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"n_chunks",
+        coalesce($"n_kept", lit(0L)).as("n_kept"), $"cleaned_md5")
+      .orderBy($"doc_id")
+  }
+
   /** Global word frequencies, top 30 (count desc, word asc). */
   def textWordcount(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

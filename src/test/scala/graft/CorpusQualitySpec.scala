@@ -157,4 +157,37 @@ class CorpusQualitySpec extends SparkSuite {
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(got == expected)
   }
+
+  test("text_line_dedup drops the hot chunk everywhere, keeps df<=cap chunks") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // "nav bar x" appears in 4 distinct docs (df 4 > cap 2) → boilerplate,
+    // removed from every doc; "alpha beta gamma" has df 2 → retained
+    val rows = Seq(
+      (1L, "nav bar x alpha beta gamma", "en", "s", 26L),
+      (2L, "nav bar x delta eps zeta", "en", "s", 24L),
+      (3L, "nav bar x one two three", "en", "s", 23L),
+      (4L, "alpha beta gamma tail", "en", "s", 21L),
+      (5L, "nav bar x", "en", "s", 9L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_linededup").toString
+    try {
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val got = TextSim.textLineDedup(spark, dir).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getString(3)))).toSeq
+      assert(got == Seq(
+        (1L, 2L, 1L, Some(md5hex("alpha beta gamma"))),
+        (2L, 2L, 1L, Some(md5hex("delta eps zeta"))),
+        (3L, 2L, 1L, Some(md5hex("one two three"))),
+        (4L, 2L, 2L, Some(md5hex("alpha beta gamma tail"))),
+        (5L, 1L, 0L, None)))
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
 }

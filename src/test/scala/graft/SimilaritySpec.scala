@@ -317,4 +317,37 @@ class SimilaritySpec extends SparkSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("embed_pq_quantize: constructed codebooks, per-subspace argmin by hand") {
+    // labels 1 (+1^64) and 2 (−1^64); sampled vecs 0 and 4 train pure
+    // codebooks (+1×16 / −1×16 per subspace). vec 5 flips ONLY its first
+    // 16 dims → subspace 0 codes to label 1, the rest to label 2; every
+    // assignment lands exactly on a codeword, so all errors are 0.
+    val rows = (0 to 7).map { i =>
+      val lbl = if (i < 4) 1L else 2L
+      val base = if (i < 4) 1.0f else -1.0f
+      val v = Array.fill(64)(base)
+      if (i == 5) (0 until 16).foreach(d => v(d) = 1.0f)
+      (i.toLong, v, lbl)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    try {
+      rows.toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$dir/embeddings.parquet")
+      val got = Similarity.embedPqQuantize(spark, dir).collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      val expected = (0 to 7).flatMap { i =>
+        (0 to 3).map { m =>
+          val code = if (i < 4 || (i == 5 && m == 0)) 1L else 2L
+          (i.toLong, m, code, 0.0)
+        }
+      }
+      assert(got == expected)
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
 }
