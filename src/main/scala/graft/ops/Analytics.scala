@@ -513,9 +513,16 @@ object Analytics {
   def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = coOccurrenceEdges(spark, sfDir)
+    // checkpoint the WHOLE build chain: dir (the one execution of the
+    // self-join edge build), deg (tiny, joined every round), edges (the
+    // per-round join input). Without this, deg and the r0 init re-run
+    // the edge build once per iteration (pinned: zero file scans in the
+    // executed plan, PlanSpec).
     val dir = e.select($"u".as("src"), $"v".as("dst"))
       .unionAll(e.select($"v".as("src"), $"u".as("dst")))
+      .localCheckpoint()
     val deg = dir.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val edges = dir.join(deg, "src")
       .select($"src", $"dst", $"deg").localCheckpoint()
     var r = deg.select($"src".as("node"), lit(1000000L).as("r"))

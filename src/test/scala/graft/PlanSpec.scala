@@ -285,6 +285,29 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("graph_pagerank and text_line_dedup iterate off checkpoints, zero re-scans") {
+    // both ops localCheckpoint their shared subtree (edge build / chunk
+    // frame) exactly once — every downstream consumer must read the
+    // checkpointed blocks, never re-execute the file scan. A regression
+    // here multiplies the heaviest subtree by the consumer count (4× for
+    // pagerank's rounds, 3× for the chunk frame's branches).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    for (name <- Seq("graph_pagerank", "text_line_dedup")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val scans = flatten(df.queryExecution.executedPlan)
+        .collect { case f: FileSourceScanExec => f }
+      assert(scans.isEmpty,
+        s"$name re-executes its checkpointed subtree: $scans")
+    }
+  }
+
   test("sql_api_q21 decorrelates both subqueries into semi/anti joins") {
     // EXISTS + NOT EXISTS correlated on the outer order key must plan as
     // one LeftSemi and one LeftAnti hash join (RewritePredicateSubquery);
