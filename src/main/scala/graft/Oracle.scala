@@ -905,6 +905,30 @@ object Oracle {
          | CAST(CAST(matches AS DOUBLE) / 6.0 AS DECIMAL(18,6))::DOUBLE AS est_jaccard
          |FROM cand WHERE matches >= 2 ORDER BY id_a, id_b""".stripMargin,
 
+    "dedup_incremental_minhash" ->
+      s"""WITH d AS (SELECT doc_id, source = 'src19' AS is_new, $toksExpr AS ts
+         |  FROM documents),
+         |sh AS (SELECT doc_id, is_new, ts FROM d WHERE len(ts) >= 3),
+         |sigs AS (SELECT doc_id, is_new, list_transform(range(0, 6), s ->
+         |  list_min(list_transform(range(1, len(ts) - 1),
+         |    i -> md5(CAST(s AS VARCHAR) || '|' || ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])))) AS sig
+         |  FROM sh),
+         |bands AS (SELECT doc_id, is_new, i0, sig[i0 + 1] AS v
+         |  FROM sigs, range(0, 6) t(i0)),
+         |hits AS (SELECT n.doc_id AS doc_id, o.doc_id AS match_id,
+         |  COUNT(*) AS matches
+         |  FROM bands n JOIN bands o
+         |    ON n.i0 = o.i0 AND n.v = o.v AND n.is_new AND NOT o.is_new
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |best AS (SELECT doc_id, match_id, matches FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY matches DESC, match_id) AS rn FROM hits) WHERE rn = 1)
+         |SELECT nb.doc_id, best.match_id,
+         | CAST(COALESCE(best.matches, 0) AS BIGINT) AS matches,
+         | best.match_id IS NULL AS admitted
+         |FROM (SELECT doc_id FROM documents WHERE source = 'src19') nb
+         |LEFT JOIN best USING (doc_id) ORDER BY nb.doc_id""".stripMargin,
+
     "dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksExpr) AS tok FROM documents),
          |votes AS (SELECT doc_id, b,

@@ -155,6 +155,7 @@ object SparkEntry {
     "embed_kmeans"           -> Similarity.embedKmeans _,
     "dedup_embedding_cosine" -> Similarity.dedupEmbeddingCosine _,
     "dedup_minhash_lsh"      -> Similarity.dedupMinhashLsh _,
+    "dedup_incremental_minhash" -> Similarity.dedupIncrementalMinhash _,
     "dedup_simhash"          -> Similarity.dedupSimhash _,
     "dedup_simhash_pairs"    -> Similarity.dedupSimhashPairs _,
     "dedup_ngram_jaccard"    -> Similarity.dedupNgramJaccard _,

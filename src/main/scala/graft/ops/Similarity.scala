@@ -497,6 +497,56 @@ object Similarity {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Incremental-ingestion near-dup admission — the minhash variant of
+    * the reference's key-exists skip (BackgroundCsvProcessor.java:59-61):
+    * a NEW batch (source src19) is probed against the EXISTING corpus'
+    * minhash band index (all other sources), and a new doc is refused
+    * admission when any existing doc shares ≥2 of its 6 signature
+    * components (same banding threshold as [[dedupMinhashLsh]]). Emits
+    * every new doc with its best existing match (max matches, min id) and
+    * the admission verdict; batch-internal dups are the standard
+    * full-corpus pass's job, not the ingest probe's.
+    *
+    * Scale: this is the index-PROBE shape of continuous ingestion — in
+    * production the existing side is a persisted band index bucketed on
+    * (seed, value), so the probe is an equi-join of a small batch against
+    * co-located buckets: no corpus rescan, no pair blow-up (matches
+    * bounded by band collisions, filtered to ≥2 immediately). The band
+    * frame here is built once and localCheckpointed so the new/existing
+    * branches don't re-run the shingle+md5 subtree. */
+  def dedupIncrementalMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextSim.tokens($"text")
+    val bands = TextSim.rebalanceDocs(Tables.documents(spark, sfDir))
+      .select($"doc_id", ($"source" === "src19").as("is_new"), toks.as("ts"))
+      .filter(size($"ts") >= 3)
+      .select($"doc_id", $"is_new", explode(expr(
+        "transform(sequence(1, size(ts) - 2), " +
+          "i -> concat(element_at(ts, i), ' ', element_at(ts, i+1), ' ', element_at(ts, i+2)))")).as("shingle"))
+      .select($"doc_id", $"is_new", explode(sequence(lit(0), lit(5))).as("i"),
+        $"shingle")
+      .select($"doc_id", $"is_new", $"i",
+        md5(concat($"i".cast("string"), lit("|"), $"shingle")).as("h"))
+      .groupBy($"doc_id", $"is_new", $"i").agg(min($"h").as("v"))
+      .localCheckpoint()
+    val hits = bands.filter($"is_new").as("n")
+      .join(bands.filter(!$"is_new").as("o"),
+        $"n.i" === $"o.i" && $"n.v" === $"o.v")
+      .groupBy($"n.doc_id".as("doc_id"), $"o.doc_id".as("match_id"))
+      .agg(count(lit(1)).as("matches"))
+      .filter($"matches" >= 2)
+    val w = Window.partitionBy($"doc_id").orderBy($"matches".desc, $"match_id")
+    val best = hits.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"doc_id", $"match_id", $"matches")
+    Tables.documents(spark, sfDir).filter($"source" === "src19")
+      .select($"doc_id")
+      .join(best, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"match_id",
+        coalesce($"matches", lit(0L)).as("matches"),
+        $"match_id".isNull.as("admitted"))
+      .orderBy($"doc_id")
+  }
+
   /** 60-bit SimHash signature per document: per-token md5 nibbles vote on
     * each bit; bit set where the vote is positive. One explode + one
     * integer aggregation — linear, shuffle only on (doc_id, bit). */

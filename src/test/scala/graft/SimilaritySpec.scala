@@ -318,6 +318,34 @@ class SimilaritySpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("dedup_incremental_minhash: copy refused, fresh + short docs admitted") {
+    val rows = Seq(
+      (1L, "alpha beta gamma delta", "en", "src0", 22L),
+      (2L, "one two three four five", "en", "src0", 23L),
+      // exact copy of doc 1 → all 6 signature components match → refused
+      (10L, "alpha beta gamma delta", "en", "src19", 22L),
+      (11L, "zebra yak xylo walrus", "en", "src19", 21L),
+      // < 3 tokens → no shingles → no signature → admitted by default
+      (12L, "hi", "en", "src19", 2L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    try {
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val got = Similarity.dedupIncrementalMinhash(spark, dir).collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          r.getLong(2), r.getBoolean(3))).toSeq
+      assert(got == Seq(
+        (10L, Some(1L), 6L, false),
+        (11L, None, 0L, true),
+        (12L, None, 0L, true)))
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("embed_pq_quantize: constructed codebooks, per-subspace argmin by hand") {
     // labels 1 (+1^64) and 2 (−1^64); sampled vecs 0 and 4 train pure
     // codebooks (+1×16 / −1×16 per subspace). vec 5 flips ONLY its first
