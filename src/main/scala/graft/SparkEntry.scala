@@ -277,6 +277,7 @@ object SparkEntry {
         .orderBy(col("asset_id"))),
     "multimodal_frame_sample" -> ((s: SparkSession, d: String) =>
       Multimodal.frameSample(s, d)),
+    "multimodal_resize"      -> Multimodal.resizePool _,
     "gen_synthetic" -> ((s: SparkSession, _: String) =>
       Sinks.genSynthetic(s, 10000).orderBy(col("externalId"))),
     // -- sort / limit / set ops

@@ -150,6 +150,74 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resize stage + perceptual hash: decode the REAL PNG, 8×8 integer
+    * average-pool the luminance plane (the thumbnail a vision dataloader
+    * feeds its encoder), and derive the 64-bit average-hash (bit j·8+i =
+    * pooled cell > global pooled mean) — the standard image near-dup
+    * key. All arithmetic is integer (luminance = (r+g+b)/3, pooled =
+    * Σlum div count, mean = Σpooled div 64), so MultimodalSpec re-derives
+    * the exact checksum and hash from the pure pixel formula without
+    * touching the codec — decode + pool + threshold proven end-to-end.
+    *
+    * Scale: same contract as [[extractFeatures]] — blobs stay inside
+    * their partition (mapPartitions), only the 64-bit hash + checksum
+    * leave; at index scale the ahash feeds the simhash-style banded
+    * Hamming join ([[graft.ops.Similarity]]), never a pairwise scan. */
+  def resizePool(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = pngAssets(spark, sfDir)
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("out_w", IntegerType),
+      StructField("out_h", IntegerType),
+      StructField("pool_checksum", LongType),
+      StructField("ahash_hex", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        require(img != null, s"undecodable image payload for asset $id")
+        val w = img.getWidth
+        val h = img.getHeight
+        val pooled = new Array[Long](64)
+        var j = 0
+        while (j < 8) {
+          val y0 = j * h / 8; val y1 = (j + 1) * h / 8
+          var i = 0
+          while (i < 8) {
+            val x0 = i * w / 8; val x1 = (i + 1) * w / 8
+            var s = 0L; var cnt = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                s += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                cnt += 1
+                x += 1
+              }
+              y += 1
+            }
+            pooled(j * 8 + i) = s / cnt
+            i += 1
+          }
+          j += 1
+        }
+        val mean = pooled.sum / 64
+        var hash = 0L
+        var k = 0
+        while (k < 64) {
+          if (pooled(k) > mean) hash |= (1L << k)
+          k += 1
+        }
+        Row(id, 8, 8, pooled.sum, f"$hash%016x")
+      }
+    }(enc).orderBy(col("asset_id"))
+  }
+
   /** Frame sampling for "video" assets: every k-th frame index up to a
     * deterministic per-asset frame count — pure column ops, one explode. */
   /** Content-hash dedup of binary payloads — identical media stored under

@@ -42,6 +42,37 @@ class MultimodalSpec extends SparkSuite {
     assert(payload.take(8).sameElements(magic), "payload is not a PNG")
   }
 
+  test("resize pool + ahash match the pixel formula (codec-free re-derivation)") {
+    // same integer pooling arithmetic, but fed by Multimodal.pixel
+    // directly — equality proves decode → 8×8 average-pool → threshold
+    // executed for real on the decoded bytes
+    val id = 7L
+    val w = (id % 48 + 16).toInt
+    val h = (id % 32 + 16).toInt
+    val pooled = new Array[Long](64)
+    for (j <- 0 until 8; i <- 0 until 8) {
+      val (y0, y1) = (j * h / 8, (j + 1) * h / 8)
+      val (x0, x1) = (i * w / 8, (i + 1) * w / 8)
+      var s = 0L; var cnt = 0L
+      for (y <- y0 until y1; x <- x0 until x1) {
+        val (r, g, b) = Multimodal.pixel(id, x, y)
+        s += (r + g + b) / 3
+        cnt += 1
+      }
+      pooled(j * 8 + i) = s / cnt
+    }
+    val mean = pooled.sum / 64
+    var hash = 0L
+    for (k <- 0 until 64) if (pooled(k) > mean) hash |= (1L << k)
+    val row = Multimodal.resizePool(spark, sfDir)
+      .filter($"asset_id" === id).collect().head
+    assert(row.getInt(1) == 8 && row.getInt(2) == 8)
+    assert(row.getLong(3) == pooled.sum,
+      s"pool checksum diverges: got ${row.getLong(3)}, formula ${pooled.sum}")
+    assert(row.getString(4) == f"$hash%016x",
+      s"ahash diverges: got ${row.getString(4)}, formula ${f"$hash%016x"}")
+  }
+
   test("assets carry binary payloads with typed metadata") {
     val a = Multimodal.assets(spark, sfDir).cache()
     assert(a.schema("payload").dataType.typeName == "binary")
