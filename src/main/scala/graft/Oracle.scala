@@ -2064,6 +2064,26 @@ object Oracle {
         | bit_xor(m) AS mask_parity, CAST(COUNT(*) AS BIGINT) AS n
         |FROM m GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "win_gap_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM d),
+        |g AS (SELECT user_id, day,
+        |  date_diff('day', DATE '1970-01-01', day) - rn AS grp FROM r)
+        |SELECT user_id,
+        | strftime(MIN(day), '%Y-%m-%d') AS island_start,
+        | strftime(MAX(day), '%Y-%m-%d') AS island_end,
+        | CAST(COUNT(*) AS BIGINT) AS n_days
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, island_start""".stripMargin,
+
+    "fn_variant" ->
+      """SELECT event_id,
+        | CAST(props->>'$.k' AS INTEGER) AS k,
+        | props->>'$.missing' AS missing,
+        | CAST(props->>'$.k' AS INTEGER) * 2 AS k2
+        |FROM events WHERE event_id % 20 = 0 ORDER BY event_id""".stripMargin,
+
     "ts_cusum" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |  SUM(CAST(round(value * 1e6) AS BIGINT)) AS x

@@ -126,6 +126,7 @@ object SparkEntry {
     "fn_cast"        -> Functions.fnCast _,
     "fn_array"       -> Functions.fnArray _,
     "fn_map_json"    -> Functions.fnMapJson _,
+    "fn_variant"     -> Functions.fnVariant _,
     "fn_bitwise"     -> Functions.fnBitwise _,
     "fn_json_malformed" -> Functions.fnJsonMalformed _,
     "fn_hash"        -> Functions.fnHash _,
@@ -224,6 +225,7 @@ object SparkEntry {
     "profile_dup_classes" -> TextSim.profileDupClasses _,
     "sample_weighted"     -> Curation.sampleWeighted _,
     "win_sessionize"      -> Windows.winSessionize _,
+    "win_gap_islands"     -> Windows.winGapIslands _,
     "sql_api_q18"         -> Relational.sqlApiQ18 _,
     "sql_api_q10"         -> Relational.sqlApiQ10 _,
     "agg_count_min"       -> Relational.aggCountMin _,

@@ -209,6 +209,24 @@ object Functions {
       .orderBy($"event_id")
   }
 
+  /** Spark 4 VARIANT path (the open-format semi-structured type):
+    * `parse_json` → binary variant, `variant_get` typed path extraction
+    * with missing-path null semantics. Variant's shredded binary
+    * encoding is the scale story vs per-query string re-parsing —
+    * extraction reads the encoded value directly instead of re-running a
+    * JSON parser per access ([[fnMapJson]] is the string-path twin). */
+  def fnVariant(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .filter($"event_id" % 20 === 0)
+      .select($"event_id", parse_json($"props").as("v"))
+      .select($"event_id",
+        variant_get($"v", "$.k", "int").as("k"),
+        variant_get($"v", "$.missing", "string").as("missing"))
+      .withColumn("k2", $"k" * 2)
+      .orderBy($"event_id")
+  }
+
   /** Malformed-payload robustness — the ingest reality a 100 TB JSON feed
     * guarantees: a tenth of the payloads are truncated mid-document, the
     * parse classifies rows as valid/invalid instead of failing the job,

@@ -261,6 +261,27 @@ object Windows {
       .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"share")
   }
 
+  /** Gaps-and-islands over per-user ACTIVITY DAYS: contiguous daily-
+    * activity runs collapse to one row each (start, end, length) — the
+    * retention/streak primitive behind "active N days in a row" metrics.
+    * The island key is the classic `date − row_number()` integer: constant
+    * within a run, strictly dropping across a gap. One distinct-day
+    * aggregation, then window + groupBy sharing the user_id exchange. */
+  def winGapIslands(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"ts".cast("date").as("day")).distinct()
+      .withColumn("grp",
+        datediff($"day", lit("1970-01-01").cast("date")) - row_number().over(w))
+      .groupBy($"user_id", $"grp")
+      .agg(date_format(min($"day"), "yyyy-MM-dd").as("island_start"),
+        date_format(max($"day"), "yyyy-MM-dd").as("island_end"),
+        count(lit(1)).as("n_days"))
+      .select($"user_id", $"island_start", $"island_end", $"n_days")
+      .orderBy($"user_id", $"island_start")
+  }
+
   /** Batch sessionization by gaps-and-islands — the window-function twin
     * of `stream_session`'s `session_window` operator: a session break is
     * a ≥30-minute silence (epoch-µs integer compare), the session number
