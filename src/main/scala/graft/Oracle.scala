@@ -2103,6 +2103,29 @@ object Oracle {
         | CAST(CAST(CAST(s AS DOUBLE) / (n * 1000000.0) AS DECIMAL(18,6)) AS DOUBLE) AS dev
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
+    "ts_holt" ->
+      // state rides as a [v, l, t] LIST, not a struct: DuckDB's
+      // list_reduce aliases the accumulator struct in place, so a later
+      // struct_pack field reading acc.<earlier field> sees the NEW value
+      // (probed: t computed from the just-written l). List elements are
+      // assembled atomically and don't alias.
+      """WITH ev AS (SELECT user_id,
+        |  CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS v,
+        |  epoch_us(ts) AS us, event_id FROM events),
+        |g AS (SELECT user_id, COUNT(*) AS n,
+        |  list([v, NULL::DOUBLE, NULL::DOUBLE] ORDER BY us, event_id) AS es
+        |  FROM ev GROUP BY user_id),
+        |r AS (SELECT user_id, n, list_reduce(es, (acc, x) -> [x[1],
+        |  0.2 * x[1] + 0.8 * (COALESCE(acc[2], acc[1]) + COALESCE(acc[3], 0.0)),
+        |  0.1 * ((0.2 * x[1] + 0.8 * (COALESCE(acc[2], acc[1]) + COALESCE(acc[3], 0.0)))
+        |    - COALESCE(acc[2], acc[1])) + 0.9 * COALESCE(acc[3], 0.0)]) AS res
+        |  FROM g)
+        |SELECT user_id, n,
+        | CAST(round(COALESCE(res[2], res[1]) * 1000000) AS BIGINT) AS level_u6,
+        | CAST(round(COALESCE(res[3], 0.0) * 1000000) AS BIGINT) AS trend_u6,
+        | CAST(round((COALESCE(res[2], res[1]) + COALESCE(res[3], 0.0)) * 1000000) AS BIGINT) AS forecast_u6
+        |FROM r ORDER BY user_id""".stripMargin,
+
     "ts_ewma" ->
       """WITH ev AS (SELECT user_id,
         |  CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS v,

@@ -213,6 +213,44 @@ object Analytics {
       .orderBy($"user_id")
   }
 
+  /** Holt's linear (double-exponential) smoothing per user — level +
+    * trend state (α=0.2, β=0.1), the forecasting step above [[tsEwma]]'s
+    * single-state recurrence. Same determinism contract: both engines
+    * evaluate the IDENTICAL left-to-right fold (ordered struct list +
+    * HOF ≡ ordered list + list_reduce) — the init is the raw first
+    * element (Spark's null zero passes it through, DuckDB's reduce
+    * starts with it), and every later step runs the same double ops with
+    * L = coalesce(l, v₁), T = coalesce(t, 0). Micro-unit outputs.
+    *
+    * Scale: one per-user aggregation; the fold is linear in the user's
+    * history and runs where the collect_list lands — the sequential
+    * recurrence is inherently per-key, so per-key is where it executes. */
+  def tsHolt(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val step =
+      "named_struct('v', x.v, " +
+        "'l', 0.2d * x.v + 0.8d * (coalesce(acc.l, acc.v) + coalesce(acc.t, 0d)), " +
+        "'t', 0.1d * ((0.2d * x.v + 0.8d * (coalesce(acc.l, acc.v) + coalesce(acc.t, 0d))) " +
+        "- coalesce(acc.l, acc.v)) + 0.9d * coalesce(acc.t, 0d))"
+    Tables.events(spark, sfDir)
+      .select($"user_id",
+        struct(unix_micros($"ts").as("us"), $"event_id",
+          $"value".cast("decimal(18,6)").cast("double").as("v")).as("e"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sort_array(collect_list($"e")).as("es"))
+      .withColumn("res", expr(
+        "aggregate(" +
+          "transform(es, e -> named_struct('v', e.v, 'l', CAST(NULL AS DOUBLE), 't', CAST(NULL AS DOUBLE)))," +
+          "CAST(NULL AS struct<v:double,l:double,t:double>)," +
+          s"(acc, x) -> CASE WHEN acc IS NULL THEN x ELSE $step END)"))
+      .select($"user_id", $"n",
+        round(coalesce($"res.l", $"res.v") * 1e6).cast("long").as("level_u6"),
+        round(coalesce($"res.t", lit(0.0)) * 1e6).cast("long").as("trend_u6"),
+        round((coalesce($"res.l", $"res.v") + coalesce($"res.t", lit(0.0))) * 1e6)
+          .cast("long").as("forecast_u6"))
+      .orderBy($"user_id")
+  }
+
   /** Regular-grid resample with forward-fill per user: the time-series
     * gap-filling operator (metrics dashboards, feature windows) — each
     * user's event history becomes one row per 6-hour bucket between their
