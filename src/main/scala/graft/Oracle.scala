@@ -1373,6 +1373,28 @@ object Oracle {
         |  ORDER BY s.s_acctbal DESC, s.s_suppkey LIMIT 1) t
         |ORDER BY r.r_name""".stripMargin,
 
+    "sql_api_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        | CAST(CAST(SUM(volume) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+        |  FROM supplier s
+        |  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
     "sql_api_q5" ->
       """SELECT n.n_name,
         | CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))

@@ -192,6 +192,7 @@ object SparkEntry {
     "fn_regex"             -> Functions.fnRegex _,
     "impute_missing"       -> Curation.imputeMissing _,
     "sql_api_q5"           -> Relational.sqlApiQ5 _,
+    "sql_api_q7"           -> Relational.sqlApiQ7 _,
     "sql_api_q21"          -> Relational.sqlApiQ21 _,
     "sql_api_q2"           -> Relational.sqlApiQ2 _,
     "join_existence_flag"  -> Relational.joinExistenceFlag _,

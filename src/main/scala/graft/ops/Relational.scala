@@ -790,6 +790,44 @@ object Relational {
         |LIMIT 20""".stripMargin)
   }
 
+  /** TPC-H Q7 shape (two-nation volume shipping) through the `spark.sql`
+    * entry point: revenue flowing between NATION_1 and NATION_2 in both
+    * directions, by supplier nation × customer nation × ship year. The
+    * nation dimension joins TWICE (supplier side and customer side) with
+    * a disjunctive pair predicate that only closes after both joins —
+    * the join-reorder + dual-broadcast surface none of the other sql_api
+    * shapes exercise. Revenue is exact DECIMAL; the year is integer date
+    * math. Both nation sides broadcast (tiny dims); the fact-table join
+    * order is Catalyst's choice. */
+  def sqlApiQ7(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("graft_supplier")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("graft_nation")
+    spark.sql(
+      """SELECT supp_nation, cust_nation, l_year,
+        | CAST(SUM(volume) AS DECIMAL(18,4)) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l.l_shipdate) AS INT) AS l_year,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+        |  FROM graft_supplier s
+        |  JOIN graft_lineitem l ON s.s_suppkey = l.l_suppkey
+        |  JOIN graft_orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN graft_customer c ON c.c_custkey = o.o_custkey
+        |  JOIN graft_nation n1 ON s.s_nationkey = n1.n_nationkey
+        |  JOIN graft_nation n2 ON c.c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+  }
+
   /** TPC-H Q18 shape (large-volume customers) through the `spark.sql`
     * entry point: orders whose summed lineitem quantity exceeds 250,
     * joined back to the customer — the HAVING-on-a-join-aggregate pattern.
