@@ -2086,6 +2086,33 @@ object Oracle {
         | bit_xor(m) AS mask_parity, CAST(COUNT(*) AS BIGINT) AS n
         |FROM m GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "dedup_keep_best" ->
+      s"""WITH d AS (SELECT doc_id, lower(trim(text)) AS norm, $toksExpr AS ts
+         |  FROM documents),
+         |s AS (SELECT doc_id, norm, CAST(len(ts) AS INTEGER) AS n_tok,
+         |  CAST(len(list_distinct(ts)) AS INTEGER) AS n_distinct,
+         |  list_reduce(list_prepend(0, list_transform(ts, t -> CAST(length(t) AS INTEGER))),
+         |              (a, b) -> a + b) AS tok_chars FROM d),
+         |q AS (SELECT doc_id, norm,
+         |  COALESCE(CAST(round(((CAST(n_distinct AS DOUBLE) / n_tok) * 0.5 +
+         |    least(1.0, CAST(n_tok AS DOUBLE) / 100.0) * 0.3 +
+         |    least(1.0, (CAST(tok_chars AS DOUBLE) / n_tok) / 8.0) * 0.2)
+         |    * 1000000) AS BIGINT), -1) AS quality_u6 FROM s),
+         |r AS (SELECT doc_id, quality_u6,
+         |  COUNT(*) OVER (PARTITION BY norm) AS class_size,
+         |  row_number() OVER (PARTITION BY norm
+         |    ORDER BY quality_u6 DESC, doc_id) AS rn FROM q)
+         |SELECT doc_id, CAST(class_size AS BIGINT) AS class_size, quality_u6
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "win_sliding_distinct" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |wd AS (SELECT DISTINCT user_id, day + CAST(o AS INTEGER) AS win_day
+        |  FROM act, range(0, 7) t(o))
+        |SELECT strftime(win_day, '%Y-%m-%d') AS day,
+        | CAST(COUNT(*) AS BIGINT) AS n_active_7d
+        |FROM wd GROUP BY win_day ORDER BY day""".stripMargin,
+
     "win_gap_islands" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |r AS (SELECT user_id, day,

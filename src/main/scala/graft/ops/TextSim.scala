@@ -124,6 +124,36 @@ object TextSim {
       .orderBy($"doc_id")
   }
 
+  /** Exact-dup dedup with a QUALITY keep policy — production pipelines
+    * keep the best copy, not the first: within each normalized-text
+    * class, the survivor is the doc with the highest quality score
+    * ([[textQualityScore]]'s exact micro-unit formula), doc_id breaking
+    * ties. Same single-shuffle shape as [[dedupExactDocs]] (one hash
+    * partition on the normalized text, class size + argmax off one
+    * exchange); the score is per-row math computed before the shuffle. */
+  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val scored = Tables.documents(spark, sfDir)
+      .select($"doc_id", lower(trim($"text")).as("norm"),
+        size(toks).as("n_tok"), size(array_distinct(toks)).as("n_distinct"),
+        aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+          .as("tok_chars"))
+      .select($"doc_id", $"norm",
+        coalesce(round((($"n_distinct".cast("double") / $"n_tok") * 0.5 +
+          least(lit(1.0), $"n_tok".cast("double") / 100.0) * 0.3 +
+          least(lit(1.0), ($"tok_chars".cast("double") / $"n_tok") / 8.0) * 0.2)
+          * 1e6).cast("long"), lit(-1L)).as("quality_u6"))
+    val byNorm = Window.partitionBy($"norm")
+    val rank = Window.partitionBy($"norm").orderBy($"quality_u6".desc, $"doc_id")
+    scored
+      .withColumn("class_size", count(lit(1)).over(byNorm))
+      .withColumn("rn", row_number().over(rank))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"class_size", $"quality_u6")
+      .orderBy($"doc_id")
+  }
+
   /** Global word frequencies, top 30 (count desc, word asc). */
   def textWordcount(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -261,6 +261,26 @@ object Windows {
       .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"share")
   }
 
+  /** Trailing-7-day distinct active users per day (rolling DAU/WAU) —
+    * computed by the linear explode-to-window-ends trick instead of a
+    * sliding distinct window: each (user, activity day) contributes to
+    * the 7 window END days it falls into, a second distinct collapses
+    * multi-active users per window, one count per end day. Bounded ×7
+    * blow-up of the tiny (user, day) frame, every stage map-side
+    * combinable — vs a per-day DISTINCT-over-RANGE window, which
+    * re-walks 7 days of state per row and shuffles the raw activity. */
+  def winSlidingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"ts".cast("date").as("day")).distinct()
+      .select($"user_id", explode(expr("sequence(day, date_add(day, 6))")).as("win_day"))
+      .distinct()
+      .groupBy($"win_day")
+      .agg(count(lit(1)).as("n_active_7d"))
+      .select(date_format($"win_day", "yyyy-MM-dd").as("day"), $"n_active_7d")
+      .orderBy($"day")
+  }
+
   /** Gaps-and-islands over per-user ACTIVITY DAYS: contiguous daily-
     * activity runs collapse to one row each (start, end, length) — the
     * retention/streak primitive behind "active N days in a row" metrics.
