@@ -1519,6 +1519,15 @@ object Oracle {
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
 
+    "scan_schema_merge" ->
+      """SELECT o_orderkey, CAST(1 AS INTEGER) AS gen, o_orderstatus,
+        |  NULL::DOUBLE AS price
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, CAST(2 AS INTEGER), o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+
     "scan_partition_prune" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang IN ('en', 'zh') ORDER BY doc_id""".stripMargin,

@@ -212,6 +212,7 @@ object SparkEntry {
     "scan_json_roundtrip" -> Sources.scanJsonRoundtrip _,
     "scan_orc_roundtrip"  -> Sources.scanOrcRoundtrip _,
     "scan_xml_roundtrip"  -> Sources.scanXmlRoundtrip _,
+    "scan_schema_merge"   -> Sources.scanSchemaMerge _,
     "scan_partition_prune" -> Sources.scanPartitionPrune _,
     "scan_binaryfile"     -> Sources.scanBinaryfile _,
     "scan_csv_multiline"  -> Sources.scanCsvMultiline _,

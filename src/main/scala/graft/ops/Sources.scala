@@ -115,6 +115,30 @@ object Sources {
       .orderBy($"doc_id")
   }
 
+  /** Schema-evolution read: two dataset GENERATIONS written with
+    * different schemas (gen 2 adds a price column), then one
+    * `mergeSchema` scan spans both — old rows null-extend on the new
+    * column, the partition directory becomes the generation column. The
+    * declared-query form of SchemaEvolutionSpec (and of the reference's
+    * Flyway-V3-adds-columns reality, SURVEY §1.2). Scale note:
+    * mergeSchema reconciles FOOTERS, not data — the scan itself stays
+    * columnar and pruned; on a petabyte lake the same read spans years
+    * of schema drift without a rewrite. */
+  def scanSchemaMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir, "orders_evo")
+    val o = Tables.orders(spark, sfDir)
+    o.filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/gen=1")
+    o.filter($"o_orderkey" % 2 === 1)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice".as("price"))
+      .write.mode("overwrite").parquet(s"$dir/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(dir)
+      .select($"o_orderkey", $"gen".cast("int").as("gen"), $"o_orderstatus", $"price")
+      .orderBy($"o_orderkey")
+  }
+
   /** XML round-trip through Spark 4's BUILT-IN xml source (the spark-xml
     * package merged into sql/core): supplier slice → `<supplier>` row
     * elements → read back with an explicit schema and the same rowTag.
