@@ -551,18 +551,20 @@ object Analytics {
   def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = coOccurrenceEdges(spark, sfDir)
-    // checkpoint the WHOLE build chain: dir (the one execution of the
-    // self-join edge build), deg (tiny, joined every round), edges (the
-    // per-round join input). Without this, deg and the r0 init re-run
-    // the edge build once per iteration (pinned: zero file scans in the
-    // executed plan, PlanSpec).
+    // ONE materialization of the edge build: the degree rides along as a
+    // count-over-window on the same src partitioning the build already
+    // shuffles on, so (src, dst, deg) checkpoints in a single pass.
+    // Without checkpointing, deg and the r0 init re-run the edge build
+    // once per iteration (pinned: zero file scans in the executed plan,
+    // PlanSpec). deg is re-derived from the checkpoint (tiny) and
+    // checkpointed too — it joins every round.
     val dir = e.select($"u".as("src"), $"v".as("dst"))
       .unionAll(e.select($"v".as("src"), $"u".as("dst")))
+    val edges = dir
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy($"src")))
       .localCheckpoint()
-    val deg = dir.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val deg = edges.groupBy($"src").agg(max($"deg").as("deg"))
       .localCheckpoint()
-    val edges = dir.join(deg, "src")
-      .select($"src", $"dst", $"deg").localCheckpoint()
     var r = deg.select($"src".as("node"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
       val contrib = edges.join(r, edges("src") === r("node"))
