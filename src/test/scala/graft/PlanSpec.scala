@@ -285,6 +285,18 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("dedup_keep_best runs class-size and argmax windows off ONE exchange") {
+    // both windows partition on the normalized text, so the plan must
+    // shuffle the scored frame exactly once (trailing rangepartitioning
+    // is the output ORDER BY)
+    val df = SparkEntry.queries("dedup_keep_best")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, found $exchanges:\n$p")
+  }
+
   test("graph_pagerank and text_line_dedup iterate off checkpoints, zero re-scans") {
     // both ops localCheckpoint their shared subtree (edge build / chunk
     // frame) exactly once — every downstream consumer must read the
