@@ -225,6 +225,85 @@ class PropertySpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     assert(res.passed, res.status.toString)
   }
 
+  test("win_gap_islands partitions days into contiguous, gap-separated runs") {
+    val gen = for {
+      nUsers <- Gen.chooseNum(1, 4)
+      rows <- Gen.listOfN(24, for {
+        u <- Gen.chooseNum(1L, nUsers.toLong)
+        day <- Gen.chooseNum(0, 20)
+        jitter <- Gen.chooseNum(0L, 86399999999L)
+      } yield (u, day, jitter))
+    } yield rows
+    val us0 = 1700006400000000L // 2023-11-15 00:00 UTC, day-aligned
+    val prop = Prop.forAll(gen) { rows =>
+      rows.isEmpty || {
+        val ev = rows.zipWithIndex.map { case ((u, day, jit), i) =>
+          (i.toLong, us0 + day * 86400000000L + jit, u, "a", 0.0)
+        }
+        val byUser = graft.ops.Windows.winGapIslands(spark, eventsDir(ev))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .groupBy(_._1)
+        val expected = rows.groupBy(_._1).view
+          .mapValues(_.map(_._2).distinct.sorted).toMap
+        expected.forall { case (u, days) =>
+          val islands = byUser(u).sortBy(_._2)
+          def d(s: String) = java.time.LocalDate.parse(s).toEpochDay
+          // islands partition the day set
+          islands.map(_._4).sum == days.length &&
+          // each island is contiguous: end - start + 1 == n_days
+          islands.forall(i => d(i._3) - d(i._2) + 1 == i._4) &&
+          // consecutive islands are separated by a genuine gap
+          islands.sliding(2).forall {
+            case Array(a, b) => d(b._2) > d(a._3) + 1
+            case _           => true
+          }
+        }
+      }
+    }
+    val res = SCTest.check(cases, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("ts_holt equals the pure-Scala fold on random series (bit-exact)") {
+    val gen = for {
+      nUsers <- Gen.chooseNum(1, 3)
+      rows <- Gen.listOfN(20, for {
+        u <- Gen.chooseNum(1L, nUsers.toLong)
+        us <- Gen.chooseNum(0L, 10000000L)
+        v <- Gen.chooseNum(0, 50000)
+      } yield (u, us, v / 100.0))
+    } yield rows
+    val us0 = 1700000000000000L
+    val prop = Prop.forAll(gen) { rows =>
+      rows.isEmpty || {
+        val ev = rows.zipWithIndex.map { case ((u, us, v), i) =>
+          (i.toLong, us0 + us, u, "a", v)
+        }
+        val got = graft.ops.Analytics.tsHolt(spark, eventsDir(ev)).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSeq
+        val expected = ev.groupBy(_._3).toSeq.sortBy(_._1).map { case (u, es) =>
+          // same ordering contract as the operator: (us, event_id)
+          val vs = es.sortBy(e => (e._2, e._1))
+            .map(e => BigDecimal(e._5).setScale(6).toDouble)
+          var l = vs.head; var t = 0.0
+          for (x <- vs.tail) {
+            val nl = 0.2 * x + 0.8 * (l + t)
+            t = 0.1 * (nl - l) + 0.9 * t
+            l = nl
+          }
+          def u6(x: Double) =
+            BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          (u, vs.length.toLong, u6(l), u6(t))
+        }
+        got == expected
+      }
+    }
+    val res = SCTest.check(cases, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("merge_scd2_apply invariants hold on random event streams") {
     val cut = 1705795200000000L
     val types = Gen.oneOf("a", "b", "c")
