@@ -2161,6 +2161,36 @@ object Oracle {
         | CAST(CAST(CAST(s AS DOUBLE) / (n * 1000000.0) AS DECIMAL(18,6)) AS DOUBLE) AS dev
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
+    "ts_autocorr" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |  CAST(round(value * 1e6) AS BIGINT) AS u FROM events),
+        |wd AS (SELECT user_id, u,
+        |  lag(u) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn_a,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn_d
+        |  FROM ev),
+        |g AS (SELECT user_id, COUNT(*) AS n,
+        |  SUM(CAST(u AS DECIMAL(19,0))) AS s,
+        |  SUM(CAST(u AS DECIMAL(19,0)) * CAST(u AS DECIMAL(19,0))) AS ss,
+        |  SUM(CAST(u AS DECIMAL(19,0)) * CAST(prev AS DECIMAL(19,0))) AS c,
+        |  MAX(CASE WHEN rn_a = 1 THEN u END) AS u1,
+        |  MAX(CASE WHEN rn_d = 1 THEN u END) AS un
+        |  FROM wd GROUP BY user_id),
+        |d AS (SELECT user_id, n,
+        |  CAST(s AS DOUBLE) AS sd, CAST(ss AS DOUBLE) AS ssd,
+        |  CAST(c AS DOUBLE) AS cd,
+        |  CAST(u1 AS DOUBLE) AS u1d, CAST(un AS DOUBLE) AS und,
+        |  (CAST(ss AS DECIMAL(28,0)) * CAST(n AS DECIMAL(10,0)) =
+        |   CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS zerovar
+        |  FROM g)
+        |SELECT user_id, CAST(n AS BIGINT) AS n,
+        | CAST(round(sd / n) AS BIGINT) AS mean_u6,
+        | CASE WHEN n < 2 OR zerovar THEN NULL ELSE
+        |   CAST(CAST((cd - (sd / n) * (sd - und) - (sd / n) * (sd - u1d)
+        |     + (n - 1) * (sd / n) * (sd / n))
+        |   / (ssd - n * (sd / n) * (sd / n)) AS DECIMAL(18,6)) AS DOUBLE) END AS r1
+        |FROM d ORDER BY user_id""".stripMargin,
+
     "ts_holt" ->
       // state rides as a [v, l, t] LIST, not a struct: DuckDB's
       // list_reduce aliases the accumulator struct in place, so a later

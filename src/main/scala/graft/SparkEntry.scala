@@ -188,6 +188,7 @@ object SparkEntry {
     "ts_seasonal_baseline" -> Analytics.tsSeasonalBaseline _,
     "ts_cusum"          -> Analytics.tsCusum _,
     "ts_holt"           -> Analytics.tsHolt _,
+    "ts_autocorr"       -> Analytics.tsAutocorr _,
     "ts_calendar_spine"    -> Analytics.tsCalendarSpine _,
     "fn_regex"             -> Functions.fnRegex _,
     "impute_missing"       -> Curation.imputeMissing _,

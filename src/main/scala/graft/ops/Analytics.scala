@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -210,6 +210,54 @@ object Analytics {
           "aggregate(es, CAST(NULL AS DOUBLE), (acc, x) -> " +
             "CASE WHEN acc IS NULL THEN x.v ELSE 0.1d * x.v + 0.9d * acc END)")
           * 1e6).cast("long").as("ewma_u6"))
+      .orderBy($"user_id")
+  }
+
+  /** Lag-1 autocorrelation per user — the serial-dependence diagnostic
+    * (is this metric a random walk or mean-reverting?). Same exactness
+    * contract as [[aggMomentsExact]]: micro-unit integers, all sums
+    * (Σu, Σu², Σu·u_prev) EXACT in DECIMAL — order-independent — then
+    * the estimator is one fixed IEEE expression over those exact sums:
+    *   r₁ = Σ₂ⁿ(uₜ−μ)(uₜ₋₁−μ) / Σ(uₜ−μ)²
+    * expanded to avoid a second pass (end terms u₁/uₙ picked by
+    * bidirectional row_number). Zero variance detected EXACTLY
+    * (n·Σu² = (Σu)² in decimal) → NULL, not a float-noise division.
+    *
+    * Scale: one user-partitioned window pass (lag + both row_numbers
+    * share the exchange; the reversed sort is per-partition), then a
+    * map-side-combinable aggregation. */
+  def tsAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wA = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val wD = Window.partitionBy($"user_id").orderBy($"us".desc, $"event_id".desc)
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val g = Tables.events(spark, sfDir)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        round($"value" * 1e6).cast("long").as("u"))
+      .withColumn("prev", lag($"u", 1).over(wA))
+      .withColumn("rn_a", row_number().over(wA))
+      .withColumn("rn_d", row_number().over(wD))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(d19($"u")).as("s"),
+        sum(d19($"u") * d19($"u")).as("ss"),
+        sum(d19($"u") * d19($"prev")).as("c"),
+        max(when($"rn_a" === 1, $"u")).as("u1"),
+        max(when($"rn_d" === 1, $"u")).as("un"))
+    val sd = $"s".cast("double"); val ssd = $"ss".cast("double")
+    val cd = $"c".cast("double")
+    val u1d = $"u1".cast("double"); val und = $"un".cast("double")
+    val mean = sd / $"n"
+    val zerovar = $"ss".cast("decimal(28,0)") * $"n".cast("decimal(10,0)") ===
+      $"s".cast("decimal(19,0)") * $"s".cast("decimal(19,0)")
+    g.select($"user_id", $"n",
+      round(mean).cast("long").as("mean_u6"),
+      when($"n" < 2 || zerovar, lit(null).cast("double"))
+        .otherwise(
+          ((cd - mean * (sd - und) - mean * (sd - u1d)
+            + ($"n" - 1) * mean * mean)
+            / (ssd - $"n" * mean * mean))
+            .cast("decimal(18,6)").cast("double")).as("r1"))
       .orderBy($"user_id")
   }
 
