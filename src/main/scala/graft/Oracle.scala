@@ -715,6 +715,28 @@ object Oracle {
   /** 16-dim variant for the PQ subspaces. */
   private def dot16Sql(a: String, b: String) =
     fold(s"list_transform(range(1, 17), i_ -> $a[i_] * $b[i_])")
+
+  /** DuckDB twin of Similarity.embedPqQuantize's assignment (everything
+    * after WITH, ending in `a` with rank column rn) — shared by
+    * embed_pq_quantize and dedup_pq_codes. */
+  private def pqCtes: String =
+    s"""ex AS (SELECT vec_id, label,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |subs AS (SELECT vec_id, label, CAST(m AS INTEGER) AS m,
+       |  v[CAST(m * 16 + 1 AS INTEGER):CAST(m * 16 + 16 AS INTEGER)] AS vs
+       |  FROM ex, range(0, 4) t(m)),
+       |cent AS (SELECT m, cid, list(cx ORDER BY pos) AS centroid FROM (
+       |  SELECT m, label AS cid, pos,
+       |    CAST(SUM(CAST(round(vs[pos] * 1e6) AS BIGINT)) AS DOUBLE)
+       |      / (COUNT(*) * 1000000.0) AS cx
+       |  FROM subs, range(1, 17) t2(pos) WHERE vec_id % 4 = 0 GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2),
+       |scored AS (SELECT s.vec_id, s.m, c.cid,
+       |  (${dot16Sql("centroid", "centroid")} - 2.0 * ${dot16Sql("centroid", "vs")}) AS score,
+       |  ${dot16Sql("vs", "vs")} AS vv
+       |  FROM subs s JOIN cent c ON s.m = c.m),
+       |a AS (SELECT vec_id, m, cid, score, vv, row_number() OVER (
+       |  PARTITION BY vec_id, m ORDER BY score, cid) AS rn FROM scored)""".stripMargin
   private def cosSql(a: String, b: String) =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
@@ -1145,26 +1167,20 @@ object Oracle {
          |ORDER BY a.cell""".stripMargin,
 
     "embed_pq_quantize" ->
-      s"""WITH ex AS (SELECT vec_id, label,
-         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |subs AS (SELECT vec_id, label, CAST(m AS INTEGER) AS m,
-         |  v[CAST(m * 16 + 1 AS INTEGER):CAST(m * 16 + 16 AS INTEGER)] AS vs
-         |  FROM ex, range(0, 4) t(m)),
-         |cent AS (SELECT m, cid, list(cx ORDER BY pos) AS centroid FROM (
-         |  SELECT m, label AS cid, pos,
-         |    CAST(SUM(CAST(round(vs[pos] * 1e6) AS BIGINT)) AS DOUBLE)
-         |      / (COUNT(*) * 1000000.0) AS cx
-         |  FROM subs, range(1, 17) t2(pos) WHERE vec_id % 4 = 0 GROUP BY 1, 2, 3)
-         |  GROUP BY 1, 2),
-         |scored AS (SELECT s.vec_id, s.m, c.cid,
-         |  (${dot16Sql("centroid", "centroid")} - 2.0 * ${dot16Sql("centroid", "vs")}) AS score,
-         |  ${dot16Sql("vs", "vs")} AS vv
-         |  FROM subs s JOIN cent c ON s.m = c.m),
-         |a AS (SELECT vec_id, m, cid, score, vv, row_number() OVER (
-         |  PARTITION BY vec_id, m ORDER BY score, cid) AS rn FROM scored)
+      s"""WITH $pqCtes
          |SELECT vec_id, m AS subspace, cid AS code,
          | CAST(CAST(score + vv AS DECIMAL(18,6)) AS DOUBLE) AS err
          |FROM a WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
+
+    "dedup_pq_codes" ->
+      s"""WITH $pqCtes,
+         |codes AS (SELECT vec_id,
+         |  string_agg(CAST(cid AS VARCHAR), '-' ORDER BY m) AS pq_code
+         |  FROM a WHERE rn = 1 GROUP BY vec_id)
+         |SELECT pq_code, CAST(COUNT(*) AS BIGINT) AS n_members,
+         | MIN(vec_id) AS kept_id
+         |FROM codes GROUP BY pq_code HAVING COUNT(*) > 1
+         |ORDER BY kept_id""".stripMargin,
 
     "dedup_semantic" ->
       s"""WITH $ivfCtes,

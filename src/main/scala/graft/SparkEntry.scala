@@ -167,6 +167,7 @@ object SparkEntry {
     "embed_normalize"        -> Similarity.embedNormalize _,
     "embed_quantize"         -> Similarity.embedQuantize _,
     "embed_pq_quantize"      -> Similarity.embedPqQuantize _,
+    "dedup_pq_codes"         -> Similarity.dedupPqCodes _,
     "embed_centroid_distance" -> Similarity.embedCentroidDistance _,
     // -- data-quality gates / incremental maintenance
     "quality_expectations" -> Quality.qualityExpectations _,

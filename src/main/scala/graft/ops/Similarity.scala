@@ -181,6 +181,27 @@ object Similarity {
       .orderBy($"vec_id", $"subspace")
   }
 
+  /** Coarse near-dup classes by PQ CODE EQUALITY — the cheap first tier
+    * of embedding dedup at index scale: vectors whose 4 product-
+    * quantization codes all agree land in one bucket (a 16×-compressed
+    * proxy for "same region of embedding space"), and only buckets with
+    * ≥2 members surface. Composes [[embedPqQuantize]] unchanged; the
+    * class key is 4 small ints, so the dedup shuffle moves ~8 bytes per
+    * vector regardless of dimensionality — SemDeDup's cell-bounding
+    * idea pushed all the way down to a hashable key. */
+  def dedupPqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    embedPqQuantize(spark, sfDir)
+      .groupBy($"vec_id")
+      .agg(concat_ws("-", expr(
+        "transform(array_sort(collect_list(struct(subspace, code))), s -> CAST(s.code AS STRING))"))
+        .as("pq_code"))
+      .groupBy($"pq_code")
+      .agg(count(lit(1)).as("n_members"), min($"vec_id").as("kept_id"))
+      .filter($"n_members" > 1)
+      .orderBy($"kept_id")
+  }
+
   /** Int8 max-abs quantization — the storage/compute compression step of a
     * production vector store (4 B float32 → 1 B int8 per dim). Per-vector
     * scale = 127 / max|x|; elements round half-away-from-zero in BOTH
