@@ -2138,6 +2138,25 @@ object Oracle {
         | CAST(COUNT(*) AS BIGINT) AS n_active_7d
         |FROM wd GROUP BY win_day ORDER BY day""".stripMargin,
 
+    "diff_snapshots" ->
+      """WITH o AS (SELECT o_orderkey,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |a AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0),
+        |b AS (SELECT o_orderkey,
+        |  CAST(CASE WHEN o_orderkey % 3 = 0
+        |    THEN price + CAST(1 AS DECIMAL(18,2)) ELSE price END
+        |    AS DECIMAL(18,2)) AS price
+        |  FROM o WHERE o_orderkey % 5 <> 0),
+        |j AS (SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+        |  CASE WHEN a.price IS NULL THEN 'added'
+        |       WHEN b.price IS NULL THEN 'removed'
+        |       WHEN a.price <> b.price THEN 'changed'
+        |       ELSE 'same' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | MIN(k) AS min_key, MAX(k) AS max_key
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
+
     "win_gap_islands" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |r AS (SELECT user_id, day,

@@ -233,6 +233,7 @@ object SparkEntry {
     "win_gap_islands"     -> Windows.winGapIslands _,
     "win_sliding_distinct" -> Windows.winSlidingDistinct _,
     "dedup_keep_best"     -> TextSim.dedupKeepBest _,
+    "diff_snapshots"      -> Curation.diffSnapshots _,
     "sql_api_q18"         -> Relational.sqlApiQ18 _,
     "sql_api_q10"         -> Relational.sqlApiQ10 _,
     "agg_count_min"       -> Relational.aggCountMin _,

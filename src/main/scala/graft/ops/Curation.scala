@@ -191,6 +191,35 @@ object Curation {
     * union + one row_number window on the merge key — the shuffle-once merge
     * pattern that scales linearly (vs per-key point lookups, which the
     * reference itself measured as "incredibly slow", ItemRepository.java:11-12). */
+  /** Snapshot reconciliation — the table-diff audit behind every CDC /
+    * backfill validation: two snapshots of the orders table (B drops the
+    * %5 keys, re-prices the %3 keys by an EXACT +1.00 decimal bump, A
+    * drops the %7 keys), full-outer-joined on the key and classified
+    * added / removed / changed / same, reported as per-class counts and
+    * key ranges. One shuffle on the key; the classification is per-row
+    * column math; the summary is a 4-row aggregate — at 100 TB the diff
+    * never materializes row-level output unless asked. */
+  def diffSnapshots(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_totalprice".cast("decimal(18,2)").as("price"))
+    val a = o.filter($"o_orderkey" % 7 =!= 0)
+    val b = o.filter($"o_orderkey" % 5 =!= 0)
+      .select($"o_orderkey",
+        when($"o_orderkey" % 3 === 0, $"price" + lit(1).cast("decimal(18,2)"))
+          .otherwise($"price").cast("decimal(18,2)").as("price"))
+    a.as("a").join(b.as("b"), Seq("o_orderkey"), "full_outer")
+      .select($"o_orderkey",
+        when($"a.price".isNull, "added")
+          .when($"b.price".isNull, "removed")
+          .when($"a.price" =!= $"b.price", "changed")
+          .otherwise("same").as("status"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+      .orderBy($"status")
+  }
+
   def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val orders = Tables.orders(spark, sfDir)
