@@ -2138,6 +2138,26 @@ object Oracle {
         | CAST(COUNT(*) AS BIGINT) AS n_active_7d
         |FROM wd GROUP BY win_day ORDER BY day""".stripMargin,
 
+    "profile_mass_coverage" ->
+      """WITH um AS (SELECT event_type, user_id,
+        |  SUM(CAST(round(value * 1e6) AS BIGINT)) AS mass
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, mass,
+        |  SUM(mass) OVER (PARTITION BY event_type
+        |    ORDER BY mass DESC, user_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  SUM(mass) OVER (PARTITION BY event_type) AS total,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS nu,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY mass DESC, user_id) AS rn
+        |  FROM um)
+        |SELECT event_type, CAST(MAX(nu) AS BIGINT) AS n_users,
+        | CAST(COUNT(CASE WHEN (cum - mass) * 2 < total THEN 1 END) AS BIGINT) AS n_cover,
+        | MAX(CASE WHEN rn = 1 THEN user_id END) AS top_user,
+        | MAX(CASE WHEN rn = 1
+        |   THEN CAST(CAST(mass AS DOUBLE) / total AS DECIMAL(18,6)) END)::DOUBLE AS top_share
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "diff_snapshots" ->
       """WITH o AS (SELECT o_orderkey,
         |  CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),

@@ -234,6 +234,7 @@ object SparkEntry {
     "win_sliding_distinct" -> Windows.winSlidingDistinct _,
     "dedup_keep_best"     -> TextSim.dedupKeepBest _,
     "diff_snapshots"      -> Curation.diffSnapshots _,
+    "profile_mass_coverage" -> Quality.profileMassCoverage _,
     "sql_api_q18"         -> Relational.sqlApiQ18 _,
     "sql_api_q10"         -> Relational.sqlApiQ10 _,
     "agg_count_min"       -> Relational.aggCountMin _,

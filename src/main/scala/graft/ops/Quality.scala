@@ -120,6 +120,40 @@ object Quality {
       .limit(20)
   }
 
+  /** Head-concentration profile — "how many heavy hitters carry half the
+    * mass?": per event_type, users are ranked by exact micro-unit value
+    * mass and `n_cover` counts how many top users are needed to reach
+    * ≥50% of the type's total (a user is needed while 2·cum_prev <
+    * total — pure integer compares, no float boundary). The Pareto
+    * number every mixture/sampling decision starts from, alongside
+    * [[profileSkew]]'s per-key multiples.
+    *
+    * Scale: one (type, user) partial aggregation, then windows over the
+    * per-user frame sharing ONE event_type exchange; output is
+    * |types| rows. */
+  def profileMassCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rank = Window.partitionBy($"event_type").orderBy($"mass".desc, $"user_id")
+    val whole = Window.partitionBy($"event_type")
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type", $"user_id")
+      .agg(sum(round($"value" * 1e6).cast("long")).as("mass"))
+      .withColumn("cum", sum($"mass").over(
+        rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum($"mass").over(whole))
+      .withColumn("nu", count(lit(1)).over(whole))
+      .withColumn("rn", row_number().over(rank))
+      .groupBy($"event_type")
+      .agg(max($"nu").as("n_users"),
+        count(when(($"cum" - $"mass") * 2 < $"total", 1)).as("n_cover"),
+        max(when($"rn" === 1, $"user_id")).as("top_user"),
+        max(when($"rn" === 1,
+          ($"mass".cast("double") / $"total").cast("decimal(18,6)")))
+          .as("top_share"))
+      .orderBy($"event_type")
+  }
+
   /** Per-source language-mix entropy — the composition-drift monitor for
     * a multi-source training corpus: a source whose mix entropy collapses
     * has started shipping one language (or junk) and needs re-weighting.
