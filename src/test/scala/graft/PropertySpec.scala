@@ -304,6 +304,53 @@ class PropertySpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     assert(res.passed, res.status.toString)
   }
 
+  test("ts_autocorr equals the exact-arithmetic reference on random series") {
+    val gen = for {
+      nUsers <- Gen.chooseNum(1, 3)
+      rows <- Gen.listOfN(18, for {
+        u <- Gen.chooseNum(1L, nUsers.toLong)
+        us <- Gen.chooseNum(0L, 1000000L)
+        v <- Gen.chooseNum(0, 40000)
+      } yield (u, us, v / 100.0))
+      constUser <- Gen.chooseNum(4L, 5L) // zero-variance + singleton users
+    } yield rows ++ Seq((constUser, 1L, 7.0), (constUser, 2L, 7.0), (9L, 1L, 3.0))
+    val us0 = 1700000000000000L
+    val prop = Prop.forAll(gen) { rows =>
+      val ev = rows.zipWithIndex.map { case ((u, us, v), i) =>
+        (i.toLong, us0 + us, u, "a", v)
+      }
+      val got = graft.ops.Analytics.tsAutocorr(spark, eventsDir(ev)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+      val expected = ev.groupBy(_._3).toSeq.sortBy(_._1).map { case (u, es) =>
+        val vs = es.sortBy(e => (e._2, e._1))
+          .map(e => BigDecimal(e._5 * 1e6) // Spark round(): HALF_UP of the double
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+        val n = vs.length
+        val s = vs.map(BigInt(_)).sum
+        val ss = vs.map(x => BigInt(x) * BigInt(x)).sum
+        val c = vs.sliding(2).collect { case Seq(a, b) => BigInt(a) * BigInt(b) }.sum
+        val zerovar = ss * n == s * s
+        val r1 =
+          if (n < 2 || zerovar) None
+          else {
+            val sd = s.toDouble; val m = sd / n
+            val num = c.toDouble - m * (sd - vs.last) - m * (sd - vs.head) +
+              (n - 1).toLong * m * m
+            val den = ss.toDouble - n.toLong * m * m
+            Some(BigDecimal(num / den)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        def u6m(x: Double) =
+          BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        (u, n.toLong, u6m(s.toDouble / n), r1)
+      }
+      got == expected
+    }
+    val res = SCTest.check(cases, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("merge_scd2_apply invariants hold on random event streams") {
     val cut = 1705795200000000L
     val types = Gen.oneOf("a", "b", "c")
