@@ -862,6 +862,32 @@ object Oracle {
          | ka.cleaned_md5
          |FROM tot t LEFT JOIN ka USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
+    "text_span_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+         |tot AS (SELECT doc_id,
+         |  GREATEST(len(sp) - ${graft.ops.TextSim.SpanK - 1}, 0) AS n_grams FROM d),
+         |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, len(sp) - ${graft.ops.TextSim.SpanK - 2}),
+         |    i -> {'pos': i - 1, 'gram': array_to_string(
+         |      sp[i:i + ${graft.ops.TextSim.SpanK - 1}], ' ')})) AS u
+         |  FROM d WHERE len(sp) >= ${graft.ops.TextSim.SpanK})),
+         |dupg AS (SELECT gram FROM g GROUP BY gram
+         |  HAVING COUNT(DISTINCT doc_id) >= 2),
+         |dup AS (SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gram)),
+         |isl AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos)
+         |    OVER (PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END AS st
+         |  FROM dup),
+         |runs AS (SELECT doc_id, grp, COUNT(*) AS rl FROM (
+         |  SELECT doc_id, SUM(st) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM isl) GROUP BY doc_id, grp),
+         |spn AS (SELECT doc_id, CAST(SUM(rl) AS BIGINT) AS dup_grams,
+         |  COUNT(*) AS dup_spans, MAX(rl) AS max_span FROM runs GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_grams, COALESCE(spn.dup_grams, 0) AS dup_grams,
+         | COALESCE(spn.dup_spans, 0) AS dup_spans,
+         | COALESCE(spn.max_span, 0) AS max_span
+         |FROM tot t LEFT JOIN spn USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
     "sim_cosine_probe" ->
       s"""WITH e AS (SELECT vec_id, label,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -1614,6 +1640,29 @@ object Oracle {
         | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
         | CAST(CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS avg_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "profile_corr_matrix" -> {
+      // Mirrors Quality.profileCorrMatrix: one moment CTE (exact DECIMAL
+      // sums), 6 pair rows off it, the identical double corr expression.
+      val cols = Seq("l_quantity" -> "q", "l_extendedprice" -> "ep",
+        "l_discount" -> "di", "l_tax" -> "tx")
+      def dd(c: String) = s"CAST($c AS DECIMAL(18,2))"
+      val sums = cols.map { case (c, a) => s"SUM(${dd(c)}) AS s_$a" }
+      val prods = (cols.map(x => (x, x)) ++
+        cols.combinations(2).toSeq.map { case Seq(x, y) => (x, y) })
+        .map { case ((c1, a1), (c2, a2)) =>
+          s"SUM(CAST(${dd(c1)} * ${dd(c2)} AS DECIMAL(38,8))) AS p_${a1}_$a2"
+        }
+      val pairs = cols.combinations(2).toSeq.map { case Seq((c1, a1), (c2, a2)) =>
+        s"""SELECT '$c1' AS x_col, '$c2' AS y_col, n,
+           | CAST(round(((n * CAST(p_${a1}_$a2 AS DOUBLE) - CAST(s_$a1 AS DOUBLE) * CAST(s_$a2 AS DOUBLE))
+           |   / (sqrt(n * CAST(p_${a1}_$a1 AS DOUBLE) - CAST(s_$a1 AS DOUBLE) * CAST(s_$a1 AS DOUBLE))
+           |      * sqrt(n * CAST(p_${a2}_$a2 AS DOUBLE) - CAST(s_$a2 AS DOUBLE) * CAST(s_$a2 AS DOUBLE)))) * 1000000) AS BIGINT) AS corr_u6
+           |FROM m""".stripMargin
+      }
+      s"WITH m AS (SELECT COUNT(*) AS n, ${(sums ++ prods).mkString(",\n  ")}\n  FROM lineitem)\n" +
+        pairs.mkString("\nUNION ALL\n") + "\nORDER BY x_col, y_col"
+    },
 
     "agg_corr_exact" ->
       """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,

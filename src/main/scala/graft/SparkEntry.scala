@@ -141,6 +141,8 @@ object SparkEntry {
     "text_token_count"       -> TextSim.textTokenCount _,
     "text_fingerprint"       -> TextSim.textFingerprint _,
     "text_line_dedup"        -> TextSim.textLineDedup _,
+    "text_span_dedup"        -> TextSim.textSpanDedup _,
+    "profile_corr_matrix"    -> Quality.profileCorrMatrix _,
     "text_tfidf"             -> TextSim.textTfidf _,
     "text_pii_scrub"         -> TextSim.textPiiScrub _,
     "text_curation_filter"   -> TextSim.textCurationFilter _,

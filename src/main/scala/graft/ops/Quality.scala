@@ -211,4 +211,48 @@ object Quality {
         ($"sum_price".cast("double") / $"n").cast("decimal(18,6)").as("avg_price"))
       .orderBy($"o_orderpriority")
   }
+
+  /** Columns profiled by [[profileCorrMatrix]]: (table column, short key). */
+  private val CorrCols = Seq(
+    "l_quantity" -> "q", "l_extendedprice" -> "ep",
+    "l_discount" -> "di", "l_tax" -> "tx")
+
+  /** All-pairs Pearson correlation matrix over lineitem's four measures in
+    * ONE scan: every moment the 6 coefficients need (4 sums, 4 squares,
+    * 6 cross-products, one count) is a column of a single global
+    * aggregate — a naive profiler runs one corr() scan per pair (6 table
+    * passes at 100 TB); this is one pass with map-side partial
+    * aggregation down to a single 15-column row, then a driver-free
+    * explode to the 6 pair rows. Determinism per [[Analytics.aggCorrExact]]:
+    * exact DECIMAL moment sums, coefficient as one IEEE double expression,
+    * micro-unit output. */
+  def profileCorrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir).select(
+      CorrCols.map { case (c, a) => col(c).cast("decimal(18,2)").as(a) }: _*)
+    val squares = CorrCols.map { case (_, a) => (a, a) }
+    val crosses = CorrCols.combinations(2).toSeq
+      .map { case Seq((_, a), (_, b)) => (a, b) }
+    val aggs = CorrCols.map { case (_, a) => sum(col(a)).as(s"s_$a") } ++
+      (squares ++ crosses).map { case (a, b) =>
+        sum((col(a) * col(b)).cast("decimal(38,8)")).as(s"p_${a}_$b")
+      }
+    val m = li.agg(count(lit(1)).as("n"), aggs: _*)
+    val pairRows = CorrCols.combinations(2).toSeq.map {
+      case Seq((ca, a), (cb, b)) =>
+        struct(lit(ca).as("x_col"), lit(cb).as("y_col"),
+          col(s"s_$a").cast("double").as("sx"),
+          col(s"s_$b").cast("double").as("sy"),
+          col(s"p_${a}_$a").cast("double").as("sxx"),
+          col(s"p_${b}_$b").cast("double").as("syy"),
+          col(s"p_${a}_$b").cast("double").as("sxy"))
+    }
+    m.select($"n", explode(array(pairRows: _*)).as("pr"))
+      .select($"pr.x_col".as("x_col"), $"pr.y_col".as("y_col"), $"n",
+        round((($"n" * $"pr.sxy" - $"pr.sx" * $"pr.sy")
+          / (sqrt($"n" * $"pr.sxx" - $"pr.sx" * $"pr.sx")
+            * sqrt($"n" * $"pr.syy" - $"pr.sy" * $"pr.sy")))
+          * 1e6).cast("long").as("corr_u6"))
+      .orderBy($"x_col", $"y_col")
+  }
 }

@@ -598,4 +598,70 @@ object TextSim {
       .orderBy($"tfidf".desc, $"doc_id", $"tok")
       .limit(100)
   }
+
+  /** Word-gram width for repeated-span detection: the exact-substring
+    * dedup recipe (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499) uses ~50-token spans on
+    * web documents; 8 words is that dial scaled to the ~50-word synthetic
+    * docs so spans actually bind at sf0.01. */
+  val SpanK = 8
+
+  /** Exact repeated-SPAN statistics — the span-level complement of the
+    * document-level dedups: positional word [[SpanK]]-grams; a gram that
+    * occurs in ≥ 2 distinct documents marks its start position
+    * duplicated; maximal runs of consecutive duplicated positions are the
+    * repeated spans (gaps-and-islands over each doc's position sequence).
+    * Output per doc: total gram count, duplicated-gram count, number of
+    * maximal repeated spans, and the longest span — the per-document
+    * duplication profile a span-level dedup pass would cut.
+    *
+    * Scale design: the docs projection and the gram frame are each
+    * materialized ONCE (localCheckpoint) — grams feed two consumers (the
+    * df aggregate and the flag join) and would otherwise re-run the
+    * explode twice. Gram document-frequency is a map-side-combinable
+    * aggregate; the duplicate flag is a LEFT SEMI join on the gram
+    * string — 1:1 per occurrence, never k² pairs (contrast the pair-join
+    * tiers behind [[graft.ops.Similarity]]'s GramDfCap: this operator
+    * never enumerates doc pairs, so a hot gram costs df rows, not df²).
+    * Only ≤ SpanK-word gram strings shuffle, never documents; at index
+    * scale the join key drops to a 128-bit md5 fingerprint to bound
+    * shuffle width. Both island windows and the final aggregate share the
+    * doc_id key — one exchange after the semi join.
+    * Reference anchor: the per-file duplicate skip of
+    * BackgroundCsvProcessor.java:242 generalized to cross-document span
+    * scope. */
+  def textSpanDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = rebalanceDocs(
+      Tables.documents(spark, sfDir)
+        .select($"doc_id", split($"text", " ").as("ws")))
+      .localCheckpoint()
+    val tot = docs.select($"doc_id",
+      greatest(size($"ws") - lit(SpanK - 1), lit(0)).cast("long").as("n_grams"))
+    val grams = docs.filter(size($"ws") >= SpanK)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, size(ws) - $SpanK), " +
+          s"i -> concat_ws(' ', slice(ws, i + 1, $SpanK)))"))
+        .as(Seq("pos", "gram")))
+      .localCheckpoint()
+    val dfreq = grams.groupBy($"gram").agg(countDistinct($"doc_id").as("df"))
+    val dup = grams
+      .join(dfreq.filter($"df" >= 2).select($"gram"), Seq("gram"), "left_semi")
+      .select($"doc_id", $"pos")
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val runs = dup
+      .withColumn("st", when($"pos" - lag($"pos", 1).over(byDoc) === 1, 0)
+        .otherwise(1))
+      .withColumn("grp", sum($"st").over(byDoc))
+      .groupBy($"doc_id", $"grp").agg(count(lit(1)).as("rl"))
+    val spans = runs.groupBy($"doc_id").agg(
+      sum($"rl").as("dup_grams"), count(lit(1)).as("dup_spans"),
+      max($"rl").as("max_span"))
+    tot.join(spans, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"n_grams",
+        coalesce($"dup_grams", lit(0L)).as("dup_grams"),
+        coalesce($"dup_spans", lit(0L)).as("dup_spans"),
+        coalesce($"max_span", lit(0L)).as("max_span"))
+      .orderBy($"doc_id")
+  }
 }

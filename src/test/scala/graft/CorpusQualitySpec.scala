@@ -158,6 +158,66 @@ class CorpusQualitySpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("text_span_dedup finds maximal repeated spans, splits islands") {
+    // docs 1/2 share a 10-word span (3 grams, one island at different
+    // offsets); 5/6 are identical; 7 repeats the shared 8-gram at BOTH
+    // ends with unique filler between (two 1-gram islands); 3 is a unique
+    // 8-word doc; 4 is too short to carry any gram.
+    val span = "a b c d e f g h i j"
+    val rows = Seq(
+      (1L, s"$span u1 u2", "en", "s", 0L),
+      (2L, s"x1 x2 $span", "en", "s", 0L),
+      (3L, "p q r s t u v w", "en", "s", 0L),
+      (4L, "short words only", "en", "s", 0L),
+      (5L, "m1 m2 m3 m4 m5 m6 m7 m8 m9", "en", "s", 0L),
+      (6L, "m1 m2 m3 m4 m5 m6 m7 m8 m9", "en", "s", 0L),
+      (7L, "a b c d e f g h z1 z2 z3 z4 z5 z6 a b c d e f g h", "en", "s", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_spandedup").toString
+    try {
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val got = TextSim.textSpanDedup(spark, dir).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(got == Seq(
+        (1L, 5L, 3L, 1L, 3L),
+        (2L, 5L, 3L, 1L, 3L),
+        (3L, 1L, 0L, 0L, 0L),
+        (4L, 0L, 0L, 0L, 0L),
+        (5L, 2L, 2L, 1L, 2L),
+        (6L, 2L, 2L, 1L, 2L),
+        (7L, 15L, 2L, 2L, 1L)))
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  test("profile_corr_matrix equals the exact-moment in-memory reference") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .selectExpr("CAST(l_quantity AS DECIMAL(18,2))",
+        "CAST(l_extendedprice AS DECIMAL(18,2))",
+        "CAST(l_discount AS DECIMAL(18,2))", "CAST(l_tax AS DECIMAL(18,2))")
+      .collect().map(r => Array(r.getDecimal(0), r.getDecimal(1),
+        r.getDecimal(2), r.getDecimal(3)).map(BigDecimal(_)))
+    val names = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val n = li.length.toLong
+    def s(i: Int) = li.map(_(i)).sum.toDouble
+    def p(i: Int, j: Int) = li.map(r => r(i) * r(j)).sum.toDouble
+    val expected = (for {
+      i <- 0 until 4; j <- (i + 1) until 4
+    } yield {
+      val c = (n * p(i, j) - s(i) * s(j)) /
+        (math.sqrt(n * p(i, i) - s(i) * s(i)) * math.sqrt(n * p(j, j) - s(j) * s(j)))
+      (names(i), names(j), n,
+        BigDecimal(c * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }).sortBy(t => (t._1, t._2))
+    val got = graft.ops.Quality.profileCorrMatrix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
   test("text_line_dedup drops the hot chunk everywhere, keeps df<=cap chunks") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
