@@ -928,6 +928,29 @@ object Oracle {
          |FROM e JOIN probe ON bucket = pbucket
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
+    "sim_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |  CAST(embedding[1] > 0.0 AS INTEGER) * 4 +
+         |  CAST(embedding[2] > 0.0 AS INTEGER) * 2 +
+         |  CAST(embedding[3] > 0.0 AS INTEGER) AS bucket
+         |  FROM embeddings),
+         |probe AS (SELECT v AS p, bucket AS pbucket FROM e WHERE vec_id = 0),
+         |ann AS (SELECT vec_id, CAST(${cosSql("v", "p")} AS DECIMAL(18,6)) AS cos_ann
+         |  FROM e JOIN probe ON bucket = pbucket
+         |  ORDER BY cos_ann DESC, vec_id LIMIT 10),
+         |ex AS (SELECT vec_id, CAST(${cosSql("v", "p")} AS DECIMAL(18,6)) AS cos_exact
+         |  FROM e, probe ORDER BY cos_exact DESC, vec_id LIMIT 10),
+         |c AS (SELECT CASE
+         |    WHEN a.vec_id IS NOT NULL AND x.vec_id IS NOT NULL THEN 'both'
+         |    WHEN a.vec_id IS NOT NULL THEN 'ann_only'
+         |    ELSE 'exact_only' END AS pair_class,
+         |  COALESCE(x.cos_exact, a.cos_ann) AS cos
+         |  FROM ann a FULL OUTER JOIN ex x ON a.vec_id = x.vec_id)
+         |SELECT pair_class, COUNT(*) AS n_vecs,
+         | CAST(SUM(cos) AS DECIMAL(18,6)) AS sum_cos
+         |FROM c GROUP BY pair_class ORDER BY pair_class""".stripMargin,
+
     "dedup_embedding_cosine" ->
       s"""WITH e AS (SELECT vec_id, label,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)

@@ -143,6 +143,7 @@ object SparkEntry {
     "text_line_dedup"        -> TextSim.textLineDedup _,
     "text_span_dedup"        -> TextSim.textSpanDedup _,
     "profile_corr_matrix"    -> Quality.profileCorrMatrix _,
+    "sim_ann_recall"         -> Similarity.simAnnRecall _,
     "text_tfidf"             -> TextSim.textTfidf _,
     "text_pii_scrub"         -> TextSim.textPiiScrub _,
     "text_curation_filter"   -> TextSim.textCurationFilter _,

@@ -960,4 +960,28 @@ object Similarity {
       .filter($"containment" >= 0.2)
       .orderBy($"id_a", $"id_b")
   }
+
+  /** ANN recall audit: the sign-LSH bucket tier ([[simAnnLsh]]) against
+    * the exact brute-force top-10 ([[simCosineProbe]]) for the same
+    * probe — the similarity-side twin of [[dedupLshRecall]], and the
+    * evidence a production index needs before routing queries to the
+    * bucketed path (recall@10 = n_vecs('both') / 10). Both tiers end in
+    * k-row TakeOrdered results, so the audit join is k×k-bounded
+    * regardless of corpus size — the audit itself never rescans. */
+  def simAnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ann = simAnnLsh(spark, sfDir).select($"vec_id", $"cos".as("cos_ann"))
+    val exact = simCosineProbe(spark, sfDir).limit(10)
+      .select($"vec_id", $"cos".as("cos_exact"))
+    ann.join(exact, Seq("vec_id"), "full_outer")
+      .select(
+        when($"cos_ann".isNotNull && $"cos_exact".isNotNull, "both")
+          .when($"cos_ann".isNotNull, "ann_only")
+          .otherwise("exact_only").as("pair_class"),
+        coalesce($"cos_exact", $"cos_ann").as("cos"))
+      .groupBy($"pair_class")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum($"cos").cast("decimal(18,6)").as("sum_cos"))
+      .orderBy($"pair_class")
+  }
 }

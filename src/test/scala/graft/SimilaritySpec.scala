@@ -378,4 +378,40 @@ class SimilaritySpec extends SparkSuite {
       finally walk.close()
     }
   }
+
+  test("sim_ann_recall classifies both / ann_only / exact_only as engineered") {
+    // probe 0 in bucket 7; vecs 1..11 near-identical to the probe but
+    // pushed to bucket 3 by a tiny negative first component (exact top-10
+    // takes 1..9 by vec_id tiebreak — ANN misses them all); vec 12 sits in
+    // the probe's bucket with strongly negative cosine (ANN-only).
+    val rows: Seq[(Long, Array[Float], Long)] =
+      (0L, Array(1f, 1f, 1f, 1f), 1L) +:
+      (1 to 11).map(i => (i.toLong, Array(-0.001f, 1f, 1f, 1f), 1L)) :+
+      (12L, Array(0.5f, 0.001f, 0.001f, -1.5f), 1L)
+    def cos6(a: Array[Float], b: Array[Float]): BigDecimal = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      BigDecimal(dot(ad, bd) / (math.sqrt(dot(ad, ad)) * math.sqrt(dot(bd, bd))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val probe = rows.head._2
+    val dir = java.nio.file.Files.createTempDirectory("graft_annrecall").toString
+    try {
+      rows.toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$dir/embeddings.parquet")
+      val got = Similarity.simAnnRecall(spark, dir).collect().map(r =>
+        (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2)))).toSeq
+      val expected = Seq(
+        ("ann_only", 1L, cos6(rows(12)._2, probe).setScale(6)),
+        ("both", 1L, BigDecimal(1).setScale(6)),
+        ("exact_only", 9L, (cos6(rows(1)._2, probe) * 9).setScale(6)))
+      assert(got == expected)
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
 }
