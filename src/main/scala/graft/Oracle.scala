@@ -1597,6 +1597,12 @@ object Oracle {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang IN ('en', 'zh') ORDER BY doc_id""".stripMargin,
 
+    "join_dpp" ->
+      """SELECT n_name, COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_regionkey < 2 GROUP BY n_name ORDER BY n_name""".stripMargin,
+
     "scan_csv_multiline" ->
       """WITH m AS (SELECT doc_id, replace(text, ' ', chr(10)) AS b
         |  FROM documents WHERE doc_id % 3 = 0)

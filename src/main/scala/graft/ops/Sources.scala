@@ -202,4 +202,34 @@ object Sources {
         $"length".as("n_bytes"), sha2($"content", 256).as("sha256"))
       .orderBy($"doc_id")
   }
+
+  /** Dynamic partition pruning: a nationkey-partitioned fact joined to a
+    * region-filtered dimension — the partition filter is NOT a literal
+    * (contrast [[scanPartitionPrune]]'s static prune) but the runtime
+    * result of the dim predicate, so Catalyst injects a
+    * DynamicPruningExpression into the fact scan and reuses the
+    * broadcast exchange to evaluate it. At 100 TB this is the difference
+    * between scanning the whole fact and scanning only the ~40% of
+    * partitions the dim survives — with zero query-author effort.
+    * PlanSpec pins the pruning subquery in the scan's partition filters. */
+  def joinDpp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir, "customer_by_nation")
+    Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_acctbal", $"c_mktsegment", $"c_nationkey")
+      .write.mode("overwrite").partitionBy("c_nationkey").parquet(dir)
+    dppJoin(spark, sfDir, dir)
+  }
+
+  /** The join side alone (PlanSpec inspects this plan without re-writing). */
+  def dppJoin(spark: SparkSession, sfDir: String, dir: String): DataFrame = {
+    import spark.implicits._
+    val fact = spark.read.parquet(dir)
+    val dim = Tables.nation(spark, sfDir).filter($"n_regionkey" < 2)
+    fact.join(dim, fact("c_nationkey") === dim("n_nationkey"))
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_cust"),
+        sum($"c_acctbal".cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_bal"))
+      .orderBy($"n_name")
+  }
 }

@@ -111,6 +111,15 @@ class PlanSpec extends SparkSuite {
       s"lang filter not applied as a partition filter:\n$p")
   }
 
+  test("join_dpp injects a DynamicPruningExpression into the fact scan") {
+    ops.Sources.joinDpp(spark, sfDir).collect() // materialize the fixture
+    val dir = s"/tmp/graft_sources/${math.abs(sfDir.hashCode)}/customer_by_nation"
+    val p = ops.Sources.dppJoin(spark, sfDir, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+  }
+
   test("text_decontaminate broadcasts the eval gram set (corpus side map-only)") {
     assert(plan("text_decontaminate").contains("BroadcastHashJoin"))
   }
