@@ -1693,6 +1693,27 @@ object Oracle {
         pairs.mkString("\nUNION ALL\n") + "\nORDER BY x_col, y_col"
     },
 
+    "agg_weighted_median" ->
+      """WITH vw AS (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,2)) AS v,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v,
+        |  SUM(w) OVER (PARTITION BY l_returnflag) AS tw,
+        |  SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS cw
+        |  FROM vw)
+        |SELECT l_returnflag, CAST(MIN(v) AS DOUBLE) AS w_median,
+        | CAST(MIN(tw) AS DOUBLE) AS total_w
+        |FROM c WHERE cw * 2 >= tw GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "agg_geomean_exact" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(exp(CAST(SUM(CAST(round(ln(CAST(l_quantity AS DOUBLE)) * 1000000) AS BIGINT)) AS DOUBLE)
+        |   / (COUNT(*) * 1000000.0)) AS DECIMAL(18,6))::DOUBLE AS geomean
+        |FROM lineitem WHERE l_quantity > 0 GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "agg_corr_exact" ->
       """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
         |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,

@@ -65,6 +65,8 @@ object SparkEntry {
     "agg_array_sorted"    -> Relational.aggArraySorted _,
     "agg_pivot"           -> ((s: SparkSession, d: String) => Relational.aggPivot(s, d)),
     "agg_mode_deterministic" -> Relational.aggModeDeterministic _,
+    "agg_weighted_median"    -> Analytics.aggWeightedMedian _,
+    "agg_geomean_exact"      -> Analytics.aggGeomeanExact _,
     "join_bucketed"       -> Relational.joinBucketed _,
     "agg_unpivot"         -> Relational.aggUnpivot _,
     // -- joins

@@ -684,4 +684,48 @@ object Analytics {
       .agg(count(lit(1)).as("n"), min($"value").as("min_v"), max($"value").as("max_v"))
       .orderBy($"bucket")
   }
+
+  /** Exact WEIGHTED median per group (value = quantity, weight = revenue
+    * contribution): the quantile every importance-weighted sampling /
+    * mixture decision needs, which `percentile` can't express. Scale
+    * design: raw rows first collapse to (group, value) weight sums — a
+    * map-side-combinable aggregate — so the cumulative window runs over
+    * |distinct values| rows per group (50 here; bounded by the value
+    * domain, not the row count). The pick is the smallest value whose
+    * cumulative weight reaches half the total, compared as exact
+    * DECIMAL integers (2·cum ≥ total — no division, no floats). */
+  def aggWeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vw = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag", $"l_quantity".cast("decimal(18,2)").as("v"))
+      .agg(sum($"l_extendedprice".cast("decimal(18,2)")).as("w"))
+    val tot = Window.partitionBy($"l_returnflag")
+    val cum = Window.partitionBy($"l_returnflag").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vw.withColumn("tw", sum($"w").over(tot))
+      .withColumn("cw", sum($"w").over(cum))
+      .filter($"cw" * 2 >= $"tw")
+      .groupBy($"l_returnflag")
+      .agg(min($"v").as("w_median"), min($"tw").as("total_w"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Exact geometric mean per group via the µ-unit ln-sum recipe: ln is
+    * quantized per row (engine-identical double, HALF_UP at 1e-6) to a
+    * long, summed EXACTLY as integers (order-independent — a float
+    * Σln(x) would be partition-merge-order dependent), and exp'd once
+    * per group. The multiplicative analogue of [[aggMomentsExact]]'s
+    * discipline. */
+  def aggGeomeanExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_quantity" > 0)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(round(log($"l_quantity".cast("double")) * 1e6).cast("long")).as("s_ln_u6"))
+      .select($"l_returnflag", $"n",
+        exp($"s_ln_u6".cast("double") / ($"n" * 1e6))
+          .cast("decimal(18,6)").as("geomean"))
+      .orderBy($"l_returnflag")
+  }
 }

@@ -343,7 +343,7 @@ class PlanSpec extends SparkSuite {
       case q: QueryStageExec => flatten(q.plan)
       case _ => p.children.flatMap(flatten)
     })
-    for (name <- Seq("graph_pagerank", "text_line_dedup")) {
+    for (name <- Seq("graph_pagerank", "text_line_dedup", "text_span_dedup")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect()
       val scans = flatten(df.queryExecution.executedPlan)
