@@ -1496,6 +1496,15 @@ object Oracle {
         |    WHERE l2.l_partkey = p.p_partkey)
         |ORDER BY p_partkey, l_suppkey""".stripMargin,
 
+    "sql_api_q16" ->
+      """SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_size IN (5, 15, 25, 45)
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                          WHERE s_acctbal < 0)
+        |GROUP BY p.p_brand, p.p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
     "sql_api_q21" ->
       """SELECT s.s_name, COUNT(*) AS numwait
         |FROM supplier s

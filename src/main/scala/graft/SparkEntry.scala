@@ -202,6 +202,7 @@ object SparkEntry {
     "sql_api_q7"           -> Relational.sqlApiQ7 _,
     "sql_api_q21"          -> Relational.sqlApiQ21 _,
     "sql_api_q2"           -> Relational.sqlApiQ2 _,
+    "sql_api_q16"          -> Relational.sqlApiQ16 _,
     "join_existence_flag"  -> Relational.joinExistenceFlag _,
     "agg_approx_quantile"  -> Relational.aggApproxQuantile _,
     "win_streak"           -> Analytics.winStreak _,

@@ -919,6 +919,31 @@ object Relational {
         |LIMIT 100""".stripMargin)
   }
 
+  /** TPC-H Q16 shape (supplier diversity with an exclusion list): NOT IN
+    * with a non-correlated subquery — the FOURTH subquery-decorrelation
+    * surface next to [[sqlApiQ21]] (EXISTS/NOT EXISTS → semi/anti),
+    * [[sqlApiQ2]] (correlated scalar agg) and [[joinExistenceFlag]]
+    * (ExistenceJoin). NOT IN's three-valued-logic trap (any NULL in the
+    * list annihilates every row) means a plain anti join is WRONG;
+    * Catalyst plans a NULL-AWARE anti join (single-column equality →
+    * broadcast hash NAAJ, PlanSpec-pinned) instead of the naive
+    * per-row subquery or a BroadcastNestedLoop. At scale the exclusion
+    * list is a broadcast; the fact side streams map-only. */
+  def sqlApiQ16(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir).createOrReplaceTempView("graft_part")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("graft_supplier")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM graft_lineitem l
+        |JOIN graft_part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_size IN (5, 15, 25, 45)
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM graft_supplier
+        |                          WHERE s_acctbal < 0)
+        |GROUP BY p.p_brand, p.p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)
+  }
+
   /** ExistenceJoin surface: an IN-subquery under a DISJUNCTION cannot
     * rewrite to a plain semi join (rows failing the membership test must
     * still survive when the other disjunct holds), so Catalyst plans the

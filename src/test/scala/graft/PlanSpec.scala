@@ -304,6 +304,8 @@ class PlanSpec extends SparkSuite {
       "dedup_semantic", "embed_kmeans", "join_cross_theta", "profile_skew",
       "sample_mixture", "sample_temperature", "sample_weighted",
       "sim_cosine_probe", "sim_hybrid_search", "sim_ivf_probe",
+      // exact tier inherits sim_cosine_probe's broadcast single-row probe
+      "sim_ann_recall",
       "text_tfidf", "ts_seasonal_baseline")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
@@ -360,6 +362,28 @@ class PlanSpec extends SparkSuite {
     val p = plan("sql_api_q21")
     assert(p.contains("LeftSemi"), s"EXISTS not decorrelated to a semi join:\n$p")
     assert(p.contains("LeftAnti"), s"NOT EXISTS not decorrelated to an anti join:\n$p")
+  }
+
+  test("sql_api_q16 plans NOT IN as a null-aware broadcast anti join") {
+    // NOT IN's three-valued logic makes a plain anti join wrong; the
+    // single-column equality must plan as a broadcast hash NAAJ — never a
+    // per-row subquery or a BroadcastNestedLoop over the exclusion list
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    // inspect the INITIAL physical plan: at tiny scale the exclusion list
+    // is empty and AQE (correctly) eliminates the runtime anti join, so
+    // the decorrelation evidence lives in the pre-execution plan
+    val df = SparkEntry.queries("sql_api_q16")(spark, sfDir)
+    val naaj = flatten(df.queryExecution.executedPlan)
+      .collect { case b: BroadcastHashJoinExec if b.isNullAwareAntiJoin => b }
+    assert(naaj.nonEmpty,
+      s"NOT IN did not plan as a null-aware broadcast anti join:\n${df.queryExecution.executedPlan}")
   }
 
   test("sql_api_q2 decorrelates the scalar min subquery into an aggregate join") {
