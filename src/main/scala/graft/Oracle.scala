@@ -1702,6 +1702,22 @@ object Oracle {
         pairs.mkString("\nUNION ALL\n") + "\nORDER BY x_col, y_col"
     },
 
+    "ts_theilsen" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+        |  CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS u6
+        |  FROM events),
+        |p AS (SELECT a.user_id,
+        |  CAST(b.u6 - a.u6 AS DOUBLE) * 3600.0 / CAST(b.us - a.us AS DOUBLE) AS slope
+        |  FROM e a JOIN e b ON a.user_id = b.user_id AND a.us < b.us),
+        |r AS (SELECT user_id, slope,
+        |  COUNT(*) OVER (PARTITION BY user_id) AS n_pairs,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY slope) AS rn
+        |  FROM p)
+        |SELECT user_id, n_pairs,
+        | CAST(CAST(slope AS DECIMAL(18,6)) AS DOUBLE) AS sen_slope
+        |FROM r WHERE rn = (n_pairs + 1) // 2
+        |ORDER BY user_id""".stripMargin,
+
     "agg_weighted_median" ->
       """WITH vw AS (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,2)) AS v,
         |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS w

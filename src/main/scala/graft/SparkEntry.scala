@@ -66,6 +66,7 @@ object SparkEntry {
     "agg_pivot"           -> ((s: SparkSession, d: String) => Relational.aggPivot(s, d)),
     "agg_mode_deterministic" -> Relational.aggModeDeterministic _,
     "agg_weighted_median"    -> Analytics.aggWeightedMedian _,
+    "ts_theilsen"            -> Analytics.tsTheilsen _,
     "agg_geomean_exact"      -> Analytics.aggGeomeanExact _,
     "join_bucketed"       -> Relational.joinBucketed _,
     "agg_unpivot"         -> Relational.aggUnpivot _,

@@ -685,6 +685,42 @@ object Analytics {
       .orderBy($"bucket")
   }
 
+  /** Theil–Sen robust trend per user: the MEDIAN of all pairwise slopes
+    * (value-units per hour) — up to ~29% outlier contamination moves it
+    * bounded amounts, where [[tsRegression]]'s OLS slope chases a single
+    * spike. Determinism: µ-unit value quantization + epoch-µs times make
+    * each slope ONE IEEE division of exact integers; the median is a
+    * positional pick (row_number = ⌊(n+1)/2⌋ over slope order), so equal
+    * slopes are interchangeable and the picked VALUE is unique.
+    * Scale: the pair join is quadratic only within a user (series-length
+    * bounded, the [[Similarity.withPairRoute]] subdivision is the dial if
+    * a key's series grows unbounded); the event frame is repartitioned on
+    * user_id and checkpointed ONCE so the self-join's two sides read the
+    * same materialized blocks, and pairs never leave their user
+    * partition. Zero-dt pairs (duplicate timestamps) are excluded, not
+    * infinite. */
+  def tsTheilsen(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", expr("unix_micros(ts)").as("us"),
+        round($"value".cast("double") * 1e6).cast("long").as("u6"))
+      .repartition(col("user_id"))
+      .localCheckpoint()
+    val slopes = ev.as("a").join(ev.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.us" < $"b.us")
+      .select($"a.user_id".as("user_id"),
+        (($"b.u6" - $"a.u6").cast("double") * 3600.0
+          / ($"b.us" - $"a.us").cast("double")).as("slope"))
+    val byUser = Window.partitionBy($"user_id")
+    val bySlope = Window.partitionBy($"user_id").orderBy($"slope")
+    slopes
+      .withColumn("n_pairs", count(lit(1)).over(byUser))
+      .withColumn("rn", row_number().over(bySlope))
+      .filter($"rn" === expr("(n_pairs + 1) div 2"))
+      .select($"user_id", $"n_pairs", $"slope".cast("decimal(18,6)").as("sen_slope"))
+      .orderBy($"user_id")
+  }
+
   /** Exact WEIGHTED median per group (value = quantity, weight = revenue
     * contribution): the quantile every importance-weighted sampling /
     * mixture decision needs, which `percentile` can't express. Scale

@@ -351,6 +351,45 @@ class PropertySpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     assert(res.passed, res.status.toString)
   }
 
+  test("ts_theilsen equals the pairwise-median reference on random series") {
+    val gen = for {
+      nUsers <- Gen.chooseNum(1, 3)
+      rows <- Gen.listOfN(16, for {
+        u <- Gen.chooseNum(1L, nUsers.toLong)
+        us <- Gen.chooseNum(0L, 500000L)
+        v <- Gen.chooseNum(0, 40000)
+      } yield (u, us, v / 100.0))
+      // user 7: duplicate-timestamp pair only (zero pairs → absent);
+      // user 8: singleton (absent)
+    } yield rows ++ Seq((7L, 5L, 1.0), (7L, 5L, 2.0), (8L, 1L, 3.0))
+    val us0 = 1700000000000000L
+    def u6(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val prop = Prop.forAll(gen) { rows =>
+      val ev = rows.zipWithIndex.map { case ((u, us, v), i) =>
+        (i.toLong, us0 + us, u, "a", v)
+      }
+      val got = Analytics.tsTheilsen(spark, eventsDir(ev)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDecimal(2)))).toSeq
+      val expected = ev.groupBy(_._3).toSeq.sortBy(_._1).flatMap { case (u, es) =>
+        val pts = es.map(e => (e._2, u6(e._5)))
+        val slopes = for {
+          (ta, va) <- pts; (tb, vb) <- pts if ta < tb
+        } yield (vb - va).toDouble * 3600.0 / (tb - ta).toDouble
+        if (slopes.isEmpty) None
+        else {
+          val n = slopes.length
+          val pick = slopes.sorted.apply((n + 1) / 2 - 1)
+          Some((u, n.toLong,
+            BigDecimal(pick).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+        }
+      }
+      got == expected
+    }
+    val res = SCTest.check(cases, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("merge_scd2_apply invariants hold on random event streams") {
     val cut = 1705795200000000L
     val types = Gen.oneOf("a", "b", "c")
