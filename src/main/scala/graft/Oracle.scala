@@ -1702,6 +1702,25 @@ object Oracle {
         pairs.mkString("\nUNION ALL\n") + "\nORDER BY x_col, y_col"
     },
 
+    "ts_quota_reset" ->
+      // state rides as a [cum, resets] BIGINT list (see ts_holt's aliasing
+      // note); list_reduce has no init acc, so a [0,0] sentinel is
+      // prepended — the fold then applies the threshold to EVERY real
+      // element, matching Spark's aggregate(es, array(0L,0L), ...)
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+         |  CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS u6
+         |  FROM events),
+         |g AS (SELECT user_id, COUNT(*) AS n,
+         |  list([u6, 0::BIGINT] ORDER BY us, event_id) AS es
+         |  FROM ev GROUP BY user_id),
+         |r AS (SELECT user_id, n, list_reduce(
+         |  list_prepend([0::BIGINT, 0::BIGINT], es),
+         |  (acc, x) -> CASE WHEN acc[1] + x[1] >= ${graft.ops.Analytics.QuotaCapU6}
+         |    THEN [0::BIGINT, acc[2] + 1] ELSE [acc[1] + x[1], acc[2]] END) AS st
+         |  FROM g)
+         |SELECT user_id, n, st[2] AS n_batches, st[1] AS residual_u6
+         |FROM r ORDER BY user_id""".stripMargin,
+
     "ts_theilsen" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
         |  CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS u6

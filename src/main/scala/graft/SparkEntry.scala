@@ -67,6 +67,7 @@ object SparkEntry {
     "agg_mode_deterministic" -> Relational.aggModeDeterministic _,
     "agg_weighted_median"    -> Analytics.aggWeightedMedian _,
     "ts_theilsen"            -> Analytics.tsTheilsen _,
+    "ts_quota_reset"         -> Analytics.tsQuotaReset _,
     "agg_geomean_exact"      -> Analytics.aggGeomeanExact _,
     "join_bucketed"       -> Relational.joinBucketed _,
     "agg_unpivot"         -> Relational.aggUnpivot _,

@@ -685,6 +685,41 @@ object Analytics {
       .orderBy($"bucket")
   }
 
+  /** [[tsQuotaReset]]'s batch quota in µ-units (1000 value-units). */
+  val QuotaCapU6 = 1000000000L
+
+  /** Greedy quota batching per user: a cumulative value accumulator that
+    * SHIPS AND RESETS each time it reaches the quota — the true greedy
+    * packer (each batch boundary depends on all previous resets), which
+    * no window frame can express and which [[Curation]]'s `pack_sequences`
+    * cumsum-div-cap assignment only approximates (a continuous cumsum
+    * never gives back the overshoot). Pure integer µ-unit fold — ZERO
+    * floats anywhere, so the result is exact and engine-identical by
+    * construction. Output: events, completed batches, residual in the
+    * open batch.
+    *
+    * Scale: one hash exchange to the per-user fold; state is two longs.
+    * Like [[tsHolt]]/[[tsEwma]] the fold is honestly sequential —
+    * series-length bounded per key (resets are not associatively
+    * decomposable: an unbounded series needs chunked folds with carried
+    * state, same shape as the streaming runner's keyed state). */
+  def tsQuotaReset(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"user_id",
+        struct(unix_micros($"ts").as("us"), $"event_id",
+          round($"value".cast("double") * 1e6).cast("long").as("u6")).as("e"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sort_array(collect_list($"e")).as("es"))
+      .select($"user_id", $"n",
+        expr(s"aggregate(es, array(0L, 0L), (acc, x) -> " +
+          s"IF(acc[0] + x.u6 >= ${QuotaCapU6}L, array(0L, acc[1] + 1L), " +
+          s"array(acc[0] + x.u6, acc[1])))").as("st"))
+      .select($"user_id", $"n", $"st"(1).as("n_batches"),
+        $"st"(0).as("residual_u6"))
+      .orderBy($"user_id")
+  }
+
   /** Theil–Sen robust trend per user: the MEDIAN of all pairwise slopes
     * (value-units per hour) — up to ~29% outlier contamination moves it
     * bounded amounts, where [[tsRegression]]'s OLS slope chases a single

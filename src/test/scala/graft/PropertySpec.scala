@@ -390,6 +390,36 @@ class PropertySpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     assert(res.passed, res.status.toString)
   }
 
+  test("ts_quota_reset equals the integer fold reference on random series") {
+    val gen = for {
+      nUsers <- Gen.chooseNum(1, 3)
+      rows <- Gen.listOfN(20, for {
+        u <- Gen.chooseNum(1L, nUsers.toLong)
+        us <- Gen.chooseNum(0L, 500000L)
+        v <- Gen.chooseNum(0, 120000) // up to 1200 units: single-event resets too
+      } yield (u, us, v / 100.0))
+    } yield rows
+    val us0 = 1700000000000000L
+    val prop = Prop.forAll(gen) { rows =>
+      val ev = rows.zipWithIndex.map { case ((u, us, v), i) =>
+        (i.toLong, us0 + us, u, "a", v)
+      }
+      val got = Analytics.tsQuotaReset(spark, eventsDir(ev)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val expected = ev.groupBy(_._3).toSeq.sortBy(_._1).map { case (u, es) =>
+        val u6s = es.sortBy(e => (e._2, e._1)).map(e =>
+          BigDecimal(e._5 * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+        val (cum, resets) = u6s.foldLeft((0L, 0L)) { case ((c, r), x) =>
+          if (c + x >= Analytics.QuotaCapU6) (0L, r + 1) else (c + x, r)
+        }
+        (u, u6s.length.toLong, resets, cum)
+      }
+      got == expected
+    }
+    val res = SCTest.check(cases, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("merge_scd2_apply invariants hold on random event streams") {
     val cut = 1705795200000000L
     val types = Gen.oneOf("a", "b", "c")
