@@ -298,6 +298,7 @@ object SparkEntry {
     "multimodal_frame_sample" -> ((s: SparkSession, d: String) =>
       Multimodal.frameSample(s, d)),
     "multimodal_resize"      -> Multimodal.resizePool _,
+    "multimodal_phash_pairs" -> Multimodal.phashPairs _,
     "gen_synthetic" -> ((s: SparkSession, _: String) =>
       Sinks.genSynthetic(s, 10000).orderBy(col("externalId"))),
     // -- sort / limit / set ops

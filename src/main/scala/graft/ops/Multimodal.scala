@@ -180,43 +180,145 @@ object Multimodal {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(payload))
         require(img != null, s"undecodable image payload for asset $id")
-        val w = img.getWidth
-        val h = img.getHeight
-        val pooled = new Array[Long](64)
-        var j = 0
-        while (j < 8) {
-          val y0 = j * h / 8; val y1 = (j + 1) * h / 8
-          var i = 0
-          while (i < 8) {
-            val x0 = i * w / 8; val x1 = (i + 1) * w / 8
-            var s = 0L; var cnt = 0L
-            var y = y0
-            while (y < y1) {
-              var x = x0
-              while (x < x1) {
-                val rgb = img.getRGB(x, y)
-                s += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-                cnt += 1
-                x += 1
-              }
-              y += 1
-            }
-            pooled(j * 8 + i) = s / cnt
-            i += 1
-          }
-          j += 1
-        }
-        val mean = pooled.sum / 64
-        var hash = 0L
-        var k = 0
-        while (k < 64) {
-          if (pooled(k) > mean) hash |= (1L << k)
-          k += 1
-        }
-        Row(id, 8, 8, pooled.sum, f"$hash%016x")
+        val (checksum, hash) = poolStats(img)
+        Row(id, 8, 8, checksum, f"$hash%016x")
       }
     }(enc).orderBy(col("asset_id"))
   }
+
+  /** Id offset for the perturbed re-renders [[phashPairs]] injects. */
+  private[graft] val VariantOffset = 1000000L
+
+  /** Banded-Hamming near-duplicate pairing over the REAL-decode 64-bit
+    * average-hash — the image-side twin of `dedup_simhash_pairs`, closing
+    * the loop [[resizePool]] opens ("the ahash feeds a banded join"):
+    * every 10th asset gets a perturbed re-render (one corner pixel
+    * brightened through the actual PNG encode→decode path — "same image,
+    * tiny edit"), and pairs within Hamming ≤ 6 are found by 4×16-bit
+    * band blocking. A ≤1-bit perturbation damages at most one band, so
+    * three bands still collide — detection is GUARANTEED by pigeonhole,
+    * never probabilistic.
+    *
+    * Scale: only (band_key, asset_id, ahash) rows shuffle — never image
+    * bytes; candidates are band-equality classes (≈ n²/2¹⁶ random
+    * collisions per band), and the exact popcount verify runs only on
+    * candidates. Rows-only by design: the hash depends on the JVM PNG
+    * codec, which the DuckDB oracle cannot run; MultimodalSpec proves
+    * every variant pairs with its base and the pair set stays bounded. */
+  def phashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val rendered = base.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val w = (id % 48 + 16).toInt
+        val h = (id % 32 + 16).toInt
+        val orig = Row(id, pngBytes(id, w, h))
+        if (id % 10 == 0)
+          Seq(orig, Row(id + VariantOffset, pngBytesPerturbed(id, w, h)))
+        else Seq(orig)
+      }
+    }(enc)
+    val sigSchema = StructType(Seq(
+      StructField("asset_id", LongType), StructField("ahash", LongType)))
+    val sigEnc = org.apache.spark.sql.Encoders.row(sigSchema)
+    val sigs = rendered.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null, s"undecodable image payload for asset ${r.getLong(0)}")
+        Row(r.getLong(0), ahash64(img))
+      }
+    }(sigEnc).localCheckpoint()
+    val bands = sigs.select($"asset_id", $"ahash",
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright($"ahash", b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
+        .as("bk"))
+      .select($"asset_id", $"ahash", $"bk.band", $"bk.key")
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+        $"a.asset_id" < $"b.asset_id")
+      .select($"a.asset_id".as("id_a"), $"b.asset_id".as("id_b"),
+        $"a.ahash".as("ha"), $"b.ahash".as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")))
+      .filter($"hamming" <= 6)
+      .select($"id_a", $"id_b", $"hamming")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** [[pngBytes]] with the near-dup perturbation: the (0,0) red channel
+    * brightened by 64 — a tiny edit that survives the real encode path. */
+  private[graft] def pngBytesPerturbed(assetId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pixel(assetId, x, y)
+        val rr = if (x == 0 && y == 0) math.min(255, r + 64) else r
+        img.setRGB(x, y, (rr << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val written = javax.imageio.ImageIO.write(img, "png", bos)
+    require(written, s"no PNG writer available for asset $assetId")
+    bos.toByteArray
+  }
+
+  /** The 8×8 integer average-pool of a decoded image → (pool checksum,
+    * 64-bit average-hash) — ONE formula shared by [[resizePool]] and
+    * [[phashPairs]] so the resize stage and the banded pair join can
+    * never drift apart. */
+  private[graft] def poolStats(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val pooled = new Array[Long](64)
+    var j = 0
+    while (j < 8) {
+      val y0 = j * h / 8; val y1 = (j + 1) * h / 8
+      var i = 0
+      while (i < 8) {
+        val x0 = i * w / 8; val x1 = (i + 1) * w / 8
+        var s = 0L; var cnt = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            s += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        pooled(j * 8 + i) = s / cnt
+        i += 1
+      }
+      j += 1
+    }
+    val mean = pooled.sum / 64
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (pooled(k) > mean) hash |= (1L << k)
+      k += 1
+    }
+    (pooled.sum, hash)
+  }
+
+  private[graft] def ahash64(img: java.awt.image.BufferedImage): Long =
+    poolStats(img)._2
 
   /** Frame sampling for "video" assets: every k-th frame index up to a
     * deterministic per-asset frame count — pure column ops, one explode. */

@@ -106,4 +106,26 @@ class MultimodalSpec extends SparkSuite {
     assert(fs.filter($"frame_idx" >= $"n_frames").count() == 0)
     fs.unpersist()
   }
+
+  test("phash pairing finds every perturbed re-render, stays bounded") {
+    val pairs = Multimodal.phashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    val variants = (0L until nDocs by 10L).toSet
+    // every (base, base+offset) pair must be found: a ≤1-bit hash edit
+    // damages at most one of the four bands — detection is pigeonhole,
+    // not luck
+    val found = pairs.collect {
+      case (a, b, _) if b == a + Multimodal.VariantOffset => a
+    }.toSet
+    assert(variants.subsetOf(found),
+      s"missing variant pairs for bases: ${(variants -- found).take(5)}")
+    // variant pairs are near-identical; everything reported is ≤ the cap
+    pairs.foreach { case (a, b, d) =>
+      if (b == a + Multimodal.VariantOffset) assert(d <= 1, s"($a,$b) d=$d")
+      assert(d <= 6, s"($a,$b) d=$d")
+    }
+    // bounded output: candidates come from band classes, never all-pairs
+    assert(pairs.length < nDocs * 3, s"pair explosion: ${pairs.length}")
+  }
 }
