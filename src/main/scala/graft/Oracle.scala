@@ -1606,6 +1606,12 @@ object Oracle {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang IN ('en', 'zh') ORDER BY doc_id""".stripMargin,
 
+    "scan_csv_delim" ->
+      """SELECT doc_id,
+        | length(text || ' | "q" \ end') AS n_chars_rt,
+        | md5(text || ' | "q" \ end') AS body_md5
+        |FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id""".stripMargin,
+
     "join_dpp" ->
       """SELECT n_name, COUNT(*) AS n_cust,
         | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal

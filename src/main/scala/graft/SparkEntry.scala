@@ -225,6 +225,7 @@ object SparkEntry {
     "scan_schema_merge"   -> Sources.scanSchemaMerge _,
     "scan_partition_prune" -> Sources.scanPartitionPrune _,
     "join_dpp"             -> Sources.joinDpp _,
+    "scan_csv_delim"       -> Sources.scanCsvDelim _,
     "scan_binaryfile"     -> Sources.scanBinaryfile _,
     "scan_csv_multiline"  -> Sources.scanCsvMultiline _,
     // -- training-data curation / pipeline maintenance

@@ -203,6 +203,37 @@ object Sources {
       .orderBy($"doc_id")
   }
 
+  /** Custom-dialect CSV round-trip: pipe delimiter, double-quote quoting,
+    * backslash escape — the dialect-robustness case for a CSV-ingestion
+    * service (the reference's parser is configured per upload; a wrong
+    * dialect silently splits rows at embedded delimiters). Every row is
+    * salted with the delimiter, a quoted fragment and a backslash so the
+    * writer MUST quote and escape; integrity is proven by md5 + length
+    * against the source table (the oracle recomputes both directly).
+    * Scale note: unlike multiLine mode, a single-line custom dialect
+    * stays line-splittable — byte-range parallelism survives. */
+  def scanCsvDelim(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir, "docs_pipe_csv")
+    val salted = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 4 === 1)
+      .select($"doc_id",
+        concat($"text", lit(" | \"q\" \\ end")).as("body"))
+    salted.write.mode("overwrite")
+      .option("header", "true").option("sep", "|")
+      .option("quote", "\"").option("escape", "\\")
+      .csv(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("body", StringType)))
+    spark.read.schema(schema)
+      .option("header", "true").option("sep", "|")
+      .option("quote", "\"").option("escape", "\\")
+      .csv(dir)
+      .select($"doc_id", length($"body").as("n_chars_rt"),
+        md5($"body").as("body_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** Dynamic partition pruning: a nationkey-partitioned fact joined to a
     * region-filtered dimension — the partition filter is NOT a literal
     * (contrast [[scanPartitionPrune]]'s static prune) but the runtime
