@@ -9,6 +9,26 @@ package graft
   */
 object Oracle {
 
+  /** Shared by ts_quota_reset and stream_quota_reset (batch/stream
+    * parity). State rides as a [cum, resets] BIGINT list (see ts_holt's
+    * aliasing note); list_reduce has no init acc, so a [0,0] sentinel is
+    * prepended — the fold then applies the threshold to EVERY real
+    * element, matching Spark's aggregate(es, array(0L,0L), ...). */
+  private val QuotaResetSql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+       |  CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS u6
+       |  FROM events),
+       |g AS (SELECT user_id, COUNT(*) AS n,
+       |  list([u6, 0::BIGINT] ORDER BY us, event_id) AS es
+       |  FROM ev GROUP BY user_id),
+       |r AS (SELECT user_id, n, list_reduce(
+       |  list_prepend([0::BIGINT, 0::BIGINT], es),
+       |  (acc, x) -> CASE WHEN acc[1] + x[1] >= ${graft.ops.Analytics.QuotaCapU6}
+       |    THEN [0::BIGINT, acc[2] + 1] ELSE [acc[1] + x[1], acc[2]] END) AS st
+       |  FROM g)
+       |SELECT user_id, n, st[2] AS n_batches, st[1] AS residual_u6
+       |FROM r ORDER BY user_id""".stripMargin
+
   val relational: Map[String, String] = Map(
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1708,24 +1728,10 @@ object Oracle {
         pairs.mkString("\nUNION ALL\n") + "\nORDER BY x_col, y_col"
     },
 
-    "ts_quota_reset" ->
-      // state rides as a [cum, resets] BIGINT list (see ts_holt's aliasing
-      // note); list_reduce has no init acc, so a [0,0] sentinel is
-      // prepended — the fold then applies the threshold to EVERY real
-      // element, matching Spark's aggregate(es, array(0L,0L), ...)
-      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id,
-         |  CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS u6
-         |  FROM events),
-         |g AS (SELECT user_id, COUNT(*) AS n,
-         |  list([u6, 0::BIGINT] ORDER BY us, event_id) AS es
-         |  FROM ev GROUP BY user_id),
-         |r AS (SELECT user_id, n, list_reduce(
-         |  list_prepend([0::BIGINT, 0::BIGINT], es),
-         |  (acc, x) -> CASE WHEN acc[1] + x[1] >= ${graft.ops.Analytics.QuotaCapU6}
-         |    THEN [0::BIGINT, acc[2] + 1] ELSE [acc[1] + x[1], acc[2]] END) AS st
-         |  FROM g)
-         |SELECT user_id, n, st[2] AS n_batches, st[1] AS residual_u6
-         |FROM r ORDER BY user_id""".stripMargin,
+    "ts_quota_reset" -> QuotaResetSql,
+    // the streaming twin runs the IDENTICAL fold (QuotaProcessor keyed
+    // state, one AvailableNow batch) — same oracle, the parity proof
+    "stream_quota_reset" -> QuotaResetSql,
 
     "ts_theilsen" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us,

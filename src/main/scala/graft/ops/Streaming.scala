@@ -58,6 +58,38 @@ class StatusProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[L
   }
 }
 
+case class QuotaEvent(user_id: Long, event_id: Long, us: Long, u6: Long)
+case class QuotaState(cum: Long, resets: Long, n: Long)
+case class QuotaSnapshot(user_id: Long, n: Long, n_batches: Long, residual_u6: Long)
+
+/** Streaming twin of [[graft.ops.Analytics.tsQuotaReset]]: the greedy
+  * ship-and-reset quota fold as transformWithState keyed state. The fold
+  * is order-SENSITIVE, so each batch's rows are sorted in event-time
+  * order (us, event_id) before folding onto the carried state — exact
+  * for the AvailableNow single batch here, and the per-batch discipline
+  * a production deployment pairs with a watermark that holds back
+  * out-of-order events. */
+class QuotaProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, QuotaEvent, QuotaSnapshot] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var state: ValueState[QuotaState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[QuotaState]("quota",
+      org.apache.spark.sql.Encoders.product[QuotaState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[QuotaEvent],
+                               timers: TimerValues): Iterator[QuotaSnapshot] = {
+    var s = Option(state.get()).getOrElse(QuotaState(0L, 0L, 0L))
+    rows.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+      s = if (s.cum + e.u6 >= Analytics.QuotaCapU6)
+        QuotaState(0L, s.resets + 1, s.n + 1)
+      else QuotaState(s.cum + e.u6, s.resets, s.n + 1)
+    }
+    state.update(s)
+    Iterator(QuotaSnapshot(key, s.n, s.resets, s.cum))
+  }
+}
+
 object Streaming {
 
   private def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
@@ -351,6 +383,34 @@ object Streaming {
       .select($"user_id", $"n_events",
         date_format(timestamp_micros($"lastUs"), tsFmt).as("last_ts"),
         $"event_type")
+      .orderBy($"user_id")
+  }
+
+  /** The quota-reset fold as keyed streaming state ([[QuotaProcessor]]):
+    * RocksDB-backed ValueState of three longs per user, snapshot emitted
+    * per batch. One AvailableNow batch ⇒ the final snapshot is EXACTLY
+    * [[graft.ops.Analytics.tsQuotaReset]]'s batch fold — the oracle runs
+    * the identical SQL for both, the batch/stream parity proof the
+    * incremental-ingest story needs. */
+  def streamQuotaReset(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    runToParquet(spark, Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { session =>
+      import session.implicits._
+      eventsStream(session, sfDir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value").cast("double") * 1e6).cast("long").as("u6"))
+        .as[QuotaEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new QuotaProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[QuotaSnapshot])
+        .toDF()
+    }
       .orderBy($"user_id")
   }
 

@@ -157,4 +157,12 @@ class StreamingSpec extends SparkSuite {
     assert(sessions.filter($"n_events" < 1).count() == 0)
     assert(sessions.filter($"last_ts" < $"first_ts").count() == 0)
   }
+
+  test("quota-reset keyed state equals the batch fold exactly") {
+    // the batch/stream parity contract both queries' shared oracle
+    // encodes, asserted directly row-for-row
+    val stream = Streaming.streamQuotaReset(spark, sfDir).collect().map(_.toSeq)
+    val batch = graft.ops.Analytics.tsQuotaReset(spark, sfDir).collect().map(_.toSeq)
+    assert(stream.sameElements(batch))
+  }
 }
