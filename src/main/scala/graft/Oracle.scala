@@ -1516,6 +1516,19 @@ object Oracle {
         |    WHERE l2.l_partkey = p.p_partkey)
         |ORDER BY p_partkey, l_suppkey""".stripMargin,
 
+    "sql_api_q11" ->
+      """SELECT l_suppkey,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS value
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  > (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) * 0.0105
+        |     FROM lineitem)
+        |ORDER BY value DESC, l_suppkey""".stripMargin,
+
     "sql_api_q16" ->
       """SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
@@ -1631,6 +1644,20 @@ object Oracle {
         | length(text || ' | "q" \ end') AS n_chars_rt,
         | md5(text || ' | "q" \ end') AS body_md5
         |FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id""".stripMargin,
+
+    "fn_url" ->
+      """WITH u AS (SELECT p_partkey,
+        |  'https://' || lower(replace(p_brand, '#', '')) || '.example.com/catalog/'
+        |    || CAST(p_partkey AS VARCHAR) || '?type=' || replace(p_type, ' ', '+')
+        |    || '&size=' || CAST(p_size AS VARCHAR) AS url
+        |  FROM part WHERE p_partkey % 3 = 0)
+        |SELECT p_partkey, url,
+        | regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+        | regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+        | regexp_extract(url, '\?(.*)$', 1) AS query,
+        | regexp_extract(url, '[?&]type=([^&]*)', 1) AS p_type_param,
+        | 'https' AS scheme
+        |FROM u ORDER BY p_partkey""".stripMargin,
 
     "join_dpp" ->
       """SELECT n_name, COUNT(*) AS n_cust,

@@ -205,6 +205,7 @@ object SparkEntry {
     "sql_api_q21"          -> Relational.sqlApiQ21 _,
     "sql_api_q2"           -> Relational.sqlApiQ2 _,
     "sql_api_q16"          -> Relational.sqlApiQ16 _,
+    "sql_api_q11"          -> Relational.sqlApiQ11 _,
     "join_existence_flag"  -> Relational.joinExistenceFlag _,
     "agg_approx_quantile"  -> Relational.aggApproxQuantile _,
     "win_streak"           -> Analytics.winStreak _,
@@ -226,6 +227,7 @@ object SparkEntry {
     "scan_partition_prune" -> Sources.scanPartitionPrune _,
     "join_dpp"             -> Sources.joinDpp _,
     "scan_csv_delim"       -> Sources.scanCsvDelim _,
+    "fn_url"               -> Functions.fnUrl _,
     "scan_binaryfile"     -> Sources.scanBinaryfile _,
     "scan_csv_multiline"  -> Sources.scanCsvMultiline _,
     // -- training-data curation / pipeline maintenance

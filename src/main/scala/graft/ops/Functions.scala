@@ -315,4 +315,30 @@ object Functions {
           .as("total_qty"))
       .orderBy($"l_orderkey")
   }
+
+  /** URL-function pack: synthesize a catalog URL per part, then extract
+    * host / path / query / one parameter with `parse_url` — the domain
+    * extraction every web-corpus curation pipeline runs before
+    * per-domain dedup, mixing and blocklists. The oracle re-derives each
+    * component with regexes over the same synthesized string, so the
+    * extraction semantics (not just the concat) are what hash-matches.
+    * Per-row codegen'd string ops — no shuffle but the output sort. */
+  def fnUrl(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, sfDir)
+      .filter($"p_partkey" % 3 === 0)
+      .select($"p_partkey",
+        concat(lit("https://"),
+          lower(regexp_replace($"p_brand", "#", "")), lit(".example.com/catalog/"),
+          $"p_partkey".cast("string"), lit("?type="),
+          translate($"p_type", " ", "+"), lit("&size="),
+          $"p_size".cast("string")).as("url"))
+      .select($"p_partkey", $"url",
+        parse_url($"url", lit("HOST")).as("host"),
+        parse_url($"url", lit("PATH")).as("path"),
+        parse_url($"url", lit("QUERY")).as("query"),
+        parse_url($"url", lit("QUERY"), lit("type")).as("p_type_param"),
+        parse_url($"url", lit("PROTOCOL")).as("scheme"))
+      .orderBy($"p_partkey")
+  }
 }

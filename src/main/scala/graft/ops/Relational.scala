@@ -919,6 +919,32 @@ object Relational {
         |LIMIT 100""".stripMargin)
   }
 
+  /** TPC-H Q11 shape (important stock: groups whose share beats a GLOBAL
+    * threshold): an UNCORRELATED scalar subquery in HAVING — the global
+    * revenue total computes once, broadcasts as a subquery result, and
+    * every group compares against it (never a per-group re-aggregation).
+    * The group sums are exact DECIMAL; the threshold compare is one
+    * double each side (decimal×decimal at this precision would overflow
+    * DuckDB's 38-digit cap, and a single identical IEEE multiply is
+    * engine-exact). Completes the subquery family: correlated scalar
+    * (q2), EXISTS/NOT EXISTS (q21), NOT IN (q16), existence flag,
+    * lateral (join_lateral_top1), and now uncorrelated scalar. */
+  def sqlApiQ11(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT l_suppkey,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS value
+        |FROM graft_lineitem
+        |GROUP BY l_suppkey
+        |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  > (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) * 0.0105
+        |     FROM graft_lineitem)
+        |ORDER BY value DESC, l_suppkey""".stripMargin)
+  }
+
   /** TPC-H Q16 shape (supplier diversity with an exclusion list): NOT IN
     * with a non-correlated subquery — the FOURTH subquery-decorrelation
     * surface next to [[sqlApiQ21]] (EXISTS/NOT EXISTS → semi/anti),
