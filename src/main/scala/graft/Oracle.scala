@@ -1639,6 +1639,11 @@ object Oracle {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang IN ('en', 'zh') ORDER BY doc_id""".stripMargin,
 
+    "scan_jdbc_partitioned" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        | o_orderpriority
+        |FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey""".stripMargin,
+
     "scan_csv_delim" ->
       """SELECT doc_id,
         | length(text || ' | "q" \ end') AS n_chars_rt,

@@ -133,6 +133,17 @@ class SinksSpec extends SparkSuite {
       Seq("expiryDate", "externalId", "name", "quantity"))
   }
 
+  test("jdbc partitioned scan reads through 8 concurrent range queries") {
+    // materialize the Derby table via the declared query, then pin the
+    // raw read's partitioning: 8 range-bounded cursors, not one drain
+    graft.ops.Sources.scanJdbcPartitioned(spark, sfDir).collect()
+    val raw = graft.ops.Sources.jdbcPartitionedRead(
+      spark, "jdbc:derby:memory:graftscan;create=true")
+    assert(raw.rdd.getNumPartitions == 8)
+    assert(raw.count() ==
+      Tables.orders(spark, sfDir).filter($"o_orderkey" % 7 === 0).count())
+  }
+
   test("genSynthetic is deterministic and partition-count independent") {
     val a = Sinks.genSynthetic(spark, 1000).repartition(1)
       .orderBy("externalId").collect().map(_.toSeq)
