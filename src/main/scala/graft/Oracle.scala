@@ -1639,6 +1639,11 @@ object Oracle {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang IN ('en', 'zh') ORDER BY doc_id""".stripMargin,
 
+    "scan_nested_prune" ->
+      """SELECT o_orderkey, o_orderpriority AS prio FROM orders
+        |WHERE o_orderpriority <> '4-NOT SPECIFIED'
+        |ORDER BY o_orderkey""".stripMargin,
+
     "scan_jdbc_partitioned" ->
       """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
         | o_orderpriority

@@ -229,6 +229,7 @@ object SparkEntry {
     "scan_csv_delim"       -> Sources.scanCsvDelim _,
     "fn_url"               -> Functions.fnUrl _,
     "scan_jdbc_partitioned" -> Sources.scanJdbcPartitioned _,
+    "scan_nested_prune"    -> Sources.scanNestedPrune _,
     "scan_binaryfile"     -> Sources.scanBinaryfile _,
     "scan_csv_multiline"  -> Sources.scanCsvMultiline _,
     // -- training-data curation / pipeline maintenance

@@ -203,6 +203,33 @@ object Sources {
       .orderBy($"doc_id")
   }
 
+  /** Nested-struct schema pruning: orders re-materialized with a 5-field
+    * detail struct, then read back projecting ONE subfield — the scan
+    * must read only `detail.o_orderpriority` from parquet
+    * (`nestedSchemaPruning`, PlanSpec pins the ReadSchema), not
+    * reassemble the whole struct. On wide nested telemetry/ML-feature
+    * schemas this is the column-pruning win all over again, one level
+    * down — the difference between reading 1 leaf and reading 5. */
+  def scanNestedPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir, "orders_nested")
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey",
+        struct($"o_custkey", $"o_orderstatus", $"o_totalprice",
+          $"o_orderdate", $"o_orderpriority").as("detail"))
+      .write.mode("overwrite").parquet(dir)
+    nestedPrunedRead(spark, dir)
+  }
+
+  /** The read side alone (PlanSpec inspects this plan without re-writing). */
+  def nestedPrunedRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(dir)
+      .select($"o_orderkey", $"detail.o_orderpriority".as("prio"))
+      .filter($"prio" =!= "4-NOT SPECIFIED")
+      .orderBy($"o_orderkey")
+  }
+
   /** JDBC as a PARALLEL source: a deterministic orders slice round-trips
     * through embedded Derby (the container's only JDBC engine; the read
     * path — range predicate generation, type mapping — is the same code

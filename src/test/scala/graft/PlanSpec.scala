@@ -111,6 +111,17 @@ class PlanSpec extends SparkSuite {
       s"lang filter not applied as a partition filter:\n$p")
   }
 
+  test("scan_nested_prune reads only the projected struct leaf") {
+    ops.Sources.scanNestedPrune(spark, sfDir).collect() // materialize fixture
+    val dir = s"/tmp/graft_sources/${math.abs(sfDir.hashCode)}/orders_nested"
+    val p = ops.Sources.nestedPrunedRead(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("o_orderpriority"), s"pruned leaf missing:\n$read")
+    assert(!read.contains("o_totalprice") && !read.contains("o_custkey"),
+      s"nested pruning failed — whole struct read:\n$read")
+  }
+
   test("join_dpp injects a DynamicPruningExpression into the fact scan") {
     ops.Sources.joinDpp(spark, sfDir).collect() // materialize the fixture
     val dir = s"/tmp/graft_sources/${math.abs(sfDir.hashCode)}/customer_by_nation"
