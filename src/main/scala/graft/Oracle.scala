@@ -1745,8 +1745,8 @@ object Oracle {
     "profile_corr_matrix" -> {
       // Mirrors Quality.profileCorrMatrix: one moment CTE (exact DECIMAL
       // sums), 6 pair rows off it, the identical double corr expression.
-      val cols = Seq("l_quantity" -> "q", "l_extendedprice" -> "ep",
-        "l_discount" -> "di", "l_tax" -> "tx")
+      // The column list IS the op's — content/order drift is impossible.
+      val cols = graft.ops.Quality.CorrCols
       def dd(c: String) = s"CAST($c AS DECIMAL(18,2))"
       val sums = cols.map { case (c, a) => s"SUM(${dd(c)}) AS s_$a" }
       val prods = (cols.map(x => (x, x)) ++

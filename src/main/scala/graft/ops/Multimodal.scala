@@ -73,6 +73,12 @@ object Multimodal {
     * renders (≤ 64×48 — the thumbnail scale a feature extractor sees
     * after a resize stage), encoded executor-side inside mapPartitions so
     * the blobs are born distributed and never pass through the driver. */
+  /** Per-asset render dimensions — ONE dial shared by every render site
+    * so the pair join can never hash different images than the resize /
+    * feature stages. */
+  private[graft] def renderDims(id: Long): (Int, Int) =
+    ((id % 48 + 16).toInt, (id % 32 + 16).toInt)
+
   def pngAssets(spark: SparkSession, sfDir: String): DataFrame = {
     val df = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
     val outSchema = StructType(Seq(
@@ -88,8 +94,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
       rows.map { r =>
         val id = r.getLong(0)
-        val w = (id % 48 + 16).toInt
-        val h = (id % 32 + 16).toInt
+        val (w, h) = renderDims(id)
         Row(id, pngBytes(id, w, h), Row("image/png", w, h, r.getString(1)))
       }
     }(enc)
@@ -194,10 +199,12 @@ object Multimodal {
     * the loop [[resizePool]] opens ("the ahash feeds a banded join"):
     * every 10th asset gets a perturbed re-render (one corner pixel
     * brightened through the actual PNG encode→decode path — "same image,
-    * tiny edit"), and pairs within Hamming ≤ 6 are found by 4×16-bit
-    * band blocking. A ≤1-bit perturbation damages at most one band, so
-    * three bands still collide — detection is GUARANTEED by pigeonhole,
-    * never probabilistic.
+    * tiny edit"), and candidate pairs come from 4×16-bit band blocking.
+    * A k-bit difference damages at most k of the 4 bands, so detection
+    * is pigeonhole-GUARANTEED for Hamming ≤ 3 (the injected variants sit
+    * at ≤ 1); pairs at 4-6 bits are kept when they happen to share a
+    * band — the declared cap is a verify filter, not a recall promise
+    * (more bands is the recall dial, exactly as in simhash banding).
     *
     * Scale: only (band_key, asset_id, ahash) rows shuffle — never image
     * bytes; candidates are band-equality classes (≈ n²/2¹⁶ random
@@ -207,7 +214,7 @@ object Multimodal {
     * every variant pairs with its base and the pair set stays bounded. */
   def phashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"))
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType), StructField("payload", BinaryType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
@@ -215,8 +222,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { r =>
         val id = r.getLong(0)
-        val w = (id % 48 + 16).toInt
-        val h = (id % 32 + 16).toInt
+        val (w, h) = renderDims(id)
         val orig = Row(id, pngBytes(id, w, h))
         if (id % 10 == 0)
           Seq(orig, Row(id + VariantOffset, pngBytesPerturbed(id, w, h)))

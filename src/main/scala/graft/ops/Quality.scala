@@ -212,8 +212,10 @@ object Quality {
       .orderBy($"o_orderpriority")
   }
 
-  /** Columns profiled by [[profileCorrMatrix]]: (table column, short key). */
-  private val CorrCols = Seq(
+  /** Columns profiled by [[profileCorrMatrix]]: (table column, short key).
+    * `private[graft]` so the DuckDB oracle derives from the SAME list —
+    * adding or reordering a measure cannot drift the two sides apart. */
+  private[graft] val CorrCols = Seq(
     "l_quantity" -> "q", "l_extendedprice" -> "ep",
     "l_discount" -> "di", "l_tax" -> "tx")
 
