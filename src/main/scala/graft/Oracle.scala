@@ -1655,6 +1655,16 @@ object Oracle {
         | md5(text || ' | "q" \ end') AS body_md5
         |FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id""".stripMargin,
 
+    "fn_collation" ->
+      """WITH m AS (SELECT p_partkey,
+        |  CASE WHEN p_partkey % 3 = 0 THEN upper(p_brand)
+        |       WHEN p_partkey % 3 = 1 THEN lower(p_brand)
+        |       ELSE p_brand END AS mangled
+        |  FROM part)
+        |SELECT lower(mangled) AS brand_ci, COUNT(*) AS n,
+        | MIN(mangled) AS canonical
+        |FROM m GROUP BY lower(mangled) ORDER BY brand_ci""".stripMargin,
+
     "fn_url" ->
       """WITH u AS (SELECT p_partkey,
         |  'https://' || lower(replace(p_brand, '#', '')) || '.example.com/catalog/'

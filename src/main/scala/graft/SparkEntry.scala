@@ -228,6 +228,7 @@ object SparkEntry {
     "join_dpp"             -> Sources.joinDpp _,
     "scan_csv_delim"       -> Sources.scanCsvDelim _,
     "fn_url"               -> Functions.fnUrl _,
+    "fn_collation"         -> Functions.fnCollation _,
     "scan_jdbc_partitioned" -> Sources.scanJdbcPartitioned _,
     "scan_nested_prune"    -> Sources.scanNestedPrune _,
     "scan_binaryfile"     -> Sources.scanBinaryfile _,

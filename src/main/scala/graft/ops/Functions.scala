@@ -316,6 +316,32 @@ object Functions {
       .orderBy($"l_orderkey")
   }
 
+  /** Spark 4 collation surface: per-row case-MANGLED brand strings
+    * (upper / lower / as-is by partkey residue) grouped under the
+    * UTF8_LCASE collation — the engine groups "BRAND#1", "brand#1" and
+    * "Brand#1" as one key with zero normalization calls in the query;
+    * the collation IS the comparison semantics, declared on the column.
+    * Output is re-canonicalized (min original spelling, count) so it is
+    * deterministic; the oracle mirrors with GROUP BY lower(). At scale
+    * the collated grouping hashes the collation key directly — same
+    * shuffle shape as any groupBy, no double-pass normalize. */
+  def fnCollation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, sfDir)
+      .select($"p_partkey",
+        when($"p_partkey" % 3 === 0, upper($"p_brand"))
+          .when($"p_partkey" % 3 === 1, lower($"p_brand"))
+          .otherwise($"p_brand").as("mangled"))
+      .select($"p_partkey", expr("collate(mangled, 'UTF8_LCASE')").as("k"),
+        $"mangled")
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n"), min($"mangled").as("canonical"))
+      // the collated key surfaces an ARBITRARY member spelling — project
+      // the case-folded form so the output is deterministic
+      .select(lower($"k".cast("string")).as("brand_ci"), $"n", $"canonical")
+      .orderBy($"brand_ci")
+  }
+
   /** URL-function pack: synthesize a catalog URL per part, then extract
     * host / path / query / one parameter with `parse_url` — the domain
     * extraction every web-corpus curation pipeline runs before
