@@ -996,6 +996,45 @@ object Oracle {
          | CAST(CAST(matches AS DOUBLE) / 6.0 AS DECIMAL(18,6))::DOUBLE AS est_jaccard
          |FROM cand WHERE matches >= 2 ORDER BY id_a, id_b""".stripMargin,
 
+    "pipeline_dedup_e2e" ->
+      // composition of the dedup_exact / dedup_minhash_lsh /
+      // dedup_embedding_cosine oracle fragments with greedy
+      // drop-if-pairs-with-smaller-survivor endpoint filters
+      s"""WITH s1 AS (SELECT MIN(doc_id) AS doc_id FROM documents
+         |  GROUP BY lower(trim(text))),
+         |dd AS (SELECT doc_id, $toksExpr AS ts FROM documents),
+         |sh AS (SELECT doc_id, ts FROM dd WHERE len(ts) >= 3),
+         |sigs AS (SELECT doc_id, list_transform(range(0, 6), s ->
+         |  list_min(list_transform(range(1, len(ts) - 1),
+         |    i -> md5(CAST(s AS VARCHAR) || '|' || ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])))) AS sig
+         |  FROM sh),
+         |bands AS (SELECT doc_id, i0, sig[i0 + 1] AS v FROM sigs, range(0, 6) t(i0)),
+         |mp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.i0 = b.i0 AND a.v = b.v AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |drop2 AS (SELECT DISTINCT id_b FROM mp
+         |  WHERE id_a IN (SELECT doc_id FROM s1)
+         |    AND id_b IN (SELECT doc_id FROM s1)),
+         |s2 AS (SELECT doc_id FROM s1
+         |  WHERE doc_id NOT IN (SELECT id_b FROM drop2)),
+         |e AS (SELECT vec_id, label,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |ep AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE CAST(${cosSql("a.v", "b.v")} AS DECIMAL(18,6)) >= 0.35),
+         |drop3 AS (SELECT DISTINCT id_b FROM ep
+         |  WHERE id_a IN (SELECT doc_id FROM s2)
+         |    AND id_b IN (SELECT doc_id FROM s2)),
+         |s3 AS (SELECT doc_id FROM s2
+         |  WHERE doc_id NOT IN (SELECT id_b FROM drop3))
+         |SELECT stage, survivors FROM (
+         |  SELECT '0_all' AS stage, COUNT(*) AS survivors FROM documents
+         |  UNION ALL SELECT '1_exact', COUNT(*) FROM s1
+         |  UNION ALL SELECT '2_neardup', COUNT(*) FROM s2
+         |  UNION ALL SELECT '3_semantic', COUNT(*) FROM s3)
+         |ORDER BY stage""".stripMargin,
+
     "dedup_incremental_minhash" ->
       s"""WITH d AS (SELECT doc_id, source = 'src19' AS is_new, $toksExpr AS ts
          |  FROM documents),

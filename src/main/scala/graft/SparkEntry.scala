@@ -229,6 +229,7 @@ object SparkEntry {
     "scan_csv_delim"       -> Sources.scanCsvDelim _,
     "fn_url"               -> Functions.fnUrl _,
     "fn_collation"         -> Functions.fnCollation _,
+    "pipeline_dedup_e2e"   -> Curation.pipelineDedupE2e _,
     "scan_jdbc_partitioned" -> Sources.scanJdbcPartitioned _,
     "scan_nested_prune"    -> Sources.scanNestedPrune _,
     "scan_binaryfile"     -> Sources.scanBinaryfile _,

@@ -250,6 +250,50 @@ object Curation {
     * bounded by source blocking AND the corpus-wide gram df cap exactly
     * as in dedup_ngram_jaccard (Similarity.GramDfCap — a hot stop-gram
     * inside one dominant source must not fan out k² here either). */
+  /** The WHOLE near-duplicate stack composed end-to-end — exact dedup →
+    * banded MinHash near-dup → embedding-cosine semantic near-dup — as a
+    * per-stage survivor funnel (the dedup counterpart of
+    * [[pipelineCurationE2e]]; together they are the reference user's two
+    * composed pipelines). Drop rule at each near-dup stage: a doc is
+    * removed iff it pairs with a SMALLER-id survivor of the previous
+    * stage (deterministic greedy; the transitive-closure variant is
+    * `dedup_cluster`'s job). Stage pair sets are the DECLARED pair
+    * queries restricted to previous-stage survivors: signatures and
+    * cosines are per-doc/per-pair, so endpoint filtering is EXACTLY
+    * computing on the survivor corpus — zero recomputation, and the
+    * oracle replays the identical chain, proving the COMPOSITION.
+    *
+    * Scale: linear stage chain; the pair stages inherit their declared
+    * queries' sub-quadratic shapes (signature banding / label+route
+    * blocking), and the funnel is four 1-row aggregates. */
+  def pipelineDedupE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val s1 = docs.select(lower(trim($"text")).as("norm"), $"doc_id")
+      .groupBy($"norm").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id").localCheckpoint()
+    def survivors(prev: DataFrame, pairs: DataFrame): DataFrame = {
+      val dropped = pairs
+        .join(prev.select($"doc_id".as("id_a")), Seq("id_a"), "left_semi")
+        .join(prev.select($"doc_id".as("id_b")), Seq("id_b"), "left_semi")
+        .select($"id_b".as("doc_id")).distinct()
+      prev.join(dropped, Seq("doc_id"), "left_anti")
+    }
+    val s2 = survivors(s1,
+      Similarity.dedupMinhashLsh(spark, sfDir).select($"id_a", $"id_b"))
+      .localCheckpoint()
+    val s3 = survivors(s2,
+      Similarity.dedupEmbeddingCosine(spark, sfDir)
+        .select($"id_a".cast("long").as("id_a"), $"id_b".cast("long").as("id_b")))
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("survivors")).select(lit(name).as("stage"), $"survivors")
+    stage("0_all", docs)
+      .unionByName(stage("1_exact", s1))
+      .unionByName(stage("2_neardup", s2))
+      .unionByName(stage("3_semantic", s3))
+      .orderBy($"stage")
+  }
+
   def pipelineCurationE2e(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val s0 = Tables.documents(spark, sfDir)
