@@ -1819,6 +1819,30 @@ object Oracle {
     // state, one AvailableNow batch) — same oracle, the parity proof
     "stream_quota_reset" -> QuotaResetSql,
 
+    "ts_winsorize" ->
+      """WITH ev AS (SELECT event_type,
+        |  CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS u6 FROM events),
+        |b AS (SELECT event_type, list_sort(list(u6)) AS vs
+        |  FROM ev GROUP BY event_type),
+        |bd AS (SELECT event_type,
+        |  vs[CAST(ceil(len(vs) * 0.05) AS INTEGER)] AS lo,
+        |  vs[CAST(ceil(len(vs) * 0.95) AS INTEGER)] AS hi FROM b)
+        |SELECT ev.event_type, COUNT(*) AS n,
+        | CAST(SUM(CASE WHEN u6 < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        | CAST(SUM(CASE WHEN u6 > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        | MIN(lo) AS lo_u6, MIN(hi) AS hi_u6,
+        | CAST(SUM(CASE WHEN u6 < lo THEN lo WHEN u6 > hi THEN hi ELSE u6 END) AS BIGINT) AS sum_clipped_u6
+        |FROM ev JOIN bd ON ev.event_type = bd.event_type
+        |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin,
+
+    "ts_decay_sum" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+        |  CAST(value AS DOUBLE) AS v FROM events),
+        |t AS (SELECT MAX(us) AS t_max FROM ev)
+        |SELECT user_id, COUNT(*) AS n,
+        | CAST(SUM(CAST(round(v * exp(CAST(us - t_max AS DOUBLE) / 86400000000.0) * 1000000) AS BIGINT)) AS BIGINT) AS decay_u6
+        |FROM ev, t GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "ts_theilsen" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
         |  CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS u6

@@ -68,6 +68,8 @@ object SparkEntry {
     "agg_weighted_median"    -> Analytics.aggWeightedMedian _,
     "ts_theilsen"            -> Analytics.tsTheilsen _,
     "ts_quota_reset"         -> Analytics.tsQuotaReset _,
+    "ts_decay_sum"           -> Analytics.tsDecaySum _,
+    "ts_winsorize"           -> Analytics.tsWinsorize _,
     "agg_geomean_exact"      -> Analytics.aggGeomeanExact _,
     "join_bucketed"       -> Relational.joinBucketed _,
     "agg_unpivot"         -> Relational.aggUnpivot _,

@@ -685,6 +685,65 @@ object Analytics {
       .orderBy($"bucket")
   }
 
+  /** Winsorization (clip at P5/P95) per event type — the robust
+    * preprocessing step that tames heavy tails before moment-based
+    * features. Bounds are the exact sorted-pick discrete percentiles
+    * (the `agg_percentile_disc` recipe — element at ⌈p·n⌉, zero
+    * interpolation arithmetic), values ride as µ-unit longs, and the
+    * clipped sum accumulates exactly as integers. Output per type:
+    * count, clip counts both sides, bounds, exact clipped sum.
+    * Scale: one sorted collect per type for the bounds (bounded by the
+    * per-group value count — production swaps in a mergeable quantile
+    * sketch, `agg_approx_quantile`, when groups outgrow memory), one
+    * broadcast join back, one map-side-combinable aggregation. */
+  def tsWinsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type",
+        round($"value".cast("double") * 1e6).cast("long").as("u6"))
+    def pick(p: Double) =
+      element_at($"vs", ceil(size($"vs") * p).cast("int"))
+    val bounds = ev.groupBy($"event_type")
+      .agg(sort_array(collect_list($"u6")).as("vs"))
+      .select($"event_type", pick(0.05).as("lo"), pick(0.95).as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .select($"event_type", $"lo", $"hi", $"u6",
+        when($"u6" < $"lo", $"lo").when($"u6" > $"hi", $"hi")
+          .otherwise($"u6").as("clipped"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"u6" < $"lo", 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when($"u6" > $"hi", 1L).otherwise(0L)).as("n_clip_hi"),
+        min($"lo").as("lo_u6"), min($"hi").as("hi_u6"),
+        sum($"clipped").as("sum_clipped_u6"))
+      .orderBy($"event_type")
+  }
+
+  /** Exponential time-decay engagement score per user: each event
+    * contributes value·e^(−age/τ) with τ = 1 day, age measured from the
+    * corpus max timestamp (one 1-row aggregate, broadcast). The per-row
+    * contribution is ONE double expression over exact epoch-µs integers,
+    * quantized to µ-units per row and then summed EXACTLY as longs — a
+    * float Σ would be partition-merge-order dependent ([[aggMomentsExact]]
+    * discipline; exp engine-parity is already proven by
+    * `agg_geomean_exact`). Output: per-user event count and decayed
+    * score. Scale: one broadcast scalar + one map pass + a map-side
+    * combinable long-sum aggregation — no window, no sort. */
+  def tsDecaySum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", expr("unix_micros(ts)").as("us"),
+        $"value".cast("double").as("v"))
+    val tmax = ev.agg(max($"us").as("t_max"))
+    ev.crossJoin(broadcast(tmax))
+      .select($"user_id",
+        round($"v" * exp(($"us" - $"t_max").cast("double") / 86400000000.0) * 1e6)
+          .cast("long").as("c_u6"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"c_u6").as("decay_u6"))
+      .orderBy($"user_id")
+  }
+
   /** [[tsQuotaReset]]'s batch quota in µ-units (1000 value-units). */
   val QuotaCapU6 = 1000000000L
 
