@@ -148,6 +148,7 @@ object SparkEntry {
     "text_fingerprint"       -> TextSim.textFingerprint _,
     "text_line_dedup"        -> TextSim.textLineDedup _,
     "text_span_dedup"        -> TextSim.textSpanDedup _,
+    "text_compression_ratio" -> TextSim.textCompressionRatio _,
     "profile_corr_matrix"    -> Quality.profileCorrMatrix _,
     "sim_ann_recall"         -> Similarity.simAnnRecall _,
     "text_tfidf"             -> TextSim.textTfidf _,

@@ -599,6 +599,38 @@ object TextSim {
       .limit(100)
   }
 
+  /** Compressibility quality signal (the Gopher/RefinedWeb "too
+    * repetitive / too random" gate): deflate ratio of the utf-8 text at
+    * a FIXED level — boilerplate compresses far below ~0.4, high-entropy
+    * junk stays near 1. java.util.zip.Deflater level 6 with zlib
+    * framing is deterministic for a given input on a given JVM major
+    * (single-thread, no flush variance); rows-only by design — DuckDB
+    * has no zlib surface — with the spec pinning known-compressible vs
+    * incompressible fixtures and the exact ratio formula. Scale: pure
+    * map pass inside mapPartitions (one Deflater reused per partition,
+    * never per row), only (id, ints) leave the executor. */
+  def textCompressionRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val out = docs.as[(Long, String)].mapPartitions { rows =>
+      val deflater = new java.util.zip.Deflater(6)
+      val buf = new Array[Byte](1 << 16)
+      rows.map { case (id, text) =>
+        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        deflater.reset()
+        deflater.setInput(raw)
+        deflater.finish()
+        var compressed = 0L
+        while (!deflater.finished())
+          compressed += deflater.deflate(buf)
+        (id, raw.length.toLong, compressed,
+          if (raw.length == 0) 1000000L
+          else math.round(compressed.toDouble / raw.length * 1e6))
+      }
+    }.toDF("doc_id", "raw_bytes", "deflate_bytes", "ratio_u6")
+    out.orderBy($"doc_id")
+  }
+
   /** Word-gram width for repeated-span detection: the exact-substring
     * dedup recipe (Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better", arXiv:2107.06499) uses ~50-token spans on

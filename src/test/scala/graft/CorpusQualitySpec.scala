@@ -218,6 +218,43 @@ class CorpusQualitySpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("text_compression_ratio separates boilerplate from high-entropy text") {
+    val repetitive = ("spam " * 200).trim                  // deflate crushes this
+    val random = new scala.util.Random(42)
+    val noisy = Array.fill(1000)((random.nextInt(94) + 33).toChar).mkString
+    val rows = Seq(
+      (1L, repetitive, "en", "s", repetitive.length.toLong),
+      (2L, noisy, "en", "s", noisy.length.toLong))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zratio").toString
+    try {
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val got = TextSim.textCompressionRatio(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // exact formula re-derivation with an independent Deflater
+      got.foreach { case (id, rawB, defB, ratio) =>
+        val raw = rows.find(_._1 == id).get._2
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        assert(rawB == raw.length)
+        val d = new java.util.zip.Deflater(6)
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](1 << 16)
+        var c = 0L
+        while (!d.finished()) c += d.deflate(buf)
+        assert(defB == c, s"doc $id deflate size")
+        assert(ratio == math.round(c.toDouble / raw.length * 1e6))
+      }
+      val byId = got.map(g => g._1 -> g._4).toMap
+      assert(byId(1L) < 100000L, s"boilerplate ratio ${byId(1L)} not << 1")
+      assert(byId(2L) > 700000L, s"high-entropy ratio ${byId(2L)} not ~ 1")
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("text_line_dedup drops the hot chunk everywhere, keeps df<=cap chunks") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
