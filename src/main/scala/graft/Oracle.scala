@@ -1678,6 +1678,15 @@ object Oracle {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang IN ('en', 'zh') ORDER BY doc_id""".stripMargin,
 
+    "scan_csv_charset" ->
+      // nested replace ≡ translate here: 1:1 substitutions whose outputs
+      // contain none of the remaining source chars
+      """WITH m AS (SELECT doc_id,
+        |  replace(replace(replace(text, 'a', 'á'), 'e', 'é'), 'o', 'ø') AS body
+        |  FROM documents WHERE doc_id % 5 = 2)
+        |SELECT doc_id, length(body) AS n_chars_rt, md5(body) AS body_md5
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "scan_nested_prune" ->
       """SELECT o_orderkey, o_orderpriority AS prio FROM orders
         |WHERE o_orderpriority <> '4-NOT SPECIFIED'

@@ -235,6 +235,7 @@ object SparkEntry {
     "pipeline_dedup_e2e"   -> Curation.pipelineDedupE2e _,
     "scan_jdbc_partitioned" -> Sources.scanJdbcPartitioned _,
     "scan_nested_prune"    -> Sources.scanNestedPrune _,
+    "scan_csv_charset"     -> Sources.scanCsvCharset _,
     "scan_binaryfile"     -> Sources.scanBinaryfile _,
     "scan_csv_multiline"  -> Sources.scanCsvMultiline _,
     // -- training-data curation / pipeline maintenance

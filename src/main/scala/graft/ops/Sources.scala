@@ -203,6 +203,31 @@ object Sources {
       .orderBy($"doc_id")
   }
 
+  /** Non-UTF-8 CSV round-trip: accented text written as ISO-8859-1 bytes
+    * and read back with the declared charset — the encoding-robustness
+    * case for an upload service (a Latin-1 file read as UTF-8 turns é
+    * into mojibake SILENTLY; the md5 here would catch it). The accents
+    * are injected by translation so the expected string is derivable in
+    * the oracle; every injected char is in Latin-1's repertoire, so the
+    * write is lossless by construction. */
+  def scanCsvCharset(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir, "docs_latin1_csv")
+    Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 5 === 2)
+      .select($"doc_id", translate($"text", "aeo", "áéø").as("body"))
+      .write.mode("overwrite")
+      .option("header", "true").option("encoding", "ISO-8859-1")
+      .csv(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("body", StringType)))
+    spark.read.schema(schema)
+      .option("header", "true").option("encoding", "ISO-8859-1")
+      .csv(dir)
+      .select($"doc_id", length($"body").as("n_chars_rt"), md5($"body").as("body_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** Nested-struct schema pruning: orders re-materialized with a 5-field
     * detail struct, then read back projecting ONE subfield — the scan
     * must read only `detail.o_orderpriority` from parquet
