@@ -734,10 +734,11 @@ object Analytics {
     val ev = Tables.events(spark, sfDir)
       .select($"user_id", expr("unix_micros(ts)").as("us"),
         $"value".cast("double").as("v"))
-    val tmax = ev.agg(max($"us").as("t_max"))
-    ev.crossJoin(broadcast(tmax))
-      .select($"user_id",
-        round($"v" * exp(($"us" - $"t_max").cast("double") / 86400000000.0) * 1e6)
+    // 1-row aggregate collected as a literal: a broadcast cross join
+    // would plan a BroadcastNestedLoopJoin stage for a single scalar
+    val tMax = ev.agg(max($"us")).head().getLong(0)
+    ev.select($"user_id",
+        round($"v" * exp(($"us" - lit(tMax)).cast("double") / 86400000000.0) * 1e6)
           .cast("long").as("c_u6"))
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n"), sum($"c_u6").as("decay_u6"))
