@@ -29,6 +29,39 @@ class ExactStatsSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("ts_winsorize equals the sorted-pick clip reference") {
+    val rows = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "CAST(value AS DOUBLE)")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs) =>
+      val u6 = rs.map(r => roundHalfUp(r._2 * 1e6))
+      val vs = u6.sorted
+      def pick(p: Double) = vs(math.ceil(vs.length * p).toInt - 1)
+      val (lo, hi) = (pick(0.05), pick(0.95))
+      val clipped = u6.map(x => math.max(lo, math.min(hi, x)))
+      (t, u6.length.toLong, u6.count(_ < lo).toLong, u6.count(_ > hi).toLong,
+        lo, hi, clipped.sum)
+    }
+    val got = graft.ops.Analytics.tsWinsorize(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected)
+  }
+
+  test("ts_decay_sum equals the micro-unit decay reference") {
+    val rows = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(ts)", "CAST(value AS DOUBLE)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val tMax = rows.map(_._2).max
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (u, es) =>
+      (u, es.length.toLong,
+        es.map(e => roundHalfUp(e._3 * math.exp((e._2 - tMax).toDouble / 86400000000.0) * 1e6)).sum)
+    }
+    val got = graft.ops.Analytics.tsDecaySum(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   test("agg_geomean_exact equals the micro-unit ln-sum reference") {
     val rows = Tables.lineitem(spark, sfDir)
       .select($"l_returnflag", $"l_quantity".cast("double"))
