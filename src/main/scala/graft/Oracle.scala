@@ -711,6 +711,27 @@ object Oracle {
   private val toksExpr =
     "list_filter(string_split_regex(lower(trim(text)), '[^a-z]+'), t -> t <> '')"
 
+  /** text_langid's SQL body without the final ORDER BY — shared with
+    * text_langid_confusion, which aggregates the same prediction frame. */
+  private lazy val LangidBodySql: String =
+    s"""WITH toks AS (SELECT doc_id, lang, unnest($toksExpr) AS tok FROM documents),
+       |tf AS (SELECT doc_id, lang, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3),
+       |pl AS (SELECT tok, lang AS cand_lang, SUM(tf) AS cnt, COUNT(*) AS df
+       |  FROM tf GROUP BY 1, 2),
+       |profile AS (SELECT tok, cand_lang, cnt FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cand_lang
+       |    ORDER BY df DESC, tok) AS rn FROM pl)
+       |  WHERE rn <= ${graft.ops.TextSim.LangidTopK}),
+       |scored AS (SELECT t.doc_id, t.lang, p.cand_lang, CAST(SUM(t.tf * p.cnt) AS BIGINT) AS score
+       |  FROM tf t JOIN profile p ON t.tok = p.tok GROUP BY 1, 2, 3),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |  ORDER BY score DESC, cand_lang) AS rn FROM scored),
+       |best AS (SELECT doc_id, cand_lang FROM ranked WHERE rn = 1),
+       |docs0 AS (SELECT DISTINCT doc_id, lang FROM tf)
+       |SELECT d.doc_id, d.lang AS actual, b.cand_lang AS predicted,
+       | (d.lang = b.cand_lang) AS correct
+       |FROM docs0 d LEFT JOIN best b ON d.doc_id = b.doc_id""".stripMargin
+
   /** DuckDB mirror of Spark's conv(substr(md5, 1, 8), 16, 10): parse the
     * first 8 md5 nibbles into a 32-bit integer (no conv() in DuckDB). */
   private def hex32Sql(md5Expr: String): String =
@@ -814,25 +835,17 @@ object Oracle {
          |SELECT bigram, COUNT(*) AS n FROM bg
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30""".stripMargin,
 
-    "text_langid" ->
-      s"""WITH toks AS (SELECT doc_id, lang, unnest($toksExpr) AS tok FROM documents),
-         |tf AS (SELECT doc_id, lang, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3),
-         |pl AS (SELECT tok, lang AS cand_lang, SUM(tf) AS cnt, COUNT(*) AS df
-         |  FROM tf GROUP BY 1, 2),
-         |profile AS (SELECT tok, cand_lang, cnt FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY cand_lang
-         |    ORDER BY df DESC, tok) AS rn FROM pl)
-         |  WHERE rn <= ${graft.ops.TextSim.LangidTopK}),
-         |scored AS (SELECT t.doc_id, t.lang, p.cand_lang, CAST(SUM(t.tf * p.cnt) AS BIGINT) AS score
-         |  FROM tf t JOIN profile p ON t.tok = p.tok GROUP BY 1, 2, 3),
-         |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-         |  ORDER BY score DESC, cand_lang) AS rn FROM scored),
-         |best AS (SELECT doc_id, cand_lang FROM ranked WHERE rn = 1),
-         |docs0 AS (SELECT DISTINCT doc_id, lang FROM tf)
-         |SELECT d.doc_id, d.lang AS actual, b.cand_lang AS predicted,
-         | (d.lang = b.cand_lang) AS correct
-         |FROM docs0 d LEFT JOIN best b ON d.doc_id = b.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+    "text_langid" -> (LangidBodySql + "\nORDER BY d.doc_id"),
+
+    "text_langid_confusion" ->
+      s"""WITH li AS ($LangidBodySql),
+         |c AS (SELECT actual, COALESCE(predicted, '?') AS predicted,
+         |  COUNT(*) AS n FROM li GROUP BY 1, 2),
+         |t AS (SELECT actual, SUM(n) AS tot FROM c GROUP BY 1)
+         |SELECT c.actual, c.predicted, CAST(c.n AS BIGINT) AS n,
+         | CAST(round(CAST(c.n AS DOUBLE) * 1000000 / t.tot) AS BIGINT) AS share_u6
+         |FROM c JOIN t USING (actual) ORDER BY actual, predicted""".stripMargin,
+
 
     "text_quality_score" ->
       s"""WITH d AS (SELECT doc_id, $toksExpr AS ts FROM documents),

@@ -149,6 +149,7 @@ object SparkEntry {
     "text_line_dedup"        -> TextSim.textLineDedup _,
     "text_span_dedup"        -> TextSim.textSpanDedup _,
     "text_compression_ratio" -> TextSim.textCompressionRatio _,
+    "text_langid_confusion"  -> TextSim.textLangidConfusion _,
     "profile_corr_matrix"    -> Quality.profileCorrMatrix _,
     "sim_ann_recall"         -> Similarity.simAnnRecall _,
     "text_tfidf"             -> TextSim.textTfidf _,

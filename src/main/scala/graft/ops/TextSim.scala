@@ -236,6 +236,25 @@ object TextSim {
     mat.orderBy($"doc_id")
   }
 
+  /** Language-ID QA matrix: declared vs predicted language agreement
+    * counts and per-declared-language shares — the confusion summary a
+    * curation run reviews before trusting [[textLangid]]'s routing.
+    * NULL predictions (docs whose tokens all miss every language's
+    * top-K head) surface as '?' so the two engines' null orderings
+    * can't diverge. Scale: the langid pass itself plus one tiny
+    * (langs × langs) aggregation. */
+  def textLangidConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = textLangid(spark, sfDir)
+      .groupBy($"actual", coalesce($"predicted", lit("?")).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val tot = c.groupBy($"actual").agg(sum($"n").as("tot"))
+    c.join(broadcast(tot), "actual")
+      .select($"actual", $"predicted", $"n",
+        round($"n".cast("double") * 1e6 / $"tot").cast("long").as("share_u6"))
+      .orderBy($"actual", $"predicted")
+  }
+
   /** Pre-checkpoint plan of [[textLangid]], exposed so PlanSpec can pin
     * the one-corpus-scan property. Returns (cached tf handle, result). */
   private[graft] def langidCore(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
