@@ -725,8 +725,13 @@ object Analytics {
     * contribution is ONE double expression over exact epoch-µs integers,
     * quantized to µ-units per row and then summed EXACTLY as longs — a
     * float Σ would be partition-merge-order dependent ([[aggMomentsExact]]
-    * discipline; exp engine-parity is already proven by
-    * `agg_geomean_exact`). Output: per-user event count and decayed
+    * discipline). Honest caveat shared with every ln/exp recipe on the
+    * board (`text_lm_score`, `agg_geomean_exact`): JVM and libm exp can
+    * differ by 1 ulp (measured: 219 of 100k inputs at sf0.1), so
+    * cross-engine equality holds because the 1e-6 quantum dwarfs ulp
+    * noise away from rounding boundaries — deterministic for a frozen
+    * corpus + engine pair, not proven-exact in the DECIMAL-sum sense.
+    * Output: per-user event count and decayed
     * score. Scale: one broadcast scalar + one map pass + a map-side
     * combinable long-sum aggregation — no window, no sort. */
   def tsDecaySum(spark: SparkSession, sfDir: String): DataFrame = {

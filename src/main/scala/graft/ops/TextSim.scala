@@ -633,6 +633,10 @@ object TextSim {
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
     val out = docs.as[(Long, String)].mapPartitions { rows =>
       val deflater = new java.util.zip.Deflater(6)
+      // Deflater holds NATIVE zlib state (~256 KB) that GC finalization
+      // reclaims late; release it deterministically at task end
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => deflater.end()))
       val buf = new Array[Byte](1 << 16)
       rows.map { case (id, text) =>
         val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
