@@ -1841,6 +1841,22 @@ object Oracle {
     // state, one AvailableNow batch) — same oracle, the parity proof
     "stream_quota_reset" -> QuotaResetSql,
 
+    "win_rolling_zscore" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS u6 FROM events),
+        |m AS (SELECT user_id, event_id, u6,
+        |  COUNT(*) OVER w AS n, SUM(u6) OVER w AS s1,
+        |  SUM(u6 * u6) OVER w AS s2
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |v AS (SELECT user_id, event_id, u6, n, s1,
+        |  CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS varn FROM m)
+        |SELECT user_id, event_id, u6, n,
+        | CASE WHEN varn = 0 THEN NULL
+        |      ELSE CAST(round((CAST(n * u6 - s1 AS DOUBLE)
+        |        / sqrt(CAST(varn AS DOUBLE))) * 1000000) AS BIGINT) END AS z_u6
+        |FROM v ORDER BY user_id, event_id""".stripMargin,
+
     "ts_winsorize" ->
       """WITH ev AS (SELECT event_type,
         |  CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS u6 FROM events),

@@ -338,6 +338,40 @@ object Windows {
     *
     * Scale: one partitioned window, frame state bounded at 7 values —
     * the running-sketch contract, safe at any partition size. */
+  /** Rolling z-score over a trailing 7-row frame: the standardization
+    * step of online feature engineering. Window moments are EXACT
+    * µ-unit integer sums (Σu, Σu² over the frame — order-independent),
+    * the variance term n·Σu² − (Σu)² rides in DECIMAL(38,0) because the
+    * long products overflow at this value domain (the DuckDB mirror uses
+    * HUGEINT — same exact integers), and the score is one IEEE
+    * expression: z = (n·u − Σu)/√(n·Σu² − (Σu)²). NULL where the frame
+    * has zero variance (exact integer test, no float-noise division).
+    * Scale: one user-keyed window exchange, all three frame sums off
+    * the same sort — no per-row re-scan of the frame. */
+  def winRollingZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"us", $"event_id")
+      .rowsBetween(-6, Window.currentRow)
+    val d38 = "decimal(38,0)"
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        round($"value".cast("double") * 1e6).cast("long").as("u6"))
+      .select($"user_id", $"event_id", $"u6",
+        count(lit(1)).over(w).as("n"),
+        sum($"u6").over(w).as("s1"),
+        sum(($"u6" * $"u6")).over(w).as("s2"))
+      .select($"user_id", $"event_id", $"u6", $"n", $"s1",
+        ($"n".cast(d38) * $"s2".cast(d38) - $"s1".cast(d38) * $"s1".cast(d38))
+          .as("varn"))
+      .select($"user_id", $"event_id", $"u6", $"n",
+        when($"varn" === lit(0).cast(d38), lit(null).cast("long"))
+          .otherwise(round((($"n" * $"u6" - $"s1").cast("double")
+            / sqrt($"varn".cast("double"))) * 1e6).cast("long"))
+          .as("z_u6"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   def winMovingMedian(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"user_id")
