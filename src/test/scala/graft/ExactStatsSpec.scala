@@ -62,6 +62,31 @@ class ExactStatsSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("win_rolling_zscore equals the exact-frame-moment reference") {
+    val rows = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "unix_micros(ts)", "CAST(value AS DOUBLE)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (u, es) =>
+      val ordered = es.sortBy(e => (e._3, e._2))
+        .map(e => (e._2, roundHalfUp(e._4 * 1e6)))
+      ordered.zipWithIndex.map { case ((eid, u6), i) =>
+        val frame = ordered.slice(math.max(0, i - 6), i + 1).map(_._2)
+        val n = frame.length.toLong
+        val s1 = frame.sum
+        val s2 = frame.map(x => BigInt(x) * BigInt(x)).sum
+        val varn = BigInt(n) * s2 - BigInt(s1) * BigInt(s1)
+        val z = if (varn == 0) None
+          else Some(roundHalfUp(
+            (n * u6 - s1).toDouble / math.sqrt(varn.toDouble) * 1e6))
+        (u, eid, u6, n, z)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.ops.Windows.winRollingZscore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(got == expected)
+  }
+
   test("agg_geomean_exact equals the micro-unit ln-sum reference") {
     val rows = Tables.lineitem(spark, sfDir)
       .select($"l_returnflag", $"l_quantity".cast("double"))
