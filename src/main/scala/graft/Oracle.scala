@@ -1009,6 +1009,27 @@ object Oracle {
          | CAST(CAST(matches AS DOUBLE) / 6.0 AS DECIMAL(18,6))::DOUBLE AS est_jaccard
          |FROM cand WHERE matches >= 2 ORDER BY id_a, id_b""".stripMargin,
 
+    "dedup_sorted_neighborhood" ->
+      s"""WITH d0 AS (SELECT doc_id, lower(trim(text)) AS sk, $toksExpr AS ts
+         |  FROM documents),
+         |d AS (SELECT doc_id, sk, ts[1] AS blk,
+         |  list_distinct(list_transform(range(1, len(ts)),
+         |    i -> ts[i] || ' ' || ts[i + 1])) AS gs
+         |  FROM d0 WHERE len(ts) >= 2),
+         |r AS (SELECT doc_id, blk, gs,
+         |  row_number() OVER (PARTITION BY blk ORDER BY sk, doc_id) AS rk FROM d),
+         |p AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+         |  greatest(a.doc_id, b.doc_id) AS id_b,
+         |  len(list_intersect(a.gs, b.gs)) AS inter,
+         |  len(a.gs) + len(b.gs) AS tot
+         |  FROM r a JOIN r b ON a.blk = b.blk
+         |    AND b.rk > a.rk AND b.rk <= a.rk + 3)
+         |SELECT id_a, id_b,
+         | CAST(CAST(inter AS DOUBLE) / (tot - inter) AS DECIMAL(18,6))::DOUBLE AS jaccard
+         |FROM p WHERE tot > inter
+         |  AND CAST(CAST(inter AS DOUBLE) / (tot - inter) AS DECIMAL(18,6)) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "pipeline_dedup_e2e" ->
       // composition of the dedup_exact / dedup_minhash_lsh /
       // dedup_embedding_cosine oracle fragments with greedy
@@ -1567,6 +1588,18 @@ object Oracle {
         |    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
         |    WHERE l2.l_partkey = p.p_partkey)
         |ORDER BY p_partkey, l_suppkey""".stripMargin,
+
+    "sql_api_q14" ->
+      """SELECT COUNT(*) AS n_lines,
+        | CAST(round(100.0 *
+        |   CAST(SUM(CASE WHEN p.p_type = 'ECONOMY'
+        |     THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+        |     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |   / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |   * 1000000) AS BIGINT) AS promo_pct_u6
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey""".stripMargin,
 
     "sql_api_q11" ->
       """SELECT l_suppkey,

@@ -211,6 +211,7 @@ object SparkEntry {
     "sql_api_q2"           -> Relational.sqlApiQ2 _,
     "sql_api_q16"          -> Relational.sqlApiQ16 _,
     "sql_api_q11"          -> Relational.sqlApiQ11 _,
+    "sql_api_q14"          -> Relational.sqlApiQ14 _,
     "join_existence_flag"  -> Relational.joinExistenceFlag _,
     "agg_approx_quantile"  -> Relational.aggApproxQuantile _,
     "win_streak"           -> Analytics.winStreak _,
@@ -235,6 +236,7 @@ object SparkEntry {
     "fn_url"               -> Functions.fnUrl _,
     "fn_collation"         -> Functions.fnCollation _,
     "pipeline_dedup_e2e"   -> Curation.pipelineDedupE2e _,
+    "dedup_sorted_neighborhood" -> Similarity.dedupSortedNeighborhood _,
     "scan_jdbc_partitioned" -> Sources.scanJdbcPartitioned _,
     "scan_nested_prune"    -> Sources.scanNestedPrune _,
     "scan_csv_charset"     -> Sources.scanCsvCharset _,

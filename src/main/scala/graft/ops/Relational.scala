@@ -919,6 +919,27 @@ object Relational {
         |LIMIT 100""".stripMargin)
   }
 
+  /** TPC-H Q14 shape (promotion revenue share): conditional revenue over
+    * total revenue through a fact⋈dim join — the canonical
+    * filtered-aggregate-over-aggregate ratio, computed in ONE pass
+    * (CASE inside SUM, never two scans). Exact DECIMAL numerator and
+    * denominator; the percentage is one IEEE expression, µ-unit fixed. */
+  def sqlApiQ14(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir).createOrReplaceTempView("graft_part")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT COUNT(*) AS n_lines,
+        | CAST(round(100.0 *
+        |   CAST(SUM(CASE WHEN p.p_type = 'ECONOMY'
+        |     THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+        |     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |   / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |   * 1000000) AS BIGINT) AS promo_pct_u6
+        |FROM graft_lineitem l JOIN graft_part p ON p.p_partkey = l.l_partkey""".stripMargin)
+  }
+
   /** TPC-H Q11 shape (important stock: groups whose share beats a GLOBAL
     * threshold): an UNCORRELATED scalar subquery in HAVING — the global
     * revenue total computes once, broadcasts as a subquery result, and

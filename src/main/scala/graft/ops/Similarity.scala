@@ -961,6 +961,50 @@ object Similarity {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Sorted-neighborhood near-dup candidates — the third classic
+    * blocking family on the board, next to signature banding
+    * ([[dedupMinhashLsh]]) and the inverted gram index
+    * ([[dedupNgramJaccard]]): sort by a normalized key, compare each
+    * record only to its w=3 successors. BLOCKED variant (the scale
+    * form): ranks are per first-token block, so the window never needs
+    * a global single-partition sort — the windows partition on the
+    * block key and pairs stay inside their block (at index scale the
+    * standard multi-pass trick re-runs with a rotated sort key to catch
+    * cross-block neighbors). Candidates are verified by exact distinct-
+    * bigram Jaccard ≥ 0.3 computed per pair from the two docs' gram
+    * arrays — O(w·n) pairs by construction, no df cap needed. */
+  def dedupSortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val W = 3
+    val toks = TextSim.tokens($"text")
+    val d = TextSim.rebalanceDocs(
+      Tables.documents(spark, sfDir).select($"doc_id", $"text"))
+      .select($"doc_id", lower(trim($"text")).as("sk"), toks.as("ts"))
+      .filter(size($"ts") >= 2)
+      .select($"doc_id", $"sk", element_at($"ts", 1).as("blk"),
+        array_distinct(expr(
+          "transform(sequence(1, size(ts) - 1), i -> concat(ts[i-1], ' ', ts[i]))"))
+          .as("gs"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy($"blk").orderBy($"sk", $"doc_id")))
+      .localCheckpoint()
+    val a = d.as("a")
+    val b = d.as("b")
+    a.join(b, $"a.blk" === $"b.blk" &&
+        $"b.rk" > $"a.rk" && $"b.rk" <= $"a.rk" + W)
+      .select(
+        least($"a.doc_id", $"b.doc_id").as("id_a"),
+        greatest($"a.doc_id", $"b.doc_id").as("id_b"),
+        size(array_intersect($"a.gs", $"b.gs")).as("inter"),
+        (size($"a.gs") + size($"b.gs")).as("tot"))
+      .filter($"tot" > $"inter") // union > 0 and not both empty
+      .select($"id_a", $"id_b",
+        ($"inter".cast("double") / ($"tot" - $"inter"))
+          .cast("decimal(18,6)").as("jaccard"))
+      .filter($"jaccard" >= 0.3)
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** ANN recall audit: the sign-LSH bucket tier ([[simAnnLsh]]) against
     * the exact brute-force top-10 ([[simCosineProbe]]) for the same
     * probe — the similarity-side twin of [[dedupLshRecall]], and the
