@@ -984,6 +984,21 @@ object Oracle {
          | CAST(SUM(cos) AS DECIMAL(18,6)) AS sum_cos
          |FROM c GROUP BY pair_class ORDER BY pair_class""".stripMargin,
 
+    "embed_whitening" ->
+      """WITH ex AS (SELECT vec_id,
+        |  unnest(range(0, len(embedding))) AS pos,
+        |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS u6
+        |  FROM embeddings),
+        |st AS (SELECT pos, COUNT(*) AS n, SUM(u6) AS s1, SUM(u6 * u6) AS s2
+        |  FROM ex GROUP BY pos),
+        |v AS (SELECT pos, n, CAST(s1 AS HUGEINT) AS s1,
+        |  CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS varn FROM st)
+        |SELECT ex.vec_id, ex.pos,
+        | CASE WHEN varn = 0 THEN NULL
+        |  ELSE CAST(round(CAST(n * u6 - s1 AS DOUBLE)
+        |    / sqrt(CAST(varn AS DOUBLE)) * 1000000) AS BIGINT) END AS w_u6
+        |FROM ex JOIN v ON ex.pos = v.pos ORDER BY ex.vec_id, ex.pos""".stripMargin,
+
     "dedup_embedding_cosine" ->
       s"""WITH e AS (SELECT vec_id, label,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)

@@ -237,6 +237,7 @@ object SparkEntry {
     "fn_collation"         -> Functions.fnCollation _,
     "pipeline_dedup_e2e"   -> Curation.pipelineDedupE2e _,
     "dedup_sorted_neighborhood" -> Similarity.dedupSortedNeighborhood _,
+    "embed_whitening"      -> Similarity.embedWhitening _,
     "scan_jdbc_partitioned" -> Sources.scanJdbcPartitioned _,
     "scan_nested_prune"    -> Sources.scanNestedPrune _,
     "scan_csv_charset"     -> Sources.scanCsvCharset _,

@@ -961,6 +961,38 @@ object Similarity {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Per-dimension whitening of the embedding space (z-score each
+    * component against its corpus distribution) — the preprocessing
+    * step before PQ codebooks and IVF cells so no dimension dominates
+    * the distance. Dim statistics are exact µ-unit integer sums (the
+    * [[embedCentroidDistance]] recipe); the variance term rides in
+    * DECIMAL(38,0) (HUGEINT in the oracle — long s1² overflows at
+    * corpus scale), and each whitened component is one IEEE expression,
+    * NULL on an exactly-constant dimension. Scale: one map-side
+    * combinable (pos) aggregate — 64 rows — broadcast back over the
+    * component stream; no window, no shuffle of vectors. */
+  def embedWhitening(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    val ex = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "comp")))
+      .select($"vec_id", $"pos",
+        round($"comp".cast("double") * 1e6).cast("long").as("u6"))
+    val stats = ex.groupBy($"pos")
+      .agg(count(lit(1)).as("n"), sum($"u6").as("s1"),
+        sum($"u6" * $"u6").as("s2"))
+      .select($"pos", $"n", $"s1",
+        ($"n".cast(d38) * $"s2".cast(d38) - $"s1".cast(d38) * $"s1".cast(d38))
+          .as("varn"))
+    ex.join(broadcast(stats), "pos")
+      .select($"vec_id", $"pos",
+        when($"varn" === lit(0).cast(d38), lit(null).cast("long"))
+          .otherwise(round((($"n" * $"u6" - $"s1").cast("double")
+            / sqrt($"varn".cast("double"))) * 1e6).cast("long"))
+          .as("w_u6"))
+      .orderBy($"vec_id", $"pos")
+  }
+
   /** Sorted-neighborhood near-dup candidates — the third classic
     * blocking family on the board, next to signature banding
     * ([[dedupMinhashLsh]]) and the inverted gram index
