@@ -1905,6 +1905,26 @@ object Oracle {
         |        / sqrt(CAST(varn AS DOUBLE))) * 1000000) AS BIGINT) END AS z_u6
         |FROM v ORDER BY user_id, event_id""".stripMargin,
 
+    "ts_anomaly_spc" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS u6 FROM events),
+        |m AS (SELECT user_id, u6,
+        |  COUNT(*) OVER w AS np, SUM(u6) OVER w AS s1, SUM(u6 * u6) OVER w AS s2
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |v AS (SELECT user_id, u6, np, CAST(s1 AS HUGEINT) AS s1,
+        |  CAST(np AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS varn FROM m),
+        |z AS (SELECT user_id, (np >= 5 AND varn <> 0) AS eval,
+        |  CASE WHEN np >= 5 AND varn <> 0
+        |    THEN abs(CAST(round(CAST(np * u6 - s1 AS DOUBLE)
+        |      / sqrt(CAST(varn AS DOUBLE)) * 1000000) AS BIGINT)) END AS absz
+        |  FROM v)
+        |SELECT user_id, COUNT(*) AS n,
+        | CAST(SUM(CASE WHEN eval THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+        | CAST(SUM(CASE WHEN absz > 3000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        | MAX(CASE WHEN absz > 3000000 THEN absz END) AS max_flag_z_u6
+        |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "ts_winsorize" ->
       """WITH ev AS (SELECT event_type,
         |  CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS u6 FROM events),

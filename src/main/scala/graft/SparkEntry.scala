@@ -70,6 +70,7 @@ object SparkEntry {
     "ts_quota_reset"         -> Analytics.tsQuotaReset _,
     "ts_decay_sum"           -> Analytics.tsDecaySum _,
     "ts_winsorize"           -> Analytics.tsWinsorize _,
+    "ts_anomaly_spc"         -> Analytics.tsAnomalySpc _,
     "win_rolling_zscore"     -> Windows.winRollingZscore _,
     "agg_geomean_exact"      -> Analytics.aggGeomeanExact _,
     "join_bucketed"       -> Relational.joinBucketed _,

@@ -685,6 +685,46 @@ object Analytics {
       .orderBy($"bucket")
   }
 
+  /** Control-chart anomaly scan (SPC): each point is z-scored against
+    * the EXPANDING baseline of its strictly-prior points — the online
+    * monitor shape ([[Curation]]'s outlier_zscore uses the full-corpus
+    * baseline, `ts_cusum` tracks drift; this flags point shocks the way
+    * a live pipeline must, without peeking at the future). Prior-window
+    * moments are exact µ-unit integer sums (variance in DECIMAL(38,0) /
+    * HUGEINT — s1² overflows longs), |z| > 3 compared as integers on
+    * the µ-quantized z, points with < 5 priors or a constant baseline
+    * excluded. Per-user summary: points, evaluated, flagged, max |z|.
+    * Scale: one user-keyed window pass (all three prior sums off one
+    * sort) + a combinable aggregate. */
+  def tsAnomalySpc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        round($"value".cast("double") * 1e6).cast("long").as("u6"))
+      .select($"user_id", $"event_id", $"u6",
+        count(lit(1)).over(w).as("np"),
+        sum($"u6").over(w).as("s1"),
+        sum($"u6" * $"u6").over(w).as("s2"))
+      .select($"user_id", $"u6", $"np", $"s1",
+        ($"np".cast(d38) * $"s2".cast(d38) - $"s1".cast(d38) * $"s1".cast(d38))
+          .as("varn"))
+      .select($"user_id",
+        ($"np" >= 5 && $"varn" =!= lit(0).cast(d38)).as("eval"),
+        when($"np" >= 5 && $"varn" =!= lit(0).cast(d38),
+          abs(round((($"np" * $"u6" - $"s1").cast("double")
+            / sqrt($"varn".cast("double"))) * 1e6).cast("long")))
+          .as("absz_u6"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"eval", 1L).otherwise(0L)).as("n_eval"),
+        sum(when($"absz_u6" > 3000000L, 1L).otherwise(0L)).as("n_flagged"),
+        max(when($"absz_u6" > 3000000L, $"absz_u6")).as("max_flag_z_u6"))
+      .orderBy($"user_id")
+  }
+
   /** Winsorization (clip at P5/P95) per event type — the robust
     * preprocessing step that tames heavy tails before moment-based
     * features. Bounds are the exact sorted-pick discrete percentiles
