@@ -986,7 +986,7 @@ object Oracle {
 
     "embed_whitening" ->
       """WITH ex AS (SELECT vec_id,
-        |  unnest(range(0, len(embedding))) AS pos,
+        |  CAST(unnest(range(0, len(embedding))) AS INTEGER) AS pos,
         |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS u6
         |  FROM embeddings),
         |st AS (SELECT pos, COUNT(*) AS n, SUM(u6) AS s1, SUM(u6 * u6) AS s2
@@ -1745,7 +1745,7 @@ object Oracle {
       """WITH m AS (SELECT doc_id,
         |  replace(replace(replace(text, 'a', 'á'), 'e', 'é'), 'o', 'ø') AS body
         |  FROM documents WHERE doc_id % 5 = 2)
-        |SELECT doc_id, length(body) AS n_chars_rt, md5(body) AS body_md5
+        |SELECT doc_id, CAST(length(body) AS INTEGER) AS n_chars_rt, md5(body) AS body_md5
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "scan_nested_prune" ->
@@ -1760,7 +1760,7 @@ object Oracle {
 
     "scan_csv_delim" ->
       """SELECT doc_id,
-        | length(text || ' | "q" \ end') AS n_chars_rt,
+        | CAST(length(text || ' | "q" \ end') AS INTEGER) AS n_chars_rt,
         | md5(text || ' | "q" \ end') AS body_md5
         |FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id""".stripMargin,
 

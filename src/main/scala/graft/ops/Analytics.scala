@@ -698,7 +698,6 @@ object Analytics {
     * sort) + a combinable aggregate. */
   def tsAnomalySpc(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val d38 = "decimal(38,0)"
     val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.events(spark, sfDir)
@@ -707,15 +706,14 @@ object Analytics {
       .select($"user_id", $"event_id", $"u6",
         count(lit(1)).over(w).as("np"),
         sum($"u6").over(w).as("s1"),
-        sum($"u6" * $"u6").over(w).as("s2"))
+        // expanding frame — Σu² must accumulate in DECIMAL (ExactZ doc)
+        ExactZ.sumSqDecimal($"u6").over(w).as("s2"))
       .select($"user_id", $"u6", $"np", $"s1",
-        ($"np".cast(d38) * $"s2".cast(d38) - $"s1".cast(d38) * $"s1".cast(d38))
-          .as("varn"))
+        ExactZ.varN($"np", $"s1", $"s2").as("varn"))
       .select($"user_id",
-        ($"np" >= 5 && $"varn" =!= lit(0).cast(d38)).as("eval"),
-        when($"np" >= 5 && $"varn" =!= lit(0).cast(d38),
-          abs(round((($"np" * $"u6" - $"s1").cast("double")
-            / sqrt($"varn".cast("double"))) * 1e6).cast("long")))
+        ($"np" >= 5 && $"varn" =!= lit(0).cast("decimal(38,0)")).as("eval"),
+        when($"np" >= 5 && $"varn" =!= lit(0).cast("decimal(38,0)"),
+          abs(ExactZ.zU6($"np", $"u6", $"s1", $"varn")))
           .as("absz_u6"))
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n"),

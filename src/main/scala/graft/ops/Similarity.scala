@@ -973,23 +973,18 @@ object Similarity {
     * component stream; no window, no shuffle of vectors. */
   def embedWhitening(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val d38 = "decimal(38,0)"
     val ex = Tables.embeddings(spark, sfDir)
       .select($"vec_id", posexplode($"embedding").as(Seq("pos", "comp")))
       .select($"vec_id", $"pos",
         round($"comp".cast("double") * 1e6).cast("long").as("u6"))
     val stats = ex.groupBy($"pos")
+      // corpus-wide group — Σu² must accumulate in DECIMAL (ExactZ doc)
       .agg(count(lit(1)).as("n"), sum($"u6").as("s1"),
-        sum($"u6" * $"u6").as("s2"))
-      .select($"pos", $"n", $"s1",
-        ($"n".cast(d38) * $"s2".cast(d38) - $"s1".cast(d38) * $"s1".cast(d38))
-          .as("varn"))
+        ExactZ.sumSqDecimal($"u6").as("s2"))
+      .select($"pos", $"n", $"s1", ExactZ.varN($"n", $"s1", $"s2").as("varn"))
     ex.join(broadcast(stats), "pos")
       .select($"vec_id", $"pos",
-        when($"varn" === lit(0).cast(d38), lit(null).cast("long"))
-          .otherwise(round((($"n" * $"u6" - $"s1").cast("double")
-            / sqrt($"varn".cast("double"))) * 1e6).cast("long"))
-          .as("w_u6"))
+        ExactZ.zU6($"n", $"u6", $"s1", $"varn").as("w_u6"))
       .orderBy($"vec_id", $"pos")
   }
 

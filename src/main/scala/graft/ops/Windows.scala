@@ -353,22 +353,18 @@ object Windows {
     val w = Window.partitionBy($"user_id")
       .orderBy($"us", $"event_id")
       .rowsBetween(-6, Window.currentRow)
-    val d38 = "decimal(38,0)"
     Tables.events(spark, sfDir)
       .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
         round($"value".cast("double") * 1e6).cast("long").as("u6"))
       .select($"user_id", $"event_id", $"u6",
         count(lit(1)).over(w).as("n"),
         sum($"u6").over(w).as("s1"),
+        // long Σu² is safe here BY CONSTRUCTION: the 7-row frame bounds it
         sum(($"u6" * $"u6")).over(w).as("s2"))
       .select($"user_id", $"event_id", $"u6", $"n", $"s1",
-        ($"n".cast(d38) * $"s2".cast(d38) - $"s1".cast(d38) * $"s1".cast(d38))
-          .as("varn"))
+        ExactZ.varN($"n", $"s1", $"s2").as("varn"))
       .select($"user_id", $"event_id", $"u6", $"n",
-        when($"varn" === lit(0).cast(d38), lit(null).cast("long"))
-          .otherwise(round((($"n" * $"u6" - $"s1").cast("double")
-            / sqrt($"varn".cast("double"))) * 1e6).cast("long"))
-          .as("z_u6"))
+        ExactZ.zU6($"n", $"u6", $"s1", $"varn").as("z_u6"))
       .orderBy($"user_id", $"event_id")
   }
 
