@@ -797,15 +797,17 @@ object Oracle {
         |WHERE rn = 1 ORDER BY lang, source""".stripMargin,
 
     "text_tfidf" ->
+      // df via aggregate+join (not a window) and N = distinct tokenized
+      // doc_ids — both mirror TextSim.tfidfCore's single-tf-pass shape
       s"""WITH tf AS (
          |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
          |    SELECT doc_id, unnest($toksExpr) AS tok FROM documents)
          |  GROUP BY doc_id, tok),
-         |wdf AS (SELECT *, COUNT(*) OVER (PARTITION BY tok) AS df FROM tf),
-         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
-         |SELECT doc_id, tok, tf, df,
+         |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf)
+         |SELECT doc_id, tf.tok, tf, df,
          | CAST(tf * ln((n_docs + 1.0) / (df + 1.0)) AS DECIMAL(18,6))::DOUBLE AS tfidf
-         |FROM wdf, n
+         |FROM tf JOIN dfreq ON tf.tok = dfreq.tok, n
          |ORDER BY tfidf DESC, doc_id, tok LIMIT 100""".stripMargin,
 
     "text_wordcount" ->

@@ -595,27 +595,53 @@ object TextSim {
   /** TF-IDF top terms: tf from one explode+groupBy, document frequency
     * via groupBy(tok).count() + shuffle join, doc count broadcast.
     * tfidf = tf · ln((N+1)/(df+1)) — per-row double math, identical in
-    * both engines, fixed at 6 dp.
+    * both engines, fixed at 6 dp. N counts TOKENIZED documents (distinct
+    * doc_id in the tf table — a doc with no alpha tokens contributes no
+    * tf rows and no mass to any df, so it is outside the tf-idf universe
+    * by construction; the oracle counts the same universe).
     *
     * Skew note: df deliberately comes from a partial-aggregating groupBy
     * + join, NOT count().over(partitionBy(tok)) — a window would pin
     * every (doc, tok) row of a stop-word token in ONE task (~1 row/doc at
     * corpus scale); the aggregate combines map-side and AQE can split the
-    * join's skewed partitions. */
+    * join's skewed partitions.
+    *
+    * Scale (the r5→r6 fix): `dfreq` derives from `tf`, so the plain
+    * lazy plan executed the whole explode+groupBy subtree TWICE — once
+    * under the df aggregate, once under the join's probe side (the
+    * documented self-join lesson). The tf table is cached and every
+    * consumer (df aggregate, probe side, N) reads through the cache —
+    * PlanSpec pins zero file scans in the core plan. */
   def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (tf, core) = tfidfCore(spark, sfDir)
+    // plan-keyed cache of the ≤100-row result (the langid recipe):
+    // materializing it here lets the tf cache drop inside the operator;
+    // repeat invocations reuse ONE snapshot and clearCache() frees it
+    val mat = core.cache()
+    mat.count()
+    tf.unpersist(blocking = false)
+    mat.orderBy($"tfidf".desc, $"doc_id", $"tok")
+  }
+
+  /** Pre-materialization plan of [[textTfidf]], exposed so PlanSpec can
+    * pin the one-corpus-scan property. Returns (cached tf handle, result). */
+  private[graft] def tfidfCore(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val tf = rebalanceDocs(Tables.documents(spark, sfDir))
       .select($"doc_id", explode(tokens($"text")).as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      .cache()
     val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
-    val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
-    tf.join(dfreq, "tok")
+    val n = tf.select($"doc_id").distinct().agg(count(lit(1)).as("n_docs"))
+    val core = tf.join(dfreq, "tok")
       .crossJoin(broadcast(n))
       .select($"doc_id", $"tok", $"tf", $"df",
         ($"tf" * log(($"n_docs" + lit(1.0)) / ($"df" + lit(1.0))))
           .cast("decimal(18,6)").as("tfidf"))
       .orderBy($"tfidf".desc, $"doc_id", $"tok")
       .limit(100)
+    (tf, core)
   }
 
   /** Compressibility quality signal (the Gopher/RefinedWeb "too
