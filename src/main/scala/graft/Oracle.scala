@@ -805,10 +805,10 @@ object Oracle {
          |  GROUP BY doc_id, tok),
          |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
          |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf)
-         |SELECT doc_id, tf.tok, tf, df,
+         |SELECT doc_id, tf.tok AS tok, tf, df,
          | CAST(tf * ln((n_docs + 1.0) / (df + 1.0)) AS DECIMAL(18,6))::DOUBLE AS tfidf
          |FROM tf JOIN dfreq ON tf.tok = dfreq.tok, n
-         |ORDER BY tfidf DESC, doc_id, tok LIMIT 100""".stripMargin,
+         |ORDER BY tfidf DESC, doc_id, tf.tok LIMIT 100""".stripMargin,
 
     "text_wordcount" ->
       s"""WITH toks AS (SELECT unnest($toksExpr) AS word FROM documents)

@@ -23,17 +23,31 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame       = load(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark cannot represent;
-    * sessions set spark.sql.legacy.parquet.nanosAsLong=true and this loader
-    * restores a µs-truncated TimestampType column (SURVEY §7.4#3). */
+  /** events.ts normalizer: the harness has shipped this column as both
+    * parquet TIMESTAMP(NANOS) (loads as LongType under
+    * spark.sql.legacy.parquet.nanosAsLong=true, which sessions still set
+    * as a harmless guard) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (loads as TIMESTAMP_NTZ). Branch on the LOADED dtype so either
+    * layout yields the same µs-precision TimestampType column
+    * (SURVEY §7.4#3); TablesSpec pins both paths against fixtures. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     val raw = load(spark, sfDir, "events")
-    // `ts div 1000` is exact integer division; `/` on longs is IEEE double
-    // division which silently truncates 1µs low for ns values > 2^53
-    // (every 2024-era timestamp) — DuckDB's epoch_us is exact, so the
-    // double form can diverge from the oracle on window membership.
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ts = raw.schema("ts").dataType match {
+      // `ts div 1000` is exact integer division; `/` on longs is IEEE
+      // double division which silently truncates 1µs low for ns values
+      // > 2^53 (every 2024-era timestamp) — DuckDB's epoch_us is exact,
+      // so the double form can diverge from the oracle on window
+      // membership.
+      case LongType      => timestamp_micros(expr("ts div 1000"))
+      case TimestampType => col("ts")
+      // TIMESTAMP_NTZ → TIMESTAMP is an identity re-tag under the
+      // pinned UTC session timezone; keeps downstream unix_micros /
+      // window calls unchanged.
+      case _             => col("ts").cast(TimestampType)
+    }
+    raw.withColumn("ts", ts)
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

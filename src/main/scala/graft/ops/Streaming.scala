@@ -146,17 +146,24 @@ object Streaming {
   // ----------------------------------------------- true streaming (no oracle)
 
   /** Raw events stream with ts re-typed (file source needs the explicit
-    * long-nanos schema; see Tables.events). */
+    * schema; dtype branch mirrors Tables.events — nanos-long vs µs
+    * TIMESTAMP_NTZ layouts of the harness parquet). */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
     // the file streaming source requires a directory: stream the sf dir
     // with a glob restricted to the events file
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
+    val ts = schema("ts").dataType match {
       // exact integer ns→µs division — see Tables.events
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType      => timestamp_micros(expr("ts div 1000"))
+      case TimestampType => col("ts")
+      case _             => col("ts").cast(TimestampType)
+    }
+    raw.withColumn("ts", ts)
   }
 
   /** Run a streaming frame to a parquet FILE sink and read the result
