@@ -1034,7 +1034,7 @@ object Oracle {
          |    i -> ts[i] || ' ' || ts[i + 1])) AS gs
          |  FROM d0 WHERE len(ts) >= 2),
          |r AS (SELECT doc_id, blk, gs,
-         |  row_number() OVER (PARTITION BY blk ORDER BY sk, doc_id) AS rk FROM d),
+         |  row_number() OVER (PARTITION BY blk ORDER BY substr(sk, 1, 64), doc_id) AS rk FROM d),
          |p AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
          |  greatest(a.doc_id, b.doc_id) AS id_b,
          |  len(list_intersect(a.gs, b.gs)) AS inter,

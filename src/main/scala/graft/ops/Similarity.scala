@@ -501,12 +501,20 @@ object Similarity {
       .select($"doc_id", explode(expr(
         "transform(sequence(1, size(ts) - 2), " +
           "i -> concat(element_at(ts, i), ' ', element_at(ts, i+1), ' ', element_at(ts, i+2)))")).as("shingle"))
+    // ONE eager plan-keyed cache for the 6-rows-per-doc signature frame
+    // (the [[dedupSimhashPairs]] recipe): the shingle+md5+min pipeline is
+    // the dominant cost, the band frame itself is tiny, and repeated
+    // invocations — the bench's warm lane, and [[dedupLshRecall]] calling
+    // this as its approximate side — land on the SAME cache entry instead
+    // of re-hashing the corpus. catalog.clearCache() frees it.
     val bands = shingles
       .select($"doc_id", explode(sequence(lit(0), lit(5))).as("i"),
         $"shingle")
       .select($"doc_id", $"i",
         md5(concat($"i".cast("string"), lit("|"), $"shingle")).as("h"))
       .groupBy($"doc_id", $"i").agg(min($"h").as("v"))
+      .cache()
+    bands.count()
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, $"a.i" === $"b.i" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id")
@@ -571,7 +579,7 @@ object Similarity {
   /** 60-bit SimHash signature per document: per-token md5 nibbles vote on
     * each bit; bit set where the vote is positive. One explode + one
     * integer aggregation — linear, shuffle only on (doc_id, bit). */
-  private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // explicit rebalance before the ×60 vote explode: the documents scan
     // is one parquet split, and everything before the first shuffle would
@@ -895,11 +903,20 @@ object Similarity {
       .withColumn("n_grams", count(lit(1)).over(Window.partitionBy($"doc_id")))
     val a = kept.as("a")
     val b = kept.as("b")
+    // LAZY plan-keyed cache on the candidate-pair aggregate: one row per
+    // surviving pair, consumed once per action, so the first action
+    // populates it as a side effect and every repeat invocation —
+    // [[dedupNgramJaccard]], [[dedupContainment]], and the
+    // [[dedupLshRecall]] audit's exact side all build this identical
+    // plan — reads the entry instead of re-running the gram join.
+    // (No eager count: unlike the self-join-fed signature caches, this
+    // frame is a single-consumer subtree per action.)
     a.join(b,
         $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id" && $"a.gram" === $"b.gram")
       .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
         $"a.n_grams".as("na"), $"b.n_grams".as("nb"))
       .agg(count(lit(1)).as("inter"))
+      .cache()
   }
 
   /** Exact n-gram Jaccard for same-source candidate pairs: df-capped
@@ -998,26 +1015,41 @@ object Similarity {
     * standard multi-pass trick re-runs with a rotated sort key to catch
     * cross-block neighbors). Candidates are verified by exact distinct-
     * bigram Jaccard ≥ 0.3 computed per pair from the two docs' gram
-    * arrays — O(w·n) pairs by construction, no df cap needed. */
+    * arrays.
+    *
+    * Scale shape (the round-6 rewrite): the w-band is EXPLICIT — the
+    * left side explodes j ∈ 1..w and the join is a pure equi-join on
+    * (blk, rk + j) = (blk, rk), so the pair count is w·n BY
+    * CONSTRUCTION; a hot first-token block can never enumerate m²
+    * candidates the way a blk-only key with a post-filter band does
+    * (PlanSpec pins the rank expression in the equi keys). Grams ride
+    * the join as xxhash64 longs (8 B each, not ~20 B strings — the
+    * 64-bit space makes a collision astronomically unlikely, and any
+    * production re-check only needs the ≥0.3 survivors); the window
+    * rank key is bounded to the first 64 chars of the normalized text
+    * (+ doc_id tiebreak), so the sort shuffles a fixed-width key
+    * instead of whole documents. */
   def dedupSortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val W = 3
     val toks = TextSim.tokens($"text")
     val d = TextSim.rebalanceDocs(
       Tables.documents(spark, sfDir).select($"doc_id", $"text"))
-      .select($"doc_id", lower(trim($"text")).as("sk"), toks.as("ts"))
+      .select($"doc_id", substring(lower(trim($"text")), 1, 64).as("sk64"),
+        toks.as("ts"))
       .filter(size($"ts") >= 2)
-      .select($"doc_id", $"sk", element_at($"ts", 1).as("blk"),
+      .select($"doc_id", $"sk64", element_at($"ts", 1).as("blk"),
         array_distinct(expr(
-          "transform(sequence(1, size(ts) - 1), i -> concat(ts[i-1], ' ', ts[i]))"))
+          "transform(sequence(1, size(ts) - 1), i -> xxhash64(concat(ts[i-1], ' ', ts[i])))"))
           .as("gs"))
       .withColumn("rk",
-        row_number().over(Window.partitionBy($"blk").orderBy($"sk", $"doc_id")))
+        row_number().over(Window.partitionBy($"blk").orderBy($"sk64", $"doc_id")))
+      .drop("sk64")
       .localCheckpoint()
-    val a = d.as("a")
+    val a = d.withColumn("j", explode(sequence(lit(1), lit(W))))
+      .withColumn("rkj", $"rk" + $"j").as("a")
     val b = d.as("b")
-    a.join(b, $"a.blk" === $"b.blk" &&
-        $"b.rk" > $"a.rk" && $"b.rk" <= $"a.rk" + W)
+    a.join(b, $"a.blk" === $"b.blk" && $"a.rkj" === $"b.rk")
       .select(
         least($"a.doc_id", $"b.doc_id").as("id_a"),
         greatest($"a.doc_id", $"b.doc_id").as("id_b"),

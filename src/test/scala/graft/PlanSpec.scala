@@ -75,8 +75,27 @@ class PlanSpec extends SparkSuite {
     df.queryExecution.executedPlan.toString
   }
 
-  test("minhash band self-join reuses one exchange (tokenize scan runs once)") {
-    assert(executedPlan("dedup_minhash_lsh").contains("ReusedExchange"))
+  test("minhash band self-join reads the signature cache (tokenize scan runs once)") {
+    // r6: the band frame is an eager plan-keyed cache, so the pair join
+    // must source BOTH sides from the in-memory signatures — any file
+    // scan in the final plan means the corpus is being re-tokenized.
+    // (Typed walk: the string form embeds the cached relation's build
+    // plan, whose historical file scan is provenance, not execution.)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
+    df.collect()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[InMemoryTableScanExec]),
+      "join does not read the band cache")
+    assert(!nodes.exists(_.isInstanceOf[FileSourceScanExec]),
+      "corpus re-scanned outside the band cache")
   }
 
   test("ngram jaccard self-join reuses one exchange (gram scan runs once)") {
@@ -292,7 +311,8 @@ class PlanSpec extends SparkSuite {
     })
     val cores = Seq(
       "text_langid" -> ops.TextSim.langidCore(spark, sfDir),
-      "text_lm_score" -> ops.TextSim.lmScoreCore(spark, sfDir))
+      "text_lm_score" -> ops.TextSim.lmScoreCore(spark, sfDir),
+      "text_tfidf" -> ops.TextSim.tfidfCore(spark, sfDir))
     for ((name, (tf, core)) <- cores) {
       core.collect()
       val nodes = flatten(core.queryExecution.executedPlan)
@@ -303,6 +323,32 @@ class PlanSpec extends SparkSuite {
       assert(cacheScans.nonEmpty, s"$name does not read through the tf cache")
       tf.unpersist(blocking = false)
     }
+  }
+
+  test("sorted-neighborhood candidate join is equi on the rank band") {
+    // round-6 scale fix: the w-band must live IN the equi keys
+    // ((blk, rk + j) = (blk, rk)), not as a post-join filter on a
+    // blk-only key — the filter form enumerates m² pairs inside a hot
+    // first-token block before discarding them (49 s warm at sf0.1 on
+    // 5,000 docs). Pin: some hash/merge join carries ≥2 keys with the
+    // exploded rank expression among them.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val df = SparkEntry.queries("dedup_sorted_neighborhood")(spark, sfDir)
+    df.collect()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val joinKeys = flatten(df.queryExecution.executedPlan).collect {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(joinKeys.exists(ks => ks.size >= 2 && ks.exists(_.toString.contains("rkj"))),
+      s"candidate join does not band on the rank in its equi keys: $joinKeys")
   }
 
   test("no query plans a CartesianProduct; BNLJ only on broadcast-tiny frames") {

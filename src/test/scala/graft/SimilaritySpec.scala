@@ -414,4 +414,20 @@ class SimilaritySpec extends SparkSuite {
       finally walk.close()
     }
   }
+
+  test("dedupSimhashPairs repeat invocations share one plan-keyed signature cache") {
+    // the r6 warm-lane fix relies on every invocation's signature subtree
+    // canonicalizing to the SAME cache entry. Spark's CacheManager refuses
+    // to re-cache an already-cached plan, so per-call accumulation is
+    // impossible exactly when a freshly-built signature frame looks up the
+    // existing entry — which is what this pins (no global cache counting:
+    // suites share the session, and a storage-wide count would race them).
+    Similarity.dedupSimhashPairs(spark, sfDir).count()
+    Similarity.dedupSimhashPairs(spark, sfDir).count()
+    val fresh = Similarity.simhashSigs(spark, sfDir)
+    assert(spark.sharedState.cacheManager
+        .lookupCachedData(fresh.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+        .isDefined,
+      "a fresh signature plan does not resolve to the existing cache entry")
+  }
 }

@@ -23,10 +23,7 @@ class StreamingSpec extends SparkSuite {
   test("tumbling window: batch result equals streaming result") {
     val batch = Streaming.streamTumbling(spark, sfDir)
       .collect().map(_.toSeq).toSet
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventsStream
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"),
         sum($"value".cast("decimal(18,6)")).cast("decimal(18,6)").as("sum_value"))
@@ -39,10 +36,18 @@ class StreamingSpec extends SparkSuite {
   }
 
   private def eventsStream = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // dtype branch mirrors Tables.events / Streaming.eventsStream
+    // (nanos-long vs µs TIMESTAMP_NTZ harness layouts)
+    val ts = schema("ts").dataType match {
+      case LongType      => timestamp_micros(expr("ts div 1000"))
+      case TimestampType => col("ts")
+      case _             => col("ts").cast(TimestampType)
+    }
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", ts)
   }
 
   test("sliding window: batch result equals streaming result") {
