@@ -56,4 +56,63 @@ class TablesSpec extends SparkSuite {
     assert(df.schema("ts").dataType == TimestampType)
     assert(df.select(unix_micros($"ts")).head.getLong(0) == us)
   }
+
+  test("schema contract: every harness table loads with the expected columns and types") {
+    // The round-6 regression mode generalized: a harness testdata regen
+    // that shifts ANY table's physical layout should fail HERE, by name,
+    // not as dozens of downstream analysis errors. Timestamp-ish columns
+    // accept either session-TZ or NTZ flavor (the regen has shipped
+    // both); everything else is pinned exactly as the operators consume
+    // it via Tables.*.
+    val anyTs: DataType => Boolean =
+      t => t == TimestampType || t == TimestampNTZType
+    def expect(df: DataFrame, cols: (String, Any)*): Unit = {
+      val s = df.schema
+      assert(s.fieldNames.toSeq == cols.map(_._1),
+        s"column drift: got ${s.fieldNames.toSeq}, want ${cols.map(_._1)}")
+      cols.foreach {
+        case (n, t: DataType) => assert(s(n).dataType == t,
+          s"$n: got ${s(n).dataType}, want $t")
+        case (n, p: (DataType => Boolean) @unchecked) => assert(p(s(n).dataType),
+          s"$n: got ${s(n).dataType}, want a timestamp flavor")
+      }
+    }
+    expect(Tables.region(spark, sfDir),
+      "r_regionkey" -> IntegerType, "r_name" -> StringType)
+    expect(Tables.nation(spark, sfDir),
+      "n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType)
+    expect(Tables.customer(spark, sfDir),
+      "c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType)
+    expect(Tables.supplier(spark, sfDir),
+      "s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType)
+    expect(Tables.part(spark, sfDir),
+      "p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType)
+    expect(Tables.orders(spark, sfDir),
+      "o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> anyTs, "o_orderpriority" -> StringType)
+    expect(Tables.lineitem(spark, sfDir),
+      "l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> anyTs)
+    expect(Tables.events(spark, sfDir),
+      "event_id" -> LongType, "ts" -> TimestampType,
+      "user_id" -> LongType, "event_type" -> StringType,
+      "value" -> DoubleType, "props" -> StringType)
+    expect(Tables.documents(spark, sfDir),
+      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+      "source" -> StringType, "n_chars" -> LongType)
+    expect(Tables.embeddings(spark, sfDir),
+      "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
+      "label" -> IntegerType)
+  }
 }
