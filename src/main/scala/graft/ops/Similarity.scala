@@ -577,27 +577,37 @@ object Similarity {
   }
 
   /** 60-bit SimHash signature per document: per-token md5 nibbles vote on
-    * each bit; bit set where the vote is positive. One explode + one
-    * integer aggregation — linear, shuffle only on (doc_id, bit). */
+    * each bit; bit set where the vote is positive.
+    *
+    * Explode-free form (round-7): the first 15 hex chars of each token's
+    * md5 carry all 60 vote bits, parsed to ONE long per token — the vote
+    * for bit b (hex char 1+⌊b/4⌋, nibble bit b%4) sits at long bit
+    * 56 − 4⌊b/4⌋ + b%4. The per-doc reduction is then 60 static
+    * bit-count SUMs in a single map-side-combinable groupBy: the ±1 vote
+    * total is 2·setcount − n, so signature bit b is set iff
+    * 2·setcount_b > n — identical semantics to the per-bit vote rows
+    * (the DuckDB oracle still computes the nibble form) at 1/60th the
+    * aggregation input: one (doc_id, long) row per token instead of 60
+    * (doc_id, bit, vote) rows, which at corpus scale is 60× less shuffle
+    * into the signature exchange. */
   private[graft] def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // explicit rebalance before the ×60 vote explode: the documents scan
+    // explicit rebalance before the tokenize+md5 pass: the documents scan
     // is one parquet split, and everything before the first shuffle would
     // otherwise run on a single core (SURVEY §7.6 rebalance lever)
-    val votes = TextSim.rebalanceDocs(Tables.documents(spark, sfDir))
+    val masks = TextSim.rebalanceDocs(Tables.documents(spark, sfDir))
       .select($"doc_id", explode(TextSim.tokens($"text")).as("tok"))
-      .withColumn("h", md5($"tok"))
-      .select($"doc_id", $"h", explode(sequence(lit(0), lit(59))).as("b"))
-      .select($"doc_id", $"b",
-        // hex nibble b/4 of the md5, bit b%4 of that nibble, vote ±1
-        (expr("(shiftright(locate(substr(h, 1 + CAST(b / 4 AS INT), 1), '0123456789abcdef') - 1, " +
-          "CAST(b % 4 AS INT)) & 1) * 2 - 1")).as("vote"))
-      .groupBy($"doc_id", $"b")
-      .agg(sum($"vote").as("votes"))
-    votes
-      .groupBy($"doc_id")
-      .agg(sum(when($"votes" > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
-        .otherwise(0L)).as("simhash"))
+      .select($"doc_id",
+        expr("cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)").as("m"))
+    def shift(b: Int): Int = 56 - 4 * (b / 4) + b % 4
+    val counts = (0 until 60).map(b =>
+      sum(expr(s"shiftright(m, ${shift(b)}) & 1")).as(s"c$b"))
+    masks.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), counts: _*)
+      .select($"doc_id",
+        (0 until 60).map(b =>
+          when($"c$b" * 2 > $"n", lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
