@@ -1108,10 +1108,10 @@ object Relational {
     import spark.implicits._
     val tag = math.abs(sfDir.hashCode).toString
     val base = s"/tmp/graft_buckets/$tag"
-    Bucketing.writeBucketed(Tables.orders(spark, sfDir)
+    Bucketing.writeBucketedOnce(Tables.orders(spark, sfDir)
       .select($"o_orderkey", $"o_custkey", $"o_orderpriority"),
       s"graft_b_orders_$tag", s"$base/orders", "o_custkey", n = 8)
-    Bucketing.writeBucketed(Tables.customer(spark, sfDir)
+    Bucketing.writeBucketedOnce(Tables.customer(spark, sfDir)
       .select($"c_custkey", $"c_mktsegment"),
       s"graft_b_customer_$tag", s"$base/customer", "c_custkey", n = 8)
     Bucketing.bucketedJoin(spark,
