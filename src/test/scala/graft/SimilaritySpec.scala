@@ -415,6 +415,96 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  private def writeDocsDir(docs: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("simhash mask aggregation equals the per-bit nibble-vote reference") {
+    // the round-7 explode-free form packs all 60 votes into one long per
+    // token; this pins it against a direct Scala transcription of the
+    // DEFINITION (md5 hex nibble b/4, bit b%4, ±1 vote, majority) on
+    // arbitrary token streams — not just the fixed-oracle corpus.
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val docs = (1L to 50L).map { id =>
+      val text = Seq.fill(1 + rnd.nextInt(30))(words(rnd.nextInt(words.size)))
+        .mkString(" ")
+      (id, text, "en", "src1", text.length.toLong)
+    }
+    val dir = writeDocsDir(docs)
+    val got = Similarity.dedupSimhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def refSig(tokens: Seq[String]): Long = {
+      val votes = Array.fill(60)(0)
+      for (t <- tokens; h = md5hex(t); b <- 0 until 60) {
+        val nib = "0123456789abcdef".indexOf(h.charAt(b / 4))
+        votes(b) += (if (((nib >> (b % 4)) & 1) == 1) 1 else -1)
+      }
+      (0 until 60).map(b => if (votes(b) > 0) 1L << b else 0L).sum
+    }
+    docs.foreach { case (id, text, _, _, _) =>
+      assert(got(id) == refSig(text.split(" ").toSeq), s"doc $id signature")
+    }
+  }
+
+  test("sorted-neighborhood pairs equal the brute-force w-band reference on a hot block") {
+    // every doc shares the first token, so the old blk-only join would
+    // have enumerated all m² in-block pairs; the explicit band must
+    // produce EXACTLY the w=3 successor pairs of the (sk64, doc_id)
+    // ranking — pinned against a literal Scala transcription.
+    val rnd = new scala.util.Random(11)
+    val words = Vector("red", "blue", "green", "amber", "teal", "coral",
+      "olive", "plum", "slate", "ivory")
+    val base = (1L to 24L).map { id =>
+      val text = ("hot" +: Seq.fill(6 + rnd.nextInt(10))(
+        words(rnd.nextInt(words.size)))).mkString(" ")
+      (id, text, "en", "src1", text.length.toLong)
+    }
+    // engineered near-dups: clones of some docs with one appended word
+    val clones = Seq(101L -> 3L, 102L -> 10L, 103L -> 17L).map {
+      case (nid, src) =>
+        val text = base(src.toInt - 1)._2 + " extra"
+        (nid, text, "en", "src1", text.length.toLong)
+    }
+    val docs = base ++ clones
+    val dir = writeDocsDir(docs)
+    val got = Similarity.dedupSortedNeighborhood(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDecimal(2)))).toSet
+    // reference: rank per block by (substring(sk,1,64), doc_id), pair
+    // each doc with its ≤3 successors, exact bigram jaccard ≥ 0.3
+    case class D(id: Long, sk64: String, blk: String, gs: Set[String])
+    val ds = docs.flatMap { case (id, text, _, _, _) =>
+      val sk = text.toLowerCase.trim
+      val ts = sk.split("[^a-z]+").filter(_.nonEmpty).toSeq
+      if (ts.size < 2) None
+      else Some(D(id, sk.take(64), ts.head,
+        ts.sliding(2).map(_.mkString(" ")).toSet))
+    }
+    val ref = ds.groupBy(_.blk).values.flatMap { blkDocs =>
+      val ranked = blkDocs.sortBy(d => (d.sk64, d.id))
+      for {
+        i <- ranked.indices
+        j <- (i + 1) to math.min(i + 3, ranked.size - 1)
+        a = ranked(i); b = ranked(j)
+        inter = (a.gs & b.gs).size
+        tot = a.gs.size + b.gs.size
+        if tot > inter
+        jacc = BigDecimal(inter.toDouble / (tot - inter))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        if jacc >= BigDecimal("0.3")
+      } yield (math.min(a.id, b.id), math.max(a.id, b.id), jacc)
+    }.toSet
+    assert(ref.nonEmpty, "engineered corpus produced no reference pairs")
+    assert(got == ref, s"got $got\nref $ref")
+  }
+
   test("dedupSimhashPairs repeat invocations share one plan-keyed signature cache") {
     // the r6 warm-lane fix relies on every invocation's signature subtree
     // canonicalizing to the SAME cache entry. Spark's CacheManager refuses
