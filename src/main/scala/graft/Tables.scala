@@ -31,23 +31,36 @@ object Tables {
     * layout yields the same µs-precision TimestampType column
     * (SURVEY §7.4#3); TablesSpec pins both paths against fixtures. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, TimestampType}
     val raw = load(spark, sfDir, "events")
-    val ts = raw.schema("ts").dataType match {
-      // `ts div 1000` is exact integer division; `/` on longs is IEEE
-      // double division which silently truncates 1µs low for ns values
-      // > 2^53 (every 2024-era timestamp) — DuckDB's epoch_us is exact,
-      // so the double form can diverge from the oracle on window
-      // membership.
-      case LongType      => timestamp_micros(expr("ts div 1000"))
-      case TimestampType => col("ts")
+    raw.withColumn("ts", normalizedTs(raw.schema("ts").dataType))
+  }
+
+  /** The ts-normalizing expression for a given LOADED events.ts dtype —
+    * ONE definition shared by the batch loader, the streaming source
+    * (Streaming.eventsStream) and the spec's independent stream builder,
+    * so the next layout change is a one-line fix. Unknown layouts THROW
+    * rather than guess: a silent mis-scale (e.g. an INT64-µs file pushed
+    * through the ns path) would corrupt all 58 events-keyed oracles
+    * while every schema assertion still passed. */
+  def normalizedTs(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    dt match {
+      // nanos-as-long layout. `ts div 1000` is exact integer division;
+      // `/` on longs is IEEE double division which silently truncates
+      // 1µs low for ns values > 2^53 (every 2024-era timestamp) —
+      // DuckDB's epoch_us is exact, so the double form can diverge from
+      // the oracle on window membership.
+      case LongType         => timestamp_micros(expr("ts div 1000"))
+      case TimestampType    => col("ts")
       // TIMESTAMP_NTZ → TIMESTAMP is an identity re-tag under the
       // pinned UTC session timezone; keeps downstream unix_micros /
       // window calls unchanged.
-      case _             => col("ts").cast(TimestampType)
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported parquet layout $other — " +
+          "add an explicit branch to Tables.normalizedTs")
     }
-    raw.withColumn("ts", ts)
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

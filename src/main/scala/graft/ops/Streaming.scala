@@ -149,21 +149,14 @@ object Streaming {
     * schema; dtype branch mirrors Tables.events — nanos-long vs µs
     * TIMESTAMP_NTZ layouts of the harness parquet). */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampType}
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
     // the file streaming source requires a directory: stream the sf dir
     // with a glob restricted to the events file
-    val raw = spark.readStream.schema(schema)
+    spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-    val ts = schema("ts").dataType match {
-      // exact integer ns→µs division — see Tables.events
-      case LongType      => timestamp_micros(expr("ts div 1000"))
-      case TimestampType => col("ts")
-      case _             => col("ts").cast(TimestampType)
-    }
-    raw.withColumn("ts", ts)
+      .withColumn("ts", Tables.normalizedTs(schema("ts").dataType))
   }
 
   /** Run a streaming frame to a parquet FILE sink and read the result

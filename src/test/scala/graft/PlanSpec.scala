@@ -342,12 +342,13 @@ class PlanSpec extends SparkSuite {
       case q: QueryStageExec => flatten(q.plan)
       case _ => p.children.flatMap(flatten)
     })
+    // both sides: a planner side-swap (stats/AQE) must not fail the pin
     val joinKeys = flatten(df.queryExecution.executedPlan).collect {
-      case j: SortMergeJoinExec => j.leftKeys
-      case j: ShuffledHashJoinExec => j.leftKeys
-      case j: BroadcastHashJoinExec => j.leftKeys
+      case j: SortMergeJoinExec => j.leftKeys ++ j.rightKeys
+      case j: ShuffledHashJoinExec => j.leftKeys ++ j.rightKeys
+      case j: BroadcastHashJoinExec => j.leftKeys ++ j.rightKeys
     }
-    assert(joinKeys.exists(ks => ks.size >= 2 && ks.exists(_.toString.contains("rkj"))),
+    assert(joinKeys.exists(ks => ks.size >= 4 && ks.exists(_.toString.contains("rkj"))),
       s"candidate join does not band on the rank in its equi keys: $joinKeys")
   }
 

@@ -36,18 +36,10 @@ class StreamingSpec extends SparkSuite {
   }
 
   private def eventsStream = {
-    import org.apache.spark.sql.types.{LongType, TimestampType}
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // dtype branch mirrors Tables.events / Streaming.eventsStream
-    // (nanos-long vs µs TIMESTAMP_NTZ harness layouts)
-    val ts = schema("ts").dataType match {
-      case LongType      => timestamp_micros(expr("ts div 1000"))
-      case TimestampType => col("ts")
-      case _             => col("ts").cast(TimestampType)
-    }
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", ts)
+      .withColumn("ts", Tables.normalizedTs(schema("ts").dataType))
   }
 
   test("sliding window: batch result equals streaming result") {

@@ -57,6 +57,15 @@ class TablesSpec extends SparkSuite {
     assert(df.select(unix_micros($"ts")).head.getLong(0) == us)
   }
 
+  test("events: an unrecognized ts layout fails fast instead of mis-scaling") {
+    import spark.implicits._
+    // a silent wrong-branch guess (e.g. µs longs through the ns path)
+    // would corrupt every events oracle while schemas still looked fine
+    val dir = writeFixture(Seq((1L, "2024-08-01")).toDF("event_id", "ts"))
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("unsupported parquet layout"))
+  }
+
   test("schema contract: every harness table loads with the expected columns and types") {
     // The round-6 regression mode generalized: a harness testdata regen
     // that shifts ANY table's physical layout should fail HERE, by name,
