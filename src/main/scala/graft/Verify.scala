@@ -19,7 +19,8 @@ object Verify {
       // defaults ANSI on.
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      // events.ts is TIMESTAMP(NANOS); read as long, re-typed in Tables.
+      // guard for a nanos-typed events.ts layout (reads as long, re-typed
+      // in Tables.normalizedTs); a no-op on the current µs layout
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
