@@ -85,6 +85,37 @@ object Oracle {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    // Bounds-style oracles for the two sketch aggregates (r8): the hash
+    // comparator can't express an inequality, so each row carries the
+    // EXACT reference values (independently recomputed here) plus a
+    // within_bounds boolean the Spark side computes and this side pins
+    // to TRUE — DuckDB proves the bounds, the boolean proves the sketch
+    // sits inside them.
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        | CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        | TRUE AS within_bounds
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "agg_approx_quantile" ->
+      // order statistics at the rank-tolerance endpoints — actual data
+      // values (no interpolation), same floor/ceil double arithmetic as
+      // the Spark side
+      """WITH r AS (SELECT l_returnflag, l_quantity,
+        |  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rk,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |b AS (SELECT l_returnflag, p, n,
+        |  MIN(CASE WHEN rk = greatest(1, CAST(floor((p - 0.01) * n) AS BIGINT))
+        |    THEN l_quantity END) AS lo,
+        |  MAX(CASE WHEN rk = least(n, CAST(ceil((p + 0.01) * n) AS BIGINT))
+        |    THEN l_quantity END) AS hi
+        |  FROM r CROSS JOIN (SELECT unnest([0.5, 0.95]) AS p) ps
+        |  GROUP BY l_returnflag, p, n)
+        |SELECT l_returnflag, p, n, lo, hi, TRUE AS within_bounds
+        |FROM b ORDER BY l_returnflag, p""".stripMargin,
+
     "agg_array_sorted" ->
       """SELECT c_nationkey,
         | array_to_string(list_slice(list_sort(list(c_custkey)), 1, 20), ',') AS first_keys,

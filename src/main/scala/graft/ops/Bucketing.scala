@@ -29,15 +29,20 @@ object Bucketing {
   }
 
   /** [[writeBucketed]], skipped when `table` is already registered in
-    * this session's catalog AND its files exist on disk — the production
-    * contract (layout written once, joined many times) made literal:
-    * repeat invocations of a bucketed query pay only the join, never the
-    * re-write. Inputs here are immutable harness tables keyed into the
-    * path/table tag, so an existing layout is by construction current. */
+    * this session's catalog AND the layout's write COMMITTED — the
+    * production contract (layout written once, joined many times) made
+    * literal: repeat invocations of a bucketed query pay only the join,
+    * never the re-write. "Committed" is Spark's own `_SUCCESS` marker,
+    * not bare directory existence: an interrupted write leaves a partial
+    * directory (and possibly the table registration) behind, and treating
+    * that as a complete layout would serve truncated buckets. Inputs here
+    * are immutable harness tables keyed into the path/table tag, so a
+    * committed layout is by construction current. */
   def writeBucketedOnce(df: DataFrame, table: String, path: String,
                         key: String, n: Int = 8): Unit = {
     val spark = df.sparkSession
-    if (!(spark.catalog.tableExists(table) && new java.io.File(path).exists()))
+    val committed = new java.io.File(path, "_SUCCESS").exists()
+    if (!(spark.catalog.tableExists(table) && committed))
       writeBucketed(df, table, path, key, n)
   }
 

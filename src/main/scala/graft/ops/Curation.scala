@@ -269,9 +269,20 @@ object Curation {
   def pipelineDedupE2e(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    // Survivor frames are plan-keyed .cache()d, NOT localCheckpointed:
+    // each stage frame has two consumers (the next stage's pair filter +
+    // its own funnel count), and a warm re-invocation rebuilds the SAME
+    // plan, so the cache serves it directly. The r7 localCheckpoint
+    // variant was eager and NOT plan-keyed — every warm run re-materialized
+    // both stages while the previous run's checkpoint blocks still sat in
+    // storage memory, which is why warm-alone (3.90 s) measured SLOWER
+    // than cold (3.35 s). Cache substitution also keeps the 4-way union
+    // plan small (cached subtrees collapse to InMemoryRelation at
+    // planning). The frames are doc_id-only (KB-scale at bench sf);
+    // catalog.clearCache() frees them.
     val s1 = docs.select(lower(trim($"text")).as("norm"), $"doc_id")
       .groupBy($"norm").agg(min($"doc_id").as("doc_id"))
-      .select($"doc_id").localCheckpoint()
+      .select($"doc_id").cache()
     def survivors(prev: DataFrame, pairs: DataFrame): DataFrame = {
       val dropped = pairs
         .join(prev.select($"doc_id".as("id_a")), Seq("id_a"), "left_semi")
@@ -281,7 +292,7 @@ object Curation {
     }
     val s2 = survivors(s1,
       Similarity.dedupMinhashLsh(spark, sfDir).select($"id_a", $"id_b"))
-      .localCheckpoint()
+      .cache()
     val s3 = survivors(s2,
       Similarity.dedupEmbeddingCosine(spark, sfDir)
         .select($"id_a".cast("long").as("id_a"), $"id_b".cast("long").as("id_b")))

@@ -447,44 +447,69 @@ object Relational {
         |""".stripMargin)
   }
 
-  /** HLL approximate distinct vs exact (no oracle: approximate — bounds
-    * asserted in ScalaTest). */
+  /** HLL approximate distinct, ORACLE-CHECKED as a bounds inequality
+    * (r8: was spec-only). The hash-equality comparator can't compare an
+    * estimate to a tolerance, so the inequality itself is the data: the
+    * exact NDV column anchors the row to DuckDB's independent exact
+    * computation, and `within_bounds` (relative error ≤ 5%, ~2.5σ at
+    * rsd 0.02) must equal DuckDB's literal TRUE. DuckDB proves the
+    * reference values; the boolean proves the sketch sits inside the
+    * documented envelope of those proven values. ApproxSpec keeps the
+    * direct numeric check. */
   def aggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, sfDir)
       .groupBy($"l_returnflag")
       .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
         countDistinct($"l_partkey").as("exact_parts"))
+      .select($"l_returnflag", $"exact_parts",
+        (abs($"approx_parts" - $"exact_parts").cast("double") / $"exact_parts"
+          <= 0.05).as("within_bounds"))
       .orderBy($"l_returnflag")
   }
 
   /** Mergeable approximate quantiles (percentile_approx — Spark's
     * ApproximatePercentile sketch): per returnflag, p50/p95 at accuracy
-    * 1000 next to the exact values. The quantile companion to the HLL /
-    * count-min sketches: partial sketches merge map-side, so a 100 TB
-    * quantile costs one pass + tiny state instead of a global sort. No
-    * oracle (approximate by construction — and the exact columns here
-    * would double as one); ApproxSpec brackets the estimates between
-    * neighboring exact order statistics. Declared output is one SCALAR
-    * row per (flag, percentile) — array columns crash the harness's
-    * rows-only pandas check (r5 finding), and the exploded shape is the
-    * better sketch demo anyway. */
+    * 1000. The quantile companion to the HLL / count-min sketches:
+    * partial sketches merge map-side, so a 100 TB quantile costs one
+    * pass + tiny state instead of a global sort.
+    *
+    * ORACLE-CHECKED as a bounds inequality (r8: was spec-only): the
+    * hash comparator can't compare an estimate to a tolerance, so the
+    * row carries the tolerance's ENDPOINTS — the exact order statistics
+    * at ranks floor((p-0.01)·n) and ceil((p+0.01)·n), actual data
+    * values (no interpolation, so no cross-engine float drift), which
+    * DuckDB recomputes independently — plus `within_bounds` = sketch ∈
+    * [lo, hi], which must equal DuckDB's literal TRUE. The 0.01 rank
+    * tolerance is 10× the sketch's documented 1/accuracy rank error;
+    * ApproxSpec keeps the tight neighboring-rank check. Declared output
+    * stays one SCALAR row per (flag, percentile) — array columns crash
+    * the harness's rows-only pandas check (r5 finding). */
   def aggApproxQuantile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val tol = 0.01
     val ps = array(lit(0.5), lit(0.95))
-    Tables.lineitem(spark, sfDir)
-      .groupBy($"l_returnflag")
-      .agg(
-        percentile_approx($"l_quantity", ps, lit(1000)).as("approx_q"),
-        expr("percentile(l_quantity, array(0.5D, 0.95D))").as("exact_q"),
-        count(lit(1)).as("n"))
-      .select($"l_returnflag", $"n",
-        posexplode(arrays_zip($"approx_q", $"exact_q")))
-      .select($"l_returnflag",
-        element_at(ps, $"pos" + 1).as("p"),
-        $"col.approx_q".as("approx"),
-        $"col.exact_q".as("exact"),
-        $"n")
+    val li = Tables.lineitem(spark, sfDir).select($"l_returnflag", $"l_quantity")
+    val w = Window.partitionBy($"l_returnflag")
+    val ranked = li
+      .withColumn("rk", row_number().over(w.orderBy($"l_quantity")))
+      .withColumn("n", count(lit(1)).over(w))
+    val bounds = ranked
+      .select($"l_returnflag", $"l_quantity", $"rk", $"n", explode(ps).as("p"))
+      .withColumn("lo_rk", greatest(lit(1L), floor(($"p" - tol) * $"n")))
+      .withColumn("hi_rk", least($"n", ceil(($"p" + tol) * $"n")))
+      .filter($"rk" === $"lo_rk" || $"rk" === $"hi_rk")
+      .groupBy($"l_returnflag", $"p", $"n")
+      .agg(min(when($"rk" === $"lo_rk", $"l_quantity")).as("lo"),
+        max(when($"rk" === $"hi_rk", $"l_quantity")).as("hi"))
+    val sketch = li.groupBy($"l_returnflag")
+      .agg(percentile_approx($"l_quantity", ps, lit(1000)).as("aq"))
+      .select($"l_returnflag", posexplode($"aq"))
+      .select($"l_returnflag", element_at(ps, $"pos" + 1).as("p"),
+        $"col".as("approx"))
+    bounds.join(sketch, Seq("l_returnflag", "p"))
+      .select($"l_returnflag", $"p", $"n", $"lo", $"hi",
+        ($"approx" >= $"lo" && $"approx" <= $"hi").as("within_bounds"))
       .orderBy($"l_returnflag", $"p")
   }
 
@@ -1120,9 +1145,15 @@ object Relational {
     import spark.implicits._
     // tag keys the layout to the INPUT STATE, not just the path: a
     // harness regen rewrites the parquet in place (round 6 did), and an
-    // mtime-blind tag would keep serving the pre-regen buckets
-    val mtime = new java.io.File(s"$sfDir/orders.parquet").lastModified
-    val tag = math.abs((sfDir, mtime).hashCode).toString
+    // mtime-blind tag would keep serving the pre-regen buckets. BOTH
+    // joined tables' mtime+size feed the tag — a regen touching only
+    // customer.parquet must invalidate the customer buckets too, and
+    // size catches an mtime-preserving rewrite.
+    def stamp(t: String): (Long, Long) = {
+      val f = new java.io.File(s"$sfDir/$t.parquet")
+      (f.lastModified, f.length)
+    }
+    val tag = math.abs((sfDir, stamp("orders"), stamp("customer")).hashCode).toString
     val base = s"/tmp/graft_buckets/$tag"
     Bucketing.writeBucketedOnce(Tables.orders(spark, sfDir)
       .select($"o_orderkey", $"o_custkey", $"o_orderpriority"),

@@ -1025,9 +1025,17 @@ object Similarity {
     * record only to its w=3 successors. BLOCKED variant (the scale
     * form): ranks are per first-token block, so the window never needs
     * a global single-partition sort — the windows partition on the
-    * block key and pairs stay inside their block (at index scale the
-    * standard multi-pass trick re-runs with a rotated sort key to catch
-    * cross-block neighbors). Candidates are verified by exact distinct-
+    * block key and pairs stay inside their block. The classic
+    * multi-pass recall dial IS implemented: `spark.graft.snd.passes=N`
+    * re-runs the band join N times, pass p deriving its block/sort key
+    * from the token array ROTATED left by p-1 (suffix-similar docs that
+    * differ in their first token land in the same block on pass 2), and
+    * unions the passes' candidate pairs with a dropDuplicates — gram
+    * arrays stay in ORIGINAL token order, so a pair's Jaccard is
+    * pass-invariant and the union dedup is exact. Default N=1 keeps the
+    * declared single-pass semantics (and the DuckDB oracle) unchanged;
+    * SimilaritySpec proves a cross-block near-dup is missed by pass 1
+    * and caught by pass 2. Candidates are verified by exact distinct-
     * bigram Jaccard ≥ 0.3 computed per pair from the two docs' gram
     * arrays.
     *
@@ -1044,31 +1052,69 @@ object Similarity {
     * (+ doc_id tiebreak), so the sort shuffles a fixed-width key
     * instead of whole documents. */
   def dedupSortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame = {
+    val passes = spark.conf.getOption("spark.graft.snd.passes")
+      .map(_.toInt).getOrElse(1)
+    sortedNeighborhoodPairs(
+      TextSim.rebalanceDocs(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))),
+      passes)
+  }
+
+  /** [[dedupSortedNeighborhood]]'s pair engine over an explicit
+    * (doc_id, text) frame, parameterized by pass count so the spec can
+    * prove the multi-pass recall claim on a controlled corpus. Pass p
+    * sorts/blocks on the token array rotated left by p-1; grams are
+    * always original-order, so duplicate candidates across passes carry
+    * identical (inter, tot) and the union dedup is exact. */
+  private[graft] def sortedNeighborhoodPairs(docs: DataFrame,
+      passes: Int): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
+    require(passes >= 1, s"spark.graft.snd.passes must be >= 1, got $passes")
     val W = 3
     val toks = TextSim.tokens($"text")
-    val d = TextSim.rebalanceDocs(
-      Tables.documents(spark, sfDir).select($"doc_id", $"text"))
-      .select($"doc_id", substring(lower(trim($"text")), 1, 64).as("sk64"),
+    val base = docs
+      .select($"doc_id", substring(lower(trim($"text")), 1, 64).as("skraw"),
         toks.as("ts"))
       .filter(size($"ts") >= 2)
-      .select($"doc_id", $"sk64", element_at($"ts", 1).as("blk"),
+      .select($"doc_id", $"skraw", $"ts",
         array_distinct(expr(
           "transform(sequence(1, size(ts) - 1), i -> xxhash64(concat(ts[i-1], ' ', ts[i])))"))
           .as("gs"))
-      .withColumn("rk",
-        row_number().over(Window.partitionBy($"blk").orderBy($"sk64", $"doc_id")))
-      .drop("sk64")
-      .localCheckpoint()
-    val a = d.withColumn("j", explode(sequence(lit(1), lit(W))))
-      .withColumn("rkj", $"rk" + $"j").as("a")
-    val b = d.as("b")
-    a.join(b, $"a.blk" === $"b.blk" && $"a.rkj" === $"b.rk")
-      .select(
-        least($"a.doc_id", $"b.doc_id").as("id_a"),
-        greatest($"a.doc_id", $"b.doc_id").as("id_b"),
-        size(array_intersect($"a.gs", $"b.gs")).as("inter"),
-        (size($"a.gs") + size($"b.gs")).as("tot"))
+    val perPass = (1 to passes).map { p =>
+      // Pass 1 is the DECLARED single-pass query: raw-text 64-char sort
+      // key, first-token block — exactly what the DuckDB oracle mirrors.
+      // Rotated passes (p > 1) read both keys off the token array rotated
+      // left by p-1 (tokens p..n ++ tokens 1..p-1; p beyond size degrades
+      // to the identity rotation — slice past the end is empty). The gram
+      // set never rotates.
+      val (blkCol, skCol) =
+        if (p == 1) (element_at($"ts", 1), $"skraw")
+        else {
+          val rot = concat(slice($"ts", lit(p), size($"ts")),
+            slice($"ts", lit(1), lit(p - 1)))
+          (element_at(rot, 1), substring(concat_ws(" ", rot), 1, 64))
+        }
+      val d = base
+        .select($"doc_id", $"gs", blkCol.as("blk"), skCol.as("sk64"))
+        .withColumn("rk",
+          row_number().over(Window.partitionBy($"blk").orderBy($"sk64", $"doc_id")))
+        .drop("sk64")
+        .localCheckpoint()
+      val a = d.withColumn("j", explode(sequence(lit(1), lit(W))))
+        .withColumn("rkj", $"rk" + $"j").as("a")
+      val b = d.as("b")
+      a.join(b, $"a.blk" === $"b.blk" && $"a.rkj" === $"b.rk")
+        .select(
+          least($"a.doc_id", $"b.doc_id").as("id_a"),
+          greatest($"a.doc_id", $"b.doc_id").as("id_b"),
+          size(array_intersect($"a.gs", $"b.gs")).as("inter"),
+          (size($"a.gs") + size($"b.gs")).as("tot"))
+    }
+    val cands =
+      if (passes == 1) perPass.head
+      else perPass.reduce(_.unionByName(_)).dropDuplicates("id_a", "id_b")
+    cands
       .filter($"tot" > $"inter") // union > 0 and not both empty
       .select($"id_a", $"id_b",
         ($"inter".cast("double") / ($"tot" - $"inter"))

@@ -83,19 +83,42 @@ class ApproxSpec extends SparkSuite {
 
   test("agg_approx_quantile estimates stay within rank-error of exact per group") {
     val rows = graft.ops.Relational.aggApproxQuantile(spark, sfDir).collect()
-    // exploded scalar shape: (l_returnflag, p, approx, exact, n) — one row
-    // per (flag, percentile), two percentiles per flag
+    // r8 bounds shape: (l_returnflag, p, n, lo, hi, within_bounds) — one
+    // row per (flag, percentile); lo/hi are the exact order statistics at
+    // the ±0.01 rank tolerance and within_bounds asserts sketch ∈ [lo, hi]
     assert(rows.nonEmpty && rows.length % 2 == 0)
     rows.foreach { r =>
       val p = r.getDouble(1)
-      val a = r.getDouble(2)
-      val e = r.getDouble(3)
-      val n = r.getLong(4)
+      val n = r.getLong(2)
+      val lo = r.getDouble(3)
+      val hi = r.getDouble(4)
       assert(p == 0.5 || p == 0.95)
-      // accuracy 1000 bounds rank error at n/1000; on these group sizes
-      // a generous value-space check: within 10% of the exact quantile
-      assert(math.abs(a - e) <= math.abs(e) * 0.10 + 1.0,
-        s"${r.getString(0)} (n=$n, p=$p): approx $a vs exact $e")
+      assert(lo <= hi, s"${r.getString(0)} (p=$p): bounds inverted [$lo, $hi]")
+      assert(r.getBoolean(5),
+        s"${r.getString(0)} (n=$n, p=$p): sketch outside [$lo, $hi]")
+    }
+    // tighter value-space check than the declared ±0.01 rank bracket:
+    // sketch within 10% of the exact interpolated quantile per group
+    val chk = Tables.lineitem(spark, sfDir).groupBy($"l_returnflag")
+      .agg(percentile_approx($"l_quantity", array(lit(0.5), lit(0.95)),
+          lit(1000)).as("a"),
+        expr("percentile(l_quantity, array(0.5D, 0.95D))").as("e"))
+      .collect()
+    chk.foreach { r =>
+      r.getSeq[Double](1).zip(r.getSeq[Double](2)).foreach { case (a, e) =>
+        assert(math.abs(a - e) <= math.abs(e) * 0.10 + 1.0,
+          s"${r.getString(0)}: approx $a vs exact $e")
+      }
+    }
+  }
+
+  test("agg_approx_distinct: within_bounds true and exact NDV positive per flag") {
+    val rows = graft.ops.Relational.aggApproxDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getBoolean(2),
+        s"${r.getString(0)}: HLL estimate beyond 5% of exact ${r.getLong(1)}")
     }
   }
 }

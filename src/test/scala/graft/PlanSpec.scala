@@ -76,9 +76,11 @@ class PlanSpec extends SparkSuite {
   }
 
   test("minhash band self-join reads the signature cache (tokenize scan runs once)") {
-    // r6: the band frame is an eager plan-keyed cache, so the pair join
-    // must source BOTH sides from the in-memory signatures — any file
-    // scan in the final plan means the corpus is being re-tokenized.
+    // r7: the band frame is a LAZY plan-keyed cache (Similarity.scala
+    // deliberately avoids an eager count — see the rationale at the cache
+    // site), so after execution the pair join must source BOTH sides from
+    // the in-memory signatures — any file scan in the final plan means
+    // the corpus is being re-tokenized.
     // (Typed walk: the string form embeds the cached relation's build
     // plan, whose historical file scan is provenance, not execution.)
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}

@@ -505,6 +505,35 @@ class SimilaritySpec extends SparkSuite {
     assert(got == ref, s"got $got\nref $ref")
   }
 
+  test("snd multi-pass: cross-block near-dup missed by pass 1, caught by pass 2") {
+    // A and B are near-identical but differ in their FIRST token — the
+    // single-pass block key separates them, the classic sorted-
+    // neighborhood blind spot. Pass 2 blocks on the rotation's first
+    // token ("common" for both), so the pair surfaces; jaccard is
+    // computed from the ORIGINAL-order bigrams either way (5 shared of
+    // 7 distinct = 0.714286).
+    val docs = Seq(
+      (1L, "alpha common body shared words here now", "en", "src1", 39L),
+      (2L, "zeta common body shared words here now", "en", "src1", 38L),
+      (3L, "misc other totally different text", "en", "src1", 33L),
+      (4L, "various unrelated tokens again", "en", "src1", 30L))
+    val dir = writeDocsDir(docs)
+    def pairs() = Similarity.dedupSortedNeighborhood(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString))
+    val onePass = pairs()
+    assert(!onePass.exists(p => p._1 == 1L && p._2 == 2L),
+      s"single pass should miss the cross-block pair, got ${onePass.toSeq}")
+    spark.conf.set("spark.graft.snd.passes", "2")
+    try {
+      val twoPass = pairs()
+      assert(twoPass.exists(p => p._1 == 1L && p._2 == 2L && p._3 == "0.714286"),
+        s"pass 2 should catch (1,2) at jaccard 0.714286, got ${twoPass.toSeq}")
+      val keys = twoPass.map(p => (p._1, p._2)).toSeq
+      assert(keys.distinct.size == keys.size,
+        s"union of passes must be pair-deduped, got ${twoPass.toSeq}")
+    } finally spark.conf.unset("spark.graft.snd.passes")
+  }
+
   test("dedupSimhashPairs repeat invocations share one plan-keyed signature cache") {
     // the r6 warm-lane fix relies on every invocation's signature subtree
     // canonicalizing to the SAME cache entry. Spark's CacheManager refuses

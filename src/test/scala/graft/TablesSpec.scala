@@ -124,4 +124,39 @@ class TablesSpec extends SparkSuite {
       "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
       "label" -> IntegerType)
   }
+
+  // Value-DOMAIN contract for the two tables the dedup/similarity family
+  // builds on. The round-6 incident proved harness regens can change
+  // physical layouts without notice; the schema contract above caught the
+  // ts dtype flip, these catch the next silent domain change (a null text
+  // or a ragged embedding would poison every gram/signature/cosine
+  // pipeline with nulls rather than fail loudly). Each assertion names
+  // the violated invariant so the diagnosis is one line.
+  test("domain contract: documents text/doc_id non-null, doc_id unique, n_chars consistent") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.documents(spark, sfDir)
+    val total = d.count()
+    assert(total > 0, "documents is empty")
+    assert(d.filter(col("doc_id").isNull).count() == 0, "null doc_id in documents")
+    assert(d.filter(col("text").isNull).count() == 0, "null text in documents")
+    assert(d.select(col("doc_id")).distinct().count() == total,
+      "doc_id is not unique in documents")
+    val badLen = d.filter(col("n_chars") =!= length(col("text"))).count()
+    assert(badLen == 0, s"$badLen documents rows where n_chars != length(text)")
+  }
+
+  test("domain contract: embeddings vec_id unique, every vector length 64 and non-null") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sfDir)
+    val total = e.count()
+    assert(total > 0, "embeddings is empty")
+    assert(e.filter(col("vec_id").isNull).count() == 0, "null vec_id in embeddings")
+    assert(e.select(col("vec_id")).distinct().count() == total,
+      "vec_id is not unique in embeddings")
+    val badVec = e.filter(col("embedding").isNull ||
+      size(col("embedding")) =!= 64 ||
+      exists(col("embedding"), v => v.isNull || isnan(v))).count()
+    assert(badVec == 0,
+      s"$badVec embeddings rows violate [non-null, length-64, finite-element]")
+  }
 }
