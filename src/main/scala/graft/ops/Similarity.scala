@@ -692,15 +692,26 @@ object Similarity {
     * O(log d)). Same output, same oracle (SimilaritySpec proves parity);
     * on the declared near-dup corpus (diameter ≤ 3) both converge in
     * comparable rounds — propagation 4, contraction 2 at sf0.001 —
-    * so propagation stays the default and contraction is the dial to
-    * turn when components are long chains.
+    * and the r8 head-to-head at sf0.1 measured propagation 2.6 s cold /
+    * 1.0 s warm vs contraction 6.6 s / 2.5 s: contraction's fewer
+    * rounds each carry MORE jobs (two rewires + a distinct + a
+    * set-equality check), and at local bench scale the fixpoint bill is
+    * job count, not data. So propagation stays the default and
+    * contraction is the dial to turn when components are long chains.
     * Oracle: DuckDB recursive-CTE transitive closure. */
   def dedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val reliable = spark.conf.getOption("spark.graft.cluster.reliableCheckpoint")
       .exists(_.toBoolean)
+    // LAZY local checkpoint (r8): each round's convergence count is the
+    // action that materializes the round's blocks, so a round costs ONE
+    // job instead of two (eager checkpoint job + count job) — at bench
+    // scale the label frames are tiny and the fixpoint cost is pure
+    // per-job overhead, so halving the jobs halves the lane. Reliable
+    // checkpoints stay eager: their contract is durability at a known
+    // point, and the HDFS write wants to happen off the query path.
     def truncateLineage(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      if (reliable) df.checkpoint() else df.localCheckpoint(eager = false)
     // The blocks behind a round's localCheckpoint stay in executor
     // storage until the driver GCs the Dataset and the ContextCleaner
     // notices — across N rounds that is N stale label snapshots of
