@@ -116,6 +116,19 @@ object Oracle {
         |SELECT l_returnflag, p, n, lo, hi, TRUE AS within_bounds
         |FROM b ORDER BY l_returnflag, p""".stripMargin,
 
+    "agg_hll_mergeable" ->
+      // merged row's reference is the GLOBAL exact NDV: proves the
+      // sketch union estimates the union, not the sum of groups
+      """WITH per AS (SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_nd
+        |  FROM events GROUP BY event_type),
+        |g AS (SELECT '*merged*' AS event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_nd FROM events)
+        |SELECT event_type, exact_nd, TRUE AS within_bounds FROM per
+        |UNION ALL
+        |SELECT event_type, exact_nd, TRUE AS within_bounds FROM g
+        |ORDER BY event_type""".stripMargin,
+
     "agg_array_sorted" ->
       """SELECT c_nationkey,
         | array_to_string(list_slice(list_sort(list(c_custkey)), 1, 20), ',') AS first_keys,

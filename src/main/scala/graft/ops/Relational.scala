@@ -616,20 +616,34 @@ object Relational {
     * the input. That merge step is what lets a warehouse keep per-day /
     * per-segment sketches and answer any rollup later — the property
     * asserted in ApproxSpec: union-of-sketches ≈ direct global distinct.
-    * No oracle (approximate by nature); exact twins ride along. */
+    *
+    * ORACLE-CHECKED as a bounds inequality (r8, same encoding as
+    * [[aggApproxDistinct]]): every row — each per-group sketch AND the
+    * merged union estimate — carries its DuckDB-recomputed exact NDV
+    * plus `within_bounds` (relative error ≤ 5%) pinned to TRUE in the
+    * oracle. The merged row's reference is the GLOBAL exact distinct, so
+    * the oracle also proves union-of-sketches estimates the union of
+    * groups, not their sum (users overlap across event types; a
+    * double-counting union would blow the 5% envelope). The global
+    * scalar rides a broadcast 1-row cross join. */
   def aggHllMergeable(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sk = Tables.events(spark, sfDir)
+    def inBounds(approx: Column, exact: Column): Column =
+      (abs(approx - exact).cast("double") / exact <= 0.05).as("within_bounds")
+    val ev = Tables.events(spark, sfDir)
+    val sk = ev
       .groupBy($"event_type")
       .agg(hll_sketch_agg($"user_id", lit(12)).as("sk"),
         countDistinct($"user_id").as("exact_nd"))
       .cache()
-    val per = sk.select($"event_type",
-      hll_sketch_estimate($"sk").as("approx_nd"), $"exact_nd")
+    val per = sk.select($"event_type", $"exact_nd",
+      inBounds(hll_sketch_estimate($"sk"), $"exact_nd"))
     val merged = sk.agg(
       hll_sketch_estimate(hll_union_agg($"sk")).as("approx_nd"))
-      .select(lit("*merged*").as("event_type"), $"approx_nd",
-        lit(null).cast("long").as("exact_nd"))
+      .crossJoin(broadcast(
+        ev.select(countDistinct($"user_id").as("exact_nd"))))
+      .select(lit("*merged*").as("event_type"), $"exact_nd",
+        inBounds($"approx_nd", $"exact_nd"))
     per.unionAll(merged).orderBy($"event_type")
   }
 
