@@ -129,6 +129,34 @@ object Oracle {
         |SELECT event_type, exact_nd, TRUE AS within_bounds FROM g
         |ORDER BY event_type""".stripMargin,
 
+    "gen_synthetic" ->
+      // the generator is md5-DERIVED, not RNG-driven, precisely so an
+      // independent engine can replay it: same md5 of the same salted id
+      // string, first 6 hex chars to an integer (list fold a*16+x — the
+      // DuckDB spelling of Spark's conv(hex, 16, 10)), same mod ranges
+      """WITH ids AS (SELECT range AS id FROM range(0, 10000)),
+        |h AS (SELECT id,
+        |  md5('n' || CAST(id AS VARCHAR)) AS hn,
+        |  md5('q' || CAST(id AS VARCHAR)) AS hq,
+        |  md5('d' || CAST(id AS VARCHAR)) AS hd
+        |  FROM ids),
+        |v AS (SELECT id,
+        |  list_reduce(list_transform(range(1, 7), i ->
+        |    CAST(strpos('0123456789abcdef', substr(hn, CAST(i AS INTEGER), 1)) - 1 AS BIGINT)),
+        |    (a, x) -> a * 16 + x) AS n6,
+        |  list_reduce(list_transform(range(1, 7), i ->
+        |    CAST(strpos('0123456789abcdef', substr(hq, CAST(i AS INTEGER), 1)) - 1 AS BIGINT)),
+        |    (a, x) -> a * 16 + x) AS q6,
+        |  list_reduce(list_transform(range(1, 7), i ->
+        |    CAST(strpos('0123456789abcdef', substr(hd, CAST(i AS INTEGER), 1)) - 1 AS BIGINT)),
+        |    (a, x) -> a * 16 + x) AS d6
+        |  FROM h)
+        |SELECT CAST(1000000000 + id AS VARCHAR) AS externalId,
+        |  'Item_' || CAST(n6 % 999 + 1 AS VARCHAR) AS name,
+        |  CAST(q6 % 9999 + 1 AS INTEGER) AS quantity,
+        |  strftime(DATE '2026-01-01' + CAST(d6 % 364 + 1 AS INTEGER), '%Y-%m-%d') AS expiryDate
+        |FROM v ORDER BY externalId""".stripMargin,
+
     "agg_array_sorted" ->
       """SELECT c_nationkey,
         | array_to_string(list_slice(list_sort(list(c_custkey)), 1, 20), ',') AS first_keys,

@@ -366,6 +366,9 @@ class PlanSpec extends SparkSuite {
       "sim_cosine_probe", "sim_hybrid_search", "sim_ivf_probe",
       // exact tier inherits sim_cosine_probe's broadcast single-row probe
       "sim_ann_recall",
+      // r8 bounds oracle: merged sketch row crossJoins the broadcast
+      // 1-row global exact NDV
+      "agg_hll_mergeable",
       "text_tfidf", "ts_seasonal_baseline")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
