@@ -114,6 +114,47 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("ALL queries: no WindowExec fed by a single-partition exchange (typed sweep)") {
+    // The win_* textual sweep above misses windows inside non-win_
+    // queries (r8 nearly shipped an agg_approx_quantile bracket whose
+    // row_number sorted each flag's whole corpus in one task before the
+    // count-aggregate rewrite). Typed form of the same rule over EVERY
+    // declared query: walk the physical plan, and for each WindowExec /
+    // WindowGroupLimitExec find the topmost exchange feeding it — that
+    // exchange must not be SinglePartition. A window over a frame the
+    // plan has already aggregated to bounded size is the one legitimate
+    // exception — today that is exactly profile_drift, whose trailing-
+    // median window runs over the |days|-row daily aggregate (the corpus
+    // is reduced by a map-side combinable groupBy BEFORE the exchange);
+    // new appearances must be added here deliberately.
+    val boundedFrameOk = Set("profile_drift")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => boundedFrameOk(q._1)).flatMap {
+      case (name, fn) =>
+        val nodes = flatten(fn(spark, sfDir).queryExecution.executedPlan)
+        val windowChildren = nodes.collect {
+          case w: WindowExec => w.child
+          case w: WindowGroupLimitExec => w.child
+        }
+        windowChildren.flatMap { c =>
+          flatten(c).collectFirst { case e: ShuffleExchangeExec => e }
+            .filter(_.outputPartitioning == SinglePartition)
+            .map(_ => s"$name: window fed by Exchange SinglePartition")
+        }
+    }.distinct
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("text_tfidf computes df via partial aggregation, not a window") {
     val p = plan("text_tfidf")
     assert(!p.contains("Window"), s"tfidf df uses a window (skew-unsafe):\n$p")
