@@ -613,6 +613,16 @@ object Analytics {
     // checkpointed too — it joins every round.
     val dir = e.select($"u".as("src"), $"v".as("dst"))
       .unionAll(e.select($"v".as("src"), $"u".as("dst")))
+    // EAGER checkpoints, deliberately. The r8 lazy-checkpoint trick that
+    // halved dedup_cluster's lane was tried here and measured WORSE
+    // (isolated lane at sf0.1: cold ≈2.3 → 2.5 s, warm ≈1.5 → 1.7 s,
+    // consistent across samples): with no per-round action, everything
+    // lands in ONE job whose independent stages (deg derivation,
+    // round-1 join) race to materialize the shared edge frame and
+    // duplicate the window build. Lazy wins only when a
+    // serial action (cluster's convergence count) materializes the
+    // frame BEFORE its concurrent consumers run; pagerank has no such
+    // action, so the two eager jobs are cheaper than the race.
     val edges = dir
       .withColumn("deg", count(lit(1)).over(Window.partitionBy($"src")))
       .localCheckpoint()
