@@ -1,6 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The stdout summary contract, factored out so BenchSpec can pin its
+    * size: the harness keeps only the LAST ~2000 chars of run output,
+    * and sbt appends a trailing success banner, so this line must stay
+    * FAR below that window or the driver's parse silently breaks again
+    * (it did, for seven rounds). Scalars only — never per-query maps. */
+  private[graft] def summaryLine(total: Double, n: Int, errs: String,
+      sfDir: String): String = {
+    val v = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    s"""{"metric":"total","value":$v,"unit":"sec","n":$n,"errors":$errs,"detail":"bench_detail.json","sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -91,8 +102,7 @@ object Bench {
       .mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"),
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$detail,"families":$fams,"errors":$errs,"sf":"$sfDir"}""")
-    def summaryLine: String =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"errors":$errs,"detail":"bench_detail.json","sf":"$sfDir"}"""
+    def summaryLine: String = Bench.summaryLine(total, results.size, errs, sfDir)
     spark.stop()
     // Print the shared-pass summary BEFORE the diagnostic run-alone lane:
     // if a lane rerun hangs (fresh SparkContext, streaming query), the
