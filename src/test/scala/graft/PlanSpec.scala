@@ -155,6 +155,19 @@ class PlanSpec extends SparkSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("agg_approx_quantile prunes both lineitem scans to (flag, quantity)") {
+    // the bounds bracket and the sketch each scan lineitem; both scans
+    // must read exactly the two needed columns of the 11-column table
+    val p = plan("agg_approx_quantile")
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty)
+    reads.foreach { r =>
+      assert(r.contains("l_returnflag") && r.contains("l_quantity") &&
+        !r.contains("l_extendedprice") && !r.contains("l_shipdate"),
+        s"scan not pruned: $r")
+    }
+  }
+
   test("text_tfidf computes df via partial aggregation, not a window") {
     val p = plan("text_tfidf")
     assert(!p.contains("Window"), s"tfidf df uses a window (skew-unsafe):\n$p")
