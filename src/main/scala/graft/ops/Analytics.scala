@@ -847,18 +847,32 @@ object Analytics {
     * slopes are interchangeable and the picked VALUE is unique.
     * Scale: the pair join is quadratic only within a user (series-length
     * bounded, the [[Similarity.withPairRoute]] subdivision is the dial if
-    * a key's series grows unbounded); the event frame is repartitioned on
-    * user_id and checkpointed ONCE so the self-join's two sides read the
-    * same materialized blocks, and pairs never leave their user
-    * partition. Zero-dt pairs (duplicate timestamps) are excluded, not
-    * infinite. */
+    * a key's series grows unbounded); the event frame is explicitly
+    * repartitioned on user_id IN-PLAN so the join and both windows share
+    * that one distribution — pairs never leave their user partition and
+    * the quadratic slope frame never shuffles (see the in-body note on
+    * why a checkpoint here would erase the partitioning). Zero-dt pairs
+    * (duplicate timestamps) are excluded, not infinite. */
   def tsTheilsen(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // In-plan explicit-count repartition, NO checkpoint (r8). The r7
+    // localCheckpoint was built on a false premise: Spark 4's
+    // Dataset.localCheckpoint records UnknownPartitioning on the
+    // resulting LogicalRDD (probe-verified), so the self-join planned a
+    // BROADCAST of the whole event frame and the windows RE-SHUFFLED
+    // every pair row — the quadratic intermediate, the one thing the
+    // user_id co-location exists to keep in place. Kept in-plan, the
+    // repartition (REPARTITION_BY_NUM — exempt from AQE coalescing) is
+    // visible to the planner: the join's streamed side carries
+    // HashPartitioning(user_id, N) and both windows consume the join
+    // output directly — the pair frame NEVER shuffles (PlanSpec pins
+    // join parallelism and the no-pair-exchange property). The tiny
+    // event frame at worst scans twice; the 90M-row slope shuffle is
+    // gone.
     val ev = Tables.events(spark, sfDir)
       .select($"user_id", expr("unix_micros(ts)").as("us"),
         round($"value".cast("double") * 1e6).cast("long").as("u6"))
-      .repartition(col("user_id"))
-      .localCheckpoint()
+      .repartition(spark.sparkContext.defaultParallelism, col("user_id"))
     val slopes = ev.as("a").join(ev.as("b"),
         $"a.user_id" === $"b.user_id" && $"a.us" < $"b.us")
       .select($"a.user_id".as("user_id"),

@@ -304,6 +304,76 @@ class PlanSpec extends SparkSuite {
       s"DP join stage coalesced below defaultParallelism: $joins")
   }
 
+  test("ts_theilsen pair join is co-partitioned and the pair frame never shuffles") {
+    // same CPU-not-bytes rule as dedup_edit_distance, plus the data-
+    // movement rule the r8 fix restored: the checkpointed event frame
+    // carries HashPartitioning(user_id, N), so the self-join runs
+    // co-partitioned at full parallelism and BOTH windows reuse that
+    // partitioning — the only exchange allowed anywhere is the final
+    // 150-row ORDER BY (rangepartitioning). Before the fix the bare
+    // repartition(col) was AQE-coalescible, the checkpoint reported
+    // UnknownPartitioning, and the plan broadcast the event frame then
+    // re-shuffled every quadratic pair row into the windows.
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_NUM, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val df = SparkEntry.queries("ts_theilsen")(spark, sfDir)
+    df.collect()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val nodes = flatten(df.queryExecution.executedPlan)
+    // the pair join may be SMJ (both sides co-partitioned) or BHJ over
+    // the hash-partitioned streamed side — either way its OUTPUT must
+    // carry the user_id distribution at full parallelism so the windows
+    // consume it directly
+    val joins = nodes.collect {
+      case j: SortMergeJoinExec => j.outputPartitioning.numPartitions
+      case j: ShuffledHashJoinExec => j.outputPartitioning.numPartitions
+      case j: BroadcastHashJoinExec => j.outputPartitioning.numPartitions
+    }
+    assert(joins.nonEmpty,
+      s"no pair join found:\n${df.queryExecution.executedPlan}")
+    assert(joins.forall(_ > 1),
+      s"slope join output lost the user_id distribution: $joins\n" +
+        df.queryExecution.executedPlan.toString)
+    // allowed exchanges: the declared event-frame repartition
+    // (REPARTITION_BY_NUM, pre-join, tiny) and the final 150-row ORDER BY
+    // (rangepartitioning). An ENSURE_REQUIREMENTS hash exchange would be
+    // the quadratic pair frame re-shuffling — the regression this pins.
+    val badExchanges = nodes.collect {
+      case e: ShuffleExchangeExec
+        if e.shuffleOrigin != REPARTITION_BY_NUM &&
+          !e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }
+    assert(badExchanges.isEmpty,
+      s"pair frame shuffles: $badExchanges")
+  }
+
+  test("pipeline_dedup_e2e composition reads its survivor/band caches") {
+    // the r8 warm-lane fix: survivor frames (s1, s2) and the component
+    // minhash band frame are plan-keyed caches with two consumers each —
+    // after execution the plan must contain in-memory relation scans, or
+    // the funnel is recomputing its stages
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = SparkEntry.queries("pipeline_dedup_e2e")(spark, sfDir)
+    df.collect()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    assert(flatten(df.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[InMemoryTableScanExec]),
+      "composition does not read any plan-keyed cache")
+  }
+
   test("proj_key_only scan reads a single column") {
     val read = plan("proj_key_only").linesIterator
       .filter(_.contains("ReadSchema")).mkString("\n")
