@@ -1413,6 +1413,56 @@ object Oracle {
          |FROM codes GROUP BY pq_code HAVING COUNT(*) > 1
          |ORDER BY kept_id""".stripMargin,
 
+    // Self-contained (ivfCtes and pqCtes both bind `ex`/`cent`/`scored`,
+    // so the IVF-PQ twin re-derives both pipelines under fresh CTE names):
+    // coarse cell assignment ≡ ivfCtes, PQ codes ≡ pqCtes, then the ADC
+    // lookup table and the cell-bounded code-join scoring — every partial
+    // snapped to integer micro-units so the 4-way SUM is an exact bigint.
+    "sim_ivfpq_search" ->
+      s"""WITH ex AS (SELECT vec_id, label,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |ccent AS (SELECT cid, list(cx ORDER BY pos) AS centroid FROM (
+         |  SELECT label AS cid, pos,
+         |    CAST(SUM(CAST(round(v[pos] * 1e6) AS BIGINT)) AS DOUBLE)
+         |      / (COUNT(*) * 1000000.0) AS cx
+         |  FROM ex, range(1, 65) t(pos) WHERE vec_id % 4 = 0 GROUP BY 1, 2)
+         |  GROUP BY cid),
+         |cscored AS (SELECT vec_id, cid,
+         |  (${dotSql("centroid", "centroid")} - 2.0 * ${dotSql("centroid", "v")}) AS d2
+         |  FROM ex, ccent),
+         |assigned AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |  FROM cscored) WHERE rn = 1),
+         |subs AS (SELECT vec_id, label, CAST(m AS INTEGER) AS m,
+         |  v[CAST(m * 16 + 1 AS INTEGER):CAST(m * 16 + 16 AS INTEGER)] AS vs
+         |  FROM ex, range(0, 4) t(m)),
+         |pcent AS (SELECT m, cid, list(cx ORDER BY pos) AS centroid FROM (
+         |  SELECT m, label AS cid, pos,
+         |    CAST(SUM(CAST(round(vs[pos] * 1e6) AS BIGINT)) AS DOUBLE)
+         |      / (COUNT(*) * 1000000.0) AS cx
+         |  FROM subs, range(1, 17) t2(pos) WHERE vec_id % 4 = 0 GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2),
+         |pscored AS (SELECT s.vec_id, s.m, c.cid,
+         |  (${dot16Sql("centroid", "centroid")} - 2.0 * ${dot16Sql("centroid", "vs")}) AS score
+         |  FROM subs s JOIN pcent c ON s.m = c.m),
+         |codes AS (SELECT vec_id, m, cid AS code FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY score, cid) AS rn
+         |  FROM pscored) WHERE rn = 1),
+         |psub AS (SELECT m, vs AS pv FROM subs WHERE vec_id = 0),
+         |lut AS (SELECT c.m, c.cid AS code,
+         |  CAST(round((${dot16Sql("centroid", "centroid")}
+         |    - 2.0 * ${dot16Sql("centroid", "pv")}
+         |    + ${dot16Sql("pv", "pv")}) * 1e6) AS BIGINT) AS part_u6
+         |  FROM pcent c JOIN psub p ON c.m = p.m),
+         |pcell AS (SELECT cell AS pcell FROM assigned WHERE vec_id = 0),
+         |scoredq AS (SELECT a.vec_id, a.cell, SUM(l.part_u6) AS adc_u6
+         |  FROM assigned a JOIN pcell ON a.cell = pcell.pcell
+         |  JOIN codes cd ON a.vec_id = cd.vec_id
+         |  JOIN lut l ON cd.m = l.m AND cd.code = l.code
+         |  GROUP BY 1, 2)
+         |SELECT vec_id, cell, CAST(adc_u6 / 1e6 AS DECIMAL(18,6))::DOUBLE AS adc_d2
+         |FROM scoredq ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin,
+
     "dedup_semantic" ->
       s"""WITH $ivfCtes,
          |pairs AS (SELECT a.cell AS cell, a.vec_id AS id_a, b.vec_id AS id_b,

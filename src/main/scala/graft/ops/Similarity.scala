@@ -152,15 +152,38 @@ object Similarity {
     * at index-build scale the output codes are 16× smaller than the
     * input, which is the point. */
   def embedPqQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pqAssigned(spark, sfDir)
+      .filter($"rn" === 1)
+      .select($"vec_id", $"m".as("subspace"), $"cid".as("code"),
+        ($"score" + dot($"vs", $"vs"))
+          .cast("decimal(18,6)").cast("double").as("err"))
+      .orderBy($"vec_id", $"subspace")
+  }
+
+  /** (vec_id, label, m, vs): each 64-d vector split into 4 contiguous 16-d
+    * subvectors — the PQ subspace view, shared by the quantizer, the
+    * codebook build, and the IVF-PQ probe's own subvector extraction. */
+  private[graft] def pqSubs(spark: SparkSession, sfDir: String): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     import spark.implicits._
-    val subs = Tables.embeddings(spark, sfDir)
+    Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"label", vecd($"embedding").as("v"))
       .select($"vec_id", $"label", explode(expr(
         "transform(sequence(0, 3), m -> struct(m AS m, slice(v, m*16+1, 16) AS vs))"))
         .as("s"))
       .select($"vec_id", $"label", $"s.m".as("m"), $"s.vs".as("vs"))
-    val cents = broadcast(subs.filter($"vec_id" % 4 === 0)
+  }
+
+  /** Broadcast PQ codebook (m, cid, centroid): per-(subspace, label) exact
+    * integer-micro-unit means over the deterministic 1-in-4 training
+    * sample — the [[ivfAssigned]] recipe per 16-d subspace, so every
+    * codeword component is engine-identical. 4×10 centroids ⇒ always
+    * broadcastable regardless of corpus size. */
+  private[graft] def pqCodebook(subs: DataFrame): DataFrame = {
+    val spark = subs.sparkSession
+    import spark.implicits._
+    broadcast(subs.filter($"vec_id" % 4 === 0)
       .select($"m", $"label".as("cid"), posexplode($"vs").as(Seq("pos", "x")))
       .groupBy($"m", $"cid", $"pos")
       .agg((sum(round($"x" * 1e6).cast("long")).cast("double")
@@ -168,17 +191,21 @@ object Similarity {
       .groupBy($"m", $"cid").agg(expr(
         "transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)")
         .as("centroid")))
+  }
+
+  /** Every (vector, subspace) scored against the full codebook with the
+    * nearest codeword ranked first — the shared PQ assignment frame behind
+    * [[embedPqQuantize]], [[dedupPqCodes]] and [[simIvfpqSearch]]'s code
+    * table. Columns: vec_id, m, cid, vs, centroid, score, rn. */
+  private def pqAssigned(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val subs = pqSubs(spark, sfDir)
     val w = Window.partitionBy($"vec_id", $"m").orderBy($"score", $"cid")
-    subs.join(cents, "m")
+    subs.join(pqCodebook(subs), "m")
       .select($"vec_id", $"m", $"cid", $"vs", $"centroid",
         (dot($"centroid", $"centroid") - lit(2.0) * dot($"centroid", $"vs"))
           .as("score"))
       .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"m".as("subspace"), $"cid".as("code"),
-        ($"score" + dot($"vs", $"vs"))
-          .cast("decimal(18,6)").cast("double").as("err"))
-      .orderBy($"vec_id", $"subspace")
   }
 
   /** Coarse near-dup classes by PQ CODE EQUALITY — the cheap first tier
@@ -344,7 +371,7 @@ object Similarity {
     * the centroid component is ONE double division of exact integers.
     * That makes the whole assignment (and everything downstream)
     * hash-matchable against the DuckDB twin. */
-  private def ivfAssigned(e: DataFrame): DataFrame = {
+  private[graft] def ivfAssigned(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val cent = broadcast(
@@ -383,6 +410,54 @@ object Similarity {
     assigned.join(probe, $"cell" === $"pcell")
       .select($"vec_id", $"cell", cosine($"v", $"p").cast("decimal(18,6)").as("cos"))
       .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  /** IVF-PQ search — the FAISS IVFADC recipe, the architecture behind
+    * billion-scale vector stores: coarse IVF cells bound the candidate
+    * set, and candidates are scored WITHOUT touching their raw vectors,
+    * using only their 4 PQ code bytes against a per-query lookup table.
+    * Per query: (1) quantize the probe to its nearest coarse cell
+    * ([[ivfAssigned]], nprobe=1); (2) build the asymmetric-distance LUT —
+    * for each (subspace m, codeword c), ‖p_m − c‖² = |c|² − 2·c·p_m +
+    * |p_m|², 4×10 entries, broadcast; (3) candidates in the probe's cell
+    * join their codes ([[pqAssigned]]) to the LUT and SUM the 4 partials.
+    *
+    * Engine-exactness: each LUT partial is one double expression of exact
+    * inputs (micro-unit codebook, probe doubles), snapped to integer
+    * micro-units (`round(·1e6)`), so the 4-way sum is an exact bigint —
+    * order-independent, hash-matchable.
+    *
+    * Scale: this is the shape that survives 100 TB — the index stores
+    * 4 bytes/vector (16× compression), the LUT is built once per query
+    * and broadcast, scoring is a cell-bounded equi-join + map-side-
+    * combinable SUM over 4-row groups, and raw vectors are read only to
+    * BUILD the index, never at query time. */
+  def simIvfpqSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", vecd($"embedding").as("v"))
+    val assigned = ivfAssigned(e)
+    val codes = pqAssigned(spark, sfDir)
+      .filter($"rn" === 1).select($"vec_id", $"m", $"cid".as("code"))
+    val psub = pqSubs(spark, sfDir)
+      .filter($"vec_id" === 0).select($"m", $"vs".as("pv"))
+    val lut = broadcast(pqCodebook(pqSubs(spark, sfDir)).join(psub, "m")
+      .select($"m", $"cid".as("code"),
+        round((dot($"centroid", $"centroid")
+          - lit(2.0) * dot($"centroid", $"pv") + dot($"pv", $"pv")) * 1e6)
+          .cast("long").as("part_u6")))
+    val pcell = broadcast(assigned.filter($"vec_id" === 0)
+      .select($"cell".as("pcell")))
+    assigned.join(pcell, $"cell" === $"pcell")
+      .select($"vec_id", $"cell")
+      .join(codes, "vec_id")
+      .join(lut, Seq("m", "code"))
+      .groupBy($"vec_id", $"cell")
+      .agg(sum($"part_u6").as("adc_u6"))
+      .select($"vec_id", $"cell",
+        ($"adc_u6" / lit(1e6)).cast("decimal(18,6)").as("adc_d2"))
+      .orderBy($"adc_d2", $"vec_id")
       .limit(10)
   }
 

@@ -534,6 +534,54 @@ class SimilaritySpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.snd.passes")
   }
 
+  test("sim_ivfpq_search: probe ranks first (ADC lower bound), ADC values match a reference recomputation") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val res = Similarity.simIvfpqSearch(spark, sfDir).collect()
+    assert(res.length == 10)
+    // Theorem-backed: ADC(x) = Σ_m ‖p_m − cw(x_m)‖² is minimized over all
+    // possible code assignments exactly by the probe's own codes (each
+    // subspace independently picks the codeword nearest p_m) — so no
+    // candidate can score strictly below the probe itself, and ties break
+    // to vec_id 0.
+    assert(res.head.getLong(0) == 0L,
+      s"probe must rank first under asymmetric distance, got ${res.head}")
+    // Machinery pin (retrieval-quality overlap is NOT asserted: the
+    // label-trained 10-codeword books collapse every in-cell candidate
+    // onto near-identical codes on this synthetic corpus, so in-cell ADC
+    // ordering is tie-dominated by design): recompute each returned
+    // candidate's asymmetric distance from first principles — its own
+    // codes (embedPqQuantize), the codebook, and the probe subvectors —
+    // and require the query's value to match exactly, pinning the LUT
+    // join wiring and the micro-unit 4-way sum.
+    val subs = Similarity.pqSubs(spark, sfDir)
+    val cw = Similarity.pqCodebook(subs).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    val pv = subs.filter(col("vec_id") === 0)
+      .select(col("m"), col("vs")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val codes = Similarity.embedPqQuantize(spark, sfDir)
+      .select(col("vec_id"), col("subspace"), col("code")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => r.getInt(1) -> r.getInt(2)).toMap }
+    def fold(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val expected = res.map { r =>
+      val adcU6 = (0 to 3).map { m =>
+        val c = cw((m, codes(r.getLong(0))(m)))
+        val p = pv(m)
+        math.round((fold(c, c) - 2.0 * fold(c, p) + fold(p, p)) * 1e6)
+      }.sum
+      BigDecimal(adcU6 / 1e6).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    res.zip(expected).foreach { case (row, exp) =>
+      assert(BigDecimal(row.getDecimal(2)) == exp,
+        s"ADC mismatch for vec ${row.getLong(0)}: got ${row.getDecimal(2)}, want $exp")
+    }
+  }
+
   test("dedupSimhashPairs repeat invocations share one plan-keyed signature cache") {
     // the r6 warm-lane fix relies on every invocation's signature subtree
     // canonicalizing to the SAME cache entry. Spark's CacheManager refuses
