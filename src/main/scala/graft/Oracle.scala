@@ -1413,6 +1413,25 @@ object Oracle {
          |FROM codes GROUP BY pq_code HAVING COUNT(*) > 1
          |ORDER BY kept_id""".stripMargin,
 
+    // Stage-1 ranks on the RAW prefix cosine (both engines fold the same
+    // doubles), stage-2 on the DECIMAL-snapped full cosine — each stage
+    // ordered identically to the Spark plan, ties to vec_id.
+    "sim_mrl_rerank" ->
+      s"""WITH ex AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c AS (SELECT vec_id, v, v[1:16] AS v16 FROM ex),
+         |p AS (SELECT v AS pv, v[1:16] AS pv16 FROM ex WHERE vec_id = 0),
+         |s1 AS (SELECT c.vec_id, c.v, pv,
+         |  (${dot16Sql("v16", "pv16")}
+         |    / (sqrt(${dot16Sql("v16", "v16")}) * sqrt(${dot16Sql("pv16", "pv16")}))) AS cos16
+         |  FROM c, p),
+         |cand AS (SELECT * FROM s1 ORDER BY cos16 DESC, vec_id
+         |  LIMIT ${graft.ops.Similarity.MrlShortlist}),
+         |s2 AS (SELECT vec_id, CAST(cos16 AS DECIMAL(18,6)) AS cos16,
+         |  CAST(${cosSql("v", "pv")} AS DECIMAL(18,6)) AS cos_full FROM cand)
+         |SELECT vec_id, cos16::DOUBLE AS cos16, cos_full::DOUBLE AS cos_full
+         |FROM s2 ORDER BY cos_full DESC, vec_id LIMIT 10""".stripMargin,
+
     // Self-contained (ivfCtes and pqCtes both bind `ex`/`cent`/`scored`,
     // so the IVF-PQ twin re-derives both pipelines under fresh CTE names):
     // coarse cell assignment ≡ ivfCtes, PQ codes ≡ pqCtes, then the ADC

@@ -167,6 +167,7 @@ object SparkEntry {
     "sim_ann_lsh"            -> Similarity.simAnnLsh _,
     "sim_ivf_probe"          -> Similarity.simIvfProbe _,
     "sim_ivfpq_search"       -> Similarity.simIvfpqSearch _,
+    "sim_mrl_rerank"         -> Similarity.simMrlRerank _,
     "embed_kmeans"           -> Similarity.embedKmeans _,
     "dedup_embedding_cosine" -> Similarity.dedupEmbeddingCosine _,
     "dedup_minhash_lsh"      -> Similarity.dedupMinhashLsh _,

@@ -582,6 +582,33 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("sim_mrl_rerank: probe ranks first at cosine 1, prefix funnel recalls the exact top-10") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val res = Similarity.simMrlRerank(spark, sfDir).collect()
+    assert(res.length == 10)
+    assert(res.head.getLong(0) == 0L &&
+        BigDecimal(res.head.getDecimal(2)) == BigDecimal("1.000000"),
+      s"probe must lead its own ranking at cosine 1.000000, got ${res.head}")
+    // Funnel quality: with the 20× over-retrieve shortlist the prefix
+    // pass recalls 9/10 of the exact top-10 on this corpus (measured;
+    // these vectors are NOT matryoshka-trained, so the prefix is as
+    // noisy as it gets). Brute-force reference over ALL vectors with the
+    // same decimal snap + tiebreak.
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val p = e.filter(col("vec_id") === 0).select(col("v").as("p"))
+    def d(a: String, b: String) = call_function("graft_dot", col(a), col(b))
+    val exact = e.crossJoin(broadcast(p))
+      .select(col("vec_id"),
+        (d("v", "p") / (sqrt(d("v", "v")) * sqrt(d("p", "p"))))
+          .cast("decimal(18,6)").as("cos_full"))
+      .orderBy(col("cos_full").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = res.map(_.getLong(0)).count(exact.contains)
+    assert(overlap >= 8, s"funnel recalled only $overlap of the exact top-10")
+  }
+
   test("dedupSimhashPairs repeat invocations share one plan-keyed signature cache") {
     // the r6 warm-lane fix relies on every invocation's signature subtree
     // canonicalizing to the SAME cache entry. Spark's CacheManager refuses
