@@ -854,6 +854,20 @@ object Oracle {
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
   val textsim: Map[String, String] = Map(
+    // est = exact_cnt is the MG exactness theorem for vocab <= k (31
+    // distinct tokens vs 64 slots: no decrement ever fires), which is
+    // what lets the sketch estimate be value-compared at all; TRUE
+    // literals pin the within-bounds guarantee the same way the
+    // approx-distinct / hll bounds oracles do.
+    "agg_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($toksExpr) AS tok FROM documents),
+         |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY 1),
+         |n AS (SELECT CAST(sum(exact_cnt) AS BIGINT) AS n FROM c)
+         |SELECT tok, exact_cnt AS est, exact_cnt,
+         | n // ${graft.ops.Sketches.HeavyHittersK + 1} AS err_bound,
+         | TRUE AS within_bounds
+         |FROM c, n ORDER BY exact_cnt DESC, tok""".stripMargin,
+
     "dedup_exact_docs" ->
       """SELECT doc_id, lang, n_chars FROM (
         | SELECT doc_id, lang, n_chars,
