@@ -859,6 +859,22 @@ object Oracle {
     // what lets the sketch estimate be value-compared at all; TRUE
     // literals pin the within-bounds guarantee the same way the
     // approx-distinct / hll bounds oracles do.
+    "text_ngram_novelty" ->
+      s"""WITH d AS (SELECT doc_id, source, $toksExpr AS ts FROM documents),
+         |g0 AS (SELECT doc_id, source, ts FROM d WHERE len(ts) >= 4),
+         |grams AS (SELECT doc_id, source, unnest(list_distinct(
+         |  list_transform(range(1, len(ts) - 2),
+         |    i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] || ' ' || ts[i + 3]))) AS gram
+         |  FROM g0),
+         |gd AS (SELECT gram, count(*) AS df FROM grams GROUP BY 1)
+         |SELECT source, CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_docs,
+         | CAST(count(*) AS BIGINT) AS n_grams,
+         | CAST(count(*) FILTER (WHERE df = 1) AS BIGINT) AS n_novel,
+         | CAST(CAST(count(*) FILTER (WHERE df = 1) AS DOUBLE) / count(*)
+         |   AS DECIMAL(18,6))::DOUBLE AS novelty
+         |FROM grams g JOIN gd USING (gram)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
     "agg_heavy_hitters" ->
       s"""WITH toks AS (SELECT unnest($toksExpr) AS tok FROM documents),
          |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY 1),

@@ -66,6 +66,7 @@ object SparkEntry {
     "agg_pivot"           -> ((s: SparkSession, d: String) => Relational.aggPivot(s, d)),
     "agg_mode_deterministic" -> Relational.aggModeDeterministic _,
     "agg_heavy_hitters"   -> Sketches.aggHeavyHitters _,
+    "text_ngram_novelty"  -> TextSim.textNgramNovelty _,
     "agg_weighted_median"    -> Analytics.aggWeightedMedian _,
     "ts_theilsen"            -> Analytics.tsTheilsen _,
     "ts_quota_reset"         -> Analytics.tsQuotaReset _,

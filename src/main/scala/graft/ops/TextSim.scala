@@ -458,6 +458,40 @@ object TextSim {
       .orderBy($"doc_id")
   }
 
+  /** Per-source n-gram novelty — the dataset-diversity roll-up a mixture
+    * curator reads before weighting sources: for each source, the share
+    * of its documents' distinct 4-grams that are corpus-UNIQUE (df = 1).
+    * A source whose grams mostly recur elsewhere adds little new signal
+    * at its sampling weight; a high-novelty source is under-represented.
+    * Complements [[dedupGramCorpus]] (per-doc shared-gram dedup signal)
+    * with the per-SOURCE unique-gram budget view.
+    *
+    * Scale: same inverted-index shape — gram df is one map-side-
+    * combinable aggregate, the novelty join is keyed on high-entropy
+    * 4-gram strings (no stop-gram skew), and the roll-up reduces to
+    * |sources| rows of exact integer sums; the ratio is the one double
+    * division of exact longs, so the output hash-matches DuckDB. */
+  def textNgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val g = 4
+    val grams = rebalanceDocs(Tables.documents(spark, sfDir))
+      .select($"doc_id", $"source", tokens($"text").as("ts"))
+      .filter(size($"ts") >= g)
+      .select($"doc_id", $"source", explode(array_distinct(
+        transform(sequence(lit(1), size($"ts") - (g - 1)),
+          i => concat_ws(" ", slice($"ts", i, lit(g)))))).as("gram"))
+    val gd = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
+    grams.join(gd, "gram")
+      .groupBy($"source")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_grams"),
+        count(when($"df" === 1, 1)).as("n_novel"))
+      .select($"source", $"n_docs", $"n_grams", $"n_novel",
+        ($"n_novel".cast("double") / $"n_grams")
+          .cast("decimal(18,6)").as("novelty"))
+      .orderBy($"source")
+  }
+
   /** Count floor for [[textLmScore]]'s broadcast LM: tokens seen fewer
     * than this many times corpus-wide are excluded from the LM and score
     * at the count-1 saturation nll (= ln(total)). Mirrored verbatim in

@@ -287,4 +287,33 @@ class CorpusQualitySpec extends SparkSuite {
       finally walk.close()
     }
   }
+
+  test("text_ngram_novelty matches a pure-Scala reference model per source") {
+    val bySource = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams4(text: String): Set[String] = {
+      val ts = tok(text)
+      if (ts.length < 4) Set.empty
+      else (0 to ts.length - 4).map(i => ts.slice(i, i + 4).mkString(" ")).toSet
+    }
+    val docGrams = bySource.map { case (id, src, text) => (id, src, grams4(text)) }
+    val df = docGrams.flatMap(_._3).groupBy(identity).view.mapValues(_.size).toMap
+    val expected = docGrams.filter(_._3.nonEmpty).groupBy(_._2).map { case (src, ds) =>
+      val nGrams = ds.map(_._3.size.toLong).sum
+      val nNovel = ds.map(_._3.count(g => df(g) == 1).toLong).sum
+      src -> (ds.length.toLong, nGrams, nNovel,
+        BigDecimal(nNovel.toDouble / nGrams)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val got = TextSim.textNgramNovelty(spark, sfDir).collect()
+    assert(got.length == expected.size, "source row count mismatch")
+    got.foreach { r =>
+      val (nd, ng, nn, nov) = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((nd, ng, nn)),
+        s"counts mismatch for ${r.getString(0)}: $r")
+      assert(BigDecimal(r.getDecimal(4)) == nov,
+        s"novelty mismatch for ${r.getString(0)}: ${r.getDecimal(4)} vs $nov")
+    }
+  }
 }
