@@ -493,6 +493,11 @@ class PlanSpec extends SparkSuite {
       // r8 bounds oracle: merged sketch row crossJoins the broadcast
       // 1-row global exact NDV
       "agg_hll_mergeable",
+      // r8 additions, same reviewed shapes: heavy-hitters crossJoins the
+      // broadcast 1-row corpus total; IVF-PQ reuses ivfAssigned's
+      // crossJoin vs the broadcast centroid set (sim_ivf_probe's shape);
+      // MRL crossJoins the broadcast 1-row probe vector
+      "agg_heavy_hitters", "sim_ivfpq_search", "sim_mrl_rerank",
       "text_tfidf", "ts_seasonal_baseline")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
