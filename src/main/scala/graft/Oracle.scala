@@ -1103,6 +1103,53 @@ object Oracle {
         |    / sqrt(CAST(varn AS DOUBLE)) * 1000000) AS BIGINT) END AS w_u6
         |FROM ex JOIN v ON ex.pos = v.pos ORDER BY ex.vec_id, ex.pos""".stripMargin,
 
+    // Power iteration replayed EXACTLY: the Spark side's driver-local
+    // BigInt matvecs are pure integer arithmetic, so each unrolled CTE
+    // pair below (w_k = S·v_{k-1}; v_k = half-away-from-zero re-quantize
+    // by max-abs, all in HUGEINT // ops — no floating point anywhere in
+    // the loop) reproduces the iterate bit-for-bit. Iteration count and
+    // the (2a+b)//(2b) rounding identity are shared with
+    // Similarity.PcaIters / roundDiv.
+    "embed_pca_power" -> {
+      // AS MATERIALIZED on the scatter and each iterate is load-bearing:
+      // DuckDB inlines plain CTEs, and v_k references w_k twice (rows +
+      // max-abs), so without the hint the expansion doubles per unrolled
+      // iteration — 2^8 copies of the corpus join (measured: >5 min vs
+      // 0.5 s materialized).
+      val iters = (1 to graft.ops.Similarity.PcaIters).map { k =>
+        val pv = s"v${k - 1}"
+        s"""w$k AS MATERIALIZED (SELECT s.i, SUM(s.sv * $pv.vq) AS w
+           |  FROM s JOIN $pv ON s.j = $pv.pos GROUP BY s.i),
+           |v$k AS MATERIALIZED (SELECT i AS pos, (CASE WHEN w < 0 THEN -1 ELSE 1 END) *
+           |    ((2 * abs(w) * 1000000 + mm.m) // (2 * mm.m)) AS vq
+           |  FROM w$k, (SELECT MAX(abs(w)) AS m FROM w$k) mm)""".stripMargin
+      }.mkString(",\n")
+      val last = s"v${graft.ops.Similarity.PcaIters}"
+      s"""WITH ex AS (SELECT vec_id,
+         |  CAST(unnest(range(0, len(embedding))) AS INTEGER) AS pos,
+         |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS u6
+         |  FROM embeddings),
+         |pr AS (SELECT a.pos AS i, b.pos AS j, COUNT(*) AS n,
+         |  SUM(a.u6 * b.u6) AS spp, SUM(a.u6) AS s1i, SUM(b.u6) AS s1j
+         |  FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+         |s AS MATERIALIZED (SELECT i, j, n * spp - s1i * s1j AS sv FROM pr),
+         |v0 AS (SELECT i AS pos, CAST(1000000 AS HUGEINT) AS vq FROM s WHERE i = j),
+         |$iters,
+         |sg AS (SELECT CASE WHEN vq < 0 THEN -1 ELSE 1 END AS sgn
+         |  FROM $last ORDER BY abs(vq) DESC, pos LIMIT 1),
+         |vf AS MATERIALIZED (SELECT pos, vq * sgn AS vq FROM $last, sg),
+         |w9 AS MATERIALIZED (SELECT s.i, SUM(s.sv * vf.vq) AS w
+         |  FROM s JOIN vf ON s.j = vf.pos GROUP BY s.i),
+         |ray AS (SELECT SUM(w9.w * vf.vq) AS num FROM w9 JOIN vf ON w9.i = vf.pos),
+         |dn AS (SELECT SUM(vq * vq) AS den FROM vf),
+         |tr AS (SELECT SUM(sv) AS t FROM s WHERE i = j),
+         |lam AS (SELECT (2 * num + den) // (2 * den) AS l FROM ray, dn),
+         |sh AS (SELECT (2 * l * 1000000 + t) // (2 * t) AS share FROM lam, tr)
+         |SELECT vf.pos, CAST(vf.vq AS BIGINT) AS loading_u6,
+         |  CAST(sh.share AS BIGINT) AS ev_share_u6
+         |FROM vf, sh ORDER BY vf.pos""".stripMargin
+    },
+
     "dedup_embedding_cosine" ->
       s"""WITH e AS (SELECT vec_id, label,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)

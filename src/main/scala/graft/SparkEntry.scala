@@ -243,6 +243,7 @@ object SparkEntry {
     "pipeline_dedup_e2e"   -> Curation.pipelineDedupE2e _,
     "dedup_sorted_neighborhood" -> Similarity.dedupSortedNeighborhood _,
     "embed_whitening"      -> Similarity.embedWhitening _,
+    "embed_pca_power"      -> Similarity.embedPcaPower _,
     "scan_jdbc_partitioned" -> Sources.scanJdbcPartitioned _,
     "scan_nested_prune"    -> Sources.scanNestedPrune _,
     "scan_csv_charset"     -> Sources.scanCsvCharset _,

@@ -1147,6 +1147,86 @@ object Similarity {
       .orderBy($"vec_id", $"pos")
   }
 
+  /** Fixed power-iteration count for [[embedPcaPower]] — interpolated
+    * into the DuckDB oracle (its iterations are unrolled CTE pairs) so
+    * both engines run the identical recurrence. 8 suffices on this
+    * corpus (the quantized iterate is stationary well before that); the
+    * count is part of the declared semantics, not a convergence test. */
+  val PcaIters = 8
+
+  /** Top principal component of the embedding corpus by power iteration —
+    * the "what single direction carries the most variance" diagnostic run
+    * before whitening/PQ (and the first step of a PCA dimensionality
+    * cut). The entire computation is EXACT INTEGER arithmetic end to end,
+    * which is what makes an iterative eigensolver hash-matchable against
+    * DuckDB:
+    *
+    *  - scatter matrix S = n·Σuᵢuⱼ − (Σuᵢ)(Σuⱼ) over µ-unit components,
+    *    DECIMAL(38,0)/HUGEINT (covariance × n² — same eigenvectors);
+    *  - iterate v₀ = 1e6·𝟙; w = S·v exactly; re-quantize by max-abs:
+    *    v' = sign(w)·((2·|w|·1e6 + m) div (2·m)), m = max|w| — the
+    *    half-away-from-zero rounding of |w|·1e6/m done in pure integer
+    *    ops, so NO floating point exists anywhere in the loop;
+    *  - canonical sign: the max-|loading| component (tie → lowest pos)
+    *    is made positive;
+    *  - explained-variance share via the Rayleigh quotient, two integer
+    *    roundings: λ = round(vᵀSv / vᵀv), share_u6 = round(1e6·λ / tr S).
+    *
+    * Scale: the ONLY corpus-dependent work is the scatter aggregation —
+    * one map-side-combinable (i,j)-keyed pass, 4096 output cells
+    * regardless of corpus size. The collected matrix is dim²-bounded
+    * (64×64 ≈ 32 KB — the k-means-centroid collect pattern, NOT a data
+    * collect), and the 8 iterations are driver-local BigInt matvecs on
+    * it; a distributed iterate would shuffle 64-row frames 8 times for
+    * nothing. Magnitudes stay < 1e36 at oracle scale (HUGEINT-safe);
+    * the Spark/BigInt side is unbounded. */
+  def embedPcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val scatter = Tables.embeddings(spark, sfDir)
+      .select(transform($"embedding".cast("array<double>"),
+        x => round(x * 1e6).cast("long")).as("u"))
+      .select($"u", posexplode($"u").as(Seq("i", "ui")))
+      .select($"i", $"ui", posexplode($"u").as(Seq("j", "uj")))
+      .groupBy($"i", $"j")
+      // per-product long multiply is overflow-safe (|u6| ≤ ~2e6); the
+      // sums ride DECIMAL(38,0) so corpus growth lands in decimal, not
+      // long wraparound. Σuᵢ recovered per (i,j) group (Σ over j-fixed
+      // rows of uᵢ IS s1ᵢ) — one corpus pass, no second scan.
+      .agg(count(lit(1)).as("n"),
+        sum(($"ui" * $"uj").cast("decimal(38,0)")).as("spp"),
+        sum($"ui".cast("decimal(38,0)")).as("s1i"),
+        sum($"uj".cast("decimal(38,0)")).as("s1j"))
+      .select($"i", $"j",
+        ($"n" * $"spp" - $"s1i" * $"s1j").cast("decimal(38,0)").as("s"))
+    val dim = 64
+    val sM = Array.ofDim[BigInt](dim, dim)
+    scatter.collect().foreach { r =>
+      sM(r.getInt(0))(r.getInt(1)) = BigInt(r.getDecimal(2).toBigInteger)
+    }
+    // round(a/b) for a,b > 0 with half away from zero = (2a + b) div (2b)
+    def roundDiv(a: BigInt, b: BigInt): BigInt = (2 * a + b) / (2 * b)
+    var v = Array.fill(dim)(BigInt(1000000))
+    for (_ <- 1 to PcaIters) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => sM(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      v = w.map(wi => wi.sign * roundDiv(wi.abs * 1000000, m))
+    }
+    val argmax = (0 until dim).maxBy(i => (v(i).abs, BigInt(-i)))
+    val sgn = if (v(argmax) < 0) BigInt(-1) else BigInt(1)
+    val vf = v.map(_ * sgn)
+    val w9 = Array.tabulate(dim)(i =>
+      (0 until dim).map(j => sM(i)(j) * vf(j)).sum)
+    val num = (0 until dim).map(i => w9(i) * vf(i)).sum // vᵀSv ≥ 0 (S PSD)
+    val den = vf.map(x => x * x).sum
+    val tr = (0 until dim).map(i => sM(i)(i)).sum
+    val shareU6 = roundDiv(roundDiv(num, den) * 1000000, tr)
+    vf.toSeq.zipWithIndex
+      .map { case (l, pos) => (pos, l.toLong, shareU6.toLong) }
+      .toDF("pos", "loading_u6", "ev_share_u6")
+      .orderBy($"pos")
+  }
+
   /** Sorted-neighborhood near-dup candidates — the third classic
     * blocking family on the board, next to signature banding
     * ([[dedupMinhashLsh]]) and the inverted gram index

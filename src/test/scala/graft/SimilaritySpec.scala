@@ -624,4 +624,50 @@ class SimilaritySpec extends SparkSuite {
         .isDefined,
       "a fresh signature plan does not resolve to the existing cache entry")
   }
+
+  test("embed_pca_power equals an independent BigInt reference, canonical sign") {
+    // Independent reference: scatter built NAIVELY (per-vector outer
+    // products accumulated in a triple loop over the collected raw
+    // floats) instead of the operator's distributed (i,j) aggregate, then
+    // the same declared recurrence. Exact row-for-row equality — the
+    // whole point of the all-integer design is that there is exactly one
+    // right answer.
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select($"embedding".cast("array<double>"))
+      .as[Seq[Double]].collect()
+      .map(_.map(x => BigInt(math.round(x * 1e6))).toArray)
+    val dim = 64
+    val n = BigInt(vecs.length)
+    val s1 = Array.tabulate(dim)(i => vecs.map(_(i)).sum)
+    val sM = Array.tabulate(dim, dim) { (i, j) =>
+      n * vecs.map(v => v(i) * v(j)).sum - s1(i) * s1(j)
+    }
+    def roundDiv(a: BigInt, b: BigInt): BigInt = (2 * a + b) / (2 * b)
+    var v = Array.fill(dim)(BigInt(1000000))
+    for (_ <- 1 to Similarity.PcaIters) {
+      val w = Array.tabulate(dim)(i => (0 until dim).map(j => sM(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      v = w.map(wi => wi.sign * roundDiv(wi.abs * 1000000, m))
+    }
+    val argmax = (0 until dim).maxBy(i => (v(i).abs, BigInt(-i)))
+    val vf = v.map(_ * (if (v(argmax) < 0) BigInt(-1) else BigInt(1)))
+    val w9 = Array.tabulate(dim)(i => (0 until dim).map(j => sM(i)(j) * vf(j)).sum)
+    val num = (0 until dim).map(i => w9(i) * vf(i)).sum
+    val den = vf.map(x => x * x).sum
+    val tr = (0 until dim).map(i => sM(i)(i)).sum
+    val share = roundDiv(roundDiv(num, den) * 1000000, tr)
+
+    val got = Similarity.embedPcaPower(spark, sfDir)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == dim)
+    got.foreach { case (pos, l, sh) =>
+      assert(l == vf(pos).toLong, s"loading mismatch at pos $pos")
+      assert(sh == share.toLong)
+    }
+    // canonical form: the max-|loading| component is exactly +1e6, and
+    // the share is a meaningful fraction of total variance
+    assert(got.map(_._2).max == 1000000L)
+    assert(got.map(_._2.abs).max == 1000000L)
+    assert(share > 0 && share <= 1000000)
+  }
 }
