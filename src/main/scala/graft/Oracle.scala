@@ -1150,6 +1150,38 @@ object Oracle {
          |FROM vf, sh ORDER BY vf.pos""".stripMargin
     },
 
+    // Greedy farthest-point trajectory replayed exactly: running-min
+    // chain m_t = LEAST(m_{t-1}, d2 to the newest center), argmax by
+    // (mind2 DESC, vec_id) — all integer µ²-unit arithmetic, so the
+    // selection order and distances are bit-identical to the Spark
+    // side's driver loop. MATERIALIZED for the same double-reference
+    // inlining reason as embed_pca_power.
+    "sample_kcenter" -> {
+      val d2 = (u: String, c: String) =>
+        s"list_sum(list_transform(range(1, len($u) + 1), q -> ($u[q] - $c[q]) * ($u[q] - $c[q])))"
+      val rounds = (2 to graft.ops.Similarity.KCenterK).map { t =>
+        s"""c$t AS MATERIALIZED (SELECT vec_id, u, CAST(mind2 AS BIGINT) AS seld2
+           |  FROM m${t - 1} ORDER BY mind2 DESC, vec_id LIMIT 1),
+           |m$t AS MATERIALIZED (SELECT m.vec_id, m.u,
+           |    LEAST(m.mind2, ${d2("m.u", "c.u")}) AS mind2
+           |  FROM m${t - 1} m, c$t c)""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to graft.ops.Similarity.KCenterK).map(t =>
+        s"SELECT $t AS sel_order, vec_id, seld2 AS d2_u12 FROM c$t")
+        .mkString("\n", "\nUNION ALL\n", "\n")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id,
+         |  list_transform(embedding, x ->
+         |    CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS u
+         |  FROM embeddings),
+         |c1 AS MATERIALIZED (SELECT vec_id, u, CAST(0 AS BIGINT) AS seld2
+         |  FROM e WHERE vec_id = (SELECT MIN(vec_id) FROM e)),
+         |m1 AS MATERIALIZED (SELECT e.vec_id, e.u,
+         |    ${d2("e.u", "c.u")} AS mind2
+         |  FROM e, c1 c),
+         |$rounds
+         |$sel ORDER BY sel_order""".stripMargin
+    },
+
     "dedup_embedding_cosine" ->
       s"""WITH e AS (SELECT vec_id, label,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)

@@ -244,6 +244,7 @@ object SparkEntry {
     "dedup_sorted_neighborhood" -> Similarity.dedupSortedNeighborhood _,
     "embed_whitening"      -> Similarity.embedWhitening _,
     "embed_pca_power"      -> Similarity.embedPcaPower _,
+    "sample_kcenter"       -> Similarity.sampleKcenter _,
     "scan_jdbc_partitioned" -> Sources.scanJdbcPartitioned _,
     "scan_nested_prune"    -> Sources.scanNestedPrune _,
     "scan_csv_charset"     -> Sources.scanCsvCharset _,

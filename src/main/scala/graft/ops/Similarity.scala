@@ -1187,21 +1187,31 @@ object Similarity {
         x => round(x * 1e6).cast("long")).as("u"))
       .select($"u", posexplode($"u").as(Seq("i", "ui")))
       .select($"i", $"ui", posexplode($"u").as(Seq("j", "uj")))
+      // S is symmetric: aggregate the upper triangle only (halves the
+      // agg input), mirror on the driver
+      .filter($"j" >= $"i")
       .groupBy($"i", $"j")
-      // per-product long multiply is overflow-safe (|u6| ≤ ~2e6); the
-      // sums ride DECIMAL(38,0) so corpus growth lands in decimal, not
-      // long wraparound. Σuᵢ recovered per (i,j) group (Σ over j-fixed
-      // rows of uᵢ IS s1ᵢ) — one corpus pass, no second scan.
-      .agg(count(lit(1)).as("n"),
-        sum(($"ui" * $"uj").cast("decimal(38,0)")).as("spp"),
-        sum($"ui".cast("decimal(38,0)")).as("s1i"),
-        sum($"uj".cast("decimal(38,0)")).as("s1j"))
+      // the moment sums ride codegen'd LONGs, not DECIMAL — an
+      // interpreted BigDecimal add per product row tripled the whole
+      // query (measured 4.5 s → see log). Overflow headroom: per-cell
+      // Σuᵢuⱼ wraps only past ~9e6 unit-norm vectors (products ≤ 1e12);
+      // past that, flip these three sums to .cast("decimal(38,0)") — the
+      // decimal formula below is already sized for it. Σuᵢ recovered per
+      // (i,j) group (Σ over j-fixed rows of uᵢ IS s1ᵢ) — one corpus
+      // pass, no second scan.
+      .agg(count(lit(1)).as("n"), sum($"ui" * $"uj").as("spp"),
+        sum($"ui").as("s1i"), sum($"uj").as("s1j"))
+      // DECIMAL only on the 2080 triangle cells, where exactness needs
+      // the headroom (n·spp and s1ᵢ·s1ⱼ reach ~1e20 at corpus scale)
       .select($"i", $"j",
-        ($"n" * $"spp" - $"s1i" * $"s1j").cast("decimal(38,0)").as("s"))
+        ($"n".cast("decimal(38,0)") * $"spp" - $"s1i".cast("decimal(38,0)") * $"s1j")
+          .cast("decimal(38,0)").as("s"))
     val dim = 64
     val sM = Array.ofDim[BigInt](dim, dim)
     scatter.collect().foreach { r =>
-      sM(r.getInt(0))(r.getInt(1)) = BigInt(r.getDecimal(2).toBigInteger)
+      val v = BigInt(r.getDecimal(2).toBigInteger)
+      sM(r.getInt(0))(r.getInt(1)) = v
+      sM(r.getInt(1))(r.getInt(0)) = v
     }
     // round(a/b) for a,b > 0 with half away from zero = (2a + b) div (2b)
     def roundDiv(a: BigInt, b: BigInt): BigInt = (2 * a + b) / (2 * b)
@@ -1225,6 +1235,68 @@ object Similarity {
       .map { case (l, pos) => (pos, l.toLong, shareU6.toLong) }
       .toDF("pos", "loading_u6", "ev_share_u6")
       .orderBy($"pos")
+  }
+
+  /** Number of exemplars [[sampleKcenter]] selects — interpolated into
+    * the DuckDB oracle, whose greedy rounds are unrolled CTE pairs. */
+  val KCenterK = 8
+
+  /** Greedy k-center (farthest-point) coreset selection over the
+    * embedding corpus — the diversity-sampling primitive of data-pruning
+    * pipelines: pick k exemplars that maximize spread (each new exemplar
+    * is the point farthest from everything already chosen — the classic
+    * 2-approximation to the k-center objective), e.g. to seed balanced
+    * annotation batches or prune redundant regions before training.
+    * Seed = lowest vec_id; distances are EXACT squared L2 in integer
+    * µ²-units (|u| ≤ ~2e6 ⇒ per-dim square ≤ 4e12, 64-dim sum ≤ 3e14 —
+    * long-safe), argmax ties break to the lowest vec_id, so the whole
+    * greedy trajectory is deterministic and the DuckDB twin replays it
+    * bit-for-bit. Each row reports the exemplar's selection distance
+    * (its min-distance to the prior centers — nonincreasing over the
+    * trajectory; the last value is the corpus coverage radius).
+    *
+    * Scale: each round is one stateless map pass over the cached corpus
+    * (min over ≤k broadcast-literal centers — no shuffle, no window) plus
+    * a 1-row `max(struct)` argmax — partial-aggregated, so the reduce
+    * moves one row per partition. Total work k rounds × O(n·k·dim) map
+    * FLOPs; nothing materializes between rounds and the only driver
+    * state is the k chosen vectors (the k-means-centroid collect
+    * pattern). */
+  def sampleKcenter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", transform($"embedding".cast("array<double>"),
+        x => round(x * 1e6).cast("long")).as("u"))
+      .cache()
+    def d2(c: Array[Long]): Column =
+      aggregate(zip_with($"u", typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val seedRow = base.orderBy($"vec_id").limit(1)
+      .select($"vec_id", $"u").head()
+    // seld2 = 0 for the seed (no prior centers) — a sentinel, not NULL,
+    // so the column stays non-null BIGINT through both engines' pandas
+    // bridges (a nullable int would coerce to float64 on both sides)
+    var centers = List((seedRow.getLong(0), seedRow.getSeq[Long](1).toArray, 0L))
+    for (_ <- 2 to KCenterK) {
+      val mind2 = centers.map(c => d2(c._2)) match {
+        case single :: Nil => single
+        case many => least(many: _*)
+      }
+      // argmax via max(struct(mind2, -vec_id, u)): lexicographic struct
+      // max = max distance, tie -> lowest id; u rides along (comparison
+      // never reaches it — nid is unique) so selection and center fetch
+      // are ONE map-side-combinable 1-row job, not two
+      val top = base.select(
+          struct(mind2.as("d"), (-$"vec_id").as("nid"), $"u").as("s"))
+        .agg(max($"s")).head().getStruct(0)
+      val (selD2, selId) = (top.getLong(0), -top.getLong(1))
+      centers = centers :+ ((selId, top.getSeq[Long](2).toArray, selD2))
+    }
+    base.unpersist(blocking = false)
+    centers.zipWithIndex
+      .map { case ((id, _, dd), i) => (i + 1, id, dd) }
+      .toDF("sel_order", "vec_id", "d2_u12")
+      .orderBy($"sel_order")
   }
 
   /** Sorted-neighborhood near-dup candidates — the third classic

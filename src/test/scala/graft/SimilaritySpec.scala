@@ -670,4 +670,32 @@ class SimilaritySpec extends SparkSuite {
     assert(got.map(_._2.abs).max == 1000000L)
     assert(share > 0 && share <= 1000000)
   }
+
+  test("sample_kcenter equals the naive greedy reference; radii nonincreasing") {
+    // independent reference: plain greedy farthest-point over the
+    // collected µ-unit vectors — no Spark, no struct-max trick
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id, v.map(x => math.round(x * 1e6)).toArray) }
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(q => (a(q) - b(q)) * (a(q) - b(q))).sum
+    var chosen = List((vecs.head._1, vecs.head._2, 0L))
+    for (_ <- 2 to Similarity.KCenterK) {
+      val (id, u, best) = vecs.map { case (id, u) =>
+        (id, u, chosen.map(c => d2(u, c._2)).min)
+      }.maxBy { case (id, _, m) => (m, -id) }
+      chosen = chosen :+ ((id, u, best))
+    }
+    val want = chosen.zipWithIndex.map { case ((id, _, dd), i) => (i + 1, id, dd) }
+    val got = Similarity.sampleKcenter(spark, sfDir)
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toList
+    assert(got == want)
+    // selection distances are nonincreasing after the seed (the min-dist
+    // field shrinks pointwise as centers accumulate)
+    val radii = got.drop(1).map(_._3)
+    assert(radii == radii.sorted.reverse)
+    assert(got.map(_._2).distinct.size == got.size)
+  }
 }
