@@ -1150,6 +1150,28 @@ object Oracle {
          |FROM vf, sh ORDER BY vf.pos""".stripMargin
     },
 
+    // MaxSim replay: per doc, 4 conditional maxima over the 16 part-pair
+    // cosines (each the shared left-to-right fold), snapped to µ-units
+    // and added as exact integers — mirrors the Spark single-agg shape.
+    "sim_maxsim" -> {
+      val cos16 = (a: String, b: String) =>
+        s"(${dot16Sql(a, b)} / (sqrt(${dot16Sql(a, a)}) * sqrt(${dot16Sql(b, b)})))"
+      val terms = (0 to 3).map(m =>
+        s"CAST(round(MAX(CASE WHEN qm = $m THEN cos END) * 1000000) AS BIGINT)")
+        .mkString("\n  + ")
+      s"""WITH ex AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |subs AS (SELECT vec_id, CAST(m AS INTEGER) AS m,
+         |  v[CAST(m * 16 + 1 AS INTEGER):CAST(m * 16 + 16 AS INTEGER)] AS vs
+         |  FROM ex, range(0, 4) t(m)),
+         |pq AS (SELECT m AS qm, vs AS qv FROM subs WHERE vec_id = 0),
+         |sc AS (SELECT s.vec_id, p.qm, ${cos16("s.vs", "p.qv")} AS cos
+         |  FROM subs s, pq p)
+         |SELECT vec_id, $terms AS maxsim_u6
+         |FROM sc GROUP BY vec_id
+         |ORDER BY maxsim_u6 DESC, vec_id LIMIT 10""".stripMargin
+    },
+
     // Greedy farthest-point trajectory replayed exactly: running-min
     // chain m_t = LEAST(m_{t-1}, d2 to the newest center), argmax by
     // (mind2 DESC, vec_id) — all integer µ²-unit arithmetic, so the

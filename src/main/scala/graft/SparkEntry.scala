@@ -245,6 +245,7 @@ object SparkEntry {
     "embed_whitening"      -> Similarity.embedWhitening _,
     "embed_pca_power"      -> Similarity.embedPcaPower _,
     "sample_kcenter"       -> Similarity.sampleKcenter _,
+    "sim_maxsim"           -> Similarity.simMaxsim _,
     "scan_jdbc_partitioned" -> Sources.scanJdbcPartitioned _,
     "scan_nested_prune"    -> Sources.scanNestedPrune _,
     "scan_csv_charset"     -> Sources.scanCsvCharset _,

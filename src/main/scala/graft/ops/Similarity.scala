@@ -504,6 +504,42 @@ object Similarity {
       .limit(10)
   }
 
+  /** Late-interaction (ColBERT-style MaxSim) retrieval over the 4×16-d
+    * subspace split ([[pqSubs]] — the same decomposition PQ compresses):
+    * each vector is read as 4 "token" subvectors, and
+    * score(doc, query) = Σ_m max_m' cos(query_m, doc_m') — every query
+    * part matches its best doc part independently, the recipe that makes
+    * multi-vector retrieval robust to part-level reordering where a
+    * single pooled cosine dilutes. Probe = vec_id 0; top-10 by score.
+    * Each of the 16 part-pair cosines is the shared left-to-right fold;
+    * per (query-part) maxima are snapped to integer µ-units and the
+    * 4-way sum rides exact longs — order-independent, hash-matchable
+    * (self-hit scores exactly 4·1e6).
+    *
+    * Scale: the probe's 4 subvectors broadcast; scoring is ONE map-side
+    * pass over doc parts (16 combos per doc, no shuffle of vectors),
+    * then two partial aggs keyed on vec_id and a TakeOrdered heap —
+    * the late-interaction cost model (|query parts|·|doc parts| per
+    * pair) with candidate generation left to the ANN tiers. */
+  def simMaxsim(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    import spark.implicits._
+    val subs = pqSubs(spark, sfDir).select($"vec_id", $"m", $"vs")
+    val probe = broadcast(subs.filter($"vec_id" === 0)
+      .select($"m".as("qm"), $"vs".as("qv")))
+    subs.crossJoin(probe)
+      .select($"vec_id", $"qm", cosine($"vs", $"qv").as("cos"))
+      // one vec_id-keyed agg, not (vec_id,qm)+(vec_id): the 4 per-query-
+      // part maxima ride as conditional MAX columns, so the plan pays a
+      // single exchange and the partials combine map-side
+      .groupBy($"vec_id")
+      .agg((0 to 3).map(m =>
+          round(max(when($"qm" === m, $"cos")) * 1e6).cast("long"))
+        .reduce(_ + _).as("maxsim_u6"))
+      .orderBy($"maxsim_u6".desc, $"vec_id")
+      .limit(10)
+  }
+
   /** One full Lloyd (k-means) iteration on top of the [[ivfAssigned]]
     * seed assignment: centroids re-estimated from EVERY member as exact
     * per-(cell, dim) integer-micro-unit sums divided once, then every

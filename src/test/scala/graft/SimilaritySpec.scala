@@ -698,4 +698,16 @@ class SimilaritySpec extends SparkSuite {
     assert(radii == radii.sorted.reverse)
     assert(got.map(_._2).distinct.size == got.size)
   }
+
+  test("sim_maxsim: probe self-hit scores exactly 4e6 and ranks first") {
+    // each of the probe's 4 parts matches itself at cos 1 -> the MaxSim
+    // upper bound 4·1e6 exactly (the integer snap makes this testable
+    // as equality, not tolerance); every other score is bounded by it
+    val got = Similarity.simMaxsim(spark, sfDir)
+      .as[(Long, Long)].collect().toList
+    assert(got.head == (0L, 4000000L))
+    assert(got.forall(_._2 <= 4000000L))
+    // descending by score with id tiebreak — the declared total order
+    assert(got == got.sortBy { case (id, s) => (-s, id) })
+  }
 }
