@@ -2460,6 +2460,24 @@ object Oracle {
         |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
         |FROM nodes GROUP BY 1 ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
 
+    "graph_common_neighbors" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey % 10 = 0),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |adj AS (SELECT u AS n, v AS w FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT n, COUNT(*) AS deg FROM adj GROUP BY n),
+        |wed AS (SELECT x.n AS a, y.n AS b, COUNT(*) AS common
+        |  FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n GROUP BY 1, 2),
+        |na AS (SELECT wed.a, wed.b, wed.common FROM wed
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = wed.a AND e.v = wed.b))
+        |SELECT na.a AS u, na.b AS v, CAST(common AS BIGINT) AS common,
+        | CAST(CAST(common AS DOUBLE) / (da.deg + db.deg - common)
+        |   AS DECIMAL(18,6))::DOUBLE AS jaccard
+        |FROM na JOIN deg da ON na.a = da.n JOIN deg db ON na.b = db.n
+        |ORDER BY common DESC, u, v LIMIT 20""".stripMargin,
+
     "impute_missing" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber, l_returnflag,
         |  CASE WHEN l_orderkey % 13 = 0 THEN NULL

@@ -198,6 +198,7 @@ object SparkEntry {
     "graph_degree"      -> Analytics.graphDegree _,
     "graph_triangle_count" -> Analytics.graphTriangleCount _,
     "graph_pagerank"    -> Analytics.graphPagerank _,
+    "graph_common_neighbors" -> Analytics.graphCommonNeighbors _,
     "path_transitions"  -> Analytics.pathTransitions _,
     "ts_ewma"           -> Analytics.tsEwma _,
     "ts_resample"       -> Analytics.tsResample _,

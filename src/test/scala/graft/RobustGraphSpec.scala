@@ -40,6 +40,17 @@ class RobustGraphSpec extends SparkSuite {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  test("graph_common_neighbors: adjacent pairs excluded, union-denominator jaccard") {
+    // non-adjacent pairs sharing a neighbor: only (1,4) and (2,4), both
+    // through node 3 — common 1, jaccard 1/(2+1-1) = 0.5; (1,2)/(1,3)/
+    // (2,3)/(3,4) are edges and must NOT appear even though (1,2) shares
+    // neighbor 3
+    val got = Analytics.graphCommonNeighbors(spark, graphDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).doubleValue)).toSeq
+    assert(got == Seq((1L, 4L, 1L, 0.5), (2L, 4L, 1L, 0.5)))
+  }
+
   /** events fixture for MAD + interpolation: nanosecond ts longs like the
     * harness parquet (SparkSuite sessions read ts as long). */
   private def eventsDir(rows: Seq[(Long, Long, Long, String, Double)]): String = {
