@@ -1042,6 +1042,30 @@ object Oracle {
          |FROM d JOIN e ON d.doc_id = e.vec_id, probe
          |ORDER BY cos DESC, doc_id LIMIT 20""".stripMargin,
 
+    "sim_rrf_fusion" -> {
+      val k = graft.ops.Similarity.RrfK
+      val depth = graft.ops.Similarity.RrfDepth
+      val recip = (r: String) =>
+        s"CASE WHEN $r IS NULL THEN 0 ELSE CAST(round(1000000000000.0 / ($k + $r)) AS BIGINT) END"
+      s"""WITH lex AS (SELECT doc_id, tf,
+         |  row_number() OVER (ORDER BY tf DESC, doc_id) AS rank_lex
+         |  FROM (SELECT doc_id, len(list_filter($toksExpr, t -> t = 'vector')) AS tf
+         |    FROM documents WHERE tf >= 1 ORDER BY tf DESC, doc_id LIMIT $depth)),
+         |e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |probe AS (SELECT v AS p FROM e WHERE vec_id = 0),
+         |vec AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_vec
+         |  FROM (SELECT vec_id AS doc_id, ${cosSql("v", "p")} AS cos
+         |    FROM e, probe ORDER BY cos DESC, doc_id LIMIT $depth))
+         |SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         |  CAST(COALESCE(rank_lex, 0) AS INTEGER) AS rank_lex,
+         |  CAST(COALESCE(rank_vec, 0) AS INTEGER) AS rank_vec,
+         |  ${recip("rank_lex")} + ${recip("rank_vec")} AS rrf_p12
+         |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+         |ORDER BY rrf_p12 DESC, doc_id LIMIT 10""".stripMargin
+    },
+
     "sim_knn_per_label" ->
       s"""WITH e AS (SELECT vec_id, label,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -247,6 +247,7 @@ object SparkEntry {
     "embed_pca_power"      -> Similarity.embedPcaPower _,
     "sample_kcenter"       -> Similarity.sampleKcenter _,
     "sim_maxsim"           -> Similarity.simMaxsim _,
+    "sim_rrf_fusion"       -> Similarity.simRrfFusion _,
     "scan_jdbc_partitioned" -> Sources.scanJdbcPartitioned _,
     "scan_nested_prune"    -> Sources.scanNestedPrune _,
     "scan_csv_charset"     -> Sources.scanCsvCharset _,

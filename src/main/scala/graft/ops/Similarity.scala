@@ -113,6 +113,61 @@ object Similarity {
       .limit(20)
   }
 
+  /** List depth each ranker contributes to [[simRrfFusion]] and the RRF
+    * smoothing constant (k=60, the value from the original Cormack/
+    * Clarke/Buettcher paper that every search stack copied) —
+    * interpolated into the DuckDB oracle. */
+  val RrfDepth = 20
+  val RrfK = 60
+
+  /** Reciprocal-rank fusion — the OTHER canonical hybrid-search
+    * combiner next to [[simHybridSearch]]'s filter-then-rank: run the
+    * lexical ranker (keyword term frequency) and the vector ranker
+    * (cosine vs the broadcast probe) INDEPENDENTLY to depth 20, then
+    * fuse by rank alone: score = Σ_rankers 1/(60 + rank). Rank-space
+    * fusion needs no score calibration between BM25-ish integers and
+    * cosines — which is exactly why serving stacks default to it. Each
+    * reciprocal is snapped to integer p12-units (round(1e12/(60+r)) —
+    * one IEEE division of exact ints, engine-identical), so the fused
+    * score is an exact long sum; absent ranks contribute 0 and surface
+    * as rank 0 in the output.
+    *
+    * Scale: both rankers end in TakeOrdered heaps (the lexical side
+    * additionally prunes on the keyword before any vector math); the
+    * rank windows run over the 20-row bounded results (PlanSpec
+    * bounded-frame exception), and the fusion is a k×k full-outer join.
+    * Corpus-size-dependent work = the two ranker scans, nothing else. */
+  def simRrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    import spark.implicits._
+    val wTf = Window.orderBy($"tf".desc, $"doc_id")
+    val lex = Tables.documents(spark, sfDir)
+      .select($"doc_id", size(filter(TextSim.tokens($"text"),
+        t => t === "vector")).as("tf"))
+      .filter($"tf" >= 1)
+      .orderBy($"tf".desc, $"doc_id").limit(RrfDepth)
+      .withColumn("rank_lex", row_number().over(wTf))
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", vecd($"embedding").as("v"))
+    val probe = broadcast(e.filter($"vec_id" === 0).select($"v".as("p")))
+    val wCos = Window.orderBy($"cos".desc, $"doc_id")
+    val vec = e.crossJoin(probe)
+      .select($"vec_id".as("doc_id"), cosine($"v", $"p").as("cos"))
+      .orderBy($"cos".desc, $"doc_id").limit(RrfDepth)
+      .withColumn("rank_vec", row_number().over(wCos))
+    def recip(rank: Column): Column =
+      when(rank.isNotNull, round(lit(1e12) / (lit(RrfK) + rank)).cast("long"))
+        .otherwise(lit(0L))
+    lex.select($"doc_id", $"rank_lex")
+      .join(vec.select($"doc_id", $"rank_vec"), Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        coalesce($"rank_lex", lit(0)).as("rank_lex"),
+        coalesce($"rank_vec", lit(0)).as("rank_vec"),
+        (recip($"rank_lex") + recip($"rank_vec")).as("rrf_p12"))
+      .orderBy($"rrf_p12".desc, $"doc_id")
+      .limit(10)
+  }
+
   /** Unit (L2) normalization — the standard embedding pre-processing that
     * turns cosine ANN into plain dot products. Norm via the native fold;
     * the checksum re-folds the normalized elements left-to-right so the

@@ -127,7 +127,10 @@ class PlanSpec extends SparkSuite {
     // median window runs over the |days|-row daily aggregate (the corpus
     // is reduced by a map-side combinable groupBy BEFORE the exchange);
     // new appearances must be added here deliberately.
-    val boundedFrameOk = Set("profile_drift")
+    // sim_rrf_fusion (r8): its two rank windows run over the 20-row
+    // TakeOrdered ranker results — bounded before any exchange by
+    // construction (RrfDepth)
+    val boundedFrameOk = Set("profile_drift", "sim_rrf_fusion")
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

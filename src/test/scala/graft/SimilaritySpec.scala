@@ -710,4 +710,21 @@ class SimilaritySpec extends SparkSuite {
     // descending by score with id tiebreak — the declared total order
     assert(got == got.sortBy { case (id, s) => (-s, id) })
   }
+
+  test("sim_rrf_fusion: scores re-derive from the emitted ranks, bounded depth") {
+    val got = Similarity.simRrfFusion(spark, sfDir)
+      .as[(Long, Int, Int, Long)].collect().toList
+    def recip(r: Int): Long =
+      if (r == 0) 0L else math.round(1e12 / (Similarity.RrfK + r))
+    got.foreach { case (id, rl, rv, s) =>
+      assert(rl >= 0 && rl <= Similarity.RrfDepth)
+      assert(rv >= 0 && rv <= Similarity.RrfDepth)
+      assert(rl > 0 || rv > 0, s"doc $id in fusion output with no rank")
+      assert(s == recip(rl) + recip(rv), s"doc $id rrf mismatch")
+    }
+    assert(got == got.sortBy { case (id, _, _, s) => (-s, id) })
+    // the probe's own embedding ranks first on the vector side, so it
+    // must appear in the fused output
+    assert(got.exists(r => r._1 == 0 && r._3 == 1))
+  }
 }
