@@ -1042,6 +1042,23 @@ object Oracle {
          |FROM d JOIN e ON d.doc_id = e.vec_id, probe
          |ORDER BY cos DESC, doc_id LIMIT 20""".stripMargin,
 
+    // BM25 with the idf/avgdl computed once in the 1-row stats CTE and
+    // the score one fixed IEEE expression over exact ints, µ-snapped —
+    // expression shape mirrors the Spark select token for token.
+    "text_bm25" ->
+      s"""WITH d AS (SELECT doc_id, len($toksExpr) AS dl,
+         |  len(list_filter($toksExpr, t -> t = 'vector')) AS tf FROM documents),
+         |st AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl,
+         |  COUNT(*) FILTER (WHERE tf >= 1) AS df FROM d),
+         |s2 AS (SELECT CAST(sdl AS DOUBLE) / n AS avgdl,
+         |  ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf FROM st)
+         |SELECT doc_id, CAST(tf AS BIGINT) AS tf, CAST(dl AS BIGINT) AS dl,
+         |  CAST(round(idf * (tf * 2.2)
+         |    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))) * 1000000)
+         |    AS BIGINT) AS bm25_u6
+         |FROM d, s2 WHERE tf >= 1
+         |ORDER BY bm25_u6 DESC, doc_id LIMIT 20""".stripMargin,
+
     "sim_rrf_fusion" -> {
       val k = graft.ops.Similarity.RrfK
       val depth = graft.ops.Similarity.RrfDepth

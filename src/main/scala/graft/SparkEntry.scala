@@ -162,6 +162,7 @@ object SparkEntry {
     "text_repetition"        -> TextSim.textRepetition _,
     "dedup_gram_corpus"      -> TextSim.dedupGramCorpus _,
     "text_lm_score"          -> TextSim.textLmScore _,
+    "text_bm25"              -> TextSim.textBm25 _,
     "text_entropy"           -> TextSim.textEntropy _,
     // -- similarity search / near-dup detection
     "sim_cosine_probe"       -> Similarity.simCosineProbe _,

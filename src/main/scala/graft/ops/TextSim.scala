@@ -294,6 +294,41 @@ object TextSim {
 
   /** Per-doc quality score: type-token ratio, length saturation, word-length
     * saturation — a fixed IEEE formula, decimal-normalized. */
+  /** BM25 scoring for the keyword query ("vector") — the canonical
+    * lexical ranker whose output feeds hybrid fusion (the rank-space
+    * twin is `sim_rrf_fusion`, which fuses a plain-tf ranking; this is
+    * the real scoring function with document-length normalization,
+    * k1 = 1.2, b = 0.75, idf = ln((N − df + ½)/(df + ½) + 1)).
+    * Engine-exactness: tf/dl per doc are one map pass; N, Σdl, df are
+    * one 1-row aggregate; idf and avgdl are computed ONCE in that scalar
+    * row (a single ln call — its irrational output never lands on a
+    * 1e-6 half-boundary, the textLmScore argument), and each score is
+    * one fixed IEEE expression of exact ints snapped to µ-units.
+    *
+    * Scale: ONE corpus scan (tf and dl from the same token array, no
+    * explode), a broadcast 1-row stats frame, a map-pass score, and a
+    * TakeOrdered heap. Nothing shuffles but the top-20. */
+  def textBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = rebalanceDocs(Tables.documents(spark, sfDir))
+      .select($"doc_id", tokens($"text").as("ts"))
+      .select($"doc_id", size($"ts").as("dl"),
+        size(filter($"ts", t => t === "vector")).as("tf"))
+    val stats = broadcast(d.agg(count(lit(1)).as("n"), sum($"dl").as("sdl"),
+        count(when($"tf" >= 1, 1)).as("df"))
+      .select($"n", $"df",
+        ($"sdl".cast("double") / $"n").as("avgdl"),
+        log((($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))) + lit(1.0)).as("idf")))
+    d.filter($"tf" >= 1).crossJoin(stats)
+      .select($"doc_id", $"tf".cast("long").as("tf"), $"dl".cast("long").as("dl"),
+        round((($"idf" * ($"tf" * lit(2.2)))
+          / ($"tf" + lit(1.2) * (lit(1.0) - lit(0.75)
+            + lit(0.75) * ($"dl" / $"avgdl")))) * 1e6)
+          .cast("long").as("bm25_u6"))
+      .orderBy($"bm25_u6".desc, $"doc_id")
+      .limit(20)
+  }
+
   def textQualityScore(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val toks = tokens($"text")

@@ -316,4 +316,23 @@ class CorpusQualitySpec extends SparkSuite {
         s"novelty mismatch for ${r.getString(0)}: ${r.getDecimal(4)} vs $nov")
     }
   }
+
+  test("text_bm25 matches a pure-Scala re-derivation") {
+    val stats = docs.map { case (_, t) => val ts = tok(t)
+      (ts.length.toLong, if (ts.count(_ == "vector") >= 1) 1L else 0L) }
+    val n = stats.size.toLong
+    val sdl = stats.map(_._1).sum
+    val df = stats.map(_._2).sum
+    val avgdl = sdl.toDouble / n
+    val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    val want = docs.flatMap { case (id, t) =>
+      val ts = tok(t); val tf = ts.count(_ == "vector").toLong
+      if (tf < 1) None else Some((id, tf, ts.length.toLong,
+        roundHalfUp(idf * (tf * 2.2)
+          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (ts.length / avgdl))) * 1e6)))
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(20)
+    val got = graft.ops.TextSim.textBm25(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got == want.toList)
+  }
 }
