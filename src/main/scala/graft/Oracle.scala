@@ -2395,6 +2395,31 @@ object Oracle {
         |   / (varp * varp) - 3.0) * 1000000) AS BIGINT) AS kurt_u6
         |FROM e ORDER BY event_type""".stripMargin,
 
+    "profile_psi" ->
+      """WITH ev AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+        |mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+        |cnt AS (SELECT event_type,
+        |  CAST(least(floor(value / 25.0), 19.0) AS INTEGER) AS bin,
+        |  COUNT(*) FILTER (WHERE us <= mid) AS cr,
+        |  COUNT(*) FILTER (WHERE us > mid) AS cc
+        |  FROM ev, mid GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT event_type, b.bin FROM cnt,
+        |  (SELECT CAST(range AS INTEGER) AS bin FROM range(0, 20)) b),
+        |f AS (SELECT g.event_type, g.bin,
+        |  COALESCE(cr, 0) AS cr, COALESCE(cc, 0) AS cc
+        |  FROM grid g LEFT JOIN cnt
+        |    ON g.event_type = cnt.event_type AND g.bin = cnt.bin),
+        |tot AS (SELECT event_type, CAST(SUM(cr) AS BIGINT) AS n_ref,
+        |  CAST(SUM(cc) AS BIGINT) AS n_cur FROM f GROUP BY 1),
+        |co AS (SELECT f.event_type, t.n_ref, t.n_cur,
+        |  (cr + 1.0) / (n_ref + 20.0) AS pr,
+        |  (cc + 1.0) / (n_cur + 20.0) AS pc
+        |  FROM f JOIN tot t ON f.event_type = t.event_type)
+        |SELECT event_type, n_ref, n_cur,
+        |  CAST(SUM(CAST(round((pr - pc) * ln(pr / pc) * 1000000000) AS BIGINT))
+        |    AS BIGINT) AS psi_n9
+        |FROM co GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin,
+
     "profile_drift" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
         |  FROM events GROUP BY 1),

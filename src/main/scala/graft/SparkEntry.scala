@@ -261,6 +261,7 @@ object SparkEntry {
     "scd2_lookup"         -> Curation.scd2Lookup _,
     "sim_hybrid_search"   -> Similarity.simHybridSearch _,
     "profile_drift"       -> Quality.profileDrift _,
+    "profile_psi"         -> Quality.profilePsi _,
     "profile_skew"        -> Quality.profileSkew _,
     "profile_mix_entropy" -> Quality.profileMixEntropy _,
     "profile_dup_classes" -> TextSim.profileDupClasses _,

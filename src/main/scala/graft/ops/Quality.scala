@@ -95,6 +95,58 @@ object Quality {
       .orderBy($"day")
   }
 
+  /** Population Stability Index per event type — THE standard ML-serving
+    * drift metric (credit-scoring heritage, now the default monitor for
+    * feature and score distributions): split the stream at its temporal
+    * midpoint into reference/current halves, bin values on the shared
+    * [[graft.ops.Analytics]] histogram grid (floor(value/25) capped at
+    * 19), and PSI = Σ_bins (p_ref − p_cur)·ln(p_ref/p_cur). Rule of
+    * thumb: <0.1 stable, 0.1–0.25 drifting, >0.25 shifted. Zero-count
+    * bins take add-one (Laplace) smoothing — p = (c+1)/(n+20) — so ln
+    * stays finite and the metric is defined on sparse types; the
+    * midpoint is exact integer µs arithmetic, each bin contribution one
+    * fixed IEEE expression of exact ints snapped to n9-units, and the
+    * per-type sum rides exact longs (order-independent, hash-matchable).
+    *
+    * Scale: one map pass bins and flags halves (midpoint broadcast), one
+    * (type, bin) map-side-combinable count, a ≤ types×20 grid join, and
+    * a |types|-row rollup — nothing corpus-sized shuffles. */
+  def profilePsi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type", $"value", expr("unix_micros(ts)").as("us"))
+    // integer div, not `/` (Column./ on longs is DOUBLE division —
+    // its truncation would have to match DuckDB's // by accident)
+    val mid = broadcast(ev.agg(min($"us").as("mn"), max($"us").as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid")))
+    val cnt = ev.crossJoin(mid)
+      .select($"event_type",
+        least(floor($"value" / 25.0), lit(19.0)).cast("int").as("bin"),
+        ($"us" <= $"mid").as("is_ref"))
+      .groupBy($"event_type", $"bin")
+      .agg(count(when($"is_ref", 1)).as("cr"),
+        count(when(!$"is_ref", 1)).as("cc"))
+    val grid = cnt.select($"event_type").distinct()
+      .crossJoin(broadcast(spark.range(0, 20)
+        .select($"id".cast("int").as("bin"))))
+    val full = grid.join(cnt, Seq("event_type", "bin"), "left")
+      .select($"event_type", $"bin",
+        coalesce($"cr", lit(0L)).as("cr"), coalesce($"cc", lit(0L)).as("cc"))
+    val tot = full.groupBy($"event_type")
+      .agg(sum($"cr").as("n_ref"), sum($"cc").as("n_cur"))
+    full.join(broadcast(tot), "event_type")
+      .select($"event_type", $"n_ref", $"n_cur",
+        (($"cr" + lit(1.0)) / ($"n_ref" + lit(20.0))).as("pr"),
+        (($"cc" + lit(1.0)) / ($"n_cur" + lit(20.0))).as("pc"))
+      .select($"event_type", $"n_ref", $"n_cur",
+        round((($"pr" - $"pc") * log($"pr" / $"pc")) * 1e9)
+          .cast("long").as("contrib_n9"))
+      .groupBy($"event_type")
+      .agg(max($"n_ref").as("n_ref"), max($"n_cur").as("n_cur"),
+        sum($"contrib_n9").as("psi_n9"))
+      .orderBy($"event_type")
+  }
+
   /** Key-skew profiler — the diagnostic that decides whether a key column
     * can be a join/groupBy key as-is or needs the salted/bucketed path:
     * per-key volumes for the top heavy hitters, each with its share of

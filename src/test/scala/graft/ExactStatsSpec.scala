@@ -103,4 +103,28 @@ class ExactStatsSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue)).toSeq
     assert(got == expected)
   }
+
+  test("profile_psi equals the add-one-smoothed two-half reference") {
+    val rows = Tables.events(spark, sfDir)
+      .select($"event_type", $"value", org.apache.spark.sql.functions
+        .expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val mid = (rows.map(_._3).min + rows.map(_._3).max) / 2 // both positive
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs) =>
+      def bin(v: Double): Int = math.min(math.floor(v / 25.0), 19.0).toInt
+      val ref = rs.filter(_._3 <= mid); val cur = rs.filter(_._3 > mid)
+      val psi = (0 until 20).map { b =>
+        val pr = (ref.count(r => bin(r._2) == b) + 1.0) / (ref.size + 20.0)
+        val pc = (cur.count(r => bin(r._2) == b) + 1.0) / (cur.size + 20.0)
+        roundHalfUp((pr - pc) * math.log(pr / pc) * 1e9)
+      }.sum
+      (t, ref.size.toLong, cur.size.toLong, psi)
+    }
+    val got = graft.ops.Quality.profilePsi(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // identical halves would give PSI exactly 0; the synthetic stream is
+    // near-stationary, so every type sits far inside the <0.1 stable band
+    assert(got.forall(r => r._4.abs < 100000000L))
+  }
 }

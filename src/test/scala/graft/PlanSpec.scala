@@ -499,8 +499,12 @@ class PlanSpec extends SparkSuite {
       // r8 additions, same reviewed shapes: heavy-hitters crossJoins the
       // broadcast 1-row corpus total; IVF-PQ reuses ivfAssigned's
       // crossJoin vs the broadcast centroid set (sim_ivf_probe's shape);
-      // MRL crossJoins the broadcast 1-row probe vector
+      // MRL/MaxSim/RRF crossJoin the broadcast probe (1 row / 4
+      // subvector rows); BM25 crossJoins its broadcast 1-row stats;
+      // PSI crossJoins the broadcast 1-row midpoint and the 20-row bin
+      // grid
       "agg_heavy_hitters", "sim_ivfpq_search", "sim_mrl_rerank",
+      "sim_maxsim", "sim_rrf_fusion", "text_bm25", "profile_psi",
       "text_tfidf", "ts_seasonal_baseline")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
