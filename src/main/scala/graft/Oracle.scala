@@ -3364,7 +3364,191 @@ object Oracle {
         |FROM c GROUP BY 1, 2 ORDER BY origin, shard_id""".stripMargin,
   )
 
+  /** TPC-H completion pack (graft.ops.TpchSql): DuckDB twins of Q4/Q6/Q8/
+    * Q9/Q12/Q13/Q15/Q17/Q19/Q20/Q22 with the same schema substitutions.
+    * Syntax deltas vs the Spark side: `INTERVAL n DAY` (DuckDB singular),
+    * final DECIMAL columns cast to DOUBLE (the Spark side normalizes
+    * decimals to double at the boundary). */
+  private val tpch: Map[String, String] = Map(
+    "sql_api_q4" ->
+      """SELECT o.o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
+
+    "sql_api_q6" ->
+      """SELECT
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "sql_api_q8" ->
+      """SELECT o_year,
+        | CAST(round(1000000 *
+        |   CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+        |            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |   / CAST(SUM(volume) AS DOUBLE)) AS BIGINT) AS mkt_share_u6,
+        | COUNT(*) AS n_lines
+        |FROM (
+        |  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part p
+        |  JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |  JOIN region r ON n1.n_regionkey = r.r_regionkey
+        |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |  WHERE r.r_name = 'ASIA'
+        |    AND p.p_type = 'STANDARD'
+        |    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00') all_nations
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+
+    "sql_api_q9" ->
+      """SELECT nation, o_year,
+        | CAST(CAST(SUM(amount) AS DECIMAL(18,4)) AS DOUBLE) AS sum_profit,
+        | COUNT(*) AS n_lines
+        |FROM (
+        |  SELECT n.n_name AS nation,
+        |    CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |    CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+        |    - CAST(p.p_retailprice AS DECIMAL(12,2))
+        |      * CAST(l.l_quantity AS DECIMAL(4,0))
+        |      * CAST(0.6 AS DECIMAL(2,1)) AS amount
+        |  FROM part p
+        |  JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE p.p_name LIKE '%widget%') profit
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "sql_api_q12" ->
+      """SELECT l.l_returnflag,
+        | CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders o
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |  AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin,
+
+    "sql_api_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c.c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "sql_api_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4))
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name,
+        | CAST(r.total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier s
+        |JOIN revenue r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin,
+
+    "sql_api_q17" ->
+      """SELECT
+        | CAST(round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   / 7.0 * 100) AS BIGINT) AS avg_yearly_c,
+        | COUNT(*) AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#1'
+        |  AND p.p_size < 15
+        |  AND l.l_quantity < (
+        |    SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+
+    "sql_api_q19" ->
+      """SELECT
+        | CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE)
+        |   AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_returnflag = 'N' AND (
+        |     (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+        |      AND l.l_quantity BETWEEN 1 AND 11)
+        |  OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+        |      AND l.l_quantity BETWEEN 10 AND 20)
+        |  OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+        |      AND l.l_quantity BETWEEN 20 AND 30))""".stripMargin,
+
+    "sql_api_q20" ->
+      """SELECT s.s_name,
+        | CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+        |FROM supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT l.l_suppkey
+        |  FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_name LIKE '%bolt%'
+        |    AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l.l_suppkey, l.l_partkey
+        |  HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 50)
+        |AND s.s_nationkey IN (
+        |  SELECT n_nationkey FROM nation
+        |  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4'))
+        |ORDER BY s.s_name""".stripMargin,
+
+    "sql_api_q22" ->
+      """SELECT cntrycode, COUNT(*) AS numcust,
+        | CAST(CAST(SUM(acctbal) AS DECIMAL(18,2)) AS DOUBLE) AS totacctbal
+        |FROM (
+        |  SELECT substring(c.c_name, 18, 1) AS cntrycode,
+        |    CAST(c.c_acctbal AS DECIMAL(18,2)) AS acctbal
+        |  FROM customer c
+        |  WHERE substring(c.c_name, 18, 1) IN ('1', '3', '5', '7', '9')
+        |    AND c.c_acctbal > (
+        |      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |             / COUNT(*)
+        |      FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        |    AND NOT EXISTS (SELECT 1 FROM orders o
+        |      WHERE o.o_custkey = c.c_custkey
+        |        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')) custsale
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin,
+  )
+
   def all: Map[String, String] =
     relational ++ windows ++ functions ++ ingest ++ textsim ++ pipeline ++
-      streaming ++ multimodal
+      streaming ++ multimodal ++ tpch
 }

@@ -219,6 +219,19 @@ object SparkEntry {
     "sql_api_q16"          -> Relational.sqlApiQ16 _,
     "sql_api_q11"          -> Relational.sqlApiQ11 _,
     "sql_api_q14"          -> Relational.sqlApiQ14 _,
+    // TPC-H completion pack (ops/TpchSql.scala): with these eleven, every
+    // TPC-H query number 1-22 has a declared query (q1 = agg_pricing_summary)
+    "sql_api_q4"           -> TpchSql.q4 _,
+    "sql_api_q6"           -> TpchSql.q6 _,
+    "sql_api_q8"           -> TpchSql.q8 _,
+    "sql_api_q9"           -> TpchSql.q9 _,
+    "sql_api_q12"          -> TpchSql.q12 _,
+    "sql_api_q13"          -> TpchSql.q13 _,
+    "sql_api_q15"          -> TpchSql.q15 _,
+    "sql_api_q17"          -> TpchSql.q17 _,
+    "sql_api_q19"          -> TpchSql.q19 _,
+    "sql_api_q20"          -> TpchSql.q20 _,
+    "sql_api_q22"          -> TpchSql.q22 _,
     "join_existence_flag"  -> Relational.joinExistenceFlag _,
     "agg_approx_quantile"  -> Relational.aggApproxQuantile _,
     "win_streak"           -> Analytics.winStreak _,

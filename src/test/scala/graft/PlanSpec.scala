@@ -596,6 +596,51 @@ class PlanSpec extends SparkSuite {
       s"no decorrelated min aggregate in:\n$p")
   }
 
+  test("sql_api_q4 decorrelates EXISTS-with-date-bound into a semi join") {
+    // the correlation carries BOTH the equi key and the outer row's
+    // orderdate in the comparison; RewritePredicateSubquery must still
+    // plan ONE left-semi hash join (date bound as join condition), never
+    // a per-outer-row lineitem scan
+    val p = plan("sql_api_q4")
+    assert(p.contains("LeftSemi"), s"EXISTS not decorrelated to a semi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"date-bound correlation fell back to a nested loop:\n$p")
+  }
+
+  test("sql_api_q6 pushes all three range predicates into the scan") {
+    // Q6 is the pure pushdown query: shipdate year band, discount band,
+    // quantity cap must ALL reach the parquet reader as PushedFilters —
+    // at 100 TB this is the difference between reading a year's row
+    // groups and reading the table
+    val p = plan("sql_api_q6")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"$c not in PushedFilters:\n$p")
+  }
+
+  test("sql_api_q17 decorrelates the scalar avg subquery into an aggregate join") {
+    // `l_quantity < 0.5*(SELECT AVG WHERE correlated)` must rewrite to a
+    // per-partkey average joined back (the q2 pattern with AVG) — the
+    // plan shows the extra aggregate, never a per-row rescan
+    val p = plan("sql_api_q17")
+    assert(!p.toLowerCase.contains("scalar-subquery"),
+      s"scalar subquery left undecorrelated:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no decorrelated avg aggregate in:\n$p")
+  }
+
+  test("sql_api_q19 pushes the common conjunct and keeps an equi join") {
+    // the three-branch OR must not break the equi join on p_partkey, and
+    // the common conjunct (returnflag) must still push into the lineitem
+    // scan even though the branch predicates cross tables
+    val p = plan("sql_api_q19")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_returnflag"),
+      s"common conjunct not pushed into the scan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"disjunctive predicate broke the equi join:\n$p")
+  }
+
   test("join_existence_flag plans the ExistenceJoin variant") {
     // IN-subquery under a disjunction: rows failing the membership probe
     // must survive, so the semi join must EMIT the boolean, not filter —
