@@ -1191,6 +1191,28 @@ object Oracle {
          |FROM vf, sh ORDER BY vf.pos""".stripMargin
     },
 
+    // Binary-signature retrieval: same sign-bit packing as the Spark side
+    // (two 32-bit halves in BIGINTs — the 64-bit shift would hit the sign
+    // bit), Hamming via bit_count(xor). DuckDB's lambda index is 1-based
+    // (Spark's is 0-based), hence the i-1 shift.
+    "sim_binary_hamming" ->
+      """WITH sigs AS (
+        |  SELECT vec_id, label,
+        |    CAST(list_sum(list_transform(embedding[1:32],
+        |      (x, i) -> CASE WHEN x > 0 THEN (1::BIGINT << (i - 1))
+        |                ELSE 0 END)) AS BIGINT) AS sig_lo,
+        |    CAST(list_sum(list_transform(embedding[33:64],
+        |      (x, i) -> CASE WHEN x > 0 THEN (1::BIGINT << (i - 1))
+        |                ELSE 0 END)) AS BIGINT) AS sig_hi
+        |  FROM embeddings),
+        |p AS (SELECT sig_lo AS p_lo, sig_hi AS p_hi FROM sigs WHERE vec_id = 0)
+        |SELECT s.vec_id, s.label,
+        |  CAST(bit_count(xor(s.sig_lo, p.p_lo))
+        |     + bit_count(xor(s.sig_hi, p.p_hi)) AS INT) AS hamming
+        |FROM sigs s, p
+        |ORDER BY hamming, s.vec_id
+        |LIMIT 50""".stripMargin,
+
     // MaxSim replay: per doc, 4 conditional maxima over the 16 part-pair
     // cosines (each the shared left-to-right fold), snapped to µ-units
     // and added as exact integers — mirrors the Spark single-agg shape.
@@ -2255,6 +2277,30 @@ object Oracle {
         | CAST(SUM(CASE WHEN u6 < lo THEN lo WHEN u6 > hi THEN hi ELSE u6 END) AS BIGINT) AS sum_clipped_u6
         |FROM ev JOIN bd ON ev.event_type = bd.event_type
         |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin,
+
+    // OHLC candles: open/close replayed as rn=1 picks over the same
+    // (us, event_id) total order the Spark arg-extrema use; values pass
+    // through untransformed so the stored doubles compare bit-for-bit.
+    "ts_ohlc" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id, value,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |o AS (SELECT event_type, day, value AS open FROM (
+        |  SELECT event_type, day, value, row_number() OVER (
+        |    PARTITION BY event_type, day ORDER BY us, event_id) AS rn
+        |  FROM e) WHERE rn = 1),
+        |cl AS (SELECT event_type, day, value AS close FROM (
+        |  SELECT event_type, day, value, row_number() OVER (
+        |    PARTITION BY event_type, day ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM e) WHERE rn = 1),
+        |hl AS (SELECT event_type, day, MAX(value) AS high, MIN(value) AS low,
+        |  COUNT(*) AS n_events FROM e GROUP BY 1, 2)
+        |SELECT hl.event_type,
+        | strftime(make_timestamp(hl.day * 86400000000), '%Y-%m-%d') AS day,
+        | o.open, hl.high, hl.low, cl.close, hl.n_events
+        |FROM hl
+        |JOIN o ON hl.event_type = o.event_type AND hl.day = o.day
+        |JOIN cl ON hl.event_type = cl.event_type AND hl.day = cl.day
+        |ORDER BY hl.event_type, day""".stripMargin,
 
     "ts_decay_sum" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS us,

@@ -978,4 +978,32 @@ object Analytics {
           .cast("decimal(18,6)").as("geomean"))
       .orderBy($"l_returnflag")
   }
+
+  /** Daily OHLC (open-high-low-close) candles per event type — the
+    * canonical time-series downsample for metric dashboards. Open/close
+    * are arg-extrema over the (µs, event_id) struct (the total order that
+    * makes same-timestamp ties deterministic — the [[Relational
+    * .aggMinmaxFirst]] recipe), high/low are plain extrema, all in ONE
+    * map-side-combinable aggregate: no window, no per-day sort, so a
+    * hot event type costs one combine chain, never a single-task sort.
+    * Values pass through UNTRANSFORMED (both engines pick the same stored
+    * double), so no rounding discipline is needed. */
+  def tsOhlc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    Tables.events(spark, sfDir)
+      .select($"event_type", unix_micros($"ts").as("us"), $"event_id", $"value")
+      .withColumn("day", expr(s"us div $dayUs"))
+      .groupBy($"event_type", $"day")
+      .agg(
+        min_by($"value", struct($"us", $"event_id")).as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max_by($"value", struct($"us", $"event_id")).as("close"),
+        count(lit(1)).as("n_events"))
+      .select($"event_type",
+        date_format(timestamp_micros($"day" * dayUs), "yyyy-MM-dd").as("day"),
+        $"open", $"high", $"low", $"close", $"n_events")
+      .orderBy($"event_type", $"day")
+  }
 }

@@ -1518,4 +1518,41 @@ object Similarity {
         sum($"cos").cast("decimal(18,6)").as("sum_cos"))
       .orderBy($"pair_class")
   }
+
+  /** Binary (sign-bit) embedding retrieval: each 64-float vector collapses
+    * to a 64-bit signature (bit i set iff component i > 0 — the 1-bit
+    * quantization every binary-embedding index uses for its 32× memory
+    * cut), and candidates rank by Hamming distance to the probe's
+    * signature. The signature packs as TWO 32-bit halves in BIGINTs so
+    * neither engine touches the sign bit of a full 64-bit shift; distance
+    * is `bit_count(xor)` per half — pure codegen'd integer ops.
+    *
+    * Scale shape: signatures compute map-side in the scan projection (the
+    * transform/aggregate lambda chain is whole-stage codegen'd), the probe
+    * is a broadcast 1-row frame, and top-k is a TakeOrdered heap — at
+    * index scale the 256-byte vectors reduce to 16 bytes each and ONLY
+    * the (vec_id, label, hamming) rows ever move. Ties rank by vec_id so
+    * the cut is deterministic. */
+  def simBinaryHamming(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // bit (i-start) of the half-signature is the sign of component i;
+    // Spark's transform lambda index is 0-based (DuckDB's is 1-based —
+    // the oracle shifts by i-1)
+    def sig(start: Int) = expr(
+      s"""aggregate(
+         |  transform(slice(embedding, $start, 32),
+         |    (x, i) -> IF(x > CAST(0 AS FLOAT),
+         |                 shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+         |  CAST(0 AS BIGINT), (a, b) -> a | b)""".stripMargin)
+    val sigs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", sig(1).as("sig_lo"), sig(33).as("sig_hi"))
+    val probe = broadcast(sigs.filter($"vec_id" === 0)
+      .select($"sig_lo".as("p_lo"), $"sig_hi".as("p_hi")))
+    sigs.crossJoin(probe)
+      .select($"vec_id", $"label",
+        (bit_count($"sig_lo".bitwiseXOR($"p_lo")) +
+          bit_count($"sig_hi".bitwiseXOR($"p_hi"))).cast("int").as("hamming"))
+      .orderBy($"hamming", $"vec_id")
+      .limit(50)
+  }
 }

@@ -505,7 +505,10 @@ class PlanSpec extends SparkSuite {
       // grid
       "agg_heavy_hitters", "sim_ivfpq_search", "sim_mrl_rerank",
       "sim_maxsim", "sim_rrf_fusion", "text_bm25", "profile_psi",
-      "text_tfidf", "ts_seasonal_baseline")
+      "text_tfidf", "ts_seasonal_baseline",
+      // binary-signature retrieval crossJoins the broadcast 1-row probe
+      // signature (sim_cosine_probe's shape, 16 bytes instead of a vector)
+      "sim_binary_hamming")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sfDir).queryExecution

@@ -132,4 +132,33 @@ class ResampleSpec extends SparkSuite {
     val byTemp = rows.sortBy(_._4).map(_._1).toSeq
     assert(byRaw == byTemp)
   }
+
+  test("ts_ohlc: candle invariants + naive replay of one day's extrema") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.Analytics.tsOhlc(spark, sfDir)
+      .as[(String, String, Double, Double, Double, Double, Long)]
+      .collect().toList
+    assert(got.nonEmpty)
+    // candle geometry: low <= {open, close} <= high, every day counted
+    got.foreach { case (et, day, o, h, l, c, n) =>
+      assert(l <= o && o <= h, s"$et $day open outside [low, high]")
+      assert(l <= c && c <= h, s"$et $day close outside [low, high]")
+      assert(n > 0)
+    }
+    // naive replay of the first candle from the raw events: sort that
+    // (type, day)'s rows by (us, event_id) and read the ends
+    val (et0, day0, o0, h0, l0, c0, n0) = got.head
+    val rows = graft.Tables.events(spark, sfDir)
+      .select($"event_type", expr("unix_micros(ts)").as("us"),
+        $"event_id", $"value")
+      .as[(String, Long, Long, Double)].collect()
+      .filter { case (et, us, _, _) =>
+        et == et0 && java.time.Instant.ofEpochSecond(0)
+          .plusMillis(us / 1000).toString.take(10) == day0 }
+      .sortBy { case (_, us, id, _) => (us, id) }
+    assert(rows.length.toLong == n0)
+    assert(rows.head._4 == o0 && rows.last._4 == c0)
+    assert(rows.map(_._4).max == h0 && rows.map(_._4).min == l0)
+  }
 }

@@ -727,4 +727,22 @@ class SimilaritySpec extends SparkSuite {
     // must appear in the fused output
     assert(got.exists(r => r._1 == 0 && r._3 == 1))
   }
+
+  test("sim_binary_hamming: distances re-derive from raw sign bits; self-hit first") {
+    import spark.implicits._
+    val got = Similarity.simBinaryHamming(spark, sfDir)
+      .as[(Long, Int, Int)].collect().toList
+    assert(got.head._1 == 0L && got.head._3 == 0, "probe must self-hit at distance 0")
+    assert(got == got.sortBy { case (id, _, h) => (h, id) }, "total order violated")
+    // independent re-derivation: recompute each emitted distance from the
+    // raw embeddings' sign bits (no packing, no bit tricks)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    val probeBits = emb(0L).map(_ > 0f)
+    got.foreach { case (id, _, h) =>
+      val want = emb(id).map(_ > 0f).zip(probeBits).count { case (a, b) => a != b }
+      assert(h == want, s"vec $id hamming $h != naive $want")
+    }
+  }
 }
