@@ -2310,6 +2310,33 @@ object Oracle {
         | CAST(SUM(CAST(round(v * exp(CAST(us - t_max AS DOUBLE) / 86400000000.0) * 1000000) AS BIGINT)) AS BIGINT) AS decay_u6
         |FROM ev, t GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // Mann-Kendall replay: exact integer pair-sign sum over the same
+    // µ-quantized values and strict-us pairs; tau and z are the same
+    // single IEEE expressions over exact ints on both sides.
+    "ts_mann_kendall" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+        |  CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS u6
+        |  FROM events),
+        |s AS (SELECT a.user_id,
+        |  CAST(SUM(CASE WHEN b.u6 > a.u6 THEN 1 WHEN b.u6 < a.u6 THEN -1
+        |           ELSE 0 END) AS BIGINT) AS s
+        |  FROM e a JOIN e b ON a.user_id = b.user_id AND a.us < b.us
+        |  GROUP BY 1),
+        |n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM e
+        |  GROUP BY 1 HAVING COUNT(*) >= 2),
+        |j AS (SELECT n.user_id, n.n, s.s,
+        |  CASE WHEN s.s = 0 THEN 0.0 ELSE
+        |    (s.s - sign(s.s)) / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5)
+        |      AS DOUBLE) / 18.0) END AS z
+        |  FROM n JOIN s ON n.user_id = s.user_id)
+        |SELECT user_id, n, s,
+        | CAST(round(CAST(s AS DOUBLE) / ((n * (n - 1)) / 2) * 1000000)
+        |   AS BIGINT) AS tau_u6,
+        | CAST(round(z * 1000000) AS BIGINT) AS z_u6,
+        | CASE WHEN z > 1.96 THEN 'up' WHEN z < -1.96 THEN 'down'
+        |      ELSE 'none' END AS trend
+        |FROM j ORDER BY user_id""".stripMargin,
+
     "ts_theilsen" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
         |  CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS u6
@@ -2571,6 +2598,44 @@ object Oracle {
         |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
         |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
         |FROM nodes GROUP BY 1 ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
+
+    // LPA replay: four unrolled synchronous rounds as MATERIALIZED CTEs
+    // (plain CTEs inline and the double-referenced label frame would
+    // expand exponentially — the embed_pca_power lesson); the per-node
+    // frequency argmax is rn=1 over (count DESC, label) — the same total
+    // order as the Spark min_by struct.
+    "graph_label_propagation" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey % 10 = 0),
+        |e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |d AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |r0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM d),
+        |r1 AS MATERIALIZED (SELECT src AS node, label FROM (
+        |  SELECT d.src, r.label, row_number() OVER (PARTITION BY d.src
+        |    ORDER BY COUNT(*) DESC, r.label) AS rn
+        |  FROM d JOIN r0 r ON r.node = d.dst GROUP BY d.src, r.label)
+        |  WHERE rn = 1),
+        |r2 AS MATERIALIZED (SELECT src AS node, label FROM (
+        |  SELECT d.src, r.label, row_number() OVER (PARTITION BY d.src
+        |    ORDER BY COUNT(*) DESC, r.label) AS rn
+        |  FROM d JOIN r1 r ON r.node = d.dst GROUP BY d.src, r.label)
+        |  WHERE rn = 1),
+        |r3 AS MATERIALIZED (SELECT src AS node, label FROM (
+        |  SELECT d.src, r.label, row_number() OVER (PARTITION BY d.src
+        |    ORDER BY COUNT(*) DESC, r.label) AS rn
+        |  FROM d JOIN r2 r ON r.node = d.dst GROUP BY d.src, r.label)
+        |  WHERE rn = 1),
+        |r4 AS MATERIALIZED (SELECT src AS node, label FROM (
+        |  SELECT d.src, r.label, row_number() OVER (PARTITION BY d.src
+        |    ORDER BY COUNT(*) DESC, r.label) AS rn
+        |  FROM d JOIN r3 r ON r.node = d.dst GROUP BY d.src, r.label)
+        |  WHERE rn = 1)
+        |SELECT label, COUNT(*) AS n_nodes,
+        | MIN(node) AS min_node, MAX(node) AS max_node
+        |FROM r4 GROUP BY label ORDER BY label""".stripMargin,
 
     "graph_common_neighbors" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
@@ -3088,6 +3153,18 @@ object Oracle {
         |SELECT lang, n_docs, target_n,
         | CAST(CAST(CAST(target_n AS DOUBLE) / n_docs AS DECIMAL(18,6)) AS DOUBLE) AS weight
         |FROM c, m ORDER BY lang""".stripMargin,
+
+    // Balanced downsample replay: k = the smallest class size (scalar
+    // CTE), selection is rn <= k over the same md5-hash total order the
+    // Spark bounded-heap operator uses.
+    "sample_balanced" ->
+      """WITH k AS (SELECT MIN(n) AS k FROM (
+        |  SELECT COUNT(*) AS n FROM embeddings GROUP BY label)),
+        |r AS (SELECT label, vec_id, row_number() OVER (PARTITION BY label
+        |  ORDER BY md5('bal|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |  FROM embeddings)
+        |SELECT r.label, r.vec_id FROM r, k WHERE r.rn <= k.k
+        |ORDER BY r.label, r.vec_id""".stripMargin,
 
     "sample_group_topk" ->
       """WITH r AS (SELECT lang, doc_id,

@@ -69,6 +69,7 @@ object SparkEntry {
     "text_ngram_novelty"  -> TextSim.textNgramNovelty _,
     "agg_weighted_median"    -> Analytics.aggWeightedMedian _,
     "ts_theilsen"            -> Analytics.tsTheilsen _,
+    "ts_mann_kendall"        -> Analytics.tsMannKendall _,
     "ts_quota_reset"         -> Analytics.tsQuotaReset _,
     "ts_decay_sum"           -> Analytics.tsDecaySum _,
     "ts_ohlc"                -> Analytics.tsOhlc _,
@@ -201,6 +202,7 @@ object SparkEntry {
     "graph_triangle_count" -> Analytics.graphTriangleCount _,
     "graph_pagerank"    -> Analytics.graphPagerank _,
     "graph_common_neighbors" -> Analytics.graphCommonNeighbors _,
+    "graph_label_propagation" -> Analytics.graphLabelPropagation _,
     "path_transitions"  -> Analytics.pathTransitions _,
     "ts_ewma"           -> Analytics.tsEwma _,
     "ts_resample"       -> Analytics.tsResample _,
@@ -305,6 +307,7 @@ object SparkEntry {
     "join_null_safe"        -> Relational.joinNullSafe _,
     "agg_percentile_disc"   -> Relational.aggPercentileDisc _,
     "sample_group_topk"   -> Curation.sampleGroupTopk _,
+    "sample_balanced"     -> Curation.sampleBalanced _,
     "split_train_holdout" -> Curation.splitTrainHoldout _,
     "pack_sequences"      -> Curation.packSequences _,
     "text_decontaminate"  -> Curation.textDecontaminate _,

@@ -979,6 +979,81 @@ object Analytics {
       .orderBy($"l_returnflag")
   }
 
+  /** Community detection by synchronous label propagation (LPA) over the
+    * part co-occurrence graph: every node starts as its own label, and
+    * for FOUR fixed rounds each node adopts the most frequent label among
+    * its neighbors (minimum label on frequency ties — the tiebreak that
+    * makes classic LPA, which is tie-random, deterministic and therefore
+    * oracle-able). Output is the community census after round 4.
+    *
+    * Scale shape: each round is one equi-join (edges ⋈ labels on the
+    * endpoint) + two map-side-combinable aggregates — the same
+    * vertex-bounded iteration budget as [[Similarity.dedupCluster]]'s
+    * fixpoint, but with a FIXED round count, so the plan depth is static
+    * and no convergence check runs. The directed edge frame materializes
+    * once (localCheckpoint) for its five consumers; per-round label
+    * frames stay in-plan (4 rounds of join+agg is a shallow tree). The
+    * frequency argmax is a min_by over the (-count, label) struct —
+    * never a per-node sort. */
+  def graphLabelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = coOccurrenceEdges(spark, sfDir)
+    val dir = e.select($"u".as("src"), $"v".as("dst"))
+      .unionAll(e.select($"v".as("src"), $"u".as("dst")))
+      .localCheckpoint()
+    var labels = dir.select($"src".as("node")).distinct()
+      .withColumn("label", $"node")
+    for (_ <- 1 to 4) {
+      labels = dir.join(labels, dir("dst") === labels("node"))
+        .groupBy($"src", $"label").agg(count(lit(1)).as("c"))
+        .groupBy($"src")
+        .agg(min_by($"label",
+          struct((-$"c").as("negc"), $"label".as("l"))).as("label"))
+        .withColumnRenamed("src", "node")
+    }
+    labels.groupBy($"label")
+      .agg(count(lit(1)).as("n_nodes"),
+        min($"node").as("min_node"), max($"node").as("max_node"))
+      .orderBy($"label")
+  }
+
+  /** Mann-Kendall trend test per user — the nonparametric companion to
+    * [[tsTheilsen]]'s slope (same pair frame, same co-located join): S is
+    * the EXACT integer sum of pair signs (the µ-quantized values make
+    * sign ties well-defined), Kendall's tau is S over the pair count, and
+    * the normal-approximation z (no tie correction) classifies the trend
+    * at |z| > 1.96. All engine-identical: integer S and counts, then
+    * single fixed IEEE expressions. The pair frame never shuffles
+    * (theilsen's in-plan REPARTITION_BY_NUM recipe — pairs are generated
+    * and aggregated inside the user_id partitioning). */
+  def tsMannKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", expr("unix_micros(ts)").as("us"),
+        round($"value".cast("double") * 1e6).cast("long").as("u6"))
+      .repartition(spark.sparkContext.defaultParallelism, col("user_id"))
+    val s = ev.as("a").join(ev.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.us" < $"b.us")
+      .select($"a.user_id".as("user_id"),
+        when($"b.u6" > $"a.u6", 1L).when($"b.u6" < $"a.u6", -1L)
+          .otherwise(0L).as("sgn"))
+      .groupBy($"user_id").agg(sum($"sgn").as("s"))
+    val n = ev.groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2)
+    n.join(s, Seq("user_id"))
+      .withColumn("n_pairs", ($"n" * ($"n" - 1)) / 2)
+      .withColumn("z",
+        when($"s" === 0, lit(0.0)).otherwise(
+          ($"s" - signum($"s")).cast("double") /
+            sqrt(($"n" * ($"n" - 1) * ($"n" * 2 + 5)).cast("double") / 18.0)))
+      .select($"user_id", $"n", $"s",
+        round($"s".cast("double") / $"n_pairs" * 1e6).cast("long").as("tau_u6"),
+        round($"z" * 1e6).cast("long").as("z_u6"),
+        when($"z" > 1.96, "up").when($"z" < -1.96, "down")
+          .otherwise("none").as("trend"))
+      .orderBy($"user_id")
+  }
+
   /** Daily OHLC (open-high-low-close) candles per event type — the
     * canonical time-series downsample for metric dashboards. Open/close
     * are arg-extrema over the (µs, event_id) struct (the total order that

@@ -126,6 +126,31 @@ object Curation {
       .orderBy($"lang", $"rk")
   }
 
+  /** Class-balanced downsample: every label keeps EXACTLY k rows, k = the
+    * smallest class's size, selected in deterministic md5-hash order (the
+    * hash makes the draw pseudo-random but rerun-stable; vec_id breaks
+    * hash ties) — the rebalancing step before training on skewed labels.
+    *
+    * Scale shape: k is a 1-row scalar aggregate collected into the plan
+    * as a literal (the broadcast-scalar pattern), and the per-label
+    * selection runs on the library's bounded-heap [[org.apache.spark.sql
+    * .graft.TopKPerKey]] operator — each task keeps a k-row heap per
+    * label, so NO per-label sort ever materializes and a hot label costs
+    * heap updates, not a single-task sort of its whole class. */
+  def sampleBalanced(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    org.apache.spark.sql.graft.TopK.register(spark)
+    val e = Tables.embeddings(spark, sfDir).select($"vec_id", $"label")
+    val k = e.groupBy($"label").agg(count(lit(1)).as("n"))
+      .agg(min($"n")).as[Long].head().toInt
+    val hashed = e.withColumn("h",
+      md5(concat(lit("bal|"), $"vec_id".cast("string"))))
+    org.apache.spark.sql.graft.TopK
+      .perKey(hashed, $"label", k, $"h".asc, $"vec_id".asc)
+      .select($"label", $"vec_id")
+      .orderBy($"label", $"vec_id")
+  }
+
   /** Train/valid/test split assignment by hash bucket (12/2/2 of 16): the
     * split is a pure function of doc_id, so it is stable under reruns,
     * repartitioning, and corpus growth — the property that makes held-out

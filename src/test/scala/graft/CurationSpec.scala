@@ -178,4 +178,24 @@ class CurationSpec extends SparkSuite {
       }
     }
   }
+
+  test("sample_balanced: every class at exactly min-class size, md5-order replay") {
+    import spark.implicits._
+    val got = graft.ops.Curation.sampleBalanced(spark, sfDir)
+      .as[(Int, Long)].collect().toList
+    val all = graft.Tables.embeddings(spark, sfDir)
+      .select($"label", $"vec_id").as[(Int, Long)].collect().toList
+    val k = all.groupBy(_._1).values.map(_.size).min
+    // exact balance: every label keeps exactly k rows
+    val counts = got.groupBy(_._1).map { case (l, xs) => (l, xs.size) }
+    assert(counts.values.forall(_ == k), s"unbalanced: $counts (k=$k)")
+    // selection replay: first k per label in (md5("bal|" + id), id) order
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = all.groupBy(_._1).toList.flatMap { case (l, xs) =>
+      xs.map(_._2).sortBy(id => (md5hex(s"bal|$id"), id)).take(k).map((l, _))
+    }.sorted
+    assert(got.sorted == want)
+  }
 }

@@ -167,4 +167,62 @@ class RobustGraphSpec extends SparkSuite {
       (3L, 2L, 0.166667, 0.666667),
       (4L, 2L, 0.166667, 0.666667)))
   }
+
+  test("graph_label_propagation: 4 synchronous rounds by hand, then a naive replay") {
+    // fixture graph: triangle {1,2,3} + pendant 3-4. By hand (mode of
+    // neighbor labels, min on ties): r1 = (1→2, 2→1, 3→1, 4→3),
+    // r2 = (1→1, 2→1, 3→1, 4→1), r3 = r4 = all 1 — one community.
+    val got = Analytics.graphLabelPropagation(spark, graphDir)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got == List((1L, 4L, 1L, 4L)))
+
+    // naive replay on the real sf data: synchronous rounds over an
+    // adjacency map, no DataFrames
+    val edges = graft.Tables.lineitem(spark, sfDir)
+      .filter($"l_orderkey" % 10 === 0)
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+      .groupBy(_._1).values.flatMap { rows =>
+        val ps = rows.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+      }.toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var lab: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 4) lab = adj.map { case (n, nbrs) =>
+      val freq = nbrs.groupBy(lab).map { case (l, xs) => (l, xs.size) }
+      n -> freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+    }
+    val want = lab.groupBy(_._2).map { case (l, m) =>
+      (l, m.size.toLong, m.keys.min, m.keys.max)
+    }.toList.sortBy(_._1)
+    val gotSf = Analytics.graphLabelPropagation(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(gotSf == want)
+  }
+
+  test("ts_mann_kendall: S, tau and z re-derive from a naive pair scan") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select($"user_id", expr("unix_micros(ts)").as("us"),
+        round($"value".cast("double") * 1e6).cast("long").as("u6"))
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val got = Analytics.tsMannKendall(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toList
+    assert(got.nonEmpty)
+    got.foreach { case (uid, n, s, tau6, z6, trend) =>
+      val rows = ev(uid)
+      assert(n == rows.length.toLong)
+      val ss = (for {
+        a <- rows; b <- rows if a._2 < b._2
+      } yield java.lang.Long.signum(b._3 - a._3).toLong).sum
+      assert(s == ss, s"user $uid S $s != naive $ss")
+      assert(tau6 >= -1000000L && tau6 <= 1000000L)
+      val np = n * (n - 1) / 2.0
+      assert(tau6 == math.round(s / np * 1e6))
+      val z = if (s == 0) 0.0
+        else (s - math.signum(s.toDouble)) /
+          math.sqrt(n * (n - 1) * (2 * n + 5) / 18.0)
+      assert(z6 == math.round(z * 1e6), s"user $uid z mismatch")
+      assert(trend == (if (z > 1.96) "up" else if (z < -1.96) "down" else "none"))
+    }
+  }
 }
