@@ -1562,6 +1562,21 @@ object Oracle {
          |SELECT id_a, id_b, jaccard FROM jpairs WHERE jaccard >= 0.1
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // Threshold sweep: conditional sums per VALUES-list threshold over the
+    // same jpairs frame; the decimal->double jaccard promotes to identical
+    // doubles on both sides, and th/100.0 is the same double literal.
+    "sim_threshold_sweep" ->
+      s"""WITH $jaccardCtes,
+         |t(th) AS (VALUES (10), (20), (30), (40), (50), (60), (70), (80), (90))
+         |SELECT t.th AS threshold_pct,
+         | CAST(COALESCE(SUM(CASE WHEN j.jaccard >= t.th / 100.0
+         |   THEN 1 END), 0) AS BIGINT) AS n_pairs,
+         | CAST(CAST(COALESCE(SUM(CASE WHEN j.jaccard >= t.th / 100.0
+         |   THEN CAST(j.jaccard AS DECIMAL(18,6)) END), 0) AS DECIMAL(18,6))
+         |   AS DOUBLE) AS jaccard_mass
+         |FROM t CROSS JOIN jpairs j
+         |GROUP BY t.th ORDER BY t.th""".stripMargin,
+
     "sim_ivf_probe" ->
       s"""WITH $ivfCtes,
          |probe AS (SELECT v AS p, cell AS pcell FROM assigned WHERE vec_id = 0)
@@ -2277,6 +2292,33 @@ object Oracle {
         | CAST(SUM(CASE WHEN u6 < lo THEN lo WHEN u6 > hi THEN hi ELSE u6 END) AS BIGINT) AS sum_clipped_u6
         |FROM ev JOIN bd ON ev.event_type = bd.event_type
         |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin,
+
+    // Naive-STL decomposition: the whole chain in integer µ-units — the
+    // window SUM is over longs (order-independent; double window sums
+    // diverge between Spark's frame walk and DuckDB's segment tree),
+    // weekday is epoch-day % 7 (no engine dayofweek convention).
+    "ts_decompose" ->
+      """WITH daily AS (SELECT event_type,
+        |  epoch_us(ts) // 86400000000 AS day,
+        |  CAST(round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    / COUNT(*) * 1000000) AS BIGINT) AS mean_u6
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (SELECT event_type, day, mean_u6,
+        |  CAST(round(CAST(SUM(mean_u6) OVER w AS DOUBLE)
+        |    / COUNT(*) OVER w) AS BIGINT) AS trend_u6,
+        |  CAST(day % 7 AS INT) AS wd
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |se AS (SELECT event_type, wd,
+        |  CAST(round(CAST(SUM(mean_u6 - trend_u6) AS DOUBLE) / COUNT(*))
+        |    AS BIGINT) AS seasonal_u6
+        |  FROM tr GROUP BY 1, 2)
+        |SELECT tr.event_type,
+        | strftime(make_timestamp(tr.day * 86400000000), '%Y-%m-%d') AS day,
+        | tr.mean_u6, tr.trend_u6, se.seasonal_u6,
+        | tr.mean_u6 - tr.trend_u6 - se.seasonal_u6 AS resid_u6
+        |FROM tr JOIN se ON tr.event_type = se.event_type AND tr.wd = se.wd
+        |ORDER BY tr.event_type, day""".stripMargin,
 
     // OHLC candles: open/close replayed as rn=1 picks over the same
     // (us, event_id) total order the Spark arg-extrema use; values pass

@@ -73,6 +73,7 @@ object SparkEntry {
     "ts_quota_reset"         -> Analytics.tsQuotaReset _,
     "ts_decay_sum"           -> Analytics.tsDecaySum _,
     "ts_ohlc"                -> Analytics.tsOhlc _,
+    "ts_decompose"           -> Analytics.tsDecompose _,
     "ts_winsorize"           -> Analytics.tsWinsorize _,
     "ts_anomaly_spc"         -> Analytics.tsAnomalySpc _,
     "win_rolling_zscore"     -> Windows.winRollingZscore _,
@@ -265,6 +266,7 @@ object SparkEntry {
     "sample_kcenter"       -> Similarity.sampleKcenter _,
     "sim_maxsim"           -> Similarity.simMaxsim _,
     "sim_binary_hamming"   -> Similarity.simBinaryHamming _,
+    "sim_threshold_sweep"  -> Similarity.simThresholdSweep _,
     "sim_rrf_fusion"       -> Similarity.simRrfFusion _,
     "scan_jdbc_partitioned" -> Sources.scanJdbcPartitioned _,
     "scan_nested_prune"    -> Sources.scanNestedPrune _,

@@ -1054,6 +1054,46 @@ object Analytics {
       .orderBy($"user_id")
   }
 
+  /** Classical seasonal decomposition (naive STL) of the per-type daily
+    * value series: trend = 7-day centered moving average, seasonal = mean
+    * residual per weekday, residual = the rest. The whole chain runs in
+    * EXACT integer µ-units — daily means are µ-snapped to longs, the
+    * moving average is an integer window SUM (order-independent; a double
+    * window sum would be frame-walk-order dependent and DuckDB's segment
+    * tree walks differently) divided once, and weekday is epoch-day % 7
+    * (no engine dayofweek convention involved). The corpus reduces to
+    * (type × day) rows in the FIRST map-side-combinable aggregate; every
+    * window after that runs on that tiny frame, partitioned by type. */
+  def tsDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400000000L
+    val daily = Tables.events(spark, sfDir)
+      .select($"event_type", expr(s"unix_micros(ts) div $dayUs").as("day"),
+        $"value".cast("decimal(18,6)").as("v"))
+      .groupBy($"event_type", $"day")
+      .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+      .select($"event_type", $"day",
+        round($"sv".cast("double") / $"n" * 1e6).cast("long").as("mean_u6"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend_u6",
+        round(sum($"mean_u6").over(w).cast("double") /
+          count(lit(1)).over(w)).cast("long"))
+      .withColumn("wd", ($"day" % 7).cast("int"))
+    val seasonal = trended
+      .groupBy($"event_type", $"wd")
+      .agg(round(sum($"mean_u6" - $"trend_u6").cast("double") /
+        count(lit(1))).cast("long").as("seasonal_u6"))
+    trended.join(seasonal, Seq("event_type", "wd"))
+      .select($"event_type",
+        date_format(timestamp_micros($"day" * dayUs), "yyyy-MM-dd").as("day"),
+        $"mean_u6", $"trend_u6", $"seasonal_u6",
+        ($"mean_u6" - $"trend_u6" - $"seasonal_u6").as("resid_u6"))
+      .orderBy($"event_type", $"day")
+  }
+
   /** Daily OHLC (open-high-low-close) candles per event type — the
     * canonical time-series downsample for metric dashboards. Open/close
     * are arg-extrema over the (µs, event_id) struct (the total order that

@@ -1519,6 +1519,36 @@ object Similarity {
       .orderBy($"pair_class")
   }
 
+  /** Near-dup threshold calibration sweep — the tuning curve every dedup
+    * rollout reads before picking its cut: for each candidate Jaccard
+    * threshold (10%..90%), how many candidate pairs survive and how much
+    * exact-Jaccard mass they carry. ONE pass over the shared [[gramPairs]]
+    * candidate aggregate (the same plan-keyed cache the declared jaccard/
+    * containment/recall queries hit), folded into a single 1-row aggregate
+    * of 18 conditional sums, then stacked to one row per threshold — the
+    * pair frame is never replicated per threshold, and nothing rescans
+    * the corpus. Threshold compares run on the exact decimal scores
+    * promoted to identical doubles in both engines. */
+  def simThresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ths = Seq(10, 20, 30, 40, 50, 60, 70, 80, 90)
+    val pairs = gramPairs(Tables.documents(spark, sfDir), GramDfCap)
+      .select(($"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+        .cast("decimal(18,6)").as("jaccard"))
+    val aggs = ths.flatMap { t =>
+      val cond = $"jaccard" >= lit(t / 100.0)
+      Seq(
+        coalesce(sum(when(cond, 1L)), lit(0L)).as(s"n_$t"),
+        coalesce(sum(when(cond, $"jaccard")), lit(0).cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as(s"m_$t"))
+    }
+    pairs.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${ths.length}, " +
+        ths.map(t => s"$t, n_$t, m_$t").mkString(", ") +
+        ") AS (threshold_pct, n_pairs, jaccard_mass)"))
+      .orderBy($"threshold_pct")
+  }
+
   /** Binary (sign-bit) embedding retrieval: each 64-float vector collapses
     * to a 64-bit signature (bit i set iff component i > 0 — the 1-bit
     * quantization every binary-embedding index uses for its 32× memory

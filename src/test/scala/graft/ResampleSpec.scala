@@ -133,6 +133,45 @@ class ResampleSpec extends SparkSuite {
     assert(byRaw == byTemp)
   }
 
+  test("ts_decompose: additive identity + naive trend/seasonal replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.Analytics.tsDecompose(spark, sfDir)
+      .as[(String, String, Long, Long, Long, Long)].collect().toList
+    assert(got.nonEmpty)
+    // the decomposition is additive BY CONSTRUCTION — pin it anyway so a
+    // refactor can't break the contract
+    got.foreach { case (et, day, m, t, s, r) =>
+      assert(m == t + s + r, s"$et $day: mean != trend+seasonal+resid")
+    }
+    // naive replay per type: centered 7-day window means over the daily
+    // series, then weekday-mean seasonals. NB: Scala's math.round is
+    // half-toward-+inf; Spark/DuckDB round is half-AWAY-FROM-ZERO, and
+    // seasonal residual means go negative — replay with HALF_UP.
+    def rnd(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val daily = got.groupBy(_._1)
+    daily.foreach { case (et, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val means = sorted.map(_._3)
+      sorted.zipWithIndex.foreach { case ((_, day, _, trend, _, _), i) =>
+        val lo = math.max(0, i - 3)
+        val hi = math.min(means.length - 1, i + 3)
+        val win = means.slice(lo, hi + 1)
+        val want = rnd(win.sum.toDouble / win.length)
+        assert(trend == want, s"$et $day trend $trend != naive $want")
+      }
+      // seasonal: mean of (mean - trend) per epoch-weekday
+      val epochDay = sorted.map(r => java.time.LocalDate.parse(r._2).toEpochDay)
+      val byWd = sorted.zip(epochDay).groupBy { case (_, d) => d % 7 }
+      byWd.foreach { case (_, xs) =>
+        val res = xs.map { case (r, _) => r._3 - r._4 }
+        val want = rnd(res.sum.toDouble / res.length)
+        assert(xs.forall(_._1._5 == want), s"$et seasonal mismatch")
+      }
+    }
+  }
+
   test("ts_ohlc: candle invariants + naive replay of one day's extrema") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

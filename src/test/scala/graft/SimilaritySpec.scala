@@ -728,6 +728,24 @@ class SimilaritySpec extends SparkSuite {
     assert(got.exists(r => r._1 == 0 && r._3 == 1))
   }
 
+  test("sim_threshold_sweep: monotone curve, 10%-point equals the declared jaccard query") {
+    val rows = Similarity.simThresholdSweep(spark, sfDir)
+      .withColumn("jaccard_mass", $"jaccard_mass".cast("double"))
+      .as[(Int, Long, Double)].collect().toList
+    assert(rows.map(_._1) == List(10, 20, 30, 40, 50, 60, 70, 80, 90))
+    // survivors and mass can only shrink as the threshold rises
+    rows.sliding(2).foreach { case List(a, b) =>
+      assert(a._2 >= b._2, s"n_pairs not monotone at ${b._1}")
+      assert(a._3 >= b._3 - 1e-9, s"mass not monotone at ${b._1}")
+    }
+    // the 10% point IS dedup_ngram_jaccard's output, counted
+    val declared = Similarity.dedupNgramJaccard(spark, sfDir).count()
+    assert(rows.head._2 == declared,
+      s"sweep@10 ${rows.head._2} != dedup_ngram_jaccard $declared")
+    // jaccard <= 1 per pair, so mass is bounded by the pair count
+    rows.foreach { case (t, n, m) => assert(m <= n + 1e-9, s"mass > n at $t") }
+  }
+
   test("sim_binary_hamming: distances re-derive from raw sign bits; self-hit first") {
     import spark.implicits._
     val got = Similarity.simBinaryHamming(spark, sfDir)
