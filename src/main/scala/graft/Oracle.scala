@@ -1562,6 +1562,23 @@ object Oracle {
          |SELECT id_a, id_b, jaccard FROM jpairs WHERE jaccard >= 0.1
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // Cluster purity: majority label per IVF cell replayed as rn=1 over
+    // (count DESC, label) — the same total order as the Spark min_by.
+    "embed_cluster_purity" ->
+      s"""WITH $ivfCtes,
+         |lab AS (SELECT a.vec_id, a.cell, e.label
+         |  FROM assigned a JOIN ex e ON a.vec_id = e.vec_id),
+         |cnt AS (SELECT cell, label, COUNT(*) AS c FROM lab GROUP BY 1, 2),
+         |agg AS (SELECT cell, CAST(SUM(c) AS BIGINT) AS n,
+         |  CAST(MAX(c) AS BIGINT) AS maj_n FROM cnt GROUP BY 1),
+         |mj AS (SELECT cell, label AS maj_label FROM (
+         |  SELECT cell, label, row_number() OVER (PARTITION BY cell
+         |    ORDER BY c DESC, label) AS rn FROM cnt) WHERE rn = 1)
+         |SELECT a.cell, a.n, m.maj_label, a.maj_n,
+         | CAST(round(CAST(a.maj_n AS DOUBLE) / a.n * 1000000) AS BIGINT)
+         |   AS purity_u6
+         |FROM agg a JOIN mj m ON a.cell = m.cell ORDER BY a.cell""".stripMargin,
+
     // Threshold sweep: conditional sums per VALUES-list threshold over the
     // same jpairs frame; the decimal->double jaccard promotes to identical
     // doubles on both sides, and th/100.0 is the same double literal.
@@ -2292,6 +2309,25 @@ object Oracle {
         | CAST(SUM(CASE WHEN u6 < lo THEN lo WHEN u6 > hi THEN hi ELSE u6 END) AS BIGINT) AS sum_clipped_u6
         |FROM ev JOIN bd ON ev.event_type = bd.event_type
         |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin,
+
+    // Log-linear histogram: the bucket is digit-count + leading digit of
+    // the exact µ-unit integer — string/integer ops only, no libm floor.
+    "agg_log_histogram" ->
+      """WITH b AS (SELECT event_type,
+        |  CAST(length(CAST(CAST(round(CAST(value AS DOUBLE) * 1000000)
+        |    AS BIGINT) AS VARCHAR)) - 1 AS INT) AS magnitude,
+        |  CAST(substring(CAST(CAST(round(CAST(value AS DOUBLE) * 1000000)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS lead
+        |  FROM events WHERE value > 0),
+        |g AS (SELECT event_type, magnitude, lead, COUNT(*) AS n
+        |  FROM b GROUP BY 1, 2, 3)
+        |SELECT event_type, magnitude, lead, CAST(n AS BIGINT) AS n,
+        | CAST(round(CAST(SUM(n) OVER (PARTITION BY event_type
+        |     ORDER BY magnitude, lead
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   / SUM(n) OVER (PARTITION BY event_type) * 1000000) AS BIGINT)
+        |   AS cum_share_u6
+        |FROM g ORDER BY event_type, magnitude, lead""".stripMargin,
 
     // Naive-STL decomposition: the whole chain in integer µ-units — the
     // window SUM is over longs (order-independent; double window sums

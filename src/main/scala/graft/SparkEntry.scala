@@ -74,6 +74,7 @@ object SparkEntry {
     "ts_decay_sum"           -> Analytics.tsDecaySum _,
     "ts_ohlc"                -> Analytics.tsOhlc _,
     "ts_decompose"           -> Analytics.tsDecompose _,
+    "agg_log_histogram"      -> Analytics.aggLogHistogram _,
     "ts_winsorize"           -> Analytics.tsWinsorize _,
     "ts_anomaly_spc"         -> Analytics.tsAnomalySpc _,
     "win_rolling_zscore"     -> Windows.winRollingZscore _,
@@ -267,6 +268,7 @@ object SparkEntry {
     "sim_maxsim"           -> Similarity.simMaxsim _,
     "sim_binary_hamming"   -> Similarity.simBinaryHamming _,
     "sim_threshold_sweep"  -> Similarity.simThresholdSweep _,
+    "embed_cluster_purity" -> Similarity.embedClusterPurity _,
     "sim_rrf_fusion"       -> Similarity.simRrfFusion _,
     "scan_jdbc_partitioned" -> Sources.scanJdbcPartitioned _,
     "scan_nested_prune"    -> Sources.scanNestedPrune _,

@@ -1054,6 +1054,44 @@ object Analytics {
       .orderBy($"user_id")
   }
 
+  /** Log-scale (decimal magnitude × leading digit) value histogram per
+    * event type with cumulative shares — HdrHistogram-style log-linear
+    * binning for latency/value telemetry, done WITHOUT libm: values fix
+    * to exact integer µ-units, the magnitude is the digit count of that
+    * integer and the sub-bucket its leading digit — pure string/integer
+    * ops, so the bucket of every row is bit-identical in any engine
+    * (a log2/log10 float bucketing can flip floor() at power boundaries
+    * between libm implementations). Buckets grow logarithmically with
+    * range like the float version, but the mapping is exact.
+    *
+    * Scale: one map pass + a map-side-combinable (type, magnitude, digit)
+    * count; the cumulative window runs over the ≤ types×buckets aggregate,
+    * never the corpus. */
+  def aggLogHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val m = round($"value".cast("double") * 1e6).cast("long")
+    val binned = Tables.events(spark, sfDir)
+      .filter($"value" > 0)
+      .select($"event_type", m.as("m"))
+      .select($"event_type",
+        (length($"m".cast("string")) - 1).cast("int").as("magnitude"),
+        substring($"m".cast("string"), 1, 1).cast("int").as("lead"))
+      .groupBy($"event_type", $"magnitude", $"lead")
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy($"event_type")
+    val cum = Window.partitionBy($"event_type")
+      .orderBy($"magnitude", $"lead")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("cum_n", sum($"n").over(cum))
+      .withColumn("tot", sum($"n").over(byType))
+      .select($"event_type", $"magnitude", $"lead", $"n",
+        round($"cum_n".cast("double") / $"tot" * 1e6).cast("long")
+          .as("cum_share_u6"))
+      .orderBy($"event_type", $"magnitude", $"lead")
+  }
+
   /** Classical seasonal decomposition (naive STL) of the per-type daily
     * value series: trend = 7-day centered moving average, seasonal = mean
     * residual per weekday, residual = the rest. The whole chain runs in

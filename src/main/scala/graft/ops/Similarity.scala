@@ -1519,6 +1519,35 @@ object Similarity {
       .orderBy($"pair_class")
   }
 
+  /** Clustering-quality evaluation: label purity per IVF cell — for each
+    * coarse cell of the shared [[ivfAssigned]] quantizer, the majority
+    * true label (min label on count ties — deterministic), its count, and
+    * the purity share. The metric every embedding-space clustering ships
+    * with before anyone trusts the cells for SemDeDup-style pruning.
+    *
+    * Scale shape: assignment is the shared one-map-pass quantizer; purity
+    * is two map-side-combinable aggregates over (cell, label) counts —
+    * the corpus reduces to ≤ cells × labels rows immediately, and the
+    * majority pick is a min_by over the (-count, label) struct, never a
+    * per-cell sort. */
+  def embedClusterPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", vecd($"embedding").as("v"))
+    val assigned = ivfAssigned(e).select($"vec_id", $"cell")
+    val counts = assigned.join(e.select($"vec_id", $"label"), Seq("vec_id"))
+      .groupBy($"cell", $"label").agg(count(lit(1)).as("c"))
+    val maj = counts.groupBy($"cell")
+      .agg(sum($"c").as("n"),
+        min_by($"label", struct((-$"c").as("nc"), $"label".as("l")))
+          .as("maj_label"),
+        max($"c").as("maj_n"))
+    maj.select($"cell", $"n", $"maj_label", $"maj_n",
+      round($"maj_n".cast("double") / $"n" * 1e6).cast("long").as("purity_u6"))
+      .orderBy($"cell")
+  }
+
   /** Near-dup threshold calibration sweep — the tuning curve every dedup
     * rollout reads before picking its cut: for each candidate Jaccard
     * threshold (10%..90%), how many candidate pairs survive and how much

@@ -508,7 +508,10 @@ class PlanSpec extends SparkSuite {
       "text_tfidf", "ts_seasonal_baseline",
       // binary-signature retrieval crossJoins the broadcast 1-row probe
       // signature (sim_cosine_probe's shape, 16 bytes instead of a vector)
-      "sim_binary_hamming")
+      "sim_binary_hamming",
+      // purity inherits ivfAssigned's crossJoin vs the broadcast centroid
+      // set (the sim_ivf_probe / dedup_semantic shape)
+      "embed_cluster_purity")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sfDir).queryExecution

@@ -133,6 +133,30 @@ class ResampleSpec extends SparkSuite {
     assert(byRaw == byTemp)
   }
 
+  test("agg_log_histogram: exact digit-buckets replay, cumulative shares end at 1e6") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.Analytics.aggLogHistogram(spark, sfDir)
+      .as[(String, Int, Int, Long, Long)].collect().toList
+    // naive replay: bucket each raw value by digit-count + leading digit
+    // of its exact µ-unit integer
+    val raw = graft.Tables.events(spark, sfDir)
+      .filter($"value" > 0).select($"event_type", $"value")
+      .as[(String, Double)].collect()
+    val want = raw.groupBy { case (et, v) =>
+      val m = BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong.toString
+      (et, m.length - 1, m.head.asDigit)
+    }.map { case ((et, mag, lead), xs) => ((et, mag, lead), xs.length.toLong) }
+    assert(got.map(r => ((r._1, r._2, r._3), r._4)).toMap == want)
+    // per type: counts sum to the type total and the last cum share is 1e6
+    got.groupBy(_._1).foreach { case (et, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      assert(ordered.last._5 == 1000000L, s"$et cum share does not end at 1e6")
+      assert(ordered.map(_._5) == ordered.map(_._5).sorted, s"$et cum not monotone")
+    }
+  }
+
   test("ts_decompose: additive identity + naive trend/seasonal replay") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -728,6 +728,29 @@ class SimilaritySpec extends SparkSuite {
     assert(got.exists(r => r._1 == 0 && r._3 == 1))
   }
 
+  test("embed_cluster_purity: naive replay over the shared quantizer assignment") {
+    import org.apache.spark.sql.functions._
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    val assigned = Similarity.ivfAssigned(e).select($"vec_id", $"cell")
+      .as[(Long, Int)].collect().toMap
+    val labels = e.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val byCell = labels.keys.groupBy(assigned)
+    val want = byCell.map { case (cell, ids) =>
+      val freq = ids.groupBy(labels).map { case (l, xs) => (l, xs.size) }
+      val (majL, majN) = freq.toSeq.minBy { case (l, c) => (-c, l) }
+      (cell, ids.size.toLong, majL, majN.toLong,
+        BigDecimal(majN.toDouble / ids.size * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }.toList.sortBy(_._1)
+    val got = Similarity.embedClusterPurity(spark, sfDir)
+      .as[(Int, Long, Int, Long, Long)].collect().toList
+    assert(got == want)
+    // every vector is in exactly one cell
+    assert(got.map(_._2).sum == labels.size.toLong)
+  }
+
   test("sim_threshold_sweep: monotone curve, 10%-point equals the declared jaccard query") {
     val rows = Similarity.simThresholdSweep(spark, sfDir)
       .withColumn("jaccard_mass", $"jaccard_mass".cast("double"))
