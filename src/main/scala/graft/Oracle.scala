@@ -2856,6 +2856,48 @@ object Oracle {
         | (frame[(len(frame) + 1) // 2] + frame[len(frame) // 2 + 1]) / 2.0 AS med7
         |FROM f ORDER BY user_id, event_id""".stripMargin,
 
+    // Zipf fit replay: same µ-quantized (ln rank, ln freq) points, exact
+    // HUGEINT moments (Spark uses DECIMAL(38,0) — same exact integers),
+    // identical IEEE slope/intercept expressions.
+    "text_zipf_fit" ->
+      s"""WITH tf AS (SELECT tok, COUNT(*) AS freq FROM (
+         |  SELECT unnest($toksExpr) AS tok FROM documents) GROUP BY 1),
+         |r AS (SELECT freq,
+         |  row_number() OVER (ORDER BY freq DESC, tok) AS rank FROM tf),
+         |p AS (SELECT CAST(round(ln(rank) * 1e6) AS BIGINT) AS x6,
+         |  CAST(round(ln(freq) * 1e6) AS BIGINT) AS y6, freq FROM r),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(freq) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(x6) AS BIGINT) AS sx, CAST(SUM(y6) AS BIGINT) AS sy,
+         |  SUM(CAST(x6 AS HUGEINT) * y6) AS sxy,
+         |  SUM(CAST(x6 AS HUGEINT) * x6) AS sxx FROM p)
+         |SELECT n AS n_vocab, n_tokens,
+         | CAST(round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         |   / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) * 1e6)
+         |   AS BIGINT) AS slope_u6,
+         | CAST(round((CAST(sy AS DOUBLE)
+         |   - CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         |     / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+         |     * CAST(sx AS DOUBLE)) / n) AS BIGINT) AS intercept_lnfreq_u6
+         |FROM m""".stripMargin,
+
+    // Burstiness replay: zeros enter through the closed form — only
+    // (word, doc) rows with counts exist on either side.
+    "text_burstiness" ->
+      s"""WITH cd AS (SELECT tok, doc_id, COUNT(*) AS c FROM (
+         |  SELECT doc_id, unnest($toksExpr) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |st AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+         |  CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS ss
+         |  FROM cd GROUP BY 1),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT tok, df, s,
+         | CAST(round(CAST(s AS DOUBLE) / n_docs * 1e6) AS BIGINT) AS mean_u6,
+         | CAST(round((CAST(ss AS DOUBLE)
+         |   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_docs)
+         |   / CAST(s AS DOUBLE) * 1e6) AS BIGINT) AS fano_u6
+         |FROM st, nd ORDER BY tok""".stripMargin,
+
     "text_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
         |cc AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch WHERE c <> '' GROUP BY 1, 2),

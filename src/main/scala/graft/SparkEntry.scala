@@ -168,6 +168,8 @@ object SparkEntry {
     "text_lm_score"          -> TextSim.textLmScore _,
     "text_bm25"              -> TextSim.textBm25 _,
     "text_entropy"           -> TextSim.textEntropy _,
+    "text_zipf_fit"          -> TextSim.textZipfFit _,
+    "text_burstiness"        -> TextSim.textBurstiness _,
     // -- similarity search / near-dup detection
     "sim_cosine_probe"       -> Similarity.simCosineProbe _,
     "sim_knn_per_label"      -> Similarity.simKnnPerLabel _,

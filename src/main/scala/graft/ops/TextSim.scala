@@ -814,4 +814,75 @@ object TextSim {
         coalesce($"max_span", lit(0L)).as("max_span"))
       .orderBy($"doc_id")
   }
+
+  /** Zipf rank-frequency fit over the corpus vocabulary — the lexical
+    * sanity check every corpus audit runs: natural text follows
+    * freq ∝ rank^slope with slope ≈ −1, and a flat or broken slope flags
+    * synthetic/spammy/templated text. The fit is least squares over
+    * (ln rank, ln freq), computed with the [[graft.ops.Analytics
+    * .tsRegression]] exactness recipe: both logs quantize to integer
+    * µ-units per row (engine-identical doubles under HALF_UP at 1e-6 —
+    * the geomean precedent), the five moments are exact integer/DECIMAL
+    * sums, and slope/intercept are single IEEE expressions over them.
+    *
+    * Scale: ONE tf pass reduces the corpus to its vocabulary; the global
+    * rank window runs over that vocabulary-bounded aggregate (typed-sweep
+    * exception, the profile_drift precedent), and the fit is a 1-row
+    * aggregate. */
+  def textZipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, sfDir)
+      .select(explode(tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("freq"))
+    val ranked = tf.withColumn("rank",
+      row_number().over(Window.orderBy($"freq".desc, $"tok")))
+    val pts = ranked.select(
+      round(log($"rank".cast("double")) * 1e6).cast("long").as("x6"),
+      round(log($"freq".cast("double")) * 1e6).cast("long").as("y6"),
+      $"freq")
+    pts.agg(count(lit(1)).as("n"), sum($"freq").as("n_tokens"),
+        sum($"x6").as("sx"), sum($"y6").as("sy"),
+        sum(($"x6" * $"y6").cast("decimal(38,0)")).as("sxy"),
+        sum(($"x6" * $"x6").cast("decimal(38,0)")).as("sxx"))
+      .select($"n".as("n_vocab"), $"n_tokens",
+        round((($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx").cast("double")) * 1e6)
+          .cast("long").as("slope_u6"),
+        round(($"sy".cast("double") -
+          ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+            $"sx".cast("double")) / $"n")
+          .cast("long").as("intercept_lnfreq_u6"))
+  }
+
+  /** Per-word burstiness (Fano factor: variance of per-document counts
+    * over their mean, zeros included) — Church & Gale's dispersion
+    * statistic separating topical words (bursty, var ≫ mean) from
+    * function words (Poisson-ish, var ≈ mean); a corpus-mix diagnostic
+    * next to [[textZipfFit]]. Variance comes from exact integer moments
+    * (Σc, Σc² over docs containing the word; the zero docs enter through
+    * the closed form) — no per-doc zero rows ever materialize, and the
+    * Fano expression is one fixed IEEE chain over exact ints.
+    *
+    * Scale: one (word, doc) count pass, one map-side-combinable moment
+    * aggregate to vocabulary size, a broadcast 1-row corpus count. */
+  def textBurstiness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cd = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"tok", $"doc_id").agg(count(lit(1)).as("c"))
+    val st = cd.groupBy($"tok")
+      .agg(count(lit(1)).as("df"), sum($"c").as("s"),
+        sum($"c" * $"c").as("ss"))
+    val nDocs = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).as("n_docs"))
+    val n = $"n_docs".cast("double")
+    val s = $"s".cast("double")
+    st.crossJoin(broadcast(nDocs))
+      .select($"tok", $"df", $"s",
+        round(s / n * 1e6).cast("long").as("mean_u6"),
+        round(($"ss".cast("double") - s * s / n) / s * 1e6)
+          .cast("long").as("fano_u6"))
+      .orderBy($"tok")
+  }
 }

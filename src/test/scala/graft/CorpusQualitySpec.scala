@@ -335,4 +335,55 @@ class CorpusQualitySpec extends SparkSuite {
       .as[(Long, Long, Long, Long)].collect().toList
     assert(got == want.toList)
   }
+
+  test("text_zipf_fit: pure-Scala moment replay, nonpositive slope") {
+    val tf = docs.flatMap { case (_, t) => tok(t) }
+      .groupBy(identity).map { case (w, xs) => (w, xs.size.toLong) }
+    val ranked = tf.toSeq.sortBy { case (w, f) => (-f, w) }.zipWithIndex
+      .map { case ((_, f), i) => (i + 1L, f) }
+    val pts = ranked.map { case (r, f) =>
+      (roundHalfUp(math.log(r.toDouble) * 1e6),
+        roundHalfUp(math.log(f.toDouble) * 1e6), f)
+    }
+    val n = pts.length.toLong
+    val sx = pts.map(_._1).sum
+    val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val num = (BigInt(n) * sxy - BigInt(sx) * sy).toDouble
+    val den = (BigInt(n) * sxx - BigInt(sx) * sx).toDouble
+    val slope = num / den
+    val want = (n, pts.map(_._3).sum,
+      roundHalfUp(slope * 1e6),
+      roundHalfUp((sy.toDouble - slope * sx.toDouble) / n))
+    val got = TextSim.textZipfFit(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got == List(want))
+    // frequencies are nonincreasing in rank, so the LS slope cannot be
+    // positive
+    assert(got.head._3 <= 0L)
+  }
+
+  test("text_burstiness: Fano factors replay with zeros via the closed form") {
+    val nDocs = docs.length
+    val counts = docs.flatMap { case (id, t) =>
+      tok(t).groupBy(identity).map { case (w, xs) => (w, id, xs.size.toLong) }
+    }
+    val want = counts.groupBy(_._1).map { case (w, rows) =>
+      val s = rows.map(_._3).sum
+      val ss = rows.map(r => r._3 * r._3).sum
+      (w, rows.length.toLong, s,
+        roundHalfUp(s.toDouble / nDocs * 1e6),
+        roundHalfUp((ss.toDouble - s.toDouble * s.toDouble / nDocs)
+          / s.toDouble * 1e6))
+    }.toList.sortBy(_._1)
+    val got = TextSim.textBurstiness(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    assert(got == want)
+    // sanity: a word appearing once in one doc is maximally non-bursty
+    // relative to its mean — fano ≈ (1 - 1/N) · 1e6
+    got.filter(r => r._2 == 1 && r._3 == 1).foreach { r =>
+      assert(math.abs(r._5 - (1e6 - 1e6 / nDocs)) <= 1.0)
+    }
+  }
 }

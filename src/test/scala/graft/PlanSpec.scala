@@ -130,7 +130,10 @@ class PlanSpec extends SparkSuite {
     // sim_rrf_fusion (r8): its two rank windows run over the 20-row
     // TakeOrdered ranker results — bounded before any exchange by
     // construction (RrfDepth)
-    val boundedFrameOk = Set("profile_drift", "sim_rrf_fusion")
+    // text_zipf_fit (r8): the global rank window runs over the tf
+    // aggregate — bounded by VOCABULARY size, not corpus size, before the
+    // exchange (same argument as profile_drift's |days|-row window)
+    val boundedFrameOk = Set("profile_drift", "sim_rrf_fusion", "text_zipf_fit")
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -511,7 +514,9 @@ class PlanSpec extends SparkSuite {
       "sim_binary_hamming",
       // purity inherits ivfAssigned's crossJoin vs the broadcast centroid
       // set (the sim_ivf_probe / dedup_semantic shape)
-      "embed_cluster_purity")
+      "embed_cluster_purity",
+      // burstiness crossJoins the broadcast 1-row corpus doc count
+      "text_burstiness")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sfDir).queryExecution
