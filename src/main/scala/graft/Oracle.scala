@@ -2310,6 +2310,32 @@ object Oracle {
         |FROM ev JOIN bd ON ev.event_type = bd.event_type
         |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin,
 
+    // Periodogram: identical angle expression (2·pi()·mod/period), per-row
+    // µ-snap before EXACT long bin sums; squares in HUGEINT (Spark uses
+    // DECIMAL(38,0) — same exact integers), one IEEE power expression.
+    "ts_periodogram" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+        |  CAST(value AS DOUBLE) AS v FROM events),
+        |t0 AS (SELECT MIN(us) AS t0 FROM e),
+        |p(period_us) AS (VALUES (86400000000), (604800000000)),
+        |terms AS (SELECT e.event_type, p.period_us,
+        |  CAST(round(e.v * cos(2 * pi() * ((e.us - t0.t0) % p.period_us)
+        |    / p.period_us) * 1000000) AS BIGINT) AS c6,
+        |  CAST(round(e.v * sin(2 * pi() * ((e.us - t0.t0) % p.period_us)
+        |    / p.period_us) * 1000000) AS BIGINT) AS s6
+        |  FROM e, t0, p),
+        |b AS (SELECT event_type,
+        |  CAST(period_us // 3600000000 AS INT) AS period_h,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(c6) AS BIGINT) AS sum_cos_u6,
+        |  CAST(SUM(s6) AS BIGINT) AS sum_sin_u6
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT event_type, period_h, n, sum_cos_u6, sum_sin_u6,
+        | CAST(round(CAST(CAST(sum_cos_u6 AS HUGEINT) * sum_cos_u6
+        |   + CAST(sum_sin_u6 AS HUGEINT) * sum_sin_u6 AS DOUBLE)
+        |   / (n * n) / 1e6) AS BIGINT) AS power_u6
+        |FROM b ORDER BY event_type, period_h""".stripMargin,
+
     // Log-linear histogram: the bucket is digit-count + leading digit of
     // the exact µ-unit integer — string/integer ops only, no libm floor.
     "agg_log_histogram" ->
@@ -2880,6 +2906,18 @@ object Oracle {
          |     / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
          |     * CAST(sx AS DOUBLE)) / n) AS BIGINT) AS intercept_lnfreq_u6
          |FROM m""".stripMargin,
+
+    // Template skeletons: md5 of the first-8 token-length sequence —
+    // same 1-based 8-element slice and comma join on both sides.
+    "text_template_mine" ->
+      s"""WITH sk AS (SELECT doc_id,
+         |  md5(array_to_string(list_transform(($toksExpr)[1:8],
+         |    t -> CAST(length(t) AS VARCHAR)), ',')) AS skel
+         |  FROM documents)
+         |SELECT skel, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | MIN(doc_id) AS exemplar, MAX(doc_id) AS last_member
+         |FROM sk GROUP BY skel HAVING COUNT(*) >= 2
+         |ORDER BY n_docs DESC, skel""".stripMargin,
 
     // Burstiness replay: zeros enter through the closed form — only
     // (word, doc) rows with counts exist on either side.

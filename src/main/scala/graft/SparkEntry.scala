@@ -75,6 +75,7 @@ object SparkEntry {
     "ts_ohlc"                -> Analytics.tsOhlc _,
     "ts_decompose"           -> Analytics.tsDecompose _,
     "agg_log_histogram"      -> Analytics.aggLogHistogram _,
+    "ts_periodogram"         -> Analytics.tsPeriodogram _,
     "ts_winsorize"           -> Analytics.tsWinsorize _,
     "ts_anomaly_spc"         -> Analytics.tsAnomalySpc _,
     "win_rolling_zscore"     -> Windows.winRollingZscore _,
@@ -170,6 +171,7 @@ object SparkEntry {
     "text_entropy"           -> TextSim.textEntropy _,
     "text_zipf_fit"          -> TextSim.textZipfFit _,
     "text_burstiness"        -> TextSim.textBurstiness _,
+    "text_template_mine"     -> TextSim.textTemplateMine _,
     // -- similarity search / near-dup detection
     "sim_cosine_probe"       -> Similarity.simCosineProbe _,
     "sim_knn_per_label"      -> Similarity.simKnnPerLabel _,

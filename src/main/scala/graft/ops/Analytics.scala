@@ -1001,9 +1001,13 @@ object Analytics {
     val dir = e.select($"u".as("src"), $"v".as("dst"))
       .unionAll(e.select($"v".as("src"), $"u".as("dst")))
       .localCheckpoint()
-    var labels = dir.select($"src".as("node")).distinct()
-      .withColumn("label", $"node")
-    for (_ <- 1 to 4) {
+    // Round 1 needs NO join: initial labels are the node ids themselves,
+    // and edges are distinct, so every neighbor label occurs exactly once
+    // — the frequency argmax degenerates to min(neighbor). One aggregate
+    // replaces a join + two aggregates (provably identical output; the
+    // oracle's unrolled r1 keeps the general form and hash-matches).
+    var labels = dir.groupBy($"src".as("node")).agg(min($"dst").as("label"))
+    for (_ <- 2 to 4) {
       labels = dir.join(labels, dir("dst") === labels("node"))
         .groupBy($"src", $"label").agg(count(lit(1)).as("c"))
         .groupBy($"src")
@@ -1052,6 +1056,45 @@ object Analytics {
         when($"z" > 1.96, "up").when($"z" < -1.96, "down")
           .otherwise("none").as("trend"))
       .orderBy($"user_id")
+  }
+
+  /** Discrete periodogram probe: spectral power of the value series at
+    * two candidate periods (24 h, 7 d) per event type — the
+    * periodicity-detection primitive behind "is this metric diurnal /
+    * weekly" (the DFT bin at a known frequency, not a full FFT). Each
+    * row's cos/sin term µ-snaps to an integer (the ln/geomean libm
+    * precedent: a 1-ulp cos() difference is 1e-14, the rounding grain is
+    * 1e-6), the bin sums are EXACT long sums, and the power is one IEEE
+    * expression over them (squares in DECIMAL(38,0) — the µ-sums exceed
+    * long² range). Phase is preserved via the raw (Σcos, Σsin) pair.
+    *
+    * Scale: one map pass with a 2-literal explode, one map-side-
+    * combinable aggregate to types × periods rows. */
+  def tsPeriodogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val periods = Seq(86400000000L, 604800000000L)
+    val e = Tables.events(spark, sfDir)
+      .select($"event_type", expr("unix_micros(ts)").as("us"),
+        $"value".cast("double").as("v"))
+    val t0 = e.agg(min($"us").as("t0"))
+    val angle = lit(2 * math.Pi) *
+      (($"us" - $"t0") % $"period_us").cast("double") /
+      $"period_us".cast("double")
+    val binned = e.crossJoin(broadcast(t0))
+      .withColumn("period_us", explode(array(periods.map(lit): _*)))
+      .select($"event_type", $"period_us",
+        round($"v" * cos(angle) * 1e6).cast("long").as("c6"),
+        round($"v" * sin(angle) * 1e6).cast("long").as("s6"))
+      .groupBy($"event_type",
+        expr("period_us div 3600000000").cast("int").as("period_h"))
+      .agg(count(lit(1)).as("n"),
+        sum($"c6").as("sum_cos_u6"), sum($"s6").as("sum_sin_u6"))
+    binned.select($"event_type", $"period_h", $"n",
+        $"sum_cos_u6", $"sum_sin_u6",
+        round(($"sum_cos_u6".cast("decimal(38,0)") * $"sum_cos_u6" +
+          $"sum_sin_u6".cast("decimal(38,0)") * $"sum_sin_u6").cast("double")
+          / ($"n" * $"n") / 1e6).cast("long").as("power_u6"))
+      .orderBy($"event_type", $"period_h")
   }
 
   /** Log-scale (decimal magnitude × leading digit) value histogram per

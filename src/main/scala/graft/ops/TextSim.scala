@@ -815,6 +815,31 @@ object TextSim {
       .orderBy($"doc_id")
   }
 
+  /** Template mining: documents sharing a structural SKELETON — the md5
+    * of the token-length sequence of the first 8 tokens, which abstracts
+    * the words away and keeps the boilerplate shape (the template-spam /
+    * form-letter detector: near-identical openers with different nouns
+    * hash together where content hashes never collide). Families with ≥ 2
+    * members surface with their size and exemplar ids.
+    *
+    * Scale: the skeleton is a per-row map expression (no corpus state),
+    * and the family roll-up is one map-side-combinable aggregate on the
+    * 16-byte skeleton hash — the classic hash-groupBy dedup shape, never
+    * a pair join. */
+  def textTemplateMine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", tokens($"text").as("ts"))
+      .select($"doc_id", expr(
+        "md5(concat_ws(',', transform(slice(ts, 1, 8), t -> cast(length(t) as string))))")
+        .as("skel"))
+      .groupBy($"skel")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("exemplar"), max($"doc_id").as("last_member"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"n_docs".desc, $"skel")
+  }
+
   /** Zipf rank-frequency fit over the corpus vocabulary — the lexical
     * sanity check every corpus audit runs: natural text follows
     * freq ∝ rank^slope with slope ≈ −1, and a flat or broken slope flags

@@ -336,6 +336,20 @@ class CorpusQualitySpec extends SparkSuite {
     assert(got == want.toList)
   }
 
+  test("text_template_mine: families replay from first-8 length skeletons") {
+    val want = docs.map { case (id, t) =>
+      (id, tok(t).take(8).map(_.length).mkString(","))
+    }.groupBy(_._2).collect { case (skel, xs) if xs.size >= 2 =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(skel.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (md5, xs.size.toLong, xs.map(_._1).min, xs.map(_._1).max)
+    }.toList.sortBy { case (h, n, _, _) => (-n, h) }
+    val got = TextSim.textTemplateMine(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(got == want)
+    assert(got.forall(_._2 >= 2))
+  }
+
   test("text_zipf_fit: pure-Scala moment replay, nonpositive slope") {
     val tf = docs.flatMap { case (_, t) => tok(t) }
       .groupBy(identity).map { case (w, xs) => (w, xs.size.toLong) }

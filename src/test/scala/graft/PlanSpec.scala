@@ -516,7 +516,9 @@ class PlanSpec extends SparkSuite {
       // set (the sim_ivf_probe / dedup_semantic shape)
       "embed_cluster_purity",
       // burstiness crossJoins the broadcast 1-row corpus doc count
-      "text_burstiness")
+      "text_burstiness",
+      // periodogram crossJoins the broadcast 1-row series origin t0
+      "ts_periodogram")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sfDir).queryExecution

@@ -133,6 +133,47 @@ class ResampleSpec extends SparkSuite {
     assert(byRaw == byTemp)
   }
 
+  test("ts_periodogram: bin sums replay from raw rows; synthetic diurnal signal peaks at 24h") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def rnd(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val raw = graft.Tables.events(spark, sfDir)
+      .select($"event_type", expr("unix_micros(ts)").as("us"), $"value")
+      .as[(String, Long, Double)].collect()
+    val t0 = raw.map(_._2).min
+    val got = graft.ops.Analytics.tsPeriodogram(spark, sfDir)
+      .as[(String, Int, Long, Long, Long, Long)].collect().toList
+    got.foreach { case (et, ph, n, sc, ss, pw) =>
+      val period = ph.toLong * 3600000000L
+      val rows = raw.filter(_._1 == et)
+      assert(n == rows.length.toLong)
+      val terms = rows.map { case (_, us, v) =>
+        val ang = 2 * math.Pi * ((us - t0) % period).toDouble / period.toDouble
+        (rnd(v * math.cos(ang) * 1e6), rnd(v * math.sin(ang) * 1e6))
+      }
+      assert(sc == terms.map(_._1).sum, s"$et@${ph}h cos sum")
+      assert(ss == terms.map(_._2).sum, s"$et@${ph}h sin sum")
+      val want = rnd((BigInt(sc) * sc + BigInt(ss) * ss).toDouble / (n * n) / 1e6)
+      assert(pw == want, s"$et@${ph}h power")
+    }
+    // a planted pure 24h sinusoid must put (much) more power in the 24h
+    // bin than the 7d bin
+    val dir = java.nio.file.Files.createTempDirectory("graft_pgram").toString
+    val hour = 3600000000L
+    (0 until 24 * 28).map { h =>
+      (h.toLong, new java.sql.Timestamp((h * hour) / 1000),
+        h.toLong, "diurnal", 10.0 + math.sin(2 * math.Pi * (h % 24) / 24.0) * 5,
+        "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val synth = graft.ops.Analytics.tsPeriodogram(spark, dir)
+      .as[(String, Int, Long, Long, Long, Long)].collect()
+    val p24 = synth.find(_._2 == 24).get._6
+    val p168 = synth.find(_._2 == 168).get._6
+    assert(p24 > 10 * math.max(p168, 1), s"24h power $p24 not dominant over $p168")
+  }
+
   test("agg_log_histogram: exact digit-buckets replay, cumulative shares end at 1e6") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
