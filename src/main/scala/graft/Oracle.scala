@@ -2230,6 +2230,33 @@ object Oracle {
         | CAST(CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS avg_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // Poisson bootstrap replay: identical md5-hex weights (lexicographic
+    // hex compare against the shared threshold constants), exact
+    // DECIMAL × small-int replicate sums.
+    "stat_bootstrap_ci" -> {
+      val cases = graft.ops.Quality.BootstrapCdfHex.zipWithIndex
+        .map { case (t, k) => s"WHEN h < '$t' THEN $k" }.mkString(" ")
+      s"""WITH li AS (SELECT l_orderkey, l_linenumber,
+         |  CAST(l_extendedprice AS DECIMAL(18,2)) AS p FROM lineitem),
+         |obs AS (SELECT CAST(SUM(p) AS DECIMAL(18,2)) AS obs_total FROM li),
+         |h AS (SELECT p, r,
+         |  substring(md5(CAST(l_orderkey AS VARCHAR) || '|'
+         |    || CAST(l_linenumber AS VARCHAR) || '|'
+         |    || CAST(r AS VARCHAR)), 1, 6) AS h
+         |  FROM li, range(0, ${graft.ops.Quality.BootstrapB}) t(r)),
+         |w AS (SELECT CAST(r AS INT) AS r, p,
+         |  CASE $cases ELSE 5 END AS w FROM h),
+         |b AS (SELECT r, CAST(SUM(w) AS BIGINT) AS n_drawn,
+         |  CAST(SUM(p * w) AS DECIMAL(18,2)) AS boot_total
+         |  FROM w GROUP BY r)
+         |SELECT b.r, b.n_drawn,
+         | CAST(b.boot_total AS DOUBLE) AS boot_total,
+         | CAST(obs.obs_total AS DOUBLE) AS obs_total,
+         | CAST(CAST(b.boot_total - obs.obs_total AS DECIMAL(18,2)) AS DOUBLE)
+         |   AS err
+         |FROM b, obs ORDER BY b.r""".stripMargin
+    },
+
     "profile_corr_matrix" -> {
       // Mirrors Quality.profileCorrMatrix: one moment CTE (exact DECIMAL
       // sums), 6 pair rows off it, the identical double corr expression.

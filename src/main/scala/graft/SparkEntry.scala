@@ -160,6 +160,7 @@ object SparkEntry {
     "text_compression_ratio" -> TextSim.textCompressionRatio _,
     "text_langid_confusion"  -> TextSim.textLangidConfusion _,
     "profile_corr_matrix"    -> Quality.profileCorrMatrix _,
+    "stat_bootstrap_ci"      -> Quality.statBootstrapCi _,
     "sim_ann_recall"         -> Similarity.simAnnRecall _,
     "text_tfidf"             -> TextSim.textTfidf _,
     "text_pii_scrub"         -> TextSim.textPiiScrub _,

@@ -309,4 +309,57 @@ object Quality {
           * 1e6).cast("long").as("corr_u6"))
       .orderBy($"x_col", $"y_col")
   }
+
+  /** Poisson-bootstrap CDF thresholds as %06x hex strings: a row's
+    * replicate weight is the Poisson(1) inverse-CDF bucket of its first
+    * 6 md5 hex chars, decided by LEXICOGRAPHIC compare (lowercase hex
+    * order = numeric order — no hex→int conversion, which the two
+    * engines don't share). Shared with the DuckDB oracle. */
+  val BootstrapCdfHex: Seq[String] = {
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238463, 0.9963401531726563)
+    cdf.map(p => f"${(p * (1 << 24)).toLong}%06x")
+  }
+
+  /** Number of bootstrap replicates. */
+  val BootstrapB = 32
+
+  /** Poisson bootstrap over the order-revenue total — the DISTRIBUTED
+    * bootstrap (Chamandy et al., Google): instead of resampling rows
+    * (impossible without materializing B copies of a 100 TB table), each
+    * row gets an independent Poisson(1) replicate weight, which converges
+    * to multinomial resampling as n grows. Weights are DETERMINISTIC:
+    * the inverse-CDF bucket of md5(row-key | replicate), compared as hex
+    * STRINGS against precomputed [[BootstrapCdfHex]] thresholds, so both
+    * engines draw the identical pseudo-sample. Output: per-replicate
+    * weighted totals (exact DECIMAL sums of small-int × money) beside the
+    * observed total — the spread IS the sampling distribution of the
+    * estimator, read off 32 rows.
+    *
+    * Scale: one map pass with a B-literal explode (B× map-side rows,
+    * ZERO extra shuffled rows — the aggregate is B partials), one
+    * broadcast 1-row observed total. Duplicate (orderkey, linenumber)
+    * fixture rows share weights by construction — documented, not a
+    * correctness issue (the estimator treats them as one unit). */
+  def statBootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber",
+        $"l_extendedprice".cast("decimal(18,2)").as("p"))
+    val obs = li.agg(sum($"p").cast("decimal(18,2)").as("obs_total"))
+    val cases = BootstrapCdfHex.zipWithIndex
+      .map { case (t, k) => s"WHEN h < '$t' THEN $k" }.mkString(" ")
+    val weighted = li
+      .withColumn("r", explode(sequence(lit(0), lit(BootstrapB - 1))))
+      .withColumn("h", expr(
+        "substring(md5(concat(cast(l_orderkey as string), '|', cast(l_linenumber as string), '|', cast(r as string))), 1, 6)"))
+      .withColumn("w", expr(s"CASE $cases ELSE 5 END"))
+    weighted.groupBy($"r")
+      .agg(sum($"w").as("n_drawn"),
+        sum($"p" * $"w").cast("decimal(18,2)").as("boot_total"))
+      .crossJoin(broadcast(obs))
+      .select($"r", $"n_drawn", $"boot_total", $"obs_total",
+        ($"boot_total" - $"obs_total").cast("decimal(18,2)").as("err"))
+      .orderBy($"r")
+  }
 }

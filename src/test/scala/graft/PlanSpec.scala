@@ -518,7 +518,9 @@ class PlanSpec extends SparkSuite {
       // burstiness crossJoins the broadcast 1-row corpus doc count
       "text_burstiness",
       // periodogram crossJoins the broadcast 1-row series origin t0
-      "ts_periodogram")
+      "ts_periodogram",
+      // bootstrap crossJoins the broadcast 1-row observed total
+      "stat_bootstrap_ci")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sfDir).queryExecution

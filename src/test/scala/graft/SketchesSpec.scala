@@ -74,4 +74,41 @@ class SketchesSpec extends SparkSuite {
       assert(r.getBoolean(4), s"within_bounds must be TRUE: $r")
     }
   }
+
+  test("stat_bootstrap_ci: replicate 0 replays naively; weights behave Poisson(1)") {
+    import spark.implicits._
+    val got = graft.ops.Quality.statBootstrapCi(spark, sfDir)
+      .withColumn("boot_total", col("boot_total").cast("double"))
+      .withColumn("obs_total", col("obs_total").cast("double"))
+      .withColumn("err", col("err").cast("double"))
+      .as[(Int, Long, Double, Double, Double)].collect().toList
+    assert(got.map(_._1) == (0 until graft.ops.Quality.BootstrapB).toList)
+    // naive replay of replicate 0 from raw rows + the shared thresholds
+    val rows = graft.Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber",
+        $"l_extendedprice".cast("decimal(18,2)"))
+      .as[(Long, Long, BigDecimal)].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ths = graft.ops.Quality.BootstrapCdfHex
+    def weight(h: String): Int = ths.indexWhere(h < _) match {
+      case -1 => 5; case k => k
+    }
+    val (n0, t0) = rows.foldLeft((0L, BigDecimal(0))) {
+      case ((n, t), (ok, ln, p)) =>
+        val w = weight(md5hex(s"$ok|$ln|0").take(6))
+        (n + w, t + p * w)
+    }
+    assert(got.head._2 == n0, s"replicate-0 drawn count ${got.head._2} != $n0")
+    assert(got.head._3 == t0.toDouble, s"replicate-0 total mismatch")
+    // Poisson(1) weights: each replicate draws ~n rows (±5% at sf0.001's
+    // 6k rows is > 6 sigma) and the bootstrap totals straddle the observed
+    val n = rows.length.toLong
+    got.foreach { case (r, drawn, _, _, _) =>
+      assert(math.abs(drawn - n) <= n / 20, s"replicate $r drew $drawn of $n")
+    }
+    assert(got.exists(_._5 > 0) && got.exists(_._5 < 0),
+      "bootstrap errors do not straddle zero")
+  }
 }
