@@ -2337,6 +2337,51 @@ object Oracle {
         |FROM ev JOIN bd ON ev.event_type = bd.event_type
         |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin,
 
+    // Benford audit: exact leading digit of the cents integer; expected
+    // shares are the SAME precomputed integer literals as the Spark side.
+    "agg_benford" -> {
+      val vals = graft.ops.Analytics.BenfordExpectedU6
+        .map { case (d, e) => s"($d, $e)" }.mkString(", ")
+      s"""WITH d AS (SELECT CAST(substring(CAST(CAST(round(
+         |    CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS VARCHAR),
+         |    1, 1) AS INT) AS digit
+         |  FROM orders WHERE o_totalprice > 0),
+         |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g),
+         |e(digit, expected_u6) AS (VALUES $vals)
+         |SELECT g.digit, g.n,
+         | CAST(round(CAST(g.n AS DOUBLE) / t.total * 1e6) AS BIGINT)
+         |   AS share_u6,
+         | CAST(e.expected_u6 AS BIGINT) AS expected_u6,
+         | CAST(round(CAST(g.n AS DOUBLE) / t.total * 1e6) AS BIGINT)
+         |   - e.expected_u6 AS dev_u6
+         |FROM g CROSS JOIN t JOIN e ON g.digit = e.digit
+         |ORDER BY g.digit""".stripMargin
+    },
+
+    // Pareto report: exact DECIMAL running/total revenue sums (order-
+    // independent), identical IEEE share division and 0.1 decile math.
+    "win_pareto" ->
+      """WITH rev AS (SELECT o_custkey,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT c.c_nationkey AS nation, c.c_custkey AS custkey, r.rev
+        |  FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey),
+        |w AS (SELECT nation, custkey, rev,
+        |  row_number() OVER (PARTITION BY nation ORDER BY rev DESC, custkey)
+        |    AS rank,
+        |  SUM(rev) OVER (PARTITION BY nation ORDER BY rev DESC, custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  SUM(rev) OVER (PARTITION BY nation) AS tot,
+        |  COUNT(*) OVER (PARTITION BY nation) AS n_cust
+        |  FROM j)
+        |SELECT nation, CAST(rank AS INT) AS rank, custkey,
+        | CAST(CAST(rev AS DECIMAL(18,2)) AS DOUBLE) AS rev,
+        | CAST(round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) * 1e6)
+        |   AS BIGINT) AS cum_share_u6,
+        | rank <= ceil(n_cust * 0.1) AS top_decile
+        |FROM w ORDER BY nation, rank""".stripMargin,
+
     // Periodogram: identical angle expression (2·pi()·mod/period), per-row
     // µ-snap before EXACT long bin sums; squares in HUGEINT (Spark uses
     // DECIMAL(38,0) — same exact integers), one IEEE power expression.

@@ -76,6 +76,8 @@ object SparkEntry {
     "ts_decompose"           -> Analytics.tsDecompose _,
     "agg_log_histogram"      -> Analytics.aggLogHistogram _,
     "ts_periodogram"         -> Analytics.tsPeriodogram _,
+    "agg_benford"            -> Analytics.aggBenford _,
+    "win_pareto"             -> Analytics.winPareto _,
     "ts_winsorize"           -> Analytics.tsWinsorize _,
     "ts_anomaly_spc"         -> Analytics.tsAnomalySpc _,
     "win_rolling_zscore"     -> Windows.winRollingZscore _,

@@ -1058,6 +1058,75 @@ object Analytics {
       .orderBy($"user_id")
   }
 
+  /** Benford first-digit expected shares in µ-units: round(1e6·log10(1 +
+    * 1/d)) computed ONCE in Scala and inlined as integer literals on both
+    * engine sides — no runtime libm in the compare at all. */
+  val BenfordExpectedU6: Seq[(Int, Long)] = (1 to 9).map { d =>
+    d -> math.round(1e6 * math.log10(1.0 + 1.0 / d))
+  }
+
+  /** Benford's-law first-digit audit of order totals — the classic
+    * fabricated-numbers detector (natural multi-scale money follows
+    * P(d) = log10(1+1/d); uniform or spiky first digits flag synthetic
+    * data), the numeric sibling of the Zipf text check. The first
+    * significant digit is EXACT string-of-integer arithmetic (leading
+    * digit of the cents integer — scale shifts never change it), and the
+    * expected shares are precomputed integer literals, so every output
+    * cell is deterministic integer math plus one IEEE share division.
+    *
+    * Scale: one map pass + a 9-bucket map-side-combinable count. */
+  def aggBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val expected = typedLit(BenfordExpectedU6.toMap)
+    Tables.orders(spark, sfDir)
+      .filter($"o_totalprice" > 0)
+      .select(substring(round($"o_totalprice".cast("double") * 100)
+        .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum($"n").over(Window.partitionBy()))
+      .select($"digit", $"n",
+        round($"n".cast("double") / $"total" * 1e6).cast("long")
+          .as("share_u6"),
+        element_at(expected, $"digit").as("expected_u6"))
+      .withColumn("dev_u6", $"share_u6" - $"expected_u6")
+      .orderBy($"digit")
+  }
+
+  /** Pareto (revenue-concentration) report per nation: customers ranked
+    * by order revenue with cumulative share — the "does 20% of the base
+    * carry 80% of revenue" readout, top-decile flagged. Revenue and the
+    * running total are EXACT DECIMAL sums (order-independent), so the
+    * running share is deterministic under any partitioning; the rank
+    * window partitions by nation over the customer-level aggregate —
+    * never over raw orders.
+    *
+    * Scale: orders pre-aggregate to one row per customer BEFORE the
+    * window; the nation dim broadcasts. */
+  def winPareto(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("rev"))
+    val cust = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_nationkey")
+    val byNation = rev.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey".as("nation"), $"c_custkey".as("custkey"), $"rev")
+    val w = Window.partitionBy($"nation").orderBy($"rev".desc, $"custkey")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy($"nation")
+    byNation
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum($"rev").over(cum))
+      .withColumn("tot", sum($"rev").over(all))
+      .withColumn("n_cust", count(lit(1)).over(all))
+      .select($"nation", $"rank", $"custkey",
+        $"rev".cast("decimal(18,2)").as("rev"),
+        round($"cum".cast("double") / $"tot".cast("double") * 1e6)
+          .cast("long").as("cum_share_u6"),
+        ($"rank" <= ceil($"n_cust" * 0.1)).as("top_decile"))
+      .orderBy($"nation", $"rank")
+  }
+
   /** Discrete periodogram probe: spectral power of the value series at
     * two candidate periods (24 h, 7 d) per event type — the
     * periodicity-detection primitive behind "is this metric diurnal /

@@ -127,4 +127,43 @@ class ExactStatsSpec extends SparkSuite {
     // near-stationary, so every type sits far inside the <0.1 stable band
     assert(got.forall(r => r._4.abs < 100000000L))
   }
+
+  test("agg_benford: digit counts replay exactly; expected shares are the log10 law") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.Analytics.aggBenford(spark, sfDir)
+      .as[(Int, Long, Long, Long, Long)].collect().toList
+    val want = graft.Tables.orders(spark, sfDir)
+      .filter($"o_totalprice" > 0).select($"o_totalprice")
+      .as[Double].collect()
+      .groupBy(v => roundHalfUp(v * 100).toString.head.asDigit)
+      .map { case (d, xs) => (d, xs.length.toLong) }
+    assert(got.map(r => (r._1, r._2)).toMap == want)
+    // expected_u6 column carries the Benford law; devs are share-expected
+    got.foreach { case (d, _, s, e, dev) =>
+      assert(e == math.round(1e6 * math.log10(1.0 + 1.0 / d)))
+      assert(dev == s - e)
+    }
+    // shares sum to ~1e6 (rounding slack ≤ 9 half-ulps)
+    assert(math.abs(got.map(_._3).sum - 1000000L) <= 9)
+  }
+
+  test("win_pareto: ranks contiguous, cum share monotone to 1e6, decile replay") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.Analytics.winPareto(spark, sfDir)
+      .withColumn("rev", col("rev").cast("double"))
+      .as[(Int, Int, Long, Double, Long, Boolean)].collect().toList
+    got.groupBy(_._1).foreach { case (nation, rows) =>
+      val ordered = rows.sortBy(_._2)
+      assert(ordered.map(_._2) == (1 to rows.length).toList,
+        s"nation $nation ranks not contiguous")
+      // revenue nonincreasing in rank; cumulative share monotone to 1e6
+      assert(ordered.map(-_._4) == ordered.map(-_._4).sorted)
+      assert(ordered.map(_._5) == ordered.map(_._5).sorted)
+      assert(ordered.last._5 == 1000000L, s"nation $nation cum != 1e6")
+      // decile flag: exactly ceil(n*0.1) customers flagged, the top ranks
+      val k = math.ceil(rows.length * 0.1).toInt
+      assert(ordered.count(_._6) == k, s"nation $nation decile count")
+      assert(ordered.takeWhile(_._6).length == k)
+    }
+  }
 }

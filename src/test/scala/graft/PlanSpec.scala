@@ -132,8 +132,11 @@ class PlanSpec extends SparkSuite {
     // construction (RrfDepth)
     // text_zipf_fit (r8): the global rank window runs over the tf
     // aggregate — bounded by VOCABULARY size, not corpus size, before the
-    // exchange (same argument as profile_drift's |days|-row window)
-    val boundedFrameOk = Set("profile_drift", "sim_rrf_fusion", "text_zipf_fit")
+    // exchange (same argument as profile_drift's |days|-row window).
+    // agg_benford (r8): the total window runs over the 9-row digit
+    // aggregate.
+    val boundedFrameOk =
+      Set("profile_drift", "sim_rrf_fusion", "text_zipf_fit", "agg_benford")
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
