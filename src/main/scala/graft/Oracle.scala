@@ -2230,6 +2230,57 @@ object Oracle {
         | CAST(CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS avg_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // KS replay: same µ-quantized values, integer cumulative counts,
+    // cross-multiplied sup (no per-value division), one IEEE divide.
+    "agg_ks_test" ->
+      """WITH ev AS (SELECT event_type,
+        |  CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v6,
+        |  epoch_us(ts) AS us FROM events),
+        |m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+        |g AS (SELECT event_type, v6,
+        |  CAST(COUNT(CASE WHEN us <= mid THEN 1 END) AS BIGINT) AS a,
+        |  CAST(COUNT(CASE WHEN us > mid THEN 1 END) AS BIGINT) AS b
+        |  FROM ev, m GROUP BY 1, 2),
+        |c AS (SELECT event_type,
+        |  SUM(a) OVER (PARTITION BY event_type ORDER BY v6
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+        |  SUM(b) OVER (PARTITION BY event_type ORDER BY v6
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+        |  SUM(a) OVER (PARTITION BY event_type) AS n1,
+        |  SUM(b) OVER (PARTITION BY event_type) AS n2
+        |  FROM g),
+        |d AS (SELECT event_type, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(n2 AS BIGINT) AS n2,
+        |  CAST(MAX(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS d_num
+        |  FROM c GROUP BY event_type, CAST(n1 AS BIGINT), CAST(n2 AS BIGINT))
+        |SELECT event_type, n1, n2, d_num,
+        | CAST(round(CAST(d_num AS DOUBLE)
+        |   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) * 1000000)
+        |   AS BIGINT) AS d_u6
+        |FROM d ORDER BY event_type""".stripMargin,
+
+    // Gini replay: identical ascending rank, exact DECIMAL Σ(i·x) and Σx,
+    // the same single IEEE expression.
+    "agg_gini" ->
+      """WITH rev AS (SELECT o_custkey,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT c.c_nationkey AS nation, c.c_custkey AS custkey, r.rev
+        |  FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey),
+        |rk AS (SELECT nation, rev,
+        |  row_number() OVER (PARTITION BY nation ORDER BY rev, custkey) AS i
+        |  FROM j),
+        |a AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  CAST(SUM(rev) AS DECIMAL(18,2)) AS total_rev,
+        |  CAST(SUM(rev * i) AS DECIMAL(28,2)) AS sixi
+        |  FROM rk GROUP BY 1)
+        |SELECT nation, n_cust, CAST(total_rev AS DOUBLE) AS total_rev,
+        | CAST(round((2.0 * CAST(sixi AS DOUBLE)
+        |   / (n_cust * CAST(total_rev AS DOUBLE))
+        |   - CAST(n_cust + 1 AS DOUBLE) / n_cust) * 1000000) AS BIGINT)
+        |   AS gini_u6
+        |FROM a ORDER BY nation""".stripMargin,
+
     // Poisson bootstrap replay: identical md5-hex weights (lexicographic
     // hex compare against the shared threshold constants), exact
     // DECIMAL × small-int replicate sums.

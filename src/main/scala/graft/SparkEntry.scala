@@ -163,6 +163,8 @@ object SparkEntry {
     "text_langid_confusion"  -> TextSim.textLangidConfusion _,
     "profile_corr_matrix"    -> Quality.profileCorrMatrix _,
     "stat_bootstrap_ci"      -> Quality.statBootstrapCi _,
+    "agg_ks_test"            -> Quality.aggKsTest _,
+    "agg_gini"               -> Quality.aggGini _,
     "sim_ann_recall"         -> Similarity.simAnnRecall _,
     "text_tfidf"             -> TextSim.textTfidf _,
     "text_pii_scrub"         -> TextSim.textPiiScrub _,

@@ -310,6 +310,83 @@ object Quality {
       .orderBy($"x_col", $"y_col")
   }
 
+  /** Two-sample Kolmogorov-Smirnov drift statistic per event type — the
+    * distribution-free companion to [[profilePsi]] (PSI needs a binning
+    * choice; KS is the sup-distance between the two halves' empirical
+    * CDFs). ENTIRELY exact until the last division: values µ-quantize to
+    * ints, the per-value cumulative counts are integer window sums over
+    * the DISTINCT-value aggregate, and the sup is max |c1·n2 − c2·n1| —
+    * the cross-multiplied form needs no per-value division at all.
+    * D = that max over n1·n2, one IEEE divide, µ-snapped.
+    *
+    * Scale: the CDF window runs over distinct µ-values per type — bounded
+    * by the VALUE DOMAIN (2-decimal money ⇒ ≤ ~range·100 rows), not the
+    * corpus; everything before it is map-side-combinable counts. */
+  def aggKsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type", $"value", expr("unix_micros(ts)").as("us"))
+    val mid = broadcast(ev.agg(min($"us").as("mn"), max($"us").as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid")))
+    val perValue = ev.crossJoin(mid)
+      .select($"event_type",
+        round($"value".cast("double") * 1e6).cast("long").as("v6"),
+        ($"us" <= $"mid").as("is_ref"))
+      .groupBy($"event_type", $"v6")
+      .agg(count(when($"is_ref", 1)).as("a"),
+        count(when(!$"is_ref", 1)).as("b"))
+    val cum = Window.partitionBy($"event_type").orderBy($"v6")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy($"event_type")
+    perValue
+      .withColumn("c1", sum($"a").over(cum))
+      .withColumn("c2", sum($"b").over(cum))
+      .withColumn("n1", sum($"a").over(all))
+      .withColumn("n2", sum($"b").over(all))
+      .select($"event_type", $"n1", $"n2",
+        abs($"c1" * $"n2" - $"c2" * $"n1").as("dnum"))
+      .groupBy($"event_type")
+      .agg(first($"n1").as("n1"), first($"n2").as("n2"),
+        max($"dnum").as("d_num"))
+      .select($"event_type", $"n1", $"n2", $"d_num",
+        round($"d_num".cast("double") /
+          ($"n1".cast("double") * $"n2".cast("double")) * 1e6)
+          .cast("long").as("d_u6"))
+      .orderBy($"event_type")
+  }
+
+  /** Gini coefficient of customer revenue per nation — the inequality
+    * scalar behind [[graft.ops.Analytics.winPareto]]'s curve (G = 0
+    * uniform, → 1 winner-take-all): G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    * ascending-sorted revenues. Σ(i·xᵢ) and Σx are EXACT (DECIMAL × rank
+    * int), so G is one IEEE expression over exact inputs; the sort rank
+    * runs over the per-customer aggregate partitioned by nation — never
+    * over raw orders. */
+  def aggGini(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("rev"))
+    val cust = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_nationkey")
+    val w = Window.partitionBy($"nation").orderBy($"rev", $"custkey")
+    rev.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey".as("nation"), $"c_custkey".as("custkey"), $"rev")
+      .withColumn("i", row_number().over(w))
+      .groupBy($"nation")
+      .agg(count(lit(1)).as("n_cust"),
+        sum($"rev").cast("decimal(18,2)").as("total_rev"),
+        sum($"rev" * $"i").cast("decimal(28,2)").as("sixi"))
+      .select($"nation", $"n_cust", $"total_rev",
+        round((lit(2.0) * $"sixi".cast("double") /
+          ($"n_cust" * $"total_rev".cast("double")) -
+          ($"n_cust" + 1).cast("double") / $"n_cust") * 1e6)
+          .cast("long").as("gini_u6"))
+      .orderBy($"nation")
+  }
+
   /** Poisson-bootstrap CDF thresholds as %06x hex strings: a row's
     * replicate weight is the Poisson(1) inverse-CDF bucket of its first
     * 6 md5 hex chars, decided by LEXICOGRAPHIC compare (lowercase hex

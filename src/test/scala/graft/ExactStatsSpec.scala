@@ -128,6 +128,57 @@ class ExactStatsSpec extends SparkSuite {
     assert(got.forall(r => r._4.abs < 100000000L))
   }
 
+  test("agg_ks_test: sup distance replays naively from the raw halves") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.Quality.aggKsTest(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    val raw = graft.Tables.events(spark, sfDir)
+      .select($"event_type", expr("unix_micros(ts)").as("us"), $"value")
+      .as[(String, Long, Double)].collect()
+    val mid = (raw.map(_._2).min + raw.map(_._2).max) / 2
+    got.foreach { case (et, n1, n2, dnum, d6) =>
+      val xs = raw.filter(_._1 == et)
+        .map { case (_, us, v) => (roundHalfUp(v * 1e6), us <= mid) }
+      assert(n1 == xs.count(_._2).toLong && n2 == xs.count(!_._2).toLong)
+      // naive sup over distinct values of |c1*n2 - c2*n1|
+      val want = xs.map(_._1).distinct.map { v =>
+        val c1 = xs.count(x => x._2 && x._1 <= v).toLong
+        val c2 = xs.count(x => !x._2 && x._1 <= v).toLong
+        math.abs(c1 * n2 - c2 * n1)
+      }.max
+      assert(dnum == want, s"$et d_num $dnum != naive $want")
+      assert(d6 == roundHalfUp(dnum.toDouble / (n1.toDouble * n2.toDouble) * 1e6))
+      // D is a probability distance: inside [0, 1] by construction (the
+      // synthetic halves are NOT perfectly stationary — error events sit
+      // at D ≈ 0.16 at sf0.001, which is the statistic working)
+      assert(d6 >= 0L && d6 <= 1000000L, s"$et KS $d6 out of [0,1]")
+    }
+  }
+
+  test("agg_gini: coefficient replays from the sorted-revenue formula; bounds hold") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.Quality.aggGini(spark, sfDir)
+      .withColumn("total_rev", col("total_rev").cast("double"))
+      .as[(Int, Long, Double, Long)].collect().toList
+    val rev = graft.Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("rev"))
+      .join(graft.Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select($"c_nationkey", $"c_custkey", $"rev".cast("double"))
+      .as[(Int, Long, Double)].collect()
+    got.foreach { case (nation, n, tot, g6) =>
+      val xs = rev.filter(_._1 == nation).sortBy(r => (r._3, r._2)).map(_._3)
+      assert(n == xs.length.toLong)
+      assert(math.abs(tot - xs.sum) < 1e-6)
+      val sixi = xs.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+      val g = 2.0 * sixi / (n * xs.sum) - (n + 1).toDouble / n
+      // replay in doubles (the op uses exact decimals): tolerance 1 µ-unit
+      assert(math.abs(g6 - g * 1e6) <= 1.5, s"nation $nation gini")
+      assert(g6 >= 0 && g6 < 1000000L)
+    }
+  }
+
   test("agg_benford: digit counts replay exactly; expected shares are the log10 law") {
     import org.apache.spark.sql.functions._
     val got = graft.ops.Analytics.aggBenford(spark, sfDir)

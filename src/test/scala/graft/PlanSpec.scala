@@ -523,7 +523,10 @@ class PlanSpec extends SparkSuite {
       // periodogram crossJoins the broadcast 1-row series origin t0
       "ts_periodogram",
       // bootstrap crossJoins the broadcast 1-row observed total
-      "stat_bootstrap_ci")
+      "stat_bootstrap_ci",
+      // KS crossJoins the broadcast 1-row temporal midpoint (the
+      // profile_psi shape)
+      "agg_ks_test")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sfDir).queryExecution
