@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses the LAST stdout line of `sbt runMain`:
+// forked output must pass through verbatim (no `[info] ` prefix) and the
+// `[success] Total time: ...` banner must not trail the summary JSON —
+// with the default LoggedOutput + banner the driver's parser read null
+// for eight straight rounds (BENCH_r01..r08 "parsed": null).
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1591,7 +1591,7 @@ object Oracle {
          | CAST(CAST(COALESCE(SUM(CASE WHEN j.jaccard >= t.th / 100.0
          |   THEN CAST(j.jaccard AS DECIMAL(18,6)) END), 0) AS DECIMAL(18,6))
          |   AS DOUBLE) AS jaccard_mass
-         |FROM t CROSS JOIN jpairs j
+         |FROM t LEFT JOIN jpairs j ON TRUE
          |GROUP BY t.th ORDER BY t.th""".stripMargin,
 
     "sim_ivf_probe" ->

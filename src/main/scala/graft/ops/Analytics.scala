@@ -1082,6 +1082,10 @@ object Analytics {
       .filter($"o_totalprice" > 0)
       .select(substring(round($"o_totalprice".cast("double") * 100)
         .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+      // a sub-cent total (0 < price < 0.005) rounds to cents 0 → digit 0;
+      // the oracle's 9-digit VALUES join drops that bucket, so drop it
+      // here too instead of emitting a NULL-expectation row
+      .filter($"digit".between(1, 9))
       .groupBy($"digit").agg(count(lit(1)).as("n"))
       .withColumn("total", sum($"n").over(Window.partitionBy()))
       .select($"digit", $"n",

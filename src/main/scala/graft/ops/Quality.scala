@@ -344,13 +344,19 @@ object Quality {
       .withColumn("c2", sum($"b").over(cum))
       .withColumn("n1", sum($"a").over(all))
       .withColumn("n2", sum($"b").over(all))
+      // the sup numerator |c1·n2 − c2·n1| is computed in DECIMAL — the
+      // oracle's window SUM is HUGEINT there, and an int64 product would
+      // wrap silently once n1·n2 passes 2^63; the OUTPUT stays BIGINT
+      // (both engines cast the max back down after the exact compare)
       .select($"event_type", $"n1", $"n2",
-        abs($"c1" * $"n2" - $"c2" * $"n1").as("dnum"))
+        abs($"c1".cast("decimal(38,0)") * $"n2" -
+          $"c2".cast("decimal(38,0)") * $"n1").as("dnum"))
       .groupBy($"event_type")
       .agg(first($"n1").as("n1"), first($"n2").as("n2"),
-        max($"dnum").as("d_num"))
-      .select($"event_type", $"n1", $"n2", $"d_num",
-        round($"d_num".cast("double") /
+        max($"dnum").as("d_num_dec"))
+      .select($"event_type", $"n1", $"n2",
+        $"d_num_dec".cast("long").as("d_num"),
+        round($"d_num_dec".cast("double") /
           ($"n1".cast("double") * $"n2".cast("double")) * 1e6)
           .cast("long").as("d_u6"))
       .orderBy($"event_type")

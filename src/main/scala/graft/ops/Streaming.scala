@@ -193,7 +193,21 @@ object Streaming {
       .option("checkpointLocation", s"$dir/chk")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // Post-run hygiene (the r8 lesson — a long session that accumulates
+    // finished-query residue is itself a scale defect): the checkpoint
+    // tree (offsets/commits/state files, RocksDB working set) is dead
+    // weight once the AvailableNow run has terminated, and the JVM-wide
+    // provider registry would otherwise hold this query's in-memory state
+    // until the ~60 s maintenance sweep — taxing whatever runs next.
+    // The `out` dir must survive: the caller reads it lazily.
+    deleteRec(new java.io.File(s"$dir/chk"))
+    org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
     spark.read.schema(df.schema).parquet(s"$dir/out")
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+    f.delete(): Unit
   }
 
   /** Windowed count under a 10-minute watermark, append mode: only windows
@@ -463,6 +477,10 @@ object Streaming {
           .write.mode("overwrite").parquet(s"$dir/state_v$batchId")
       }.start()
     q.awaitTermination()
+    // same post-run hygiene as runToParquet; state_v* snapshots survive
+    // (the read below is lazy), only the dead checkpoint tree goes
+    deleteRec(new java.io.File(s"$dir/chk"))
+    org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
     val latest = stateVersions().lastOption
       .map { case (_, f) => spark.read.parquet(f.getPath) }
       // zero batches: empty BATCH frame with the same schema

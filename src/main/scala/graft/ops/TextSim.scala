@@ -865,8 +865,13 @@ object TextSim {
       round(log($"rank".cast("double")) * 1e6).cast("long").as("x6"),
       round(log($"freq".cast("double")) * 1e6).cast("long").as("y6"),
       $"freq")
+    // sx/sy widen to DECIMAL like sxy/sxx: the cross terms n·sxy − sx·sy
+    // and n·sxx − sx·sx must stay in decimal arithmetic (the oracle
+    // computes them in HUGEINT) — as int64 they'd wrap silently once the
+    // vocabulary passes ~550 terms of µ-scaled logs.
     pts.agg(count(lit(1)).as("n"), sum($"freq").as("n_tokens"),
-        sum($"x6").as("sx"), sum($"y6").as("sy"),
+        sum($"x6".cast("decimal(38,0)")).as("sx"),
+        sum($"y6".cast("decimal(38,0)")).as("sy"),
         sum(($"x6" * $"y6").cast("decimal(38,0)")).as("sxy"),
         sum(($"x6" * $"x6").cast("decimal(38,0)")).as("sxx"))
       .select($"n".as("n_vocab"), $"n_tokens",

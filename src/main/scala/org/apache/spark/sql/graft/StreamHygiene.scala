@@ -1,0 +1,25 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.execution.streaming.state.StateStore
+
+/** Lifecycle hygiene for the JVM-wide streaming state-store registry.
+  *
+  * `StateStore.loadedProviders` is a process-global map: every stateful
+  * streaming query loads one provider PER STATE PARTITION into it, each
+  * holding the query's in-memory state maps (HDFS-backed provider) or an
+  * open RocksDB working set. After the query terminates the providers
+  * linger until the ~60 s maintenance sweep notices the run id is
+  * inactive — a session that runs many short AvailableNow jobs
+  * back-to-back therefore carries every FINISHED query's state as live
+  * heap/native residue into its successors' timed regions (the r8
+  * shared-lane inflation and the `stream_stream_join` warm>cold anomaly).
+  *
+  * This lives under `org.apache.spark.sql` because `StateStore` is
+  * `private[sql]`; the call itself is the public-in-bytecode
+  * `unloadAll()` that Spark's own executor shutdown path uses.
+  */
+object StreamHygiene {
+  /** Close and drop every loaded state-store provider. Safe whenever no
+    * streaming query is mid-batch (providers reload lazily on next use). */
+  def unloadStateStores(): Unit = StateStore.unloadAll()
+}
