@@ -257,6 +257,28 @@ object Oracle {
         |    THEN strftime(o_orderdate, '%Y-%m-%d') END AS asof_date
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
+    // per-event tolerance decoded from the props JSON payload — the
+    // VARIANT composition; DuckDB reads the same value via json_extract
+    "join_asof_variant" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    DATE '1995-01-01' + CAST(event_id % 2500 AS INTEGER) AS cutoff,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) % 90 + 30 AS tol_days
+        |  FROM events),
+        |j AS (
+        |  SELECT ev.event_id, ev.user_id, ev.cutoff, ev.tol_days,
+        |    o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY ev.event_id
+        |      ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC NULLS LAST) AS rn
+        |  FROM ev LEFT OUTER JOIN orders
+        |    ON user_id = o_custkey AND o_orderdate <= cutoff)
+        |SELECT event_id, user_id, strftime(cutoff, '%Y-%m-%d') AS cutoff, tol_days,
+        |  CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), cutoff) <= tol_days
+        |    THEN o_orderkey END AS asof_orderkey,
+        |  CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), cutoff) <= tol_days
+        |    THEN strftime(o_orderdate, '%Y-%m-%d') END AS asof_date
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
     "join_asof_forward" ->
       """WITH ev AS (
         |  SELECT event_id, user_id,
@@ -1291,6 +1313,38 @@ object Oracle {
          |SELECT id_a, id_b, CAST(matches AS BIGINT) AS matches,
          | CAST(CAST(matches AS DOUBLE) / 6.0 AS DECIMAL(18,6))::DOUBLE AS est_jaccard
          |FROM cand WHERE matches >= 2 ORDER BY id_a, id_b""".stripMargin,
+
+    // containment recovered from the minhash sketch algebra: the same
+    // banded candidates as dedup_minhash_lsh, exact per-doc distinct
+    // shingle counts, est_inter = J/(1+J)*(na+nb) — identical IEEE op
+    // order on both engines
+    "dedup_minhash_containment" ->
+      s"""WITH d AS (SELECT doc_id, $toksExpr AS ts FROM documents),
+         |sh AS (SELECT doc_id, ts FROM d WHERE len(ts) >= 3),
+         |sz AS (SELECT doc_id, CAST(len(list_distinct(list_transform(
+         |    range(1, len(ts) - 1),
+         |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS BIGINT) AS n
+         |  FROM sh),
+         |sigs AS (SELECT doc_id, list_transform(range(0, 6), s ->
+         |  list_min(list_transform(range(1, len(ts) - 1),
+         |    i -> md5(CAST(s AS VARCHAR) || '|' || ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])))) AS sig
+         |  FROM sh),
+         |bands AS (SELECT doc_id, i0, sig[i0 + 1] AS v FROM sigs, range(0, 6) t(i0)),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS matches
+         |  FROM bands a JOIN bands b
+         |    ON a.i0 = b.i0 AND a.v = b.v AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |c2 AS (SELECT id_a, id_b, matches, sa.n AS na, sb.n AS nb,
+         |    (CAST(matches AS DOUBLE) / 6.0)
+         |      / (1.0 + CAST(matches AS DOUBLE) / 6.0)
+         |      * CAST(sa.n + sb.n AS DOUBLE) AS est_inter
+         |  FROM cand JOIN sz sa ON cand.id_a = sa.doc_id
+         |            JOIN sz sb ON cand.id_b = sb.doc_id
+         |  WHERE matches >= 2)
+         |SELECT id_a, id_b, CAST(matches AS BIGINT) AS matches, na, nb,
+         | CAST(est_inter / na AS DECIMAL(18,6))::DOUBLE AS cont_a,
+         | CAST(est_inter / nb AS DECIMAL(18,6))::DOUBLE AS cont_b
+         |FROM c2 ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_sorted_neighborhood" ->
       s"""WITH d0 AS (SELECT doc_id, lower(trim(text)) AS sk, $toksExpr AS ts
@@ -3718,6 +3772,31 @@ object Oracle {
         |        row_number() OVER (PARTITION BY user_id
         |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // Batch parity for the append-mode watermark query (r9 item 5): with
+    // ONE AvailableNow batch no row arrives behind the watermark, so the
+    // streamed result is every hourly window SEALED by the final
+    // watermark max(ts) − 10 min — windows whose end is past the horizon
+    // stay in state and are withheld. Verified against the streamed
+    // output at sf0.01: 3380 rows, last emitted window 22:00 vs horizon
+    // 23:47.
+    "stream_watermark_late" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS h FROM events)
+        |SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        | event_type, COUNT(*) AS n
+        |FROM events, wm
+        |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= wm.h
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    // Batch parity for stateful dropDuplicates (r9 item 5): one
+    // AvailableNow batch dedups the whole file against fresh state, so
+    // the kept set is one row per event_id and the per-type census is
+    // count(DISTINCT event_id) — event_id determines event_type in the
+    // fixture (ids are globally unique), which makes the census
+    // independent of WHICH duplicate the state kept.
+    "stream_dedup_state" ->
+      """SELECT event_type, COUNT(DISTINCT event_id) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // same contract as stream_keyed_state — one oracle pins both state APIs
     "stream_tws_state" ->

@@ -99,6 +99,7 @@ object SparkEntry {
     "join_asof_forward" -> Relational.joinAsofForward _,
     "join_asof_tolerance" -> Relational.joinAsofTolerance _,
     "join_asof_nearest" -> Relational.joinAsofNearest _,
+    "join_asof_variant" -> Relational.joinAsofVariant _,
     // -- reference ingestion pack (§2.A)
     "scan_csv_header"     -> Ingest.scanCsvHeader _,
     "scan_csv_file"       -> Ingest.scanCsvFile _,
@@ -192,6 +193,7 @@ object SparkEntry {
     "dedup_simhash_pairs"    -> Similarity.dedupSimhashPairs _,
     "dedup_ngram_jaccard"    -> Similarity.dedupNgramJaccard _,
     "dedup_containment"      -> Similarity.dedupContainment _,
+    "dedup_minhash_containment" -> Similarity.dedupMinhashContainment _,
     "dedup_lsh_recall"       -> Similarity.dedupLshRecall _,
     "dedup_cluster"          -> Similarity.dedupCluster _,
     "dedup_edit_distance"    -> Similarity.dedupEditDistance _,

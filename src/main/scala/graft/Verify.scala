@@ -33,6 +33,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop the query's checkpoint residue once its result is on disk —
+      // ~300 queries in one session would otherwise stack stale blocks
+      ops.Residue.freeAll()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -623,11 +623,10 @@ object Analytics {
     // serial action (cluster's convergence count) materializes the
     // frame BEFORE its concurrent consumers run; pagerank has no such
     // action, so the two eager jobs are cheaper than the race.
-    val edges = dir
-      .withColumn("deg", count(lit(1)).over(Window.partitionBy($"src")))
-      .localCheckpoint()
-    val deg = edges.groupBy($"src").agg(max($"deg").as("deg"))
-      .localCheckpoint()
+    val edges = Residue.swap("graph_pagerank.edges", dir
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy($"src"))))
+    val deg = Residue.swap("graph_pagerank.deg",
+      edges.groupBy($"src").agg(max($"deg").as("deg")))
     var r = deg.select($"src".as("node"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
       val contrib = edges.join(r, edges("src") === r("node"))
@@ -714,7 +713,10 @@ object Analytics {
     // nor blocks exchange reuse below it). Measured 4.0 → 3.3 s at
     // sf0.1; the remainder is the wedge-join/agg stage chain (2M wedges,
     // max degree 53 — volume is not the cost, stage count is).
-    val e = coOccurrenceEdges(spark, sfDir).localCheckpoint()
+    // Residue-swapped: re-entry frees the previous run's blocks first
+    // (the r9 warm>cold inversion was exactly those stale blocks).
+    val e = Residue.swap("graph_common_neighbors.edges",
+      coOccurrenceEdges(spark, sfDir))
     val adj = e.select($"u".as("n"), $"v".as("w"))
       .unionAll(e.select($"v".as("n"), $"u".as("w")))
     val deg = adj.groupBy($"n").agg(count(lit(1)).as("deg"))
@@ -998,9 +1000,9 @@ object Analytics {
   def graphLabelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = coOccurrenceEdges(spark, sfDir)
-    val dir = e.select($"u".as("src"), $"v".as("dst"))
-      .unionAll(e.select($"v".as("src"), $"u".as("dst")))
-      .localCheckpoint()
+    val dir = Residue.swap("graph_label_propagation.edges",
+      e.select($"u".as("src"), $"v".as("dst"))
+        .unionAll(e.select($"v".as("src"), $"u".as("dst"))))
     // Round 1 needs NO join: initial labels are the node ids themselves,
     // and edges are distinct, so every neighbor label occurs exactly once
     // — the frequency argmax degenerates to min(neighbor). One aggregate
@@ -1082,12 +1084,15 @@ object Analytics {
       .filter($"o_totalprice" > 0)
       .select(substring(round($"o_totalprice".cast("double") * 100)
         .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
-      // a sub-cent total (0 < price < 0.005) rounds to cents 0 → digit 0;
-      // the oracle's 9-digit VALUES join drops that bucket, so drop it
-      // here too instead of emitting a NULL-expectation row
-      .filter($"digit".between(1, 9))
       .groupBy($"digit").agg(count(lit(1)).as("n"))
       .withColumn("total", sum($"n").over(Window.partitionBy()))
+      // a sub-cent total (0 < price < 0.005) rounds to cents 0 → digit 0;
+      // the oracle's 9-digit VALUES join drops that bucket at the OUTPUT,
+      // after its total already summed every digit group — so the digit
+      // filter must run AFTER the window total here too, or share_u6
+      // denominators diverge in that edge case (r9 advice; unreachable
+      // with TPC-H totals but the orders are the oracle's, not ours)
+      .filter($"digit".between(1, 9))
       .select($"digit", $"n",
         round($"n".cast("double") / $"total" * 1e6).cast("long")
           .as("share_u6"),

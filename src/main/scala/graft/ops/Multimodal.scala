@@ -240,8 +240,9 @@ object Multimodal {
         require(img != null, s"undecodable image payload for asset ${r.getLong(0)}")
         Row(r.getLong(0), ahash64(img))
       }
-    }(sigEnc).localCheckpoint()
-    val bands = sigs.select($"asset_id", $"ahash",
+    }(sigEnc)
+    val sigsCp = Residue.swap("multimodal_phash_pairs.sigs", sigs)
+    val bands = sigsCp.select($"asset_id", $"ahash",
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright($"ahash", b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))

@@ -351,6 +351,52 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** As-of join with a PER-ROW tolerance carried in a VARIANT payload
+    * (r10): each event's staleness bound comes out of its own
+    * semi-structured `props` — `variant_get(parse_json(props), '$.k',
+    * 'int') % 90 + 30` days — so different events of one user accept
+    * different match ages. This is the semi-structured composition a
+    * constant-tolerance as-of ([[joinAsofTolerance]]) cannot express,
+    * and the reason VARIANT extraction belongs in the join projection
+    * rather than a separate pass.
+    *
+    * Same LINEAR one-timeline shape as [[joinAsof]] — one shuffle on the
+    * key, one per-key sort, zero pair rows; the variant decode is a
+    * per-row map expression reading the encoded binary directly (at
+    * scale `props` would be a shredded VARIANT column, decoded once at
+    * the scan, never re-parsed per predicate). The tolerance predicate
+    * NULLs out stale matches post-window, preserving the left row. */
+  def joinAsofVariant(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, sfDir)
+      .select($"o_custkey".as("k"),
+        $"o_orderdate".cast("timestamp").as("t"),
+        lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+        lit(null).cast("int").as("tol_days"),
+        struct($"o_orderdate", $"o_orderkey").as("ord"))
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id".as("k"),
+        date_add(lit("1995-01-01").cast("date"),
+          ($"event_id" % 2500).cast("int")).cast("timestamp").as("t"),
+        lit(1).as("is_event"), $"event_id",
+        (variant_get(parse_json($"props"), "$.k", "int") % 90 + 30)
+          .as("tol_days"),
+        lit(null).cast("struct<o_orderdate:timestamp,o_orderkey:bigint>").as("ord"))
+    val w = Window.partitionBy($"k")
+      .orderBy($"t", $"is_event", $"ord.o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("best", last($"ord", ignoreNulls = true).over(w))
+      .filter($"is_event" === 1)
+      .withColumn("fresh",
+        when(datediff($"t", $"best.o_orderdate") <= $"tol_days", $"best"))
+      .select($"event_id", $"k".as("user_id"),
+        date_format($"t", "yyyy-MM-dd").as("cutoff"), $"tol_days",
+        $"fresh.o_orderkey".as("asof_orderkey"),
+        date_format($"fresh.o_orderdate", "yyyy-MM-dd").as("asof_date"))
+      .orderBy($"event_id")
+  }
+
   // ------------------------------------------------------------ aggregations
 
   /** Group filter applied post-aggregation (HAVING). */

@@ -692,42 +692,49 @@ object Similarity {
       .orderBy($"id_a", $"id_b")
   }
 
-  /** MinHash near-dup candidates: word-trigram shingles, 6 seeded md5
-    * min-hashes per doc, candidate pairs = ≥2 matching signature
-    * components, estimated Jaccard = matches/6. The signature is tiny
-    * (6 hex strings) — at scale, pairs come from banding on signature
-    * components, never from comparing documents. */
-  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The 6-component minhash signature frame (doc_id, seed i, min hash v)
+    * shared by the minhash family. Explodes shingles and seeds into flat
+    * rows, md5 in a codegen'd projection, then hash-aggregates the
+    * per-seed minimum: identical semantics to array_min over nested
+    * lambdas but ~50× faster (nested HOFs fall out of whole-stage
+    * codegen) and map-side combinable.
+    *
+    * ONE LAZY plan-keyed cache: the shingle+md5+min pipeline is the
+    * dominant cost, the band frame itself is tiny, and every consumer —
+    * [[dedupMinhashLsh]], [[dedupMinhashContainment]], [[dedupLshRecall]]
+    * calling the LSH side, the bench's warm lane — lands on the SAME
+    * cache entry instead of re-hashing the corpus. Lazy (no eager
+    * count): block-level population still computes the subtree once even
+    * with both self-join sides reading it, and query CONSTRUCTION stays
+    * side-effect free — plan-only consumers (Explain, PlanSpec's shape
+    * sweeps) must not run a corpus hash. Measured vs the eager-count
+    * variant: lazy is faster on every consumer (minhash cold
+    * 1.6→1.1 s). catalog.clearCache() frees it. */
+  private[graft] def minhashBands(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val toks = TextSim.tokens($"text")
-    // Explode shingles and seeds into flat rows, md5 in a codegen'd
-    // projection, then hash-aggregate the per-seed minimum: identical
-    // semantics to array_min over nested lambdas but ~50× faster (nested
-    // HOFs fall out of whole-stage codegen) and map-side combinable.
-    val shingles = TextSim.rebalanceDocs(Tables.documents(spark, sfDir))
+    TextSim.rebalanceDocs(Tables.documents(spark, sfDir))
       .select($"doc_id", toks.as("ts"))
       .filter(size($"ts") >= 3)
       .select($"doc_id", explode(expr(
         "transform(sequence(1, size(ts) - 2), " +
           "i -> concat(element_at(ts, i), ' ', element_at(ts, i+1), ' ', element_at(ts, i+2)))")).as("shingle"))
-    // ONE LAZY plan-keyed cache for the 6-rows-per-doc signature frame:
-    // the shingle+md5+min pipeline is the dominant cost, the band frame
-    // itself is tiny, and repeated invocations — the bench's warm lane,
-    // and [[dedupLshRecall]] calling this as its approximate side — land
-    // on the SAME cache entry instead of re-hashing the corpus. Lazy
-    // (no eager count): block-level population still computes the
-    // subtree once even with both self-join sides reading it, and query
-    // CONSTRUCTION stays side-effect free — plan-only consumers
-    // (Explain, PlanSpec's shape sweeps) must not run a corpus hash.
-    // Measured vs the eager-count variant: lazy is faster on every
-    // consumer (minhash cold 1.6→1.1 s). catalog.clearCache() frees it.
-    val bands = shingles
       .select($"doc_id", explode(sequence(lit(0), lit(5))).as("i"),
         $"shingle")
       .select($"doc_id", $"i",
         md5(concat($"i".cast("string"), lit("|"), $"shingle")).as("h"))
       .groupBy($"doc_id", $"i").agg(min($"h").as("v"))
       .cache()
+  }
+
+  /** MinHash near-dup candidates: word-trigram shingles, 6 seeded md5
+    * min-hashes per doc ([[minhashBands]]), candidate pairs = ≥2 matching
+    * signature components, estimated Jaccard = matches/6. The signature
+    * is tiny (6 hex strings) — at scale, pairs come from banding on
+    * signature components, never from comparing documents. */
+  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = minhashBands(spark, sfDir)
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, $"a.i" === $"b.i" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id")
@@ -736,6 +743,51 @@ object Similarity {
       .filter($"matches" >= 2)
       .select($"id_a", $"id_b", $"matches",
         ($"matches".cast("double") / 6.0).cast("decimal(18,6)").as("est_jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Containment via minhash sketches — the sub-quadratic twin of
+    * [[dedupContainment]] (r10): minhash estimates JACCARD, but the
+    * boilerplate-inclusion question ("is doc A mostly contained in B?")
+    * needs CONTAINMENT |A∩B|/|A|, which Jaccard understates badly when
+    * |A| ≪ |B|. The standard sketch algebra recovers it from quantities
+    * that never touch pair text: est_inter = Ĵ/(1+Ĵ)·(|A|+|B|) (solve
+    * J = I/(|A|+|B|−I) for I), then cont_a = est_inter/|A|,
+    * cont_b = est_inter/|B|.
+    *
+    * Scale shape: candidates come from the SAME banded signature
+    * equi-join as [[dedupMinhashLsh]] (and hit the same [[minhashBands]]
+    * plan-keyed cache); the exact shingle-set sizes |A| are a per-row
+    * map expression over the token array — no shuffle, no pair
+    * enumeration, so the whole operator is O(candidates), vs
+    * [[dedupContainment]]'s exact gram-join tier. The estimate is
+    * deterministic arithmetic over integer inputs, so the DuckDB oracle
+    * replays it bit-for-bit. */
+  def dedupMinhashContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextSim.tokens($"text")
+    val sz = TextSim.rebalanceDocs(Tables.documents(spark, sfDir))
+      .select($"doc_id", toks.as("ts"))
+      .filter(size($"ts") >= 3)
+      .select($"doc_id", size(array_distinct(expr(
+        "transform(sequence(1, size(ts) - 2), " +
+          "i -> concat(element_at(ts, i), ' ', element_at(ts, i+1), ' ', element_at(ts, i+2)))")))
+        .cast("long").as("n"))
+    val bands = minhashBands(spark, sfDir)
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.i" === $"b.i" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("matches"))
+      .filter($"matches" >= 2)
+    cand
+      .join(sz.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
+      .join(sz.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
+      .withColumn("est_j", $"matches".cast("double") / 6.0)
+      .withColumn("est_inter",
+        $"est_j" / (lit(1.0) + $"est_j") * ($"na" + $"nb").cast("double"))
+      .select($"id_a", $"id_b", $"matches", $"na", $"nb",
+        ($"est_inter" / $"na").cast("decimal(18,6)").as("cont_a"),
+        ($"est_inter" / $"nb").cast("decimal(18,6)").as("cont_b"))
       .orderBy($"id_a", $"id_b")
   }
 
@@ -770,9 +822,9 @@ object Similarity {
       .select($"doc_id", $"is_new", $"i",
         md5(concat($"i".cast("string"), lit("|"), $"shingle")).as("h"))
       .groupBy($"doc_id", $"is_new", $"i").agg(min($"h").as("v"))
-      .localCheckpoint()
-    val hits = bands.filter($"is_new").as("n")
-      .join(bands.filter(!$"is_new").as("o"),
+    val bandsCp = Residue.swap("dedup_incremental_minhash.bands", bands)
+    val hits = bandsCp.filter($"is_new").as("n")
+      .join(bandsCp.filter(!$"is_new").as("o"),
         $"n.i" === $"o.i" && $"n.v" === $"o.v")
       .groupBy($"n.doc_id".as("doc_id"), $"o.doc_id".as("match_id"))
       .agg(count(lit(1)).as("matches"))
@@ -901,13 +953,14 @@ object Similarity {
     * O(log d)). Same output, same oracle (SimilaritySpec proves parity);
     * on the declared near-dup corpus (diameter ≤ 3) both converge in
     * comparable rounds — propagation 4, contraction 2 at sf0.001 —
-    * and the r8 head-to-head at sf0.1 measured propagation 2.6 s cold /
-    * 1.0 s warm vs contraction 6.6 s / 2.5 s: contraction's fewer
-    * rounds each carry MORE jobs (two rewires + a distinct + a
-    * set-equality check), and at local bench scale the fixpoint bill is
-    * job count, not data. So propagation stays the default and
-    * contraction is the dial to turn when components are long chains.
-    * Oracle: DuckDB recursive-CTE transitive closure. */
+    * and a head-to-head at sf0.1 (round-8 build, alone lane; kept as
+    * historical provenance, not a current-artifact claim) measured
+    * propagation 2.6 s cold / 1.0 s warm vs contraction 6.6 s / 2.5 s:
+    * contraction's fewer rounds each carry MORE jobs (two rewires + a
+    * distinct + a set-equality check), and at local bench scale the
+    * fixpoint bill is job count, not data. So propagation stays the
+    * default and contraction is the dial to turn when components are
+    * long chains. Oracle: DuckDB recursive-CTE transitive closure. */
   def dedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val reliable = spark.conf.getOption("spark.graft.cluster.reliableCheckpoint")
@@ -933,19 +986,31 @@ object Similarity {
         case l: org.apache.spark.sql.execution.LogicalRDD =>
           l.rdd.unpersist(blocking = false)
       }
-    val pairs = dedupNgramJaccard(spark, sfDir).select($"id_a", $"id_b")
+    // Materialize the candidate-pair frame ONCE before the fixpoint (r10):
+    // the r9 cold lane spent most of its 17.3 s deriving the jaccard
+    // candidates inside round-1's job AND carrying the full candidate
+    // lineage in every round's analyzed plan (per-round planning + codegen
+    // scale with the subtree, and at local bench scale the fixpoint bill
+    // is job/plan overhead, not data). The eager localCheckpoint collapses
+    // every round's plan to a tiny LogicalRDD; Residue frees the blocks on
+    // re-entry and at family boundaries, so repeated invocations never
+    // accumulate stale snapshots.
+    val pairsBase = dedupNgramJaccard(spark, sfDir).select($"id_a", $"id_b")
+    val pairs =
+      if (reliable) Residue.track("dedup_cluster.pairs", pairsBase.checkpoint())
+      else Residue.swap("dedup_cluster.pairs", pairsBase)
     if (spark.conf.getOption("spark.graft.cluster.algo")
         .contains("starcontract")) {
       val (labels, _) = starContract(pairs, truncateLineage, freeCheckpoint)
       return Tables.documents(spark, sfDir).select($"doc_id")
-        .join(labels, Seq("doc_id"), "left_outer")
+        .join(Residue.track("dedup_cluster.labels", labels),
+          Seq("doc_id"), "left_outer")
         .select($"doc_id", coalesce($"cluster", $"doc_id").as("cluster"))
         .select($"doc_id", $"cluster", ($"doc_id" === $"cluster").as("kept"))
         .orderBy($"doc_id")
     }
     val edges = pairs
       .union(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
-      .cache()
     // Iterate ONLY over vertices that appear in the pair graph: an
     // isolated document's label is provably its own id, so carrying the
     // whole corpus through every round just multiplies each round's
@@ -987,9 +1052,9 @@ object Similarity {
       rounds += 1
     }
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
-    edges.unpersist()
     Tables.documents(spark, sfDir).select($"doc_id")
-      .join(labels, Seq("doc_id"), "left_outer")
+      .join(Residue.track("dedup_cluster.labels", labels),
+        Seq("doc_id"), "left_outer")
       .select($"doc_id", coalesce($"cluster", $"doc_id").as("cluster"))
       .select($"doc_id", $"cluster", ($"doc_id" === $"cluster").as("kept"))
       .orderBy($"doc_id")
@@ -1467,12 +1532,11 @@ object Similarity {
             slice($"ts", lit(1), lit(p - 1)))
           (element_at(rot, 1), substring(concat_ws(" ", rot), 1, 64))
         }
-      val d = base
+      val d = Residue.swap(s"dedup_sorted_neighborhood.pass$p", base
         .select($"doc_id", $"gs", blkCol.as("blk"), skCol.as("sk64"))
         .withColumn("rk",
           row_number().over(Window.partitionBy($"blk").orderBy($"sk64", $"doc_id")))
-        .drop("sk64")
-        .localCheckpoint()
+        .drop("sk64"))
       val a = d.withColumn("j", explode(sequence(lit(1), lit(W))))
         .withColumn("rkj", $"rk" + $"j").as("a")
       val b = d.as("b")

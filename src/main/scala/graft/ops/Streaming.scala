@@ -200,8 +200,12 @@ object Streaming {
     // provider registry would otherwise hold this query's in-memory state
     // until the ~60 s maintenance sweep — taxing whatever runs next.
     // The `out` dir must survive: the caller reads it lazily.
-    deleteRec(new java.io.File(s"$dir/chk"))
+    // Unload FIRST, delete second (r9 advice): a still-loaded provider's
+    // async maintenance sweep could otherwise write snapshot files back
+    // into $dir/chk in the window between the delete and the unload,
+    // resurrecting the residue this cleanup removes.
     org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+    deleteRec(new java.io.File(s"$dir/chk"))
     spark.read.schema(df.schema).parquet(s"$dir/out")
   }
 
@@ -477,10 +481,11 @@ object Streaming {
           .write.mode("overwrite").parquet(s"$dir/state_v$batchId")
       }.start()
     q.awaitTermination()
-    // same post-run hygiene as runToParquet; state_v* snapshots survive
+    // same post-run hygiene as runToParquet (unload before delete, so no
+    // maintenance sweep re-creates chk); state_v* snapshots survive
     // (the read below is lazy), only the dead checkpoint tree goes
-    deleteRec(new java.io.File(s"$dir/chk"))
     org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+    deleteRec(new java.io.File(s"$dir/chk"))
     val latest = stateVersions().lastOption
       .map { case (_, f) => spark.read.parquet(f.getPath) }
       // zero batches: empty BATCH frame with the same schema

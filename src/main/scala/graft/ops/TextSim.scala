@@ -92,14 +92,23 @@ object TextSim {
     * license headers at web scale). Output per doc: chunk counts before/
     * after and the md5 of the cleaned reassembled text.
     *
-    * Scale design: the chunk frame is built once and localCheckpointed —
-    * its three consumers (df count, keep join, per-doc totals) would
-    * otherwise re-run the tokenize+explode subtree 3×. The df count is a
-    * map-side-combinable aggregation; the keep join is chunk-keyed and
-    * 1:1 per occurrence (a hot boilerplate line fans out to its df rows
-    * on the COUNT side, never k² pairs — contrast the gram join's df cap,
-    * Similarity.GramDfCap). Only chunk strings of ≤ a few words shuffle,
-    * never documents. */
+    * Scale design (r10 — chunk TEXT never shuffles): documents shuffle
+    * exactly once, in [[rebalanceDocs]]' doc_id repartition; the chunk
+    * build then groups on (doc_id, cid), which the doc_id hash
+    * partitioning already satisfies — no exchange. The frame is
+    * plan-keyed `.cache()`d (an InMemoryRelation PRESERVES the doc_id
+    * partitioning where a localCheckpoint's LogicalRDD would report
+    * UnknownPartitioning and force every downstream aggregate to
+    * re-shuffle the text). Document frequency is counted on
+    * `xxhash64(chunk)` — 8 bytes per row through the one small shuffle
+    * instead of the chunk string (the r9 shape shuffled the raw corpus
+    * text TWICE, a certain scale-killer at 100 TB; a 64-bit collision
+    * merging two distinct chunks is ~n²/2⁶⁴ — the same risk budget every
+    * hash-sketch operator here accepts). The hot set (df > LineDfCap) is
+    * by construction tiny — boilerplate lines only — so the keep filter
+    * is a BROADCAST anti-join: per-doc totals, the kept aggregate and
+    * the final join all stay inside the doc_id partitioning with zero
+    * further exchanges. */
   def textLineDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val chunks = rebalanceDocs(
@@ -109,10 +118,13 @@ object TextSim {
       .agg(concat_ws(" ",
         expr("transform(array_sort(collect_list(struct(i0, w))), s -> s.w)"))
         .as("chunk"))
-      .localCheckpoint()
-    val df = chunks.groupBy($"chunk")
+      .withColumn("h", xxhash64($"chunk"))
+      .cache()
+    val hot = chunks.groupBy($"h")
       .agg(countDistinct($"doc_id").as("df"))
-    val kept = chunks.join(df.filter($"df" <= LineDfCap).select($"chunk"), "chunk")
+      .filter($"df" > LineDfCap)
+      .select($"h")
+    val kept = chunks.join(broadcast(hot), Seq("h"), "left_anti")
     val tot = chunks.groupBy($"doc_id").agg(count(lit(1)).as("n_chunks"))
     val ka = kept.groupBy($"doc_id").agg(count(lit(1)).as("n_kept"),
       md5(concat_ws(" ",
@@ -782,18 +794,17 @@ object TextSim {
     * scope. */
   def textSpanDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = rebalanceDocs(
+    val docs = Residue.swap("text_span_dedup.docs", rebalanceDocs(
       Tables.documents(spark, sfDir)
-        .select($"doc_id", split($"text", " ").as("ws")))
-      .localCheckpoint()
+        .select($"doc_id", split($"text", " ").as("ws"))))
     val tot = docs.select($"doc_id",
       greatest(size($"ws") - lit(SpanK - 1), lit(0)).cast("long").as("n_grams"))
-    val grams = docs.filter(size($"ws") >= SpanK)
+    val grams = Residue.swap("text_span_dedup.grams", docs
+      .filter(size($"ws") >= SpanK)
       .select($"doc_id", posexplode(expr(
         s"transform(sequence(0, size(ws) - $SpanK), " +
           s"i -> concat_ws(' ', slice(ws, i + 1, $SpanK)))"))
-        .as(Seq("pos", "gram")))
-      .localCheckpoint()
+        .as(Seq("pos", "gram"))))
     val dfreq = grams.groupBy($"gram").agg(countDistinct($"doc_id").as("df"))
     val dup = grams
       .join(dfreq.filter($"df" >= 2).select($"gram"), Seq("gram"), "left_semi")

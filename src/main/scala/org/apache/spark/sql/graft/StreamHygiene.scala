@@ -20,6 +20,16 @@ import org.apache.spark.sql.execution.streaming.state.StateStore
   */
 object StreamHygiene {
   /** Close and drop every loaded state-store provider. Safe whenever no
-    * streaming query is mid-batch (providers reload lazily on next use). */
-  def unloadStateStores(): Unit = StateStore.unloadAll()
+    * streaming query is mid-batch (providers reload lazily on next use) —
+    * and that precondition is self-enforced (r9 advice): `unloadAll()` is
+    * JVM-global, so calling it while another session's query is mid-batch
+    * would close that query's store under it. Callers here always await
+    * termination first; the check turns a latent misuse into a loud error. */
+  def unloadStateStores(): Unit = {
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.streams.active.length).getOrElse(0)
+    require(active == 0,
+      s"unloadStateStores called with $active active streaming queries")
+    StateStore.unloadAll()
+  }
 }
