@@ -166,12 +166,15 @@ object TextSim {
       .orderBy($"doc_id")
   }
 
-  /** Global word frequencies, top 30 (count desc, word asc). */
+  /** Global word frequencies, top 30 (count desc, word asc). Rolls up
+    * the shared session token table ([[tfTable]]) — the global count per
+    * word is the sum of per-doc term frequencies, so the corpus is never
+    * re-tokenized when the family already paid for the table (r10). */
   def textWordcount(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .select(explode(tokens($"text")).as("word"))
-      .groupBy($"word").agg(count(lit(1)).as("n"))
+    tfTable(spark, sfDir)
+      .groupBy($"tok").agg(sum($"tf").as("n"))
+      .select($"tok".as("word"), $"n")
       .orderBy($"n".desc, $"word")
       .limit(30)
   }
@@ -244,7 +247,8 @@ object TextSim {
     // materializing it here lets the tf cache drop inside the operator
     val mat = core.cache()
     mat.count()
-    tf.unpersist(blocking = false)
+    // tf deliberately NOT unpersisted (r10): it is the shared session
+    // token table; the family-boundary clearCache frees it
     mat.orderBy($"doc_id")
   }
 
@@ -267,15 +271,35 @@ object TextSim {
       .orderBy($"actual", $"predicted")
   }
 
-  /** Pre-checkpoint plan of [[textLangid]], exposed so PlanSpec can pin
-    * the one-corpus-scan property. Returns (cached tf handle, result). */
-  private[graft] def langidCore(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+  /** THE session-scoped token table (r10): per-doc term frequencies
+    * (doc_id, lang, tok, tf), plan-keyed cached, shared by every
+    * tf-shaped consumer — [[langidCore]] directly, [[lmScoreCore]] and
+    * [[tfidfCore]] through a lang-dropping projection (lang is
+    * functionally dependent on doc_id, so grouping by (doc_id, lang,
+    * tok) and (doc_id, tok) produce the same rows), and
+    * [[textWordcount]] by a tok roll-up. One tokenize+explode pass
+    * serves the family instead of four — the "materialize one
+    * session-scoped token table" shape of a production corpus pipeline;
+    * the bench's family-boundary hygiene (and any clearCache) frees it.
+    * Shuffle-free by construction: the [[rebalanceDocs]] doc_id hash
+    * partitioning satisfies the (doc_id, lang, tok) clustering, so the
+    * aggregate runs in-partition. Size is bounded by per-doc vocabulary
+    * (far below the raw token stream), the reason it can live for a
+    * session at 100 TB where token streams cannot. */
+  private[graft] def tfTable(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tf = rebalanceDocs(Tables.documents(spark, sfDir))
+    rebalanceDocs(Tables.documents(spark, sfDir))
       .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
       .groupBy($"doc_id", $"lang", $"tok")
       .agg(count(lit(1)).as("tf"))
       .cache()
+  }
+
+  /** Pre-checkpoint plan of [[textLangid]], exposed so PlanSpec can pin
+    * the one-corpus-scan property. Returns (cached tf handle, result). */
+  private[graft] def langidCore(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val tf = tfTable(spark, sfDir)
     val wk = Window.partitionBy($"cand_lang").orderBy($"df".desc, $"tok")
     val profile = tf.groupBy($"tok", $"lang".as("cand_lang"))
       .agg(sum($"tf").as("cnt"), count(lit(1)).as("df"))
@@ -322,6 +346,13 @@ object TextSim {
     * TakeOrdered heap. Nothing shuffles but the top-20. */
   def textBm25(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // deliberately NOT a tfTable consumer: dl and the single query-term
+    // tf are per-row ARRAY expressions (size / filter over the token
+    // array) — zero shuffle, no explode — and measured 2.3× cheaper than
+    // rolling them up from the shared token table (which costs an
+    // InMemoryRelation scan + a doc_id join, and makes bm25 pay the
+    // table's population when it runs first). The shared table wins only
+    // for consumers that need the (doc, token)-grained rows themselves.
     val d = rebalanceDocs(Tables.documents(spark, sfDir))
       .select($"doc_id", tokens($"text").as("ts"))
       .select($"doc_id", size($"ts").as("dl"),
@@ -455,8 +486,11 @@ object TextSim {
     val docs = rebalanceDocs(Tables.documents(spark, sfDir))
       .select($"doc_id", tokens($"text").as("ts"))
       .filter(size($"ts") >= 2)
-    val wc = docs.select($"doc_id", explode($"ts").as("w"))
-      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
+    // unigram counts are the shared session token table verbatim (r10);
+    // 1-token docs it adds are dropped by the inner join with the
+    // bigram side, exactly as the size≥2 filter dropped them before
+    val wc = tfTable(spark, sfDir)
+      .select($"doc_id", $"tok".as("w"), $"tf".as("cnt"))
     val uni = wc.groupBy($"doc_id").agg(
       max(struct($"cnt", $"w")).as("top"),
       sum($"cnt" * length($"w")).as("word_chars"))
@@ -521,12 +555,20 @@ object TextSim {
   def textNgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val g = 4
+    // grams ride as xxhash64 longs from the start (r10): the df aggregate
+    // and the flag join only need gram IDENTITY, never the text, so the
+    // shuffle carries 8 bytes per gram instead of the 4-token string —
+    // the same hash-identity budget (~n²/2⁶⁴ collisions) every sketch
+    // operator here accepts
     val grams = rebalanceDocs(Tables.documents(spark, sfDir))
       .select($"doc_id", $"source", tokens($"text").as("ts"))
       .filter(size($"ts") >= g)
       .select($"doc_id", $"source", explode(array_distinct(
         transform(sequence(lit(1), size($"ts") - (g - 1)),
           i => concat_ws(" ", slice($"ts", i, lit(g)))))).as("gram"))
+      .select($"doc_id", $"source", xxhash64($"gram").as("gram"))
+    // NOT cached: materializing the 1M-row gram frame costs more than
+    // re-running the explode for the second consumer (measured +0.7 s)
     val gd = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
     grams.join(gd, "gram")
       .groupBy($"source")
@@ -567,11 +609,11 @@ object TextSim {
     * drop inside the operator. */
   def textLmScore(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val (tf, core) = lmScoreCore(spark, sfDir)
-    // plan-keyed cache, not localCheckpoint — see textLangid
+    val (_, core) = lmScoreCore(spark, sfDir)
+    // plan-keyed cache, not localCheckpoint — see textLangid; the shared
+    // tf table stays cached for the family (r10)
     val mat = core.cache()
     mat.count()
-    tf.unpersist(blocking = false)
     mat.orderBy($"doc_id")
   }
 
@@ -579,10 +621,10 @@ object TextSim {
     * the one-corpus-scan property. Returns (cached tf handle, result). */
   private[graft] def lmScoreCore(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val tf = rebalanceDocs(Tables.documents(spark, sfDir))
-      .select($"doc_id", explode(tokens($"text")).as("w"))
-      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
-      .cache()
+    // the shared session token table, lang projected away — lang is
+    // functionally dependent on doc_id, so the (doc_id, w) rows and tf
+    // values are identical to a direct (doc_id, w) aggregation (r10)
+    val tf = tfTable(spark, sfDir).select($"doc_id", $"tok".as("w"), $"tf")
     val vc = tf.groupBy($"w").agg(sum($"tf").as("cnt"))
     // the corpus total is the SUM of the vocabulary counts — derived from
     // the same aggregate that builds the LM, never a separate corpus pass.
@@ -695,13 +737,12 @@ object TextSim {
     * PlanSpec pins zero file scans in the core plan. */
   def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val (tf, core) = tfidfCore(spark, sfDir)
-    // plan-keyed cache of the ≤100-row result (the langid recipe):
-    // materializing it here lets the tf cache drop inside the operator;
-    // repeat invocations reuse ONE snapshot and clearCache() frees it
+    val (_, core) = tfidfCore(spark, sfDir)
+    // plan-keyed cache of the ≤100-row result (the langid recipe);
+    // repeat invocations reuse ONE snapshot and clearCache() frees it —
+    // the shared tf table stays cached for the family (r10)
     val mat = core.cache()
     mat.count()
-    tf.unpersist(blocking = false)
     mat.orderBy($"tfidf".desc, $"doc_id", $"tok")
   }
 
@@ -709,10 +750,8 @@ object TextSim {
     * pin the one-corpus-scan property. Returns (cached tf handle, result). */
   private[graft] def tfidfCore(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val tf = rebalanceDocs(Tables.documents(spark, sfDir))
-      .select($"doc_id", explode(tokens($"text")).as("tok"))
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-      .cache()
+    // shared session token table (see tfTable), lang projected away
+    val tf = tfTable(spark, sfDir).select($"doc_id", $"tok", $"tf")
     val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
     val n = tf.select($"doc_id").distinct().agg(count(lit(1)).as("n_docs"))
     val core = tf.join(dfreq, "tok")
@@ -867,9 +906,10 @@ object TextSim {
     * aggregate. */
   def textZipfFit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tf = Tables.documents(spark, sfDir)
-      .select(explode(tokens($"text")).as("tok"))
-      .groupBy($"tok").agg(count(lit(1)).as("freq"))
+    // global token frequencies roll up from the shared session token
+    // table (r10) — Σ per-doc tf ≡ the direct corpus-wide count
+    val tf = tfTable(spark, sfDir)
+      .groupBy($"tok").agg(sum($"tf").as("freq"))
     val ranked = tf.withColumn("rank",
       row_number().over(Window.orderBy($"freq".desc, $"tok")))
     val pts = ranked.select(
