@@ -193,8 +193,10 @@ object Bench {
     // Per-round snapshot (r9 judge ask): bench_detail.json is overwritten
     // every run, so round-over-round per-query diffs were impossible. The
     // round number is inferred from the newest driver artifact BENCH_r{N}
-    // (this run becomes round N+1); dev runs without artifacts skip it.
-    try {
+    // (this run becomes round N+1). Full-board runs only — a
+    // SPARK_GRAFT_ONLY dev subset must not masquerade as the round's
+    // board; dev runs without artifacts skip it too.
+    try if (only.isEmpty) {
       val rs = Option(new java.io.File(".").listFiles).toSeq.flatten
         .map(_.getName).flatMap {
           case s if s.matches("BENCH_r\\d+\\.json") =>

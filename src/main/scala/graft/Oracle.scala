@@ -828,6 +828,13 @@ object Oracle {
 
   /** DuckDB mirror of Spark's conv(substr(md5, 1, 8), 16, 10): parse the
     * first 8 md5 nibbles into a 32-bit integer (no conv() in DuckDB). */
+  /** 52-bit variant of [[hex32Sql]] (13 hex chars — fits a double's
+    * mantissa, so u = (h+1)/2^52 is an exact dyadic rational). */
+  private def hex52Sql(md5Expr: String): String =
+    (1 to 13).map { i =>
+      s"(CAST(strpos('0123456789abcdef', substr($md5Expr, $i, 1)) AS BIGINT) - 1) * ${1L << (4 * (13 - i))}"
+    }.mkString("(", " + ", ")")
+
   private def hex32Sql(md5Expr: String): String =
     (1 to 8).map { i =>
       s"(CAST(strpos('0123456789abcdef', substr($md5Expr, $i, 1)) AS BIGINT) - 1) * ${1L << (4 * (8 - i))}"
@@ -919,6 +926,23 @@ object Oracle {
         |  row_number() OVER (PARTITION BY lang, source ORDER BY n_chars DESC, doc_id) AS rn
         | FROM documents)
         |WHERE rn = 1 ORDER BY lang, source""".stripMargin,
+
+    // per-doc top-3 rank over the same tf/df/N construction as text_tfidf
+    "text_keyword_extract" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest($toksExpr) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+         |s AS (SELECT doc_id, tf.tok AS tok,
+         |    tf * ln((n_docs + 1.0) / (df + 1.0)) AS score
+         |  FROM tf JOIN dfreq ON tf.tok = dfreq.tok, n),
+         |r AS (SELECT doc_id, tok, score, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, tok) AS rank FROM s)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok,
+         | CAST(score AS DECIMAL(18,6))::DOUBLE AS tfidf
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "text_tfidf" ->
       // df via aggregate+join (not a window) and N = distinct tokenized
@@ -2785,6 +2809,20 @@ object Oracle {
         |SELECT strftime(day, '%Y-%m-%d') AS day, n, med7,
         | abs(n - med7) > med7 * 0.5 AS drift
         |FROM m ORDER BY day""".stripMargin,
+
+    // A-ES weighted reservoir: µ-snapped ln(u) (lm_score recipe), exact
+    // integer-over-integer ranking key, doc_id tiebreak
+    "sample_weighted_reservoir" ->
+      s"""WITH m AS (SELECT doc_id, lang, n_chars,
+         |  md5('res|' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |k AS (SELECT doc_id, lang, n_chars,
+         |  CAST(round(ln(CAST(${hex52Sql("h")} + 1 AS DOUBLE)
+         |    / 4503599627370496.0) * 1e6) AS BIGINT) AS lnu_u6
+         |  FROM m)
+         |SELECT doc_id, lang, n_chars,
+         | CAST(CAST(CAST(lnu_u6 AS DOUBLE) / n_chars AS DECIMAL(18,6)) AS DOUBLE) AS priority
+         |FROM k
+         |ORDER BY CAST(lnu_u6 AS DOUBLE) / n_chars DESC, doc_id LIMIT 100""".stripMargin,
 
     "sample_weighted" ->
       s"""WITH m AS (SELECT doc_id, lang, n_chars,

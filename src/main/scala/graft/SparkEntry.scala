@@ -168,6 +168,7 @@ object SparkEntry {
     "agg_gini"               -> Quality.aggGini _,
     "sim_ann_recall"         -> Similarity.simAnnRecall _,
     "text_tfidf"             -> TextSim.textTfidf _,
+    "text_keyword_extract"   -> TextSim.textKeywordExtract _,
     "text_pii_scrub"         -> TextSim.textPiiScrub _,
     "text_curation_filter"   -> TextSim.textCurationFilter _,
     "text_repetition"        -> TextSim.textRepetition _,
@@ -298,6 +299,7 @@ object SparkEntry {
     "profile_mix_entropy" -> Quality.profileMixEntropy _,
     "profile_dup_classes" -> TextSim.profileDupClasses _,
     "sample_weighted"     -> Curation.sampleWeighted _,
+    "sample_weighted_reservoir" -> Curation.sampleWeightedReservoir _,
     "win_sessionize"      -> Windows.winSessionize _,
     "win_gap_islands"     -> Windows.winGapIslands _,
     "win_sliding_distinct" -> Windows.winSlidingDistinct _,

@@ -68,6 +68,39 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Fixed-size weighted sample WITHOUT replacement (r10) — the
+    * Efraimidis–Spirakis A-ES reservoir: each row gets priority
+    * ln(u)/w (u a deterministic md5-uniform in (0,1], w = n_chars), and
+    * the k rows with the LARGEST priority are exactly a weighted
+    * k-sample without replacement. This is the EXACTLY-k companion to
+    * [[sampleWeighted]]'s Bernoulli thinning (whose output size is only
+    * expected, not fixed) — the contract a training-mix builder needs
+    * ("give me exactly 100 docs, long ones proportionally more often").
+    *
+    * Scale: one map pass computes the key (no corpus state), selection
+    * is a TakeOrdered k-heap — no global sort, no shuffle beyond the
+    * final k rows; at 100 TB this is the one-pass weighted sampler.
+    * Determinism: u = (h52+1)/2⁵² from 13 md5 hex chars (the division
+    * by a power of two is exact in double), ln is µ-snapped to an
+    * integer (the lm_score recipe — engines' libm agree at 6 dp), and
+    * the ranking key lnu_u6/w is a division of exact integers, so both
+    * engines order identically; doc_id breaks exact ties. */
+  def sampleWeightedReservoir(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("h52",
+        conv(substring(md5(concat(lit("res|"), $"doc_id".cast("string"))), 1, 13),
+          16, 10).cast("long"))
+      .withColumn("lnu_u6",
+        round(log(($"h52" + 1).cast("double") / lit(4503599627370496.0)) * 1e6)
+          .cast("long"))
+      .withColumn("key", $"lnu_u6".cast("double") / $"n_chars")
+      .orderBy($"key".desc, $"doc_id")
+      .limit(100)
+      .select($"doc_id", $"lang", $"n_chars",
+        $"key".cast("decimal(18,6)").as("priority"))
+  }
+
   /** Mixture re-weighting toward a uniform language mix: weight_l =
     * min_count / count_l is the per-document acceptance probability that
     * equalizes the expected per-language contribution. Counts are exact;

@@ -764,6 +764,34 @@ object TextSim {
     (tf, core)
   }
 
+  /** Per-document keyword extraction (r10): each doc's top-3 terms by
+    * the same tf·idf score as [[textTfidf]] (idf = ln((N+1)/(df+1)),
+    * N = tokenized docs), score desc / tok asc rank — the per-doc
+    * summary a curation UI or a topic router consumes, vs tfidf's
+    * corpus-global top-100.
+    *
+    * Scale: reads the shared session token table ([[tfTable]]); df is
+    * one map-side-combinable aggregate; the per-doc top-3 is a
+    * rank-window over the doc_id partitioning (bounded output: 3 rows
+    * per doc). Two vocabulary-bounded shuffles (df join, rank), never
+    * the raw token stream. */
+  def textKeywordExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tf = tfTable(spark, sfDir).select($"doc_id", $"tok", $"tf")
+    val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val n = tf.select($"doc_id").distinct().agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"tok")
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"tok", $"tf", $"df",
+        ($"tf" * log(($"n_docs" + lit(1.0)) / ($"df" + lit(1.0)))).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank".cast("long").as("rank"), $"tok",
+        $"score".cast("decimal(18,6)").as("tfidf"))
+      .orderBy($"doc_id", $"rank")
+  }
+
   /** Compressibility quality signal (the Gopher/RefinedWeb "too
     * repetitive / too random" gate): deflate ratio of the utf-8 text at
     * a FIXED level — boilerplate compresses far below ~0.4, high-entropy
