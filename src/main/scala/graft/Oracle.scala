@@ -2923,6 +2923,30 @@ object Oracle {
     // expand exponentially — the embed_pca_power lesson); the per-node
     // frequency argmax is rn=1 over (count DESC, label) — the same total
     // order as the Spark min_by struct.
+    // 4 unrolled peel rounds (LPA recipe); final degree within the core
+    "graph_kcore" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey % 10 = 0),
+        |e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |d AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |n1 AS MATERIALIZED (SELECT src AS node FROM d
+        |  GROUP BY src HAVING COUNT(*) >= 3),
+        |n2 AS MATERIALIZED (SELECT d.src AS node FROM d
+        |  JOIN n1 a ON a.node = d.src JOIN n1 b ON b.node = d.dst
+        |  GROUP BY d.src HAVING COUNT(*) >= 3),
+        |n3 AS MATERIALIZED (SELECT d.src AS node FROM d
+        |  JOIN n2 a ON a.node = d.src JOIN n2 b ON b.node = d.dst
+        |  GROUP BY d.src HAVING COUNT(*) >= 3),
+        |n4 AS MATERIALIZED (SELECT d.src AS node FROM d
+        |  JOIN n3 a ON a.node = d.src JOIN n3 b ON b.node = d.dst
+        |  GROUP BY d.src HAVING COUNT(*) >= 3)
+        |SELECT d.src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+        |FROM d JOIN n4 a ON a.node = d.src JOIN n4 b ON b.node = d.dst
+        |GROUP BY d.src ORDER BY node""".stripMargin,
+
     "graph_label_propagation" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
         |  WHERE l_orderkey % 10 = 0),
@@ -3628,6 +3652,22 @@ object Oracle {
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, $zorderSql AS z
          |FROM lineitem
          |ORDER BY z, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    // JL sign projection: ±1 from the md5 both engines compute, µ-unit
+    // components summed as exact integers
+    "embed_rand_proj" ->
+      """WITH x AS (SELECT vec_id, i - 1 AS i,
+        |    CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1e6) AS BIGINT) AS xu
+        |  FROM embeddings, range(1, 65) t(i)),
+        |s AS (SELECT j, i,
+        |    CASE WHEN strpos('0123456789abcdef', substr(
+        |        md5('rp|' || CAST(j AS VARCHAR) || '|' || CAST(i AS VARCHAR)),
+        |        1, 1)) - 1 >= 8
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM range(0, 16) a(j), range(0, 64) b(i))
+        |SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(SUM(sgn * xu) AS BIGINT) AS y_u6
+        |FROM x JOIN s USING (i)
+        |GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin,
 
     "embed_normalize" ->
       s"""WITH e AS (SELECT vec_id, label,

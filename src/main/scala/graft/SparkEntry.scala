@@ -199,6 +199,7 @@ object SparkEntry {
     "dedup_cluster"          -> Similarity.dedupCluster _,
     "dedup_edit_distance"    -> Similarity.dedupEditDistance _,
     "embed_normalize"        -> Similarity.embedNormalize _,
+    "embed_rand_proj"        -> Similarity.embedRandProj _,
     "embed_quantize"         -> Similarity.embedQuantize _,
     "embed_pq_quantize"      -> Similarity.embedPqQuantize _,
     "dedup_pq_codes"         -> Similarity.dedupPqCodes _,
@@ -217,6 +218,7 @@ object SparkEntry {
     "graph_pagerank"    -> Analytics.graphPagerank _,
     "graph_common_neighbors" -> Analytics.graphCommonNeighbors _,
     "graph_label_propagation" -> Analytics.graphLabelPropagation _,
+    "graph_kcore"             -> Analytics.graphKcore _,
     "path_transitions"  -> Analytics.pathTransitions _,
     "ts_ewma"           -> Analytics.tsEwma _,
     "ts_resample"       -> Analytics.tsResample _,

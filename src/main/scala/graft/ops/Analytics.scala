@@ -1023,6 +1023,51 @@ object Analytics {
       .orderBy($"label")
   }
 
+  /** k-core decomposition (k=3) of the part co-occurrence graph by
+    * synchronous peeling (r10): each round recomputes degrees over the
+    * surviving subgraph and drops nodes below k — the dense-community
+    * skeleton extractor next to LPA's census and pagerank's ranking
+    * (in a near-dup graph, the k-core is the "everything here is a copy
+    * of everything" kernel worth human review). FIXED 4 rounds keeps
+    * the plan depth static and the DuckDB oracle expressible as
+    * unrolled MATERIALIZED CTEs (the LPA recipe); RobustGraphSpec
+    * asserts the fixture CONVERGES inside the budget — every emitted
+    * core degree is ≥ k, which is precisely the statement that a fifth
+    * round would drop nothing. Output: surviving node + its degree
+    * within the core.
+    *
+    * Scale: each round is two left-semi joins (edge endpoints against
+    * the live set) + one map-side-combinable degree count; round
+    * results are Residue-checkpointed so round r+1's plan starts from a
+    * tiny LogicalRDD instead of the whole peel lineage (two consumers
+    * per round frame — without materialization the subtree doubles per
+    * round). The round budget is the production dial: real k-core
+    * converges in O(peeling depth) rounds, and the fixed budget bounds
+    * the job count the way dedup_cluster's round cap does. */
+  def graphKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val K = 3
+    val e = coOccurrenceEdges(spark, sfDir)
+    val d = Residue.swap("graph_kcore.edges",
+      e.select($"u".as("src"), $"v".as("dst"))
+        .unionAll(e.select($"v".as("src"), $"u".as("dst"))))
+    // round 1 needs no endpoint filter: every node is live
+    var live = Residue.swap("graph_kcore.n1",
+      d.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= K).select($"src".as("node")))
+    for (r <- 2 to 4) {
+      live = Residue.swap(s"graph_kcore.n$r",
+        d.join(live.select($"node".as("src")), Seq("src"), "left_semi")
+          .join(live.select($"node".as("dst")), Seq("dst"), "left_semi")
+          .groupBy($"src").agg(count(lit(1)).as("deg"))
+          .filter($"deg" >= K).select($"src".as("node")))
+    }
+    d.join(live.select($"node".as("src")), Seq("src"), "left_semi")
+      .join(live.select($"node".as("dst")), Seq("dst"), "left_semi")
+      .groupBy($"src".as("node")).agg(count(lit(1)).as("core_deg"))
+      .orderBy($"node")
+  }
+
   /** Mann-Kendall trend test per user — the nonparametric companion to
     * [[tsTheilsen]]'s slope (same pair frame, same co-located join): S is
     * the EXACT integer sum of pair signs (the µ-quantized values make

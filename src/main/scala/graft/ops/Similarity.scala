@@ -640,6 +640,40 @@ object Similarity {
       .orderBy($"cell")
   }
 
+  /** Johnson–Lindenstrauss sign random projection, 64 → 16 dims (r10):
+    * y_j = Σ_i sign(j,i) · v_i with a ±1 matrix derived from md5 — the
+    * classic cheap dimensionality reduction in front of ANN indexing and
+    * clustering (JL: pairwise distances are preserved within ε with
+    * high probability; sign matrices are the sparse-friendly variant of
+    * Gaussian projections). Emitted long-form (vec_id, j, y_u6).
+    *
+    * Scale: the 16×64 sign matrix is a broadcast LITERAL (derived on
+    * the driver from the same md5 both engines compute), the projection
+    * is one map pass of zip_with/aggregate HOFs — no shuffle before the
+    * output sort; at 100 TB this is the embarrassingly parallel shape.
+    * Exactness: components are µ-quantized BEFORE the signed sum, so
+    * y_u6 is an order-independent exact integer both engines reproduce
+    * bit-for-bit. */
+  def embedRandProj(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sgn(j: Int, i: Int): Int = {
+      val h = md.digest(s"rp|$j|$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) >= 8) 1 else -1
+    }
+    val signs = (0 until 16).map(j => (0 until 64).map(sgn(j, _)))
+    val sLit = typedLit(signs)
+    Tables.embeddings(spark, sfDir)
+      .select($"vec_id", vecd($"embedding").as("v"))
+      .select($"vec_id", explode(sequence(lit(0), lit(15))).as("j"), $"v")
+      .select($"vec_id", $"j".cast("long").as("j"),
+        aggregate(
+          zip_with($"v", element_at(sLit, $"j" + 1),
+            (x, s) => s.cast("long") * round(x * 1e6).cast("long")),
+          lit(0L), (a, x) => a + x).as("y_u6"))
+      .orderBy($"vec_id", $"j")
+  }
+
   /** Semantic dedup (the SemDeDup recipe): cluster the embedding space
     * coarsely, then mark near-duplicate PAIRS only within a cluster cell —
     * the quadratic stage is bounded by the cell population instead of the

@@ -225,4 +225,28 @@ class RobustGraphSpec extends SparkSuite {
       assert(trend == (if (z > 1.96) "up" else if (z < -1.96) "down" else "none"))
     }
   }
+
+  test("graph_kcore: K4-plus-pendant fixture peels exactly") {
+    // order 40 carries parts {1,2,3,4} → K4 (every degree 3, a true
+    // 3-core); order 20 carries {4,5} → node 5 is a pendant peeled in
+    // round 1, dropping node 4's degree back to 3. Expected core:
+    // {1,2,3,4}, each with core_deg 3.
+    val dir = java.nio.file.Files.createTempDirectory("graft_kcore").toString
+    Seq((40L, 1L), (40L, 2L), (40L, 3L), (40L, 4L), (20L, 4L), (20L, 5L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = Analytics.graphKcore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)), s"got $got")
+  }
+
+  test("graph_kcore: fixed round budget CONVERGES on the declared corpus") {
+    // every emitted core degree ≥ k is exactly the statement that a
+    // fifth peel round would drop nothing — the fixed 4-round budget is
+    // a converged fixpoint on this fixture, not a truncation
+    val rows = Analytics.graphKcore(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) >= 3,
+      s"node ${r.getLong(0)} core_deg ${r.getLong(1)} < 3: round budget truncated"))
+  }
 }
