@@ -29,6 +29,35 @@ class PlanSpec extends SparkSuite {
     assert(plan("topk_global").contains("TakeOrderedAndProject"))
   }
 
+  test("sample_weighted_reservoir selects via TakeOrdered heap, no global sort") {
+    // the A-ES reservoir's whole scale story: k rows out of a map pass
+    assert(plan("sample_weighted_reservoir").contains("TakeOrderedAndProject"))
+  }
+
+  test("embed_rand_proj is one map pass — no join, no hash-partition exchange") {
+    val p = plan("embed_rand_proj")
+    assert(!p.contains("Join"), s"JL projection must not join:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"JL projection must not hash-shuffle (only the output range sort):\n$p")
+  }
+
+  test("graph_kcore's final plan reads checkpoints only — zero file re-scans") {
+    // 4 peel rounds materialize through Residue; the emitted query must
+    // start from those LogicalRDDs, never re-derive the edge build
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val df = SparkEntry.queries("graph_kcore")(spark, sfDir)
+    df.collect()
+    val scans = flatten(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.isEmpty, s"kcore re-scans files: $scans")
+  }
+
   test("sim_cosine_probe broadcasts the probe (nested-loop, no shuffle)") {
     assert(plan("sim_cosine_probe").contains("BroadcastNestedLoopJoin"))
   }
@@ -512,6 +541,9 @@ class PlanSpec extends SparkSuite {
       "agg_heavy_hitters", "sim_ivfpq_search", "sim_mrl_rerank",
       "sim_maxsim", "sim_rrf_fusion", "text_bm25", "profile_psi",
       "text_tfidf", "ts_seasonal_baseline",
+      // keyword extraction crossJoins the broadcast 1-row tokenized doc
+      // count (text_tfidf's N shape)
+      "text_keyword_extract",
       // binary-signature retrieval crossJoins the broadcast 1-row probe
       // signature (sim_cosine_probe's shape, 16 bytes instead of a vector)
       "sim_binary_hamming",
