@@ -198,4 +198,37 @@ class CurationSpec extends SparkSuite {
     }.sorted
     assert(got.sorted == want)
   }
+
+  test("sample_weighted_reservoir replays the A-ES selection exactly") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+    val want = docs.map { case (id, nc) =>
+      val h52 = java.lang.Long.parseLong(md5hex(s"res|$id").substring(0, 13), 16)
+      // BigDecimal HALF_UP on the same double — Spark round()'s rule
+      // (Scala math.round is half-toward-+∞ and differs on negatives)
+      val lnu = new java.math.BigDecimal(
+        math.log((h52 + 1).toDouble / 4503599627370496.0) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      (id, lnu.toDouble / nc)
+    }.sortBy { case (id, key) => (-key, id) }.take(100).map(_._1).toSeq
+    val got = Curation.sampleWeightedReservoir(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == want, s"selection diverged: got ${got.take(5)}… want ${want.take(5)}…")
+  }
+
+  test("sample_weighted_reservoir overselects heavy documents") {
+    import spark.implicits._
+    // the point of weighting: the kept set's mean n_chars must exceed
+    // the corpus mean (P[keep] grows with w under A-ES priorities)
+    val corpusMean = Tables.documents(spark, sfDir)
+      .agg(avg($"n_chars")).head().getDouble(0)
+    val keptMean = Curation.sampleWeightedReservoir(spark, sfDir)
+      .agg(avg($"n_chars")).head().getDouble(0)
+    assert(keptMean > corpusMean,
+      s"weighted sample mean $keptMean not above corpus mean $corpusMean")
+  }
 }

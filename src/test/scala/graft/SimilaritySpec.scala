@@ -786,4 +786,51 @@ class SimilaritySpec extends SparkSuite {
       assert(h == want, s"vec $id hamming $h != naive $want")
     }
   }
+
+  test("dedup_minhash_containment shares the lsh candidate set and replays the algebra") {
+    val lsh = Similarity.dedupMinhashLsh(spark, sfDir)
+      .select("id_a", "id_b", "matches").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val rows = Similarity.dedupMinhashContainment(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == lsh.keySet,
+      "containment must emit exactly the banded candidate pairs")
+    def d6(x: Double) =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (m, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(lsh((a, b)) == m, s"pair ($a,$b) match count diverged")
+      val estJ = m.toDouble / 6.0
+      val inter = estJ / (1.0 + estJ) * (na + nb).toDouble
+      assert(r.getDecimal(5).compareTo(d6(inter / na)) == 0,
+        s"cont_a ($a,$b): ${r.getDecimal(5)} != ${d6(inter / na)}")
+      assert(r.getDecimal(6).compareTo(d6(inter / nb)) == 0,
+        s"cont_b ($a,$b): ${r.getDecimal(6)} != ${d6(inter / nb)}")
+      // containment of the smaller set is never below the larger's
+      if (na <= nb) assert(r.getDecimal(5).compareTo(r.getDecimal(6)) >= 0)
+    }
+  }
+
+  test("embed_rand_proj replays the signed µ-sum bit-for-bit") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sgn(j: Int, i: Int): Long = {
+      val h = md.digest(s"rp|$j|$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) >= 8) 1L else -1L
+    }
+    val emb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val rows = Similarity.embedRandProj(spark, sfDir).collect()
+    assert(rows.length == emb.size * 16)
+    rows.filter(_.getLong(0) < 5).foreach { r =>
+      val (id, j, y) = (r.getLong(0), r.getLong(1).toInt, r.getLong(2))
+      val want = emb(id).zipWithIndex.map { case (x, i) =>
+        val xu = new java.math.BigDecimal(x.toDouble * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        sgn(j, i) * xu
+      }.sum
+      assert(y == want, s"vec $id dim $j: $y != naive $want")
+    }
+  }
 }
