@@ -2679,6 +2679,29 @@ object Oracle {
         |FROM lineitem WHERE l_quantity > 0 GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    // lag-expanded daily join, then the agg_corr_exact moment discipline
+    "ts_crosscorr" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |a AS (SELECT day, x AS xa FROM daily WHERE event_type = 'click'),
+        |b AS (SELECT day AS bday, x AS xb FROM daily WHERE event_type = 'purchase'),
+        |p AS (SELECT l.lag, xa, xb FROM a, range(0, 8) l(lag)
+        |  JOIN b ON b.bday = a.day + INTERVAL (l.lag) DAY),
+        |m AS (SELECT lag, COUNT(*) AS n_days,
+        |  SUM(CAST(xa AS DECIMAL(38,0))) AS sx,
+        |  SUM(CAST(xb AS DECIMAL(38,0))) AS sy,
+        |  SUM(CAST(CAST(xa AS DECIMAL(38,0)) * xb AS DECIMAL(38,0))) AS sxy,
+        |  SUM(CAST(CAST(xa AS DECIMAL(38,0)) * xa AS DECIMAL(38,0))) AS sxx,
+        |  SUM(CAST(CAST(xb AS DECIMAL(38,0)) * xb AS DECIMAL(38,0))) AS syy
+        |  FROM p GROUP BY lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, CAST(n_days AS BIGINT) AS n_days,
+        | CAST(round(((n_days * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / (sqrt(n_days * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(n_days * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1000000) AS BIGINT) AS corr_u6
+        |FROM m ORDER BY lag""".stripMargin,
+
     "agg_corr_exact" ->
       """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
         |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,

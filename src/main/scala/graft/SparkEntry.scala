@@ -228,6 +228,7 @@ object SparkEntry {
     "ts_cusum"          -> Analytics.tsCusum _,
     "ts_holt"           -> Analytics.tsHolt _,
     "ts_autocorr"       -> Analytics.tsAutocorr _,
+    "ts_crosscorr"      -> Analytics.tsCrosscorr _,
     "ts_calendar_spine"    -> Analytics.tsCalendarSpine _,
     "fn_regex"             -> Functions.fnRegex _,
     "impute_missing"       -> Curation.imputeMissing _,

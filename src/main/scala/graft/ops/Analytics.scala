@@ -1023,6 +1023,46 @@ object Analytics {
       .orderBy($"label")
   }
 
+  /** Lagged cross-correlation between two event streams (r10): Pearson
+    * corr(click_day_t, purchase_day_{t+lag}) for lags 0..7 — the
+    * "does signal A lead signal B, and by how many days" diagnostic
+    * behind attribution and capacity planning, completing the ts family
+    * next to [[tsAutocorr]]'s self-lag. Daily series are exact µ-unit
+    * long sums; each lag's Pearson runs the [[aggCorrExact]] discipline
+    * (exact DECIMAL(38) moment sums, ONE final double expression), so
+    * the output is engine-identical.
+    *
+    * Scale: the only corpus-bound stage is the daily aggregation
+    * (map-side combinable); the lag expansion is |days|×8 rows and the
+    * series join is day-keyed over that tiny frame — at 100 TB the
+    * heavy data reduces before anything fans out. */
+  def tsCrosscorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .filter($"event_type".isin("click", "purchase"))
+      .groupBy($"event_type", $"ts".cast("date").as("day"))
+      .agg(sum(round($"value" * 1e6).cast("long")).as("x"))
+    val a = daily.filter($"event_type" === "click").select($"day", $"x".as("xa"))
+    val b = daily.filter($"event_type" === "purchase")
+      .select($"day".as("bday"), $"x".as("xb"))
+    a.select($"day", $"xa", explode(sequence(lit(0), lit(7))).as("lag"))
+      .withColumn("bday", date_add($"day", $"lag"))
+      .join(b, "bday")
+      .groupBy($"lag".cast("long").as("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum($"xa".cast("decimal(38,0)")).as("sx"),
+        sum($"xb".cast("decimal(38,0)")).as("sy"),
+        sum(($"xa".cast("decimal(38,0)") * $"xb").cast("decimal(38,0)")).as("sxy"),
+        sum(($"xa".cast("decimal(38,0)") * $"xa").cast("decimal(38,0)")).as("sxx"),
+        sum(($"xb".cast("decimal(38,0)") * $"xb").cast("decimal(38,0)")).as("syy"))
+      .select($"lag", $"n_days",
+        round((($"n_days" * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double"))
+          / (sqrt($"n_days" * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double"))
+            * sqrt($"n_days" * $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double"))))
+          * 1e6).cast("long").as("corr_u6"))
+      .orderBy($"lag")
+  }
+
   /** k-core decomposition (k=3) of the part co-occurrence graph by
     * synchronous peeling (r10): each round recomputes degrees over the
     * surviving subgraph and drops nodes below k — the dense-community
