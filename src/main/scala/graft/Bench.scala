@@ -76,13 +76,16 @@ object Bench {
           col("embedding").cast("array<double>")).as("d"))
         .agg(sum(col("d"))).collect()
     } catch { case _: Throwable => () }
-    streamWarmup(spark, sfDir)
     // Dev filter: SPARK_GRAFT_ONLY="q1,q2" times just those queries.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only(k) }
+    // streaming bring-up is worth ~20 s — pay it only when the selection
+    // actually times a stream query (a dev subset usually doesn't)
+    if (selected.keys.exists(_.startsWith("stream")))
+      streamWarmup(spark, sfDir)
     // Deterministic execution order: Map iteration order is arbitrary and
     // reorders which query pays residual warmup — sort for run-to-run
     // comparability.
@@ -142,6 +145,10 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"),
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$detail,"families":$fams,"errors":$errs,"sf":"$sfDir"}""")
     def summaryLine: String = Bench.summaryLine(total, results.size, errs, sfDir)
+    // drop the LAST family's residue before the context dies: entries
+    // surviving into the alone lane would point at a stopped context and
+    // make Residue.swap's free() throw inside the lane's fresh session
+    ops.Residue.freeAll()
     spark.stop()
     // Print the shared-pass summary BEFORE the diagnostic run-alone lane:
     // if a lane rerun hangs (fresh SparkContext, streaming query), the

@@ -828,16 +828,16 @@ object Oracle {
 
   /** DuckDB mirror of Spark's conv(substr(md5, 1, 8), 16, 10): parse the
     * first 8 md5 nibbles into a 32-bit integer (no conv() in DuckDB). */
+  private def hex32Sql(md5Expr: String): String =
+    (1 to 8).map { i =>
+      s"(CAST(strpos('0123456789abcdef', substr($md5Expr, $i, 1)) AS BIGINT) - 1) * ${1L << (4 * (8 - i))}"
+    }.mkString("(", " + ", ")")
+
   /** 52-bit variant of [[hex32Sql]] (13 hex chars — fits a double's
     * mantissa, so u = (h+1)/2^52 is an exact dyadic rational). */
   private def hex52Sql(md5Expr: String): String =
     (1 to 13).map { i =>
       s"(CAST(strpos('0123456789abcdef', substr($md5Expr, $i, 1)) AS BIGINT) - 1) * ${1L << (4 * (13 - i))}"
-    }.mkString("(", " + ", ")")
-
-  private def hex32Sql(md5Expr: String): String =
-    (1 to 8).map { i =>
-      s"(CAST(strpos('0123456789abcdef', substr($md5Expr, $i, 1)) AS BIGINT) - 1) * ${1L << (4 * (8 - i))}"
     }.mkString("(", " + ", ")")
 
   /** DuckDB mirror of Curation.zorderCluster's 10-bit Morton interleave. */

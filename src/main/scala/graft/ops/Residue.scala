@@ -50,8 +50,11 @@ object Residue {
   }
 
   private def unpersistBlocks(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    // defensive: a frame registered by a since-stopped SparkContext (a
+    // bench session handing over to the alone lane) must not make the
+    // NEXT session's free()/swap() throw — dead contexts hold no blocks
+    try df.queryExecution.analyzed.foreach {
       case l: LogicalRDD => l.rdd.unpersist(blocking = false)
       case _             => ()
-    }
+    } catch { case _: Throwable => () }
 }

@@ -766,15 +766,24 @@ object Similarity {
     * signature components, estimated Jaccard = matches/6. The signature
     * is tiny (6 hex strings) — at scale, pairs come from banding on
     * signature components, never from comparing documents. */
-  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Banded candidate pairs (id_a, id_b, matches ≥ 2) off
+    * [[minhashBands]] — the ONE definition of the banding equi-join and
+    * admission threshold, so [[dedupMinhashLsh]] and
+    * [[dedupMinhashContainment]] can never desynchronize on the scheme
+    * their contracts share. */
+  private[graft] def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val bands = minhashBands(spark, sfDir)
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b, $"a.i" === $"b.i" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id")
+    bands.as("a").join(bands.as("b"),
+        $"a.i" === $"b.i" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
       .agg(count(lit(1)).as("matches"))
       .filter($"matches" >= 2)
+  }
+
+  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    minhashCandidates(spark, sfDir)
       .select($"id_a", $"id_b", $"matches",
         ($"matches".cast("double") / 6.0).cast("decimal(18,6)").as("est_jaccard"))
       .orderBy($"id_a", $"id_b")
@@ -807,13 +816,7 @@ object Similarity {
         "transform(sequence(1, size(ts) - 2), " +
           "i -> concat(element_at(ts, i), ' ', element_at(ts, i+1), ' ', element_at(ts, i+2)))")))
         .cast("long").as("n"))
-    val bands = minhashBands(spark, sfDir)
-    val cand = bands.as("a").join(bands.as("b"),
-        $"a.i" === $"b.i" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
-      .agg(count(lit(1)).as("matches"))
-      .filter($"matches" >= 2)
-    cand
+    minhashCandidates(spark, sfDir)
       .join(sz.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
       .join(sz.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
       .withColumn("est_j", $"matches".cast("double") / 6.0)
