@@ -1570,6 +1570,30 @@ object Oracle {
          | (shared_grams * 2 >= n_grams) AS dup_flag
          |FROM per ORDER BY doc_id""".stripMargin,
 
+    // bigram-LM fluency: head transitions -ln(c2/c1), unseen saturate at
+    // ln(total) — same µ-snap discipline as the unigram twin below
+    "text_lm2_score" ->
+      s"""WITH d AS (SELECT doc_id, $toksExpr AS ts FROM documents),
+         |f AS (SELECT doc_id, ts FROM d WHERE len(ts) >= 2),
+         |bi0 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+         |    i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS b FROM f),
+         |bi AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi0),
+         |c1 AS (SELECT tok AS w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+         |    SELECT unnest(ts) AS tok FROM d) GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS total FROM c1),
+         |lm AS (SELECT w1, w2,
+         |    CAST(round(-ln(CAST(c2 AS DOUBLE) / c1) * 1e6) AS BIGINT) AS nll2_u6
+         |  FROM (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2)
+         |  JOIN c1 USING (w1)
+         |  WHERE c2 >= ${graft.ops.TextSim.Lm2MinCount}),
+         |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_big,
+         |  CAST(SUM(coalesce(nll2_u6,
+         |    CAST(round(ln(CAST(total AS DOUBLE)) * 1e6) AS BIGINT))) AS BIGINT) AS sum_nll_u6
+         |  FROM bi LEFT JOIN lm USING (w1, w2), tot GROUP BY 1)
+         |SELECT doc_id, n_big, sum_nll_u6,
+         | CAST(sum_nll_u6 AS DOUBLE) / (n_big * 1000000.0) AS avg_nll
+         |FROM per ORDER BY doc_id""".stripMargin,
+
     "text_lm_score" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksExpr) AS w FROM documents),
          |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -2701,6 +2725,22 @@ object Oracle {
         |   / (sqrt(n_days * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |      * sqrt(n_days * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1000000) AS BIGINT) AS corr_u6
         |FROM m ORDER BY lag""".stripMargin,
+
+    // bounds-style: exact intersection/union in both engines, the HLL
+    // inclusion-exclusion estimate folded into within_bounds = TRUE
+    "agg_hll_intersect" ->
+      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd FROM ut GROUP BY 1),
+        |inter AS (SELECT x.event_type AS ta, y.event_type AS tb,
+        |    CAST(COUNT(*) AS BIGINT) AS exact_inter
+        |  FROM ut x JOIN ut y ON x.user_id = y.user_id
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ta, tb, exact_inter,
+        | a.nd + b.nd - exact_inter AS exact_union,
+        | TRUE AS within_bounds
+        |FROM inter JOIN nd a ON a.event_type = ta JOIN nd b ON b.event_type = tb
+        |ORDER BY ta, tb""".stripMargin,
 
     "agg_corr_exact" ->
       """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,

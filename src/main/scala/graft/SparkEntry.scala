@@ -174,6 +174,7 @@ object SparkEntry {
     "text_repetition"        -> TextSim.textRepetition _,
     "dedup_gram_corpus"      -> TextSim.dedupGramCorpus _,
     "text_lm_score"          -> TextSim.textLmScore _,
+    "text_lm2_score"         -> TextSim.textLm2Score _,
     "text_bm25"              -> TextSim.textBm25 _,
     "text_entropy"           -> TextSim.textEntropy _,
     "text_zipf_fit"          -> TextSim.textZipfFit _,
@@ -264,6 +265,7 @@ object SparkEntry {
     "win_cumulative_distinct" -> Windows.winCumulativeDistinct _,
     "win_pattern_match"   -> Windows.winPatternMatch _,
     "agg_hll_mergeable" -> Relational.aggHllMergeable _,
+    "agg_hll_intersect" -> Relational.aggHllIntersect _,
     "agg_moments_exact" -> Analytics.aggMomentsExact _,
     // -- source/sink formats beyond parquet+csv
     "scan_json_roundtrip" -> Sources.scanJsonRoundtrip _,

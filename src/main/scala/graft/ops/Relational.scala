@@ -703,6 +703,45 @@ object Relational {
     per.unionAll(merged).orderBy($"event_type")
   }
 
+  /** Sketch-algebra distinct OVERLAP between event streams (r10):
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B) by inclusion–exclusion over
+    * the mergeable HLL sketches — the "how many users do these two
+    * funnels share" question answered WITHOUT re-scanning either
+    * stream, the natural companion to [[aggHllMergeable]]'s union
+    * rollup. At 100 TB the per-stream sketches are kept materialized
+    * and any pairwise overlap is three kilobyte-scale sketch ops.
+    *
+    * Oracle encoding (the bounds style of [[aggHllMergeable]]): each
+    * pair row carries its exact intersection and union (computed
+    * exactly in both engines) plus `within_bounds` pinned TRUE — the
+    * estimate's absolute error stays within 5% of the exact UNION,
+    * the right envelope because inclusion–exclusion error compounds on
+    * union scale, not intersection scale. */
+  def aggHllIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val sk = ev.groupBy($"event_type")
+      .agg(hll_sketch_agg($"user_id", lit(12)).as("sk"),
+        countDistinct($"user_id").as("exact_nd"))
+      .cache()
+    val est = sk.as("a").join(sk.as("b"), $"a.event_type" < $"b.event_type")
+      .select($"a.event_type".as("ta"), $"b.event_type".as("tb"),
+        $"a.exact_nd".as("xa"), $"b.exact_nd".as("xb"),
+        (hll_sketch_estimate($"a.sk") + hll_sketch_estimate($"b.sk") -
+          hll_sketch_estimate(hll_union($"a.sk", $"b.sk"))).as("est_inter"))
+    val ut = ev.select($"event_type", $"user_id").distinct()
+    val exact = ut.as("x").join(ut.as("y"),
+        $"x.user_id" === $"y.user_id" && $"x.event_type" < $"y.event_type")
+      .groupBy($"x.event_type".as("ta"), $"y.event_type".as("tb"))
+      .agg(count(lit(1)).as("exact_inter"))
+    est.join(exact, Seq("ta", "tb"))
+      .select($"ta", $"tb", $"exact_inter",
+        ($"xa" + $"xb" - $"exact_inter").as("exact_union"),
+        (abs($"est_inter" - $"exact_inter") /
+          ($"xa" + $"xb" - $"exact_inter") <= 0.05).as("within_bounds"))
+      .orderBy($"ta", $"tb")
+  }
+
   // -------------------------------------------------------- sort/limit/setop
 
   /** Multi-key sort with explicit null placement; nulls injected via a

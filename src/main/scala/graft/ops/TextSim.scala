@@ -649,6 +649,54 @@ object TextSim {
     (tf, core)
   }
 
+  /** Count floor for [[textLm2Score]]'s broadcast bigram LM: transitions
+    * seen fewer than this many times corpus-wide score at the unseen-
+    * transition saturation nll. Mirrored verbatim in the oracle. */
+  private[graft] val Lm2MinCount = 10L
+
+  /** Corpus BIGRAM-LM fluency score (r10) — the stronger perplexity
+    * proxy next to [[textLmScore]]'s unigram bag: per adjacent token
+    * pair, nll = −ln(cnt(w1,w2)/cnt(w1)) fixed to integer micro-units;
+    * unseen/rare transitions (cnt2 < [[Lm2MinCount]]) saturate at
+    * ln(total tokens), the same ceiling the unigram model uses. Word
+    * salad with plausible words but implausible TRANSITIONS — the case
+    * a unigram LM scores as fluent — surfaces here.
+    *
+    * Scale: the unigram denominators roll up from the shared session
+    * token table ([[tfTable]]); the bigram head table is bounded by the
+    * count floor (Heaps-law argument, the lm_score/langid broadcast
+    * discipline) and broadcasts to a map-side left join — the corpus
+    * token stream never shuffles for the scoring pass. Per-doc sums are
+    * exact order-independent integers. */
+  def textLm2Score(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bi = rebalanceDocs(Tables.documents(spark, sfDir))
+      .select($"doc_id", tokens($"text").as("ts"))
+      .filter(size($"ts") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+          "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))")).as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val cnt1 = tfTable(spark, sfDir)
+      .groupBy($"tok".as("w1")).agg(sum($"tf").as("c1"))
+    val totalRow = cnt1.agg(sum($"c1")).head()
+    val total = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
+    val lm = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      .filter($"c2" >= Lm2MinCount)
+      .join(cnt1, "w1")
+      .select($"w1", $"w2",
+        round(-log($"c2" / $"c1") * 1e6).cast("long").as("nll2_u6"))
+    val rareNll = new java.math.BigDecimal(math.log(total.toDouble) * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    bi.join(broadcast(lm), Seq("w1", "w2"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_big"),
+        sum(coalesce($"nll2_u6", lit(rareNll))).as("sum_nll_u6"))
+      .select($"doc_id", $"n_big", $"sum_nll_u6",
+        ($"sum_nll_u6" / ($"n_big" * lit(1e6))).as("avg_nll"))
+      .orderBy($"doc_id")
+  }
+
   /** Dedup against an existing key set with a BLOOM PREFILTER — how the
     * reference's "skip rows whose externalId already exists"
     * (BackgroundCsvProcessor.java:242) survives 100 TB: an exact anti-join

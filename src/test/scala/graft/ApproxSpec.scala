@@ -129,4 +129,16 @@ class ApproxSpec extends SparkSuite {
         s"${r.getString(0)}: HLL estimate beyond 5% of exact ${r.getLong(1)}")
     }
   }
+
+  test("agg_hll_intersect: inclusion-exclusion overlap inside the union envelope") {
+    val rows = graft.ops.Relational.aggHllIntersect(spark, sfDir).collect()
+    assert(rows.length == 10, s"5 event types -> 10 pairs, got ${rows.length}")
+    rows.foreach { r =>
+      val (inter, union) = (r.getLong(2), r.getLong(3))
+      assert(inter >= 0 && inter <= union,
+        s"${r.getString(0)}x${r.getString(1)}: impossible set sizes $inter/$union")
+      assert(r.getBoolean(4),
+        s"${r.getString(0)}x${r.getString(1)}: estimate beyond 5% of union $union")
+    }
+  }
 }

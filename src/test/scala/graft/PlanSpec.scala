@@ -558,7 +558,11 @@ class PlanSpec extends SparkSuite {
       "stat_bootstrap_ci",
       // KS crossJoins the broadcast 1-row temporal midpoint (the
       // profile_psi shape)
-      "agg_ks_test")
+      "agg_ks_test",
+      // pairwise sketch algebra: inequality-only self-join of the
+      // |event_types|-row (≤5) sketch frame — broadcast-tiny by
+      // construction, pairs bounded by sketch count not data
+      "agg_hll_intersect")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sfDir).queryExecution
