@@ -2726,6 +2726,20 @@ object Oracle {
         |      * sqrt(n_days * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1000000) AS BIGINT) AS corr_u6
         |FROM m ORDER BY lag""".stripMargin,
 
+    // CMS point-query bounds (est ≥ exact, est ≤ exact + εN) folded into
+    // within_bounds = TRUE over a fixed probe grid
+    "agg_cms_point" ->
+      """WITH n AS (SELECT event_type FROM events GROUP BY 1),
+        |g AS (SELECT event_type, CAST(p.user_id AS BIGINT) AS user_id
+        |  FROM n, range(0, 10) p(user_id)),
+        |e AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        |  FROM events WHERE user_id < 10 GROUP BY 1, 2)
+        |SELECT g.event_type, g.user_id,
+        | coalesce(exact_cnt, 0) AS exact_cnt, TRUE AS within_bounds
+        |FROM g LEFT JOIN e ON g.event_type = e.event_type
+        |  AND g.user_id = e.user_id
+        |ORDER BY g.event_type, g.user_id""".stripMargin,
+
     // bounds-style: exact intersection/union in both engines, the HLL
     // inclusion-exclusion estimate folded into within_bounds = TRUE
     "agg_hll_intersect" ->

@@ -314,6 +314,7 @@ object SparkEntry {
     "sql_api_q18"         -> Relational.sqlApiQ18 _,
     "sql_api_q10"         -> Relational.sqlApiQ10 _,
     "agg_count_min"       -> Relational.aggCountMin _,
+    "agg_cms_point"       -> Relational.aggCmsPoint _,
     "stream_foreach_upsert" -> Streaming.streamForeachUpsert _,
     "dedup_bloom_prefilter" -> TextSim.dedupBloomPrefilter _,
     "dedup_semantic"        -> Similarity.dedupSemantic _,

@@ -1210,6 +1210,40 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** CMS point queries with their guarantee made oracle-checkable (r10):
+    * probe each event type's count-min sketch for user_ids 0..9 and pin
+    * the two CMS bounds — est ≥ exact always, and est ≤ exact + ε·N at
+    * the sketch's confidence — as a `within_bounds` boolean TRUE in the
+    * oracle (the [[aggHllMergeable]] bounds encoding; the sketch BYTES
+    * stay spec-only in [[aggCountMin]] because DuckDB has no CMS). The
+    * deserialize+probe is a JVM UDF over a 5×10 broadcast grid, not the
+    * corpus — the sketch API is JVM-only and the probe set is constant,
+    * so the UDF never touches the hot path; the corpus-bound work is the
+    * same one-pass mergeable sketch build as [[aggCountMin]]. */
+  def aggCmsPoint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val eps = 0.001
+    val ev = Tables.events(spark, sfDir)
+    val sk = ev.groupBy($"event_type")
+      .agg(count_min_sketch($"user_id", lit(eps), lit(0.99), lit(42)).as("sk"),
+        count(lit(1)).as("n"))
+    val est = udf((b: Array[Byte], v: Long) =>
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(b)).estimateCount(v))
+    val probes = broadcast(spark.range(0, 10).toDF("user_id"))
+    val exact = ev.filter($"user_id" < 10)
+      .groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("exact_cnt"))
+    sk.crossJoin(probes)
+      .join(exact, Seq("event_type", "user_id"), "left_outer")
+      .select($"event_type", $"user_id",
+        coalesce($"exact_cnt", lit(0L)).as("exact_cnt"),
+        (est($"sk", $"user_id") >= coalesce($"exact_cnt", lit(0L)) &&
+          est($"sk", $"user_id") <= coalesce($"exact_cnt", lit(0L)) +
+            ceil(lit(eps) * $"n")).as("within_bounds"))
+      .orderBy($"event_type", $"user_id")
+  }
+
   /** Top-3 lineitems per supplier through the custom whole-operator stack
     * (org.apache.spark.sql.graft.TopKPerKey: logical node → planner
     * strategy → heap-based physical operator). Unlike the window form it

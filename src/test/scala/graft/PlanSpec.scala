@@ -562,7 +562,10 @@ class PlanSpec extends SparkSuite {
       // pairwise sketch algebra: inequality-only self-join of the
       // |event_types|-row (≤5) sketch frame — broadcast-tiny by
       // construction, pairs bounded by sketch count not data
-      "agg_hll_intersect")
+      "agg_hll_intersect",
+      // CMS probe grid: crossJoin of the 5-row sketch frame with the
+      // broadcast 10-row probe set (the bm25/tfidf 1-row-stats shape)
+      "agg_cms_point")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sfDir).queryExecution
