@@ -3953,6 +3953,15 @@ object Oracle {
       """SELECT event_type, COUNT(DISTINCT event_id) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // ListState recency cache: single AvailableNow batch ⇒ global top-3
+    // per user by (ts, event_id) desc — the rank-window batch parity
+    "stream_tws_topk" ->
+      """SELECT user_id, CAST(rn AS BIGINT) AS rank, event_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts, event_type
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn <= 3 ORDER BY user_id, rank""".stripMargin,
+
     // same contract as stream_keyed_state — one oracle pins both state APIs
     "stream_tws_state" ->
       """SELECT user_id, n_events,

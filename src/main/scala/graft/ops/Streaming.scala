@@ -58,6 +58,36 @@ class StatusProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[L
   }
 }
 
+case class RecentRow(user_id: Long, rank: Long, event_id: Long, us: Long,
+                     event_type: String)
+
+/** Bounded per-key LIST state (r10): the last-3 events per user as
+  * `transformWithState` ListState — the TWS collection-state API next to
+  * [[StatusProcessor]]/[[QuotaProcessor]]'s ValueState. The state is
+  * BOUNDED BY CONSTRUCTION: each batch merges carried rows with the
+  * batch's rows and keeps only the top-3 by (event time, id), so a key's
+  * state never grows past k regardless of stream length — the recency
+  * cache shape (a "last N actions" feature store) that would otherwise
+  * need an unbounded log. */
+class RecentProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, KeyedEvent, RecentRow] {
+  import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+  @transient private var state: ListState[KeyedEvent] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getListState[KeyedEvent]("recent",
+      org.apache.spark.sql.Encoders.product[KeyedEvent], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[KeyedEvent],
+                               timers: TimerValues): Iterator[RecentRow] = {
+    val merged = (state.get().toSeq ++ rows.toSeq)
+      .sortBy(e => (-e.us, -e.event_id)).take(3)
+    state.put(merged.toArray)
+    merged.zipWithIndex.map { case (e, i) =>
+      RecentRow(key, i + 1L, e.event_id, e.us, e.event_type)
+    }.iterator
+  }
+}
+
 case class QuotaEvent(user_id: Long, event_id: Long, us: Long, u6: Long)
 case class QuotaState(cum: Long, resets: Long, n: Long)
 case class QuotaSnapshot(user_id: Long, n: Long, n_batches: Long, residual_u6: Long)
@@ -402,6 +432,36 @@ object Streaming {
         date_format(timestamp_micros($"lastUs"), tsFmt).as("last_ts"),
         $"event_type")
       .orderBy($"user_id")
+  }
+
+  /** Per-user last-3 recency cache on TWS ListState ([[RecentProcessor]]):
+    * collection-valued keyed state bounded to k rows per key by
+    * construction. One AvailableNow batch ⇒ the emitted snapshot is the
+    * global top-3 per user by (ts, event_id) — the rank-window SQL the
+    * oracle runs; late batches would re-rank against the carried list,
+    * which is the incremental contract a feature store needs. */
+  def streamTwsTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    runToParquet(spark, Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { session =>
+      import session.implicits._
+      eventsStream(session, sfDir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .as[KeyedEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new RecentProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[RecentRow])
+        .toDF()
+    }
+      .select($"user_id", $"rank", $"event_id",
+        date_format(timestamp_micros($"us"), tsFmt).as("last_ts"),
+        $"event_type")
+      .orderBy($"user_id", $"rank")
   }
 
   /** The quota-reset fold as keyed streaming state ([[QuotaProcessor]]):

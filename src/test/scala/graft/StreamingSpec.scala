@@ -162,4 +162,44 @@ class StreamingSpec extends SparkSuite {
     val batch = graft.ops.Analytics.tsQuotaReset(spark, sfDir).collect().map(_.toSeq)
     assert(stream.sameElements(batch))
   }
+
+  test("tws ListState recency cache re-ranks carried state across batches") {
+    // the incremental contract the batch oracle can't see: batch 2's
+    // emission must rank the NEW row against the CARRIED top-3 list
+    import org.apache.spark.sql.streaming.OutputMode
+    val session = spark.newSession()
+    session.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+    val input = MemoryStream[graft.ops.KeyedEvent]
+    val out = input.toDS().groupByKey(_.user_id)
+      .transformWithState(new graft.ops.RecentProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[graft.ops.RecentRow]).toDF()
+    val name = "tws" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      input.addData(
+        graft.ops.KeyedEvent(1L, 101L, 10L, "a"),
+        graft.ops.KeyedEvent(1L, 102L, 20L, "b"),
+        graft.ops.KeyedEvent(1L, 103L, 30L, "c"),
+        graft.ops.KeyedEvent(1L, 104L, 5L, "d"))
+      q.processAllAvailable()
+      def rows() = session.table(name)
+        .select($"rank", $"us").as[(Long, Long)].collect().toSeq
+      val b1 = rows()
+      assert(b1.sorted == Seq((1L, 30L), (2L, 20L), (3L, 10L)),
+        s"batch-1 top-3 wrong: $b1 (us=5 must be evicted)")
+      input.addData(graft.ops.KeyedEvent(1L, 105L, 25L, "e"))
+      q.processAllAvailable()
+      val b2 = rows().diff(b1) // multiset difference = batch-2 emission
+      assert(b2.sorted == Seq((1L, 30L), (2L, 25L), (3L, 20L)),
+        s"batch-2 must re-rank vs carried list: $b2 (us=10 evicted, 25 slots in)")
+    } finally {
+      q.stop()
+      org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+    }
+  }
 }
