@@ -25,9 +25,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // Family-ordered with cache hygiene at family boundaries, same as
+    // Bench (r10 advice): the session-scoped plan-keyed caches (the text
+    // family's token/tf table, minhashBands, textLineDedup's corpus-sized
+    // chunk cache) are shared BY DESIGN within their family, but letting
+    // them accumulate across all ~300 queries pins corpus-scale frames in
+    // storage memory for the whole session and taxes every later query
+    // with pressure/spill. Sorting groups each family's queries together
+    // so its caches live exactly as long as the family runs.
+    var prevFam = ""
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      val fam = name.takeWhile(_ != '_')
+      if (fam != prevFam) {
+        spark.catalog.clearCache()
+        ops.Residue.freeAll()
+        prevFam = fam
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.LogicalRDD
 
@@ -14,47 +15,115 @@ import org.apache.spark.sql.execution.LogicalRDD
   * SLOWER than cold for the checkpoint-heavy queries
   * (`pipeline_dedup_e2e` 4.7→7.1 s, `graph_common_neighbors` 4.6→7.0 s).
   *
-  * The registry makes checkpoint lifetime explicit: a query registers its
-  * checkpointed frame under a stable key; RE-ENTERING the same query frees
-  * the previous invocation's blocks before building new ones, and a
-  * session-level boundary (the bench's family hygiene, Verify's per-query
-  * loop) calls [[freeAll]] to drop everything at once. On a 1000-executor
-  * cluster the same discipline bounds iterative-job storage to ONE live
-  * snapshot per operator instead of one per invocation. */
+  * The registry makes materialization lifetime explicit: a query registers
+  * its checkpointed (or `.cache()`d) frame under a stable key; RE-ENTERING
+  * the same query frees the previous invocation's blocks before building
+  * new ones, and a session-level boundary (the bench's family hygiene,
+  * Verify's per-family loop) calls [[freeAll]] to drop everything at once.
+  * On a 1000-executor cluster the same discipline bounds iterative-job
+  * storage to ONE live snapshot per operator instead of one per
+  * invocation.
+  *
+  * Ownership is PER-RDD, recorded at registration (r10 advice): freeing a
+  * key unpersists exactly the checkpoint RDDs that key materialized — a
+  * frame whose analyzed plan embeds a checkpoint RDD registered under a
+  * DIFFERENT still-live key must not destroy that key's only copy of the
+  * data. LogicalRDDs already owned by another entry are excluded when an
+  * entry records its block set. */
 object Residue {
-  private val held = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private sealed trait Held
+  /** Checkpoint blocks: freed by unpersisting the recorded RDDs. */
+  private final case class Blocks(rdds: Seq[RDD[_]]) extends Held
+  /** A `.cache()`d frame: freed via `Dataset.unpersist` (the cache
+    * manager owns the blocks; there is no LogicalRDD to unpersist). */
+  private final case class Cached(df: DataFrame) extends Held
+
+  private val held = new java.util.concurrent.ConcurrentHashMap[String, Held]()
+
+  /** Every LogicalRDD-backed RDD embedded in the frame's analyzed plan.
+    * For a freshly checkpointed frame that is a single LogicalRDD; for a
+    * projection over one (the fixpoint loops' label frames) it is the one
+    * embedded LogicalRDD. */
+  private def rddsOf(df: DataFrame): Seq[RDD[_]] = {
+    val out = Seq.newBuilder[RDD[_]]
+    df.queryExecution.analyzed.foreach {
+      case l: LogicalRDD => out += l.rdd
+      case _             => ()
+    }
+    out.result()
+  }
+
+  /** Ids owned by the entries CURRENTLY in the registry. */
+  private def ownedIds: Set[Int] = {
+    val b = Set.newBuilder[Int]
+    held.values.forEach {
+      case Blocks(rdds) => rdds.foreach(r => b += r.id)
+      case _            => ()
+    }
+    b.result()
+  }
+
+  private def release(entry: Held, keep: Set[Int]): Unit = entry match {
+    case Blocks(rdds) => rdds.iterator.filterNot(r => keep(r.id)).foreach { r =>
+      // a frame registered by a since-stopped SparkContext (a bench
+      // session handing over to the alone lane) holds no live blocks;
+      // skip it rather than let unpersist throw into the next session.
+      // The stopped check races with an asynchronous stop, so the
+      // narrow dead-context failure is still swallowed — anything else
+      // (a real bug) propagates.
+      if (!r.sparkContext.isStopped)
+        try r.unpersist(blocking = false)
+        catch { case _: IllegalStateException => () }
+    }
+    case Cached(df) =>
+      if (!df.sparkSession.sparkContext.isStopped)
+        try df.unpersist(blocking = false)
+        catch { case _: IllegalStateException => () }
+  }
 
   /** Eagerly localCheckpoint `df` and register it under `key`, freeing
-    * whatever the previous invocation of this key left behind. */
-  def swap(key: String, df: DataFrame): DataFrame =
-    track(key, df.localCheckpoint())
-
-  /** Register an already-materialized frame (e.g. the surviving label
-    * frame of an iterative fixpoint) under `key`, freeing the previous
-    * holder. The frame stays queryable until the NEXT swap/track on the
-    * same key or a [[freeAll]]. */
-  def track(key: String, cp: DataFrame): DataFrame = {
+    * whatever the previous invocation of this key left behind — BEFORE
+    * materializing the new blocks, so peak storage is one snapshot. */
+  def swap(key: String, df: DataFrame): DataFrame = {
     free(key)
-    held.put(key, cp)
+    val cp = df.localCheckpoint()
+    held.put(key, Blocks(rddsOf(cp).filterNot(r => ownedIds(r.id))))
     cp
   }
 
-  /** Unpersist the checkpoint blocks registered under `key`, if any. */
+  /** Register an already-materialized frame (e.g. the surviving label
+    * frame of an iterative fixpoint) under `key`, freeing the previous
+    * holder's blocks EXCEPT any the new frame still embeds (a projection
+    * re-tracked over its predecessor's checkpoint must not lose the data
+    * under itself). The frame stays queryable until the NEXT swap/track
+    * on the same key or a [[freeAll]]. */
+  def track(key: String, cp: DataFrame): DataFrame = {
+    val mine = rddsOf(cp)
+    val mineIds = mine.iterator.map(_.id).toSet
+    Option(held.remove(key)).foreach(release(_, keep = mineIds))
+    val others = ownedIds // this key's old entry is already gone
+    held.put(key, Blocks(mine.filterNot(r => others(r.id))))
+    cp
+  }
+
+  /** `.cache()` `df` and register the cache entry under `key`, freeing the
+    * previous invocation's entry first. Unlike checkpoint blocks,
+    * `catalog.clearCache()` DOES free these — the registry's job here is
+    * re-entry hygiene: a warm re-invocation drops the stale entry instead
+    * of keeping two generations of the same stage cache alive. */
+  def cacheSwap(key: String, df: DataFrame): DataFrame = {
+    free(key)
+    held.put(key, Cached(df.cache()))
+    df
+  }
+
+  /** Unpersist the blocks registered under `key`, if any. */
   def free(key: String): Unit =
-    Option(held.remove(key)).foreach(unpersistBlocks)
+    Option(held.remove(key)).foreach(release(_, keep = Set.empty))
 
   /** Drop every registered frame — the query-family / session boundary. */
   def freeAll(): Unit = {
     val keys = held.keys()
     while (keys.hasMoreElements) free(keys.nextElement())
   }
-
-  private def unpersistBlocks(df: DataFrame): Unit =
-    // defensive: a frame registered by a since-stopped SparkContext (a
-    // bench session handing over to the alone lane) must not make the
-    // NEXT session's free()/swap() throw — dead contexts hold no blocks
-    try df.queryExecution.analyzed.foreach {
-      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
-      case _             => ()
-    } catch { case _: Throwable => () }
 }

@@ -60,4 +60,81 @@ class ResidueSpec extends SparkSuite {
   test("free on an unknown key is a no-op") {
     Residue.free("residue_spec.never_registered")
   }
+
+  test("freeing a key never destroys blocks owned by another live key") {
+    // key B's frame EMBEDS key A's checkpoint RDD (a projection over it).
+    // Ownership is per-RDD, recorded at registration: B must not claim
+    // A's RDD, so freeing B leaves A's only copy of the data alive.
+    val a = Residue.swap("residue_spec.owner", spark.range(40).toDF("id"))
+    val idA = checkpointRddId(a)
+    val b = Residue.track("residue_spec.borrower", a.filter($"id" < 10))
+    assert(checkpointRddId(b) == idA, "borrower embeds the owner's RDD")
+    Residue.free("residue_spec.borrower")
+    assert(persistedRddIds.contains(idA),
+      "freeing the borrower must not unpersist the owner's blocks")
+    assert(a.count() == 40, "owner's data must survive the borrower's free")
+    Residue.free("residue_spec.owner")
+    assert(!persistedRddIds.contains(idA))
+  }
+
+  test("re-tracking a frame that shares its predecessor's blocks keeps them") {
+    val cp = spark.range(25).toDF("id").localCheckpoint()
+    val id = checkpointRddId(cp)
+    Residue.track("residue_spec.rt", cp)
+    // fixpoint-loop shape: the next round re-tracks a PROJECTION over the
+    // same checkpoint — the shared RDD must survive the re-entry free
+    val next = Residue.track("residue_spec.rt", cp.select($"id"))
+    assert(persistedRddIds.contains(id),
+      "re-track must not unpersist blocks the new frame still embeds")
+    assert(next.count() == 25)
+    Residue.free("residue_spec.rt")
+    assert(!persistedRddIds.contains(id))
+  }
+
+  private def isCached(df: org.apache.spark.sql.DataFrame): Boolean =
+    spark.sharedState.cacheManager.lookupCachedData(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.normalized).isDefined
+
+  test("cacheSwap drops the previous generation's cache entry on re-entry") {
+    spark.catalog.clearCache()
+    val df1 = spark.range(60).toDF("id").filter($"id" % 2 === 0)
+    Residue.cacheSwap("residue_spec.cs", df1)
+    df1.count()
+    assert(isCached(df1))
+    // a DIFFERENT plan under the same key: generation 1 must be freed
+    val df2 = spark.range(60).toDF("id").filter($"id" % 3 === 0)
+    Residue.cacheSwap("residue_spec.cs", df2)
+    df2.count()
+    assert(!isCached(df1),
+      "re-entry must unpersist the previous generation's cache entry")
+    assert(isCached(df2))
+    Residue.free("residue_spec.cs")
+    assert(!isCached(df2))
+  }
+
+  test("pipeline_dedup_e2e warm re-invocation builds no second cache generation") {
+    // r9-r10 measured warm-alone SLOWER than cold for this query; the r11
+    // probe (plan diff at sf0.1) showed cold and warm plans are
+    // operator-identical (45 InMemoryTableScans each) and warm 1.7 s vs
+    // cold 14.3 s once the lane's GC settle landed — the inversion was the
+    // measurement rig, not a stale cache. This pins the invariant that
+    // made that true: the stage caches are PLAN-KEYED, so re-invocation
+    // lands on the same entries and persists nothing new.
+    spark.catalog.clearCache()
+    Residue.freeAll()
+    val cold = ops.Curation.pipelineDedupE2e(spark, sfDir)
+    cold.count()
+    val after1 = persistedRddIds
+    val warm = ops.Curation.pipelineDedupE2e(spark, sfDir)
+    warm.count()
+    assert(persistedRddIds == after1,
+      "warm re-invocation must hit the cold run's cache entries, not add a generation")
+    def scans(df: org.apache.spark.sql.DataFrame): Int =
+      "InMemoryTableScan".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(scans(warm) == scans(cold),
+      "warm plan must substitute the same cached subtrees as cold")
+    spark.catalog.clearCache()
+    Residue.freeAll()
+  }
 }
