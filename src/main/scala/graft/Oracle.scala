@@ -888,6 +888,16 @@ object Oracle {
     // what lets the sketch estimate be value-compared at all; TRUE
     // literals pin the within-bounds guarantee the same way the
     // approx-distinct / hll bounds oracles do.
+    // ORACLE ASYMMETRY (r10 advice, accepted by design): the engine
+    // counts gram/chunk document frequency on xxhash64 of the string
+    // (8-byte shuffle keys — the raw corpus text never shuffles; see
+    // TextSim.textLineDedup's scale note) while this oracle keys on the
+    // raw string (DuckDB has no xxhash64 builtin, and md5 on BOTH sides
+    // would reintroduce 32-char shuffle keys just to please the oracle).
+    // A 64-bit collision therefore fails the hash compare rather than
+    // silently agreeing — the strictest observable outcome: the compare
+    // DETECTS the ~n²/2⁶⁴ event instead of sharing it. Applies to
+    // text_ngram_novelty and text_line_dedup.
     "text_ngram_novelty" ->
       s"""WITH d AS (SELECT doc_id, source, $toksExpr AS ts FROM documents),
          |g0 AS (SELECT doc_id, source, ts FROM d WHERE len(ts) >= 4),
@@ -1322,6 +1332,8 @@ object Oracle {
          |WHERE CAST(${cosSql("a.v", "b.v")} AS DECIMAL(18,6)) >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // bandk mirrors Similarity.bandedCandidates' hot-bucket cap
+    // (BandDfCap, non-binding on the declared corpus — see its scaladoc)
     "dedup_minhash_lsh" ->
       s"""WITH d AS (SELECT doc_id, $toksExpr AS ts FROM documents),
          |sh AS (SELECT doc_id, ts FROM d WHERE len(ts) >= 3),
@@ -1330,8 +1342,11 @@ object Oracle {
          |    i -> md5(CAST(s AS VARCHAR) || '|' || ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])))) AS sig
          |  FROM sh),
          |bands AS (SELECT doc_id, i0, sig[i0 + 1] AS v FROM sigs, range(0, 6) t(i0)),
+         |bdf AS (SELECT i0, v, COUNT(*) AS bdf FROM bands GROUP BY 1, 2),
+         |bandk AS (SELECT doc_id, i0, v FROM bands JOIN bdf USING (i0, v)
+         |  WHERE bdf <= ${graft.ops.Similarity.BandDfCap}),
          |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS matches
-         |  FROM bands a JOIN bands b
+         |  FROM bandk a JOIN bandk b
          |    ON a.i0 = b.i0 AND a.v = b.v AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b, CAST(matches AS BIGINT) AS matches,
@@ -1354,8 +1369,11 @@ object Oracle {
          |    i -> md5(CAST(s AS VARCHAR) || '|' || ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])))) AS sig
          |  FROM sh),
          |bands AS (SELECT doc_id, i0, sig[i0 + 1] AS v FROM sigs, range(0, 6) t(i0)),
+         |bdf AS (SELECT i0, v, COUNT(*) AS bdf FROM bands GROUP BY 1, 2),
+         |bandk AS (SELECT doc_id, i0, v FROM bands JOIN bdf USING (i0, v)
+         |  WHERE bdf <= ${graft.ops.Similarity.BandDfCap}),
          |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS matches
-         |  FROM bands a JOIN bands b
+         |  FROM bandk a JOIN bandk b
          |    ON a.i0 = b.i0 AND a.v = b.v AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |c2 AS (SELECT id_a, id_b, matches, sa.n AS na, sb.n AS nb,
@@ -1404,8 +1422,11 @@ object Oracle {
          |    i -> md5(CAST(s AS VARCHAR) || '|' || ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])))) AS sig
          |  FROM sh),
          |bands AS (SELECT doc_id, i0, sig[i0 + 1] AS v FROM sigs, range(0, 6) t(i0)),
+         |bdf AS (SELECT i0, v, COUNT(*) AS bdf FROM bands GROUP BY 1, 2),
+         |bandk AS (SELECT doc_id, i0, v FROM bands JOIN bdf USING (i0, v)
+         |  WHERE bdf <= ${graft.ops.Similarity.BandDfCap}),
          |mp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
+         |  FROM bandk a JOIN bandk b
          |    ON a.i0 = b.i0 AND a.v = b.v AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
          |drop2 AS (SELECT DISTINCT id_b FROM mp
@@ -1881,9 +1902,12 @@ object Oracle {
          |    i -> md5(CAST(s AS VARCHAR) || '|' || ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])))) AS sig
          |  FROM shm),
          |bandm AS (SELECT doc_id, i0, sig[i0 + 1] AS v FROM sigm, range(0, 6) t(i0)),
+         |bdfm AS (SELECT i0, v, COUNT(*) AS bdf FROM bandm GROUP BY 1, 2),
+         |bandkm AS (SELECT doc_id, i0, v FROM bandm JOIN bdfm USING (i0, v)
+         |  WHERE bdf <= ${graft.ops.Similarity.BandDfCap}),
          |lsh AS (SELECT id_a, id_b FROM (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS matches
-         |  FROM bandm a JOIN bandm b
+         |  FROM bandkm a JOIN bandkm b
          |    ON a.i0 = b.i0 AND a.v = b.v AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2) WHERE matches >= 2),
          |j AS (SELECT CASE

@@ -180,6 +180,41 @@ class SimilaritySpec extends SparkSuite {
       s"control without cap should be quadratic, got $uncapped")
   }
 
+  test("band df cap bounds the hot-band pair fan-out in the minhash join") {
+    // synthetic viral-shingle corpus: 40 docs share IDENTICAL text (a
+    // boilerplate page crawled 40 times), so all 6 of their band buckets
+    // hold 40 members; 3 docs are true near-dups on rare shingles.
+    // Uncapped, the hot block alone emits 40·39/2 = 780 banded pairs; with
+    // the cap it contributes ZERO and only the rare-shingle dups survive —
+    // GramDfCap's round-4 scale fix replayed on the banding join.
+    val hot = (0L until 40L).map(i =>
+      (i, "breaking news subscribe to our newsletter for daily updates"))
+    val dups = Seq(
+      (100L, "rare alpha beta gamma delta epsilon zeta"),
+      (101L, "rare alpha beta gamma delta epsilon zeta"),
+      (102L, "rare alpha beta gamma delta epsilon eta"))
+    val docs = (hot ++ dups).toDF("doc_id", "text")
+    val bands = Similarity.minhashBandsOf(docs)
+    val capped = Similarity.bandedCandidates(bands, bandDfCap = 10L)
+      .select($"id_a", $"id_b").collect()
+    assert(capped.nonEmpty)
+    assert(capped.forall(r => r.getLong(0) >= 100L && r.getLong(1) >= 100L),
+      s"hot-band pair leaked through the cap: ${capped.mkString(", ")}")
+    // control: uncapped, the viral block is quadratic
+    val uncapped = Similarity.bandedCandidates(bands, Long.MaxValue).count()
+    assert(uncapped >= 40L * 39 / 2,
+      s"control without cap should be quadratic, got $uncapped")
+    // at the DEFAULT cap the declared corpus is untouched: no sf bucket
+    // approaches BandDfCap (df max 19 at sf0.1), so the production pair
+    // set — and every banding oracle hash — is the uncapped one
+    val prodBands = Similarity.minhashBandsOf(
+      graft.ops.TextSim.rebalanceDocs(graft.Tables.documents(spark, sfDir)))
+    val maxDf = prodBands.groupBy($"i", $"v").count()
+      .agg(max($"count")).as[Long].head()
+    assert(maxDf <= Similarity.BandDfCap,
+      s"declared-corpus bucket df $maxDf exceeds the default cap — the cap would bind")
+  }
+
   test("skew router: declared corpus is all-exact at the default threshold") {
     // no sf-scale label approaches the default cap, so the declared
     // queries' pair joins are provably the plain exact ones (route_bkt is
