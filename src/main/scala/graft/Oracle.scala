@@ -1724,6 +1724,21 @@ object Oracle {
          |FROM assigned JOIN probe ON cell = pcell
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
+    // nprobe=2 recall dial: the probe's two nearest cells by the SAME
+    // L2 centroid score that built the lists, candidates from both
+    "sim_ivf_nprobe" ->
+      s"""WITH $ivfCtes,
+         |pc AS (SELECT cid AS pcell,
+         |    row_number() OVER (ORDER BY d2, cid) AS cell_rank
+         |  FROM scored WHERE vec_id = 0),
+         |pc2 AS (SELECT pcell, CAST(cell_rank AS INTEGER) AS cell_rank
+         |  FROM pc WHERE cell_rank <= 2),
+         |probe AS (SELECT v AS p FROM ex WHERE vec_id = 0)
+         |SELECT a.vec_id, a.cell, pc2.cell_rank,
+         | CAST(${cosSql("a.v", "p")} AS DECIMAL(18,6))::DOUBLE AS cos
+         |FROM assigned a JOIN pc2 ON a.cell = pc2.pcell, probe
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
     "embed_kmeans" ->
       s"""WITH $ivfCtes,
          |m1 AS (SELECT cell, pos,
@@ -2193,6 +2208,41 @@ object Oracle {
         |SELECT COALESCE(error, 'OK') AS status, COUNT(*) AS n,
         | MIN(externalId) AS first_key, MAX(externalId) AS last_key
         |FROM c GROUP BY COALESCE(error, 'OK') ORDER BY status""".stripMargin,
+
+    // LEFT OUTER twin: the inner part is identical; null-extensions are
+    // the clicks whose match window expired under the FINAL watermark
+    // W = min(max click_ts, max purchase_ts) − 1 h (default
+    // multipleWatermarkPolicy is min; watermark timestamps are
+    // millisecond-floored). A click null-extends iff click_ts + 1 h ≤ W;
+    // younger unmatched clicks are withheld in state — the streamed
+    // output is NOT the plain batch left join, and that cutoff is the
+    // outer join's defining semantics.
+    "stream_join_left_outer" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+        |  value FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(epoch_ms(click_ts)) FROM c),
+        |                    (SELECT max(epoch_ms(purchase_ts)) FROM p))
+        |         - 3600000 AS w_ms),
+        |j AS (SELECT c.user_id, c.click_id, p.purchase_id, p.value
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |  AND epoch_us(p.purchase_ts) >= epoch_us(c.click_ts)
+        |  AND epoch_us(p.purchase_ts) < epoch_us(c.click_ts) + 3600000000),
+        |u AS (SELECT c.user_id, c.click_id FROM c, wm
+        |  WHERE epoch_ms(c.click_ts) + 3600000 <= wm.w_ms
+        |    AND c.click_id NOT IN (SELECT click_id FROM j)),
+        |allrows AS (
+        |  SELECT user_id, click_id, purchase_id, value FROM j
+        |  UNION ALL
+        |  SELECT user_id, click_id, NULL, NULL FROM u)
+        |SELECT user_id, COUNT(*) AS n_rows,
+        | COUNT(purchase_id) AS n_conversions,
+        | CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_expired_unconverted,
+        | CAST(CAST(SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,6)))
+        |   AS DECIMAL(18,6)) AS DOUBLE) AS attributed_value
+        |FROM allrows GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "stream_stream_join" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts

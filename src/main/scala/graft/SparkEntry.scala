@@ -185,6 +185,7 @@ object SparkEntry {
     "sim_knn_per_label"      -> Similarity.simKnnPerLabel _,
     "sim_ann_lsh"            -> Similarity.simAnnLsh _,
     "sim_ivf_probe"          -> Similarity.simIvfProbe _,
+    "sim_ivf_nprobe"         -> Similarity.simIvfNprobe _,
     "sim_ivfpq_search"       -> Similarity.simIvfpqSearch _,
     "sim_mrl_rerank"         -> Similarity.simMrlRerank _,
     "embed_kmeans"           -> Similarity.embedKmeans _,
@@ -352,6 +353,7 @@ object SparkEntry {
     "stream_keyed_state"    -> Streaming.streamKeyedState _,
     "stream_join_static"    -> Streaming.streamJoinStatic _,
     "stream_stream_join"    -> Streaming.streamStreamJoin _,
+    "stream_join_left_outer" -> Streaming.streamJoinLeftOuter _,
     "stream_csv_ingest"     -> Streaming.streamCsvIngest _,
     "stream_tws_state"      -> Streaming.streamTwsState _,
     "stream_tws_topk"       -> Streaming.streamTwsTopk _,

@@ -996,7 +996,12 @@ object Analytics {
     * once (localCheckpoint) for its five consumers; per-round label
     * frames stay in-plan (4 rounds of join+agg is a shallow tree). The
     * frequency argmax is a min_by over the (-count, label) struct —
-    * never a per-node sort. */
+    * never a per-node sort. In-plan rounds re-measured r11 with the
+    * fixed lane rig: sf0.1 cold-alone 3.4 s / warm 3.0 s — the r10
+    * "cold 8.65 s" was rig artifact plus pre-Residue edge handling, and
+    * per-round checkpointing (the kcore recipe) is NOT applied here
+    * because the warm lane shows the bill is the fixed 4-round
+    * join+agg shuffle work, not re-planning depth. */
   def graphLabelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = coOccurrenceEdges(spark, sfDir)

@@ -337,7 +337,12 @@ object Curation {
     // than cold (3.35 s). Cache substitution also keeps the 4-way union
     // plan small (cached subtrees collapse to InMemoryRelation at
     // planning). The frames are doc_id-only (KB-scale at bench sf);
-    // catalog.clearCache() frees them.
+    // catalog.clearCache() frees them. The r9-r10 warm>cold inversion
+    // that survived the plan-keyed rewrite was the LANE, not this code:
+    // with the r11 GC settle before each lane timing, the sf0.1 probe
+    // reads cold 14.3 s / warm 1.7 s with operator-identical plans
+    // (45 InMemoryTableScans each) — ResidueSpec pins the
+    // no-second-cache-generation invariant that makes warm cheap.
     val s1 = docs.select(lower(trim($"text")).as("norm"), $"doc_id")
       .groupBy($"norm").agg(min($"doc_id").as("doc_id"))
       .select($"doc_id").cache()

@@ -164,8 +164,12 @@ class PlanSpec extends SparkSuite {
     // exchange (same argument as profile_drift's |days|-row window).
     // agg_benford (r8): the total window runs over the 9-row digit
     // aggregate.
+    // sim_ivf_nprobe (r11): the probe-cell rank window runs over the
+    // one probe's |centroids|-row score frame — bounded by the broadcast
+    // centroid set before any exchange, never a corpus sort.
     val boundedFrameOk =
-      Set("profile_drift", "sim_rrf_fusion", "text_zipf_fit", "agg_benford")
+      Set("profile_drift", "sim_rrf_fusion", "text_zipf_fit", "agg_benford",
+        "sim_ivf_nprobe")
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -565,7 +569,11 @@ class PlanSpec extends SparkSuite {
       "agg_hll_intersect",
       // CMS probe grid: crossJoin of the 5-row sketch frame with the
       // broadcast 10-row probe set (the bm25/tfidf 1-row-stats shape)
-      "agg_cms_point")
+      "agg_cms_point",
+      // r11 nprobe dial: inherits ivfAssigned's crossJoin vs the
+      // broadcast centroid set AND crossJoins the broadcast 1-row probe
+      // (the sim_ivf_probe / sim_cosine_probe shapes combined)
+      "sim_ivf_nprobe")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sfDir).queryExecution

@@ -215,6 +215,24 @@ class SimilaritySpec extends SparkSuite {
       s"declared-corpus bucket df $maxDf exceeds the default cap — the cap would bind")
   }
 
+  test("nprobe=2 dominates nprobe=1: wider candidate set, never worse top-k") {
+    // the ANN recall/cost trade made observable: nprobe=1's candidates are
+    // a subset of nprobe=2's, so the widened top-10 must (a) contain hits
+    // served by the SECOND cell — the neighbors nprobe=1 missed — and
+    // (b) dominate nprobe=1's scores position-by-position
+    val np1 = Similarity.simIvfProbe(spark, sfDir)
+      .select($"cos".cast("double")).as[Double].collect()
+    val np2rows = Similarity.simIvfNprobe(spark, sfDir)
+      .select($"cell_rank", $"cos".cast("double")).collect()
+    assert(np2rows.exists(_.getInt(0) == 2),
+      "no top-10 hit came from the second probed cell — the dial is vacuous here")
+    val np2 = np2rows.map(_.getDouble(1))
+    assert(np1.length == np2.length)
+    np1.zip(np2).foreach { case (c1, c2) =>
+      assert(c2 >= c1, s"nprobe=2 top-k worse than nprobe=1: $c2 < $c1")
+    }
+  }
+
   test("skew router: declared corpus is all-exact at the default threshold") {
     // no sf-scale label approaches the default cap, so the declared
     // queries' pair joins are provably the plain exact ones (route_bkt is

@@ -85,6 +85,48 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream left outer: expiry partitions the unmatched clicks") {
+    // The outer join's defining path: an unmatched click null-extends iff
+    // the final watermark W = min(max click_ts, max purchase_ts) − 1 h
+    // (ms-floored) passed its match-window end (click_ts + 1 h ≤ W);
+    // younger unmatched clicks stay WITHHELD in state. The fixture has
+    // both kinds, so emitted ⊕ withheld genuinely partitions the
+    // unmatched set — the restriction is proven non-vacuous, not just
+    // consistent.
+    val streamed = Streaming.streamJoinLeftOuter(spark, sfDir)
+    val totals = streamed.agg(sum($"n_rows"), sum($"n_conversions"),
+      sum($"n_expired_unconverted")).head()
+    val ev = Tables.events(spark, sfDir)
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("purchase_ts"))
+    val wMs = c.agg(max(unix_millis($"click_ts"))).head().getLong(0)
+      .min(p.agg(max(unix_millis($"purchase_ts"))).head().getLong(0)) - 3600000L
+    val matched = c.join(p,
+        $"user_id" === $"p_user" &&
+          unix_micros($"purchase_ts") >= unix_micros($"click_ts") &&
+          unix_micros($"purchase_ts") < unix_micros($"click_ts") + 3600000000L,
+        "left_semi")
+    val unmatchedC = c.join(matched.select($"click_id".as("m_id")),
+      $"click_id" === $"m_id", "left_anti")
+    val expired = unmatchedC
+      .filter(unix_millis($"click_ts") + 3600000L <= wMs).count()
+    val withheld = unmatchedC
+      .filter(unix_millis($"click_ts") + 3600000L > wMs).count()
+    assert(withheld >= 1, "fixture has no young unmatched click — the cutoff is untested")
+    // join output may emit a matched click several times (one per
+    // purchase); conversions count those rows, expiries count clicks
+    val nConversions = c.join(p,
+      $"user_id" === $"p_user" &&
+        unix_micros($"purchase_ts") >= unix_micros($"click_ts") &&
+        unix_micros($"purchase_ts") < unix_micros($"click_ts") + 3600000000L).count()
+    assert(totals.getLong(1) == nConversions, "inner part diverges from batch join")
+    assert(totals.getLong(2) == expired,
+      s"null-extensions ${totals.getLong(2)} != batch-derived expired $expired")
+    assert(totals.getLong(0) == nConversions + expired)
+  }
+
   test("watermark drops events later than the threshold") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
