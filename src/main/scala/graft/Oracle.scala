@@ -4036,6 +4036,32 @@ object Oracle {
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn <= 3 ORDER BY user_id, rank""".stripMargin,
 
+    // Timer sessionization: batch gaps-and-islands sessions (>= 30-min
+    // gap splits, same (us, event_id) order as the processor's fold);
+    // a user's LAST session emits only if the watermark
+    // W = max(ts) - 10 min (ms-floored) passed last_event + gap — the
+    // timer-expiry cutoff; earlier sessions closed intra-batch emit
+    // unconditionally as 'gap'
+    "stream_timer_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |s AS (SELECT user_id, us, event_id, CASE WHEN us - lag(us) OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id) >= 1800000000
+        |  THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT user_id, us, SUM(brk) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+        |sess AS (SELECT user_id, sid, min(us) AS start_us, max(us) AS end_us,
+        |  COUNT(*) AS n FROM g GROUP BY 1, 2),
+        |wm AS (SELECT max(epoch_ms(ts)) - 600000 AS w_ms FROM events),
+        |lastsess AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY 1)
+        |SELECT s.user_id,
+        | strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S') AS first_ts,
+        | strftime(make_timestamp(end_us), '%Y-%m-%d %H:%M:%S') AS last_ts,
+        | n AS n_events,
+        | CASE WHEN sid < last_sid THEN 'gap' ELSE 'timer' END AS closed_by
+        |FROM sess s JOIN lastsess l USING (user_id), wm
+        |WHERE sid < l.last_sid OR (end_us // 1000 + 1800000 < wm.w_ms)
+        |ORDER BY user_id, first_ts""".stripMargin,
+
     // same contract as stream_keyed_state — one oracle pins both state APIs
     "stream_tws_state" ->
       """SELECT user_id, n_events,

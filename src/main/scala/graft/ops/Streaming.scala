@@ -120,6 +120,64 @@ class QuotaProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Lo
   }
 }
 
+case class SessEvent(user_id: Long, event_id: Long, us: Long,
+                     ts: java.sql.Timestamp)
+case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+case class SessionOut(user_id: Long, startUs: Long, endUs: Long,
+                      n_events: Long, closed_by: String)
+
+/** Event-time TIMER sessionization (r11) — the `transformWithState` timer
+  * path no other operator exercises: within a batch, a gap ≥ 30 min
+  * between a key's consecutive events closes the open session and emits
+  * it immediately (`closed_by = 'gap'`); the still-open trailing session
+  * arms ONE event-time timer at `last_event + gap`, and the session is
+  * emitted by [[handleExpiredTimer]] (`closed_by = 'timer'`) only when
+  * the watermark passes that expiry — the incremental contract a live
+  * sessionizer needs (a session is never final until no in-order event
+  * can extend it). Re-arming deletes the previous timer first, so a key
+  * holds at most one timer regardless of batch count. The in-batch fold
+  * sorts by (event time, id) — the same discipline as [[QuotaProcessor]]. */
+class SessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessEvent, SessionOut] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  private val GapUs = 30L * 60 * 1000000
+  private val GapMs = 30L * 60 * 1000
+  @transient private var state: ValueState[OpenSession] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[OpenSession]("sess",
+      org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[SessEvent],
+                               timers: TimerValues): Iterator[SessionOut] = {
+    val out = Seq.newBuilder[SessionOut]
+    var open = Option(state.get())
+    rows.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+      open = open match {
+        case Some(s) if e.us - s.lastUs >= GapUs =>
+          out += SessionOut(key, s.startUs, s.lastUs, s.n, "gap")
+          Some(OpenSession(e.us, e.us, 1L))
+        case Some(s) => Some(OpenSession(s.startUs, e.us, s.n + 1L))
+        case None    => Some(OpenSession(e.us, e.us, 1L))
+      }
+    }
+    open.foreach { s =>
+      state.update(s)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(s.lastUs / 1000 + GapMs)
+    }
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                  info: ExpiredTimerInfo): Iterator[SessionOut] =
+    Option(state.get()) match {
+      case Some(s) =>
+        state.clear()
+        Iterator(SessionOut(key, s.startUs, s.lastUs, s.n, "timer"))
+      case None => Iterator.empty
+    }
+}
+
 object Streaming {
 
   private def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
@@ -476,6 +534,42 @@ object Streaming {
         date_format(timestamp_micros($"lastUs"), tsFmt).as("last_ts"),
         $"event_type")
       .orderBy($"user_id")
+  }
+
+  /** Timer-driven sessionization on transformWithState event-time timers
+    * ([[SessionProcessor]]) — sessions split at ≥30-min gaps; intra-batch
+    * gaps emit immediately (`closed_by='gap'`), each key's trailing open
+    * session is emitted by its timer (`closed_by='timer'`) only once the
+    * watermark (max ts − 10 min) passes `last_event + gap`. One
+    * AvailableNow batch folds the complete per-user sequence, so the
+    * emitted set is the batch gaps-and-islands sessionization MINUS
+    * still-open trailing sessions the watermark hasn't sealed — the same
+    * watermark-cutoff contract as `stream_join_left_outer`'s expiry, on
+    * the timer API instead of join state. */
+  def streamTimerSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    runToParquet(spark, Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { session =>
+      import session.implicits._
+      eventsStream(session, sfDir)
+        .withWatermark("ts", "10 minutes")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("ts"))
+        .as[SessEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new SessionProcessor,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[SessionOut])
+        .toDF()
+    }
+      .select($"user_id",
+        date_format(timestamp_micros($"startUs"), tsFmt).as("first_ts"),
+        date_format(timestamp_micros($"endUs"), tsFmt).as("last_ts"),
+        $"n_events", $"closed_by")
+      .orderBy($"user_id", $"first_ts")
   }
 
   /** Per-user last-3 recency cache on TWS ListState ([[RecentProcessor]]):

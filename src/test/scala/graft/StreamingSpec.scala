@@ -205,6 +205,51 @@ class StreamingSpec extends SparkSuite {
     assert(stream.sameElements(batch))
   }
 
+  test("timer sessions: extension re-arms the timer; watermark seals exactly once") {
+    // the multi-batch contract the batch oracle can't see: batch 2
+    // EXTENDS user 1's open session, which must DELETE the batch-1 timer
+    // (10:35) and re-arm at 10:50 — when the watermark later passes both,
+    // exactly ONE timer emission with the extended session (n=3) may
+    // appear; a stale un-deleted timer would emit the pre-extension
+    // session too. User 2's fresh session stays withheld (wm < expiry).
+    import org.apache.spark.sql.streaming.OutputMode
+    val session = spark.newSession()
+    session.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val out = input.toDF().toDF("user_id", "event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"ts")
+      .as[graft.ops.SessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new graft.ops.SessionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[graft.ops.SessionOut]).toDF()
+    val name = "tmr" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      input.addData((1L, 1L, t("2024-01-01 10:00:00")), (1L, 2L, t("2024-01-01 10:05:00")))
+      q.processAllAvailable() // wm -> 09:55; timer armed at 10:35
+      assert(session.table(name).isEmpty, "nothing may emit before the watermark")
+      input.addData((1L, 3L, t("2024-01-01 10:20:00")), (2L, 4L, t("2024-01-01 13:00:00")))
+      q.processAllAvailable() // session extended, timer re-armed 10:50; wm -> 12:50
+      input.addData((2L, 5L, t("2024-01-01 13:01:00")))
+      q.processAllAvailable() // a batch evaluated AT wm 12:50 fires u1's timer
+      val rows = session.table(name)
+        .select($"user_id", $"n_events", $"closed_by").as[(Long, Long, String)]
+        .collect().toSeq
+      assert(rows == Seq((1L, 3L, "timer")),
+        s"expected exactly one sealed extended session for user 1, got $rows")
+    } finally {
+      q.stop()
+      org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+    }
+  }
+
   test("tws ListState recency cache re-ranks carried state across batches") {
     // the incremental contract the batch oracle can't see: batch 2's
     // emission must rank the NEW row against the CARRIED top-3 list
