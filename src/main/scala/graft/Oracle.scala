@@ -4062,6 +4062,12 @@ object Oracle {
         |WHERE sid < l.last_sid OR (end_us // 1000 + 1800000 < wm.w_ms)
         |ORDER BY user_id, first_ts""".stripMargin,
 
+    // MapState census: one AvailableNow batch ⇒ per-key map snapshot
+    // equals the plain (user, type) count
+    "stream_tws_mapstate" ->
+      """SELECT user_id, event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+
     // same contract as stream_keyed_state — one oracle pins both state APIs
     "stream_tws_state" ->
       """SELECT user_id, n_events,

@@ -120,6 +120,36 @@ class QuotaProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Lo
   }
 }
 
+case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+/** Per-user per-event-type counters on TWS MAP state (r11) — the last of
+  * the four transformWithState state primitives the board exercises
+  * (ValueState: status/quota; ListState: recency top-k; timers:
+  * sessionization; MapState: this). A map-valued key state is the shape
+  * a feature store's "counts by category" needs: updating ONE map entry
+  * per row touches O(1) state, where a ValueState holding the whole map
+  * would rewrite every category on every event. Each batch emits the
+  * key's full snapshot — one AvailableNow batch ⇒ the (user, type)
+  * census the SQL oracle replays. */
+class TypeCountProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, KeyedEvent, TypeCount] {
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+  @transient private var state: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getMapState[String, Long]("bytype",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[KeyedEvent],
+                               timers: TimerValues): Iterator[TypeCount] = {
+    rows.foreach { e =>
+      val prev = if (state.containsKey(e.event_type)) state.getValue(e.event_type) else 0L
+      state.updateValue(e.event_type, prev + 1L)
+    }
+    state.iterator().map { case (t, n) => TypeCount(key, t, n) }
+  }
+}
+
 case class SessEvent(user_id: Long, event_id: Long, us: Long,
                      ts: java.sql.Timestamp)
 case class OpenSession(startUs: Long, lastUs: Long, n: Long)
@@ -534,6 +564,32 @@ object Streaming {
         date_format(timestamp_micros($"lastUs"), tsFmt).as("last_ts"),
         $"event_type")
       .orderBy($"user_id")
+  }
+
+  /** Per-user event-type counters on TWS MapState ([[TypeCountProcessor]]):
+    * O(1) state touched per row where a ValueState would rewrite the whole
+    * category map. One AvailableNow batch ⇒ the per-key snapshot equals
+    * the (user, type) census — the SQL the oracle runs. */
+  def streamTwsMapstate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    runToParquet(spark, Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { session =>
+      import session.implicits._
+      eventsStream(session, sfDir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .as[KeyedEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new TypeCountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[TypeCount])
+        .toDF()
+    }
+      .select($"user_id", $"event_type", $"n")
+      .orderBy($"user_id", $"event_type")
   }
 
   /** Timer-driven sessionization on transformWithState event-time timers

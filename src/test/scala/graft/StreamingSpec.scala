@@ -250,6 +250,45 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("tws MapState counters accumulate onto carried entries across batches") {
+    // the incremental contract the batch oracle can't see: batch 2 must
+    // increment the CARRIED per-type entries, not restart them — and only
+    // touch the keys it saw (O(1) per row, the MapState point)
+    import org.apache.spark.sql.streaming.OutputMode
+    val session = spark.newSession()
+    session.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+    val input = MemoryStream[graft.ops.KeyedEvent]
+    val out = input.toDS().groupByKey(_.user_id)
+      .transformWithState(new graft.ops.TypeCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[graft.ops.TypeCount]).toDF()
+    val name = "map" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      input.addData(
+        graft.ops.KeyedEvent(1L, 1L, 10L, "click"),
+        graft.ops.KeyedEvent(1L, 2L, 20L, "click"),
+        graft.ops.KeyedEvent(1L, 3L, 30L, "view"))
+      q.processAllAvailable()
+      def rows() = session.table(name)
+        .select($"event_type", $"n").as[(String, Long)].collect().toSeq
+      val b1 = rows()
+      assert(b1.sorted == Seq(("click", 2L), ("view", 1L)), s"batch-1: $b1")
+      input.addData(graft.ops.KeyedEvent(1L, 4L, 40L, "click"))
+      q.processAllAvailable()
+      val b2 = rows().diff(b1)
+      assert(b2.sorted == Seq(("click", 3L), ("view", 1L)),
+        s"batch-2 snapshot must carry view=1 and increment click to 3: $b2")
+    } finally {
+      q.stop()
+      org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+    }
+  }
+
   test("tws ListState recency cache re-ranks carried state across batches") {
     // the incremental contract the batch oracle can't see: batch 2's
     // emission must rank the NEW row against the CARRIED top-3 list
