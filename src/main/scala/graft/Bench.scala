@@ -119,8 +119,7 @@ object Bench {
       // also drops localCheckpoint blocks, which clearCache never freed.
       val fam = name.takeWhile(_ != '_')
       if (fam != prevFam) {
-        spark.catalog.clearCache()
-        ops.Residue.freeAll()
+        ops.Residue.familyBoundary(spark)
         prevFam = fam
       }
       settle()

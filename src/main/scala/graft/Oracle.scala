@@ -1342,9 +1342,7 @@ object Oracle {
          |    i -> md5(CAST(s AS VARCHAR) || '|' || ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])))) AS sig
          |  FROM sh),
          |bands AS (SELECT doc_id, i0, sig[i0 + 1] AS v FROM sigs, range(0, 6) t(i0)),
-         |bdf AS (SELECT i0, v, COUNT(*) AS bdf FROM bands GROUP BY 1, 2),
-         |bandk AS (SELECT doc_id, i0, v FROM bands JOIN bdf USING (i0, v)
-         |  WHERE bdf <= ${graft.ops.Similarity.BandDfCap}),
+         |${bandCapCtes("bands", "bandk")},
          |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS matches
          |  FROM bandk a JOIN bandk b
          |    ON a.i0 = b.i0 AND a.v = b.v AND a.doc_id < b.doc_id
@@ -1369,9 +1367,7 @@ object Oracle {
          |    i -> md5(CAST(s AS VARCHAR) || '|' || ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])))) AS sig
          |  FROM sh),
          |bands AS (SELECT doc_id, i0, sig[i0 + 1] AS v FROM sigs, range(0, 6) t(i0)),
-         |bdf AS (SELECT i0, v, COUNT(*) AS bdf FROM bands GROUP BY 1, 2),
-         |bandk AS (SELECT doc_id, i0, v FROM bands JOIN bdf USING (i0, v)
-         |  WHERE bdf <= ${graft.ops.Similarity.BandDfCap}),
+         |${bandCapCtes("bands", "bandk")},
          |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS matches
          |  FROM bandk a JOIN bandk b
          |    ON a.i0 = b.i0 AND a.v = b.v AND a.doc_id < b.doc_id
@@ -1422,9 +1418,7 @@ object Oracle {
          |    i -> md5(CAST(s AS VARCHAR) || '|' || ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])))) AS sig
          |  FROM sh),
          |bands AS (SELECT doc_id, i0, sig[i0 + 1] AS v FROM sigs, range(0, 6) t(i0)),
-         |bdf AS (SELECT i0, v, COUNT(*) AS bdf FROM bands GROUP BY 1, 2),
-         |bandk AS (SELECT doc_id, i0, v FROM bands JOIN bdf USING (i0, v)
-         |  WHERE bdf <= ${graft.ops.Similarity.BandDfCap}),
+         |${bandCapCtes("bands", "bandk")},
          |mp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bandk a JOIN bandk b
          |    ON a.i0 = b.i0 AND a.v = b.v AND a.doc_id < b.doc_id
@@ -1858,6 +1852,17 @@ object Oracle {
          |ORDER BY cell, id_a, id_b""".stripMargin,
   )
 
+  /** Mirror of Similarity.bandedCandidates' hot-bucket cap as a CTE pair
+    * over the band frame named `bands`, kept rows emitted as `kept` —
+    * ONE definition so the four banding oracles (minhash lsh /
+    * containment, the dedup pipeline, the lsh-recall audit) cannot
+    * desynchronize from the engine or each other (r11 review). (A `def`:
+    * referenced from map initializers above.) */
+  private def bandCapCtes(bands: String, kept: String): String =
+    s"""bdf_$kept AS (SELECT i0, v, COUNT(*) AS bdf FROM $bands GROUP BY 1, 2),
+       |$kept AS (SELECT doc_id, i0, v FROM $bands JOIN bdf_$kept USING (i0, v)
+       |  WHERE bdf <= ${graft.ops.Similarity.BandDfCap})""".stripMargin
+
   /** DuckDB twin of Similarity.ivfAssigned as a CTE body (everything after
     * WITH): exact integer-micro-unit centroid means over the deterministic
     * 1-in-4 sample, nearest-cell assignment by the L2 identity |c|²−2c·v
@@ -1917,9 +1922,7 @@ object Oracle {
          |    i -> md5(CAST(s AS VARCHAR) || '|' || ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])))) AS sig
          |  FROM shm),
          |bandm AS (SELECT doc_id, i0, sig[i0 + 1] AS v FROM sigm, range(0, 6) t(i0)),
-         |bdfm AS (SELECT i0, v, COUNT(*) AS bdf FROM bandm GROUP BY 1, 2),
-         |bandkm AS (SELECT doc_id, i0, v FROM bandm JOIN bdfm USING (i0, v)
-         |  WHERE bdf <= ${graft.ops.Similarity.BandDfCap}),
+         |${bandCapCtes("bandm", "bandkm")},
          |lsh AS (SELECT id_a, id_b FROM (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS matches
          |  FROM bandkm a JOIN bandkm b
@@ -4041,7 +4044,9 @@ object Oracle {
     // a user's LAST session emits only if the watermark
     // W = max(ts) - 10 min (ms-floored) passed last_event + gap — the
     // timer-expiry cutoff; earlier sessions closed intra-batch emit
-    // unconditionally as 'gap'
+    // unconditionally as 'gap'. Timers fire AT the watermark
+    // (expiry <= W — StreamingSpec pins the boundary empirically), so
+    // the cutoff is non-strict.
     "stream_timer_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |s AS (SELECT user_id, us, event_id, CASE WHEN us - lag(us) OVER
@@ -4059,7 +4064,7 @@ object Oracle {
         | n AS n_events,
         | CASE WHEN sid < last_sid THEN 'gap' ELSE 'timer' END AS closed_by
         |FROM sess s JOIN lastsess l USING (user_id), wm
-        |WHERE sid < l.last_sid OR (end_us // 1000 + 1800000 < wm.w_ms)
+        |WHERE sid < l.last_sid OR (end_us // 1000 + 1800000 <= wm.w_ms)
         |ORDER BY user_id, first_ts""".stripMargin,
 
     // MapState census: one AvailableNow batch ⇒ per-key map snapshot

@@ -39,8 +39,7 @@ object Verify {
       .foreach { case (name, fn) =>
       val fam = name.takeWhile(_ != '_')
       if (fam != prevFam) {
-        spark.catalog.clearCache()
-        ops.Residue.freeAll()
+        ops.Residue.familyBoundary(spark)
         prevFam = fam
       }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

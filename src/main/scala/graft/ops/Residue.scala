@@ -15,14 +15,17 @@ import org.apache.spark.sql.execution.LogicalRDD
   * SLOWER than cold for the checkpoint-heavy queries
   * (`pipeline_dedup_e2e` 4.7→7.1 s, `graph_common_neighbors` 4.6→7.0 s).
   *
-  * The registry makes materialization lifetime explicit: a query registers
-  * its checkpointed (or `.cache()`d) frame under a stable key; RE-ENTERING
-  * the same query frees the previous invocation's blocks before building
-  * new ones, and a session-level boundary (the bench's family hygiene,
-  * Verify's per-family loop) calls [[freeAll]] to drop everything at once.
-  * On a 1000-executor cluster the same discipline bounds iterative-job
-  * storage to ONE live snapshot per operator instead of one per
-  * invocation.
+  * The registry makes checkpoint lifetime explicit: a query registers its
+  * checkpointed frame under a stable key; RE-ENTERING the same query frees
+  * the previous invocation's blocks before building new ones, and a
+  * session-level boundary (the bench's family hygiene, Verify's per-family
+  * loop) calls [[freeAll]] to drop everything at once. On a 1000-executor
+  * cluster the same discipline bounds iterative-job storage to ONE live
+  * snapshot per operator instead of one per invocation. Plan-keyed
+  * `.cache()`d frames stay OUTSIDE the registry deliberately: their warm
+  * path is the cache HIT (a re-invocation builds the identical plan and
+  * reads the entry), so freeing them on re-entry would force a rebuild —
+  * `clearCache()` at family boundaries is their whole lifecycle.
   *
   * Ownership is PER-RDD, recorded at registration (r10 advice): freeing a
   * key unpersists exactly the checkpoint RDDs that key materialized — a
@@ -31,14 +34,10 @@ import org.apache.spark.sql.execution.LogicalRDD
   * data. LogicalRDDs already owned by another entry are excluded when an
   * entry records its block set. */
 object Residue {
-  private sealed trait Held
   /** Checkpoint blocks: freed by unpersisting the recorded RDDs. */
-  private final case class Blocks(rdds: Seq[RDD[_]]) extends Held
-  /** A `.cache()`d frame: freed via `Dataset.unpersist` (the cache
-    * manager owns the blocks; there is no LogicalRDD to unpersist). */
-  private final case class Cached(df: DataFrame) extends Held
+  private final case class Blocks(rdds: Seq[RDD[_]])
 
-  private val held = new java.util.concurrent.ConcurrentHashMap[String, Held]()
+  private val held = new java.util.concurrent.ConcurrentHashMap[String, Blocks]()
 
   /** Every LogicalRDD-backed RDD embedded in the frame's analyzed plan.
     * For a freshly checkpointed frame that is a single LogicalRDD; for a
@@ -53,18 +52,32 @@ object Residue {
     out.result()
   }
 
-  /** Ids owned by the entries CURRENTLY in the registry. */
+  /** Drop entries registered by a since-stopped SparkContext (r11 review):
+    * their blocks died with the context, and — because RDD ids are a
+    * PER-CONTEXT counter restarting at 0 — a stale entry's recorded ids
+    * would alias a NEW context's ids, making a fresh frame's blocks
+    * invisible to its own entry ([[ownedIds]] exclusion) and its
+    * re-entry free a silent no-op. The bench's alone lane (one fresh
+    * session per heavy query, same JVM) is exactly this sequence. */
+  private def purgeDead(): Unit = {
+    val it = held.entrySet().iterator()
+    while (it.hasNext) {
+      val rdds = it.next().getValue.rdds
+      if (rdds.nonEmpty && rdds.forall(_.sparkContext.isStopped)) it.remove()
+    }
+  }
+
+  /** Ids owned by the LIVE entries currently in the registry. */
   private def ownedIds: Set[Int] = {
     val b = Set.newBuilder[Int]
-    held.values.forEach {
-      case Blocks(rdds) => rdds.foreach(r => b += r.id)
-      case _            => ()
+    held.values.forEach { e =>
+      e.rdds.iterator.filterNot(_.sparkContext.isStopped).foreach(r => b += r.id)
     }
     b.result()
   }
 
-  private def release(entry: Held, keep: Set[Int]): Unit = entry match {
-    case Blocks(rdds) => rdds.iterator.filterNot(r => keep(r.id)).foreach { r =>
+  private def release(entry: Blocks, keep: Set[Int]): Unit =
+    entry.rdds.iterator.filterNot(r => keep(r.id)).foreach { r =>
       // a frame registered by a since-stopped SparkContext (a bench
       // session handing over to the alone lane) holds no live blocks;
       // skip it rather than let unpersist throw into the next session.
@@ -75,16 +88,12 @@ object Residue {
         try r.unpersist(blocking = false)
         catch { case _: IllegalStateException => () }
     }
-    case Cached(df) =>
-      if (!df.sparkSession.sparkContext.isStopped)
-        try df.unpersist(blocking = false)
-        catch { case _: IllegalStateException => () }
-  }
 
   /** Eagerly localCheckpoint `df` and register it under `key`, freeing
     * whatever the previous invocation of this key left behind — BEFORE
     * materializing the new blocks, so peak storage is one snapshot. */
   def swap(key: String, df: DataFrame): DataFrame = {
+    purgeDead()
     free(key)
     val cp = df.localCheckpoint()
     held.put(key, Blocks(rddsOf(cp).filterNot(r => ownedIds(r.id))))
@@ -98,23 +107,13 @@ object Residue {
     * under itself). The frame stays queryable until the NEXT swap/track
     * on the same key or a [[freeAll]]. */
   def track(key: String, cp: DataFrame): DataFrame = {
+    purgeDead()
     val mine = rddsOf(cp)
     val mineIds = mine.iterator.map(_.id).toSet
     Option(held.remove(key)).foreach(release(_, keep = mineIds))
     val others = ownedIds // this key's old entry is already gone
     held.put(key, Blocks(mine.filterNot(r => others(r.id))))
     cp
-  }
-
-  /** `.cache()` `df` and register the cache entry under `key`, freeing the
-    * previous invocation's entry first. Unlike checkpoint blocks,
-    * `catalog.clearCache()` DOES free these — the registry's job here is
-    * re-entry hygiene: a warm re-invocation drops the stale entry instead
-    * of keeping two generations of the same stage cache alive. */
-  def cacheSwap(key: String, df: DataFrame): DataFrame = {
-    free(key)
-    held.put(key, Cached(df.cache()))
-    df
   }
 
   /** Unpersist the blocks registered under `key`, if any. */
@@ -125,5 +124,14 @@ object Residue {
   def freeAll(): Unit = {
     val keys = held.keys()
     while (keys.hasMoreElements) free(keys.nextElement())
+  }
+
+  /** The family-boundary hygiene Bench and Verify share (one definition,
+    * r11 review — the two loops must not drift): plan-keyed caches live
+    * exactly as long as their family runs, and checkpoint residue goes
+    * with them. */
+  def familyBoundary(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.catalog.clearCache()
+    freeAll()
   }
 }

@@ -186,7 +186,16 @@ class SessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
         case Some(s) if e.us - s.lastUs >= GapUs =>
           out += SessionOut(key, s.startUs, s.lastUs, s.n, "gap")
           Some(OpenSession(e.us, e.us, 1L))
-        case Some(s) => Some(OpenSession(s.startUs, e.us, s.n + 1L))
+        // min/max fold, NOT lastUs = e.us: a later batch can deliver an
+        // in-watermark event OLDER than the carried lastUs, and
+        // rewinding the end would re-arm the timer too early and seal
+        // the session before its true expiry (r11 review). Folding any
+        // in-watermark event into the open session is EXACT while the
+        // watermark delay (10 min) is below the gap (30 min): such an
+        // event is ≥ wm ≥ startUs − delay > startUs − gap, so true
+        // event-time sessionization would merge it here too.
+        case Some(s) => Some(OpenSession(math.min(s.startUs, e.us),
+          math.max(s.lastUs, e.us), s.n + 1L))
         case None    => Some(OpenSession(e.us, e.us, 1L))
       }
     }

@@ -91,28 +91,6 @@ class ResidueSpec extends SparkSuite {
     assert(!persistedRddIds.contains(id))
   }
 
-  private def isCached(df: org.apache.spark.sql.DataFrame): Boolean =
-    spark.sharedState.cacheManager.lookupCachedData(
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      df.queryExecution.normalized).isDefined
-
-  test("cacheSwap drops the previous generation's cache entry on re-entry") {
-    spark.catalog.clearCache()
-    val df1 = spark.range(60).toDF("id").filter($"id" % 2 === 0)
-    Residue.cacheSwap("residue_spec.cs", df1)
-    df1.count()
-    assert(isCached(df1))
-    // a DIFFERENT plan under the same key: generation 1 must be freed
-    val df2 = spark.range(60).toDF("id").filter($"id" % 3 === 0)
-    Residue.cacheSwap("residue_spec.cs", df2)
-    df2.count()
-    assert(!isCached(df1),
-      "re-entry must unpersist the previous generation's cache entry")
-    assert(isCached(df2))
-    Residue.free("residue_spec.cs")
-    assert(!isCached(df2))
-  }
-
   test("pipeline_dedup_e2e warm re-invocation builds no second cache generation") {
     // r9-r10 measured warm-alone SLOWER than cold for this query; the r11
     // probe (plan diff at sf0.1) showed cold and warm plans are

@@ -250,6 +250,95 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("timer sessions: boundary semantics — fires AT expiry == watermark; out-of-order events cannot rewind the session end") {
+    // Two empirically-pinned contracts the oracle encodes:
+    // (1) TWS event-time timers fire when expiry <= watermark (NON-strict
+    //     — the oracle's `<=` cutoff; verified here at exact ms equality);
+    // (2) a later batch's in-watermark but OUT-OF-ORDER event folds into
+    //     the open session via min/max, so the session end (and the
+    //     re-armed timer) never move backwards — the naive lastUs = e.us
+    //     fold would seal the session early with a truncated last_ts.
+    import org.apache.spark.sql.streaming.OutputMode
+    val session = spark.newSession()
+    session.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val out = input.toDF().toDF("user_id", "event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"ts")
+      .as[graft.ops.SessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new graft.ops.SessionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[graft.ops.SessionOut]).toDF()
+    val name = "bnd" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      // u1: 10:00 and 10:20; batch 2 delivers u1's 10:17 OUT OF ORDER
+      // (>= wm 10:15 set by u9@10:25, < carried lastUs 10:20)
+      input.addData((1L, 1L, t("2024-01-01 10:00:00")),
+        (1L, 2L, t("2024-01-01 10:20:00")), (9L, 3L, t("2024-01-01 10:25:00")))
+      q.processAllAvailable() // wm -> 10:15; u1 timer armed at 10:50
+      input.addData((1L, 4L, t("2024-01-01 10:17:00")))
+      q.processAllAvailable() // min/max fold: end stays 10:20, timer 10:50
+      // u9 event at exactly 11:00 -> wm becomes exactly 10:50: the timer
+      // must fire AT the boundary (expiry == watermark)
+      input.addData((9L, 5L, t("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      val rows = session.table(name).filter($"user_id" === 1L)
+        .select(date_format(timestamp_micros($"endUs"), "yyyy-MM-dd HH:mm:ss"),
+          $"n_events", $"closed_by").as[(String, Long, String)]
+        .collect().toSeq
+      assert(rows == Seq(("2024-01-01 10:20:00", 3L, "timer")),
+        s"expected one boundary-fired session ending 10:20 with 3 events, got $rows")
+    } finally {
+      q.stop()
+      org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+    }
+  }
+
+  test("stream-stream left outer: null-extension fires AT expiry == watermark") {
+    // the oracle's non-strict `click_ts + 1h <= W` cutoff, pinned at
+    // exact ms equality: u1's unmatched click at 10:00 expires at 11:00,
+    // and both sides' max ts of 12:00 puts the final watermark at
+    // exactly 11:00 — the null-extension must be emitted, not withheld
+    val session = spark.newSession()
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val clicksIn = MemoryStream[(Long, Long, Timestamp)]
+    val purchIn = MemoryStream[(Long, Long, Timestamp)]
+    val joined = clicksIn.toDF().toDF("c_user", "click_id", "click_ts")
+      .withWatermark("click_ts", "1 hour")
+      .join(purchIn.toDF().toDF("p_user", "purchase_id", "purchase_ts")
+        .withWatermark("purchase_ts", "1 hour"),
+        col("c_user") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+    val name = "obn" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      clicksIn.addData((1L, 1L, t("2024-01-01 10:00:00")),
+        (2L, 2L, t("2024-01-01 12:00:00")))
+      purchIn.addData((9L, 9L, t("2024-01-01 12:00:00")))
+      q.processAllAvailable() // final watermark exactly 11:00
+      val rows = session.table(name)
+        .select(col("c_user"), col("purchase_id").isNull.as("nullext"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+      assert(rows == Seq((1L, true)),
+        s"u1's click must null-extend AT the boundary (and only u1), got $rows")
+    } finally {
+      q.stop()
+      org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+    }
+  }
+
   test("tws MapState counters accumulate onto carried entries across batches") {
     // the incremental contract the batch oracle can't see: batch 2 must
     // increment the CARRIED per-type entries, not restart them — and only
