@@ -827,15 +827,41 @@ object Similarity {
     * [[minhashBands]] — the ONE definition of the banding equi-join and
     * admission threshold, so [[dedupMinhashLsh]] and
     * [[dedupMinhashContainment]] can never desynchronize on the scheme
-    * their contracts share. */
+    * their contracts share.
+    *
+    * LAZY plan-keyed cache on the candidate aggregate (the [[gramPairs]]
+    * pattern): the r11 `BandDfCap` stage added a bucket-frequency
+    * aggregate + keep-join + pair-groupBy that every consumer —
+    * [[dedupMinhashLsh]], [[dedupMinhashContainment]], the
+    * [[dedupLshRecall]] audit's LSH side, and the e2e pipeline — was
+    * re-running from the cached signature frame (the shared pass showed
+    * the whole family paying ~2× vs r10). The output is one small row
+    * per surviving pair, so the first action populates it and every
+    * repeat invocation reads the entry instead of re-banding. No eager
+    * count: plan-only consumers (Explain/PlanSpec) must not trigger a
+    * corpus pass, and the pair self-join below the aggregate is already
+    * deduped by ReuseExchange within the populating action. */
   private[graft] def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame =
-    bandedCandidates(minhashBands(spark, sfDir), BandDfCap)
+    bandedCandidates(minhashBands(spark, sfDir), BandDfCap).cache()
 
-  /** The banding equi-join with the hot-bucket cap: bucket frequencies
-    * come from one partial-aggregating groupBy on (i, v) whose exchange
-    * is the SAME hash partitioning the pair self-join needs, so the cap
-    * costs one reused shuffle of the (tiny) signature frame, never a
-    * second corpus pass. */
+  /** The banding equi-join with the hot-bucket cap. Bucket frequencies
+    * are a partial-aggregating groupBy on (i, v) over the bands frame,
+    * joined back as a keep-filter before the pair self-join — never a
+    * second corpus pass (the bands cache feeds every read).
+    *
+    * Measured plan shape (r12, executed at sf0.001 and with broadcast
+    * forced off): AQE does NOT reuse the (i, v) exchanges across the two
+    * self-join sides here — the stage cache misses on subtrees whose
+    * leaves are the cached bands relation (the same shape over file-scan
+    * leaves, [[gramPairs]], DOES get ReusedExchange), so the populating
+    * action pays the bdf aggregate once per join side: 2 signature-frame
+    * (i, v) shuffles in the broadcast shape, 4 in the sort-merge shape.
+    * That is acceptable because the signature frame is 6 rows/doc (tiny
+    * vs the corpus) and — since the r12 cache on [[minhashCandidates]] —
+    * the whole build runs once per session, not once per consumer.
+    * PlanSpec pins both halves: consumers read the candidates cache with
+    * ZERO (i, v) exchanges, and the populating build keeps ≤ 2
+    * signature shuffles in its broadcast shape. */
   private[graft] def bandedCandidates(bands: DataFrame, bandDfCap: Long): DataFrame = {
     val spark = bands.sparkSession
     import spark.implicits._

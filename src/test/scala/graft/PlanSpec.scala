@@ -133,6 +133,78 @@ class PlanSpec extends SparkSuite {
     assert(executedPlan("dedup_ngram_jaccard").contains("ReusedExchange"))
   }
 
+  test("minhash consumers read the candidates cache: zero banding shuffles") {
+    // r12: minhashCandidates is a lazy plan-keyed cache (the BandDfCap
+    // stage was re-running its bucket-frequency aggregate + keep-join +
+    // pair-groupBy in EVERY consumer — the r11 shared pass showed the
+    // family paying ~2×). After any consumer executes, every other
+    // consumer must source the pair rows from the in-memory candidates
+    // entry: an (i, v) hash exchange in a consumer's executed plan means
+    // the banding join is running again.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir).collect() // populate
+    for (name <- Seq("dedup_minhash_lsh", "dedup_minhash_containment")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val nodes = flatten(df.queryExecution.executedPlan)
+      assert(nodes.exists(_.isInstanceOf[InMemoryTableScanExec]),
+        s"$name does not read the candidates cache")
+      // containment's exact shingle-set sizes are a DECLARED per-row pass
+      // over documents (see its scaladoc) — only the pure-LSH consumer
+      // must be scan-free.
+      if (name == "dedup_minhash_lsh")
+        assert(!nodes.exists(_.isInstanceOf[FileSourceScanExec]),
+          s"$name re-scans the corpus outside the caches")
+      val bandShuffles = nodes.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("(i#") => e
+      }
+      assert(bandShuffles.isEmpty,
+        s"$name re-runs the banding join: ${bandShuffles.mkString("; ")}")
+    }
+  }
+
+  test("banding build pays at most 2 signature shuffles (bdf agg once per side)") {
+    // Pin of the bandedCandidates scaladoc's measured shape (r12): in the
+    // broadcast shape the populating action's only (i, v) shuffles are
+    // the two per-side bdf aggregates of the tiny signature frame (AQE's
+    // stage cache misses over the cached-bands leaves, so they are NOT
+    // deduped — see the scaladoc). A THIRD (i, v) exchange means a
+    // refactor added another banding pass per side. Built with a
+    // non-default cap so the plan can't alias the session's populated
+    // candidates cache entry (which would hide the build entirely).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.ops.Similarity
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val df = Similarity.bandedCandidates(
+      Similarity.minhashBands(spark, sfDir), Similarity.BandDfCap + 1)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[FileSourceScanExec]),
+      "banding build re-tokenizes the corpus outside the bands cache")
+    val ivShuffles = nodes.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("(i#") => e
+    }
+    assert(ivShuffles.size <= 2,
+      s"banding build runs ${ivShuffles.size} (i, v) shuffles (expected <= 2):\n" +
+        ivShuffles.mkString("\n"))
+  }
+
   test("no window query funnels the table into one task") {
     // Exchange SinglePartition under a Window = whole-table single-task
     // sort; every declared window must partition by a real key.
