@@ -2247,6 +2247,52 @@ object Oracle {
         |   AS DECIMAL(18,6)) AS DOUBLE) AS attributed_value
         |FROM allrows GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // FULL OUTER twin: both null sides carry the watermark cutoff. Click
+    // expiry is click_ts + 1 h (as in the left outer); purchase expiry is
+    // purchase_ts itself (the condition's click_ts <= purchase_ts means a
+    // future in-watermark click can only match while purchase_ts >= W).
+    // Boundary expiry <= W on both sides — the r11-pinned outer rule.
+    "stream_join_full_outer" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+        |  value FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(epoch_ms(click_ts)) FROM c),
+        |                    (SELECT max(epoch_ms(purchase_ts)) FROM p))
+        |         - 3600000 AS w_ms),
+        |j AS (SELECT c.user_id, c.click_id, p.purchase_id, p.value
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |  AND epoch_us(p.purchase_ts) >= epoch_us(c.click_ts)
+        |  AND epoch_us(p.purchase_ts) < epoch_us(c.click_ts) + 3600000000),
+        |uc AS (SELECT c.user_id, c.click_id FROM c, wm
+        |  WHERE epoch_ms(c.click_ts) + 3600000 <= wm.w_ms
+        |    AND c.click_id NOT IN (SELECT click_id FROM j)),
+        |up AS (SELECT p.user_id, p.purchase_id, p.value FROM p, wm
+        |  WHERE epoch_ms(p.purchase_ts) <= wm.w_ms
+        |    AND p.purchase_id NOT IN (SELECT purchase_id FROM j)),
+        |allrows AS (
+        |  SELECT user_id, click_id, purchase_id, value FROM j
+        |  UNION ALL
+        |  SELECT user_id, click_id, NULL, NULL FROM uc
+        |  UNION ALL
+        |  SELECT user_id, NULL, purchase_id, value FROM up)
+        |SELECT user_id, COUNT(*) AS n_rows,
+        | CAST(SUM(CASE WHEN click_id IS NOT NULL AND purchase_id IS NOT NULL
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_conversions,
+        | CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_expired_unconverted,
+        | CAST(SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_orphan_purchases,
+        | CAST(CAST(SUM(CASE WHEN click_id IS NOT NULL
+        |     THEN CAST(COALESCE(value, 0) AS DECIMAL(18,6))
+        |     ELSE CAST(0 AS DECIMAL(18,6)) END)
+        |   AS DECIMAL(18,6)) AS DOUBLE) AS attributed_value,
+        | CAST(CAST(SUM(CASE WHEN click_id IS NULL
+        |     THEN CAST(COALESCE(value, 0) AS DECIMAL(18,6))
+        |     ELSE CAST(0 AS DECIMAL(18,6)) END)
+        |   AS DECIMAL(18,6)) AS DOUBLE) AS orphan_value
+        |FROM allrows GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "stream_stream_join" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
         |  FROM events WHERE event_type = 'click'),

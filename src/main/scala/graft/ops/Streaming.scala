@@ -542,6 +542,55 @@ object Streaming {
       .orderBy($"user_id")
   }
 
+  /** Watermarked stream-stream FULL OUTER join (r12, completing the
+    * outer-join expiry family): both directions null-extend on watermark
+    * expiry. The click side behaves exactly like
+    * [[streamJoinLeftOuter]] (unmatched clicks null-extend once the
+    * global watermark passes `click_ts + 1 h`); the purchase side is the
+    * semantics nothing else exercises — a purchase with no attributable
+    * click (purchase-without-click) null-extends once the watermark
+    * passes `purchase_ts` itself, because the join condition
+    * `click_ts ≤ purchase_ts` means a future in-watermark click
+    * (`click_ts ≥ W`) can only match while `purchase_ts ≥ W`. Each
+    * side's expiry bound is derived from the SAME time-range condition,
+    * just solved for the other side's variable — so the streamed result
+    * is the batch full join RESTRICTED by the watermark cutoff on BOTH
+    * null sides (boundary `expiry ≤ W`, the r11-pinned outer-join rule).
+    * Scale: state O(open match windows) on both sides, same
+    * shuffle-on-user plan as the inner join. */
+  def streamJoinFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runToParquet(spark) { session =>
+      val ev = eventsStream(session, sfDir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), col("value"))
+        .withWatermark("purchase_ts", "1 hour")
+      clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "fullOuter")
+    }
+      .groupBy(coalesce($"c_user", $"p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"click_id".isNotNull && $"purchase_id".isNotNull, 1L)
+          .otherwise(0L)).as("n_conversions"),
+        sum(when($"purchase_id".isNull, 1L).otherwise(0L)).as("n_expired_unconverted"),
+        sum(when($"click_id".isNull, 1L).otherwise(0L)).as("n_orphan_purchases"),
+        dec6(sum(when($"click_id".isNotNull,
+          dec6(coalesce($"value", lit(0)))).otherwise(dec6(lit(0)))))
+          .as("attributed_value"),
+        dec6(sum(when($"click_id".isNull,
+          dec6(coalesce($"value", lit(0)))).otherwise(dec6(lit(0)))))
+          .as("orphan_value"))
+      .orderBy($"user_id")
+  }
+
   /** The same keyed job-status store on the NEW arbitrary-state API
     * (Spark 4 `transformWithState` + `StatefulProcessor` + typed
     * `ValueState`, RocksDB-backed — the successor of

@@ -127,6 +127,47 @@ class StreamingSpec extends SparkSuite {
     assert(totals.getLong(0) == nConversions + expired)
   }
 
+  test("stream-stream full outer: expiry partitions BOTH unmatched sides") {
+    // r12: the full outer adds the purchase-without-click direction. An
+    // unmatched purchase null-extends iff the final watermark W passed
+    // purchase_ts itself (the condition's click_ts <= purchase_ts means a
+    // future in-watermark click can only match while purchase_ts >= W);
+    // an unmatched click null-extends iff W passed click_ts + 1 h — the
+    // left-outer rule unchanged. The fixture must hold withheld rows on
+    // BOTH sides for the two cutoffs to be proven non-vacuous.
+    val streamed = Streaming.streamJoinFullOuter(spark, sfDir)
+    val totals = streamed.agg(sum($"n_rows"), sum($"n_conversions"),
+      sum($"n_expired_unconverted"), sum($"n_orphan_purchases")).head()
+    val ev = Tables.events(spark, sfDir)
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+        $"ts".as("purchase_ts"))
+    val wMs = c.agg(max(unix_millis($"click_ts"))).head().getLong(0)
+      .min(p.agg(max(unix_millis($"purchase_ts"))).head().getLong(0)) - 3600000L
+    val joinCond = $"user_id" === $"p_user" &&
+      unix_micros($"purchase_ts") >= unix_micros($"click_ts") &&
+      unix_micros($"purchase_ts") < unix_micros($"click_ts") + 3600000000L
+    val unmatchedC = c.join(p, joinCond, "left_anti")
+    val expiredC = unmatchedC
+      .filter(unix_millis($"click_ts") + 3600000L <= wMs).count()
+    val withheldC = unmatchedC
+      .filter(unix_millis($"click_ts") + 3600000L > wMs).count()
+    val unmatchedP = p.join(c, joinCond, "left_anti")
+    val expiredP = unmatchedP.filter(unix_millis($"purchase_ts") <= wMs).count()
+    val withheldP = unmatchedP.filter(unix_millis($"purchase_ts") > wMs).count()
+    assert(withheldC >= 1, "fixture has no young unmatched click — cutoff untested")
+    assert(withheldP >= 1, "fixture has no young unmatched purchase — cutoff untested")
+    val nConversions = c.join(p, joinCond).count()
+    assert(totals.getLong(1) == nConversions, "inner part diverges from batch join")
+    assert(totals.getLong(2) == expiredC,
+      s"click null-extensions ${totals.getLong(2)} != batch-derived $expiredC")
+    assert(totals.getLong(3) == expiredP,
+      s"purchase null-extensions ${totals.getLong(3)} != batch-derived $expiredP")
+    assert(totals.getLong(0) == nConversions + expiredC + expiredP)
+  }
+
   test("watermark drops events later than the threshold") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
