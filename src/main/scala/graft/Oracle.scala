@@ -4128,6 +4128,20 @@ object Oracle {
         |        row_number() OVER (PARTITION BY user_id
         |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // TTL'd status store: Spark state TTL is PROCESSING-time based, so a
+    // 1-hour TTL cannot bind within the single-seconds AvailableNow batch
+    // — the deterministic contract is the same census as stream_tws_state
+    // (the expiry path is MemoryStream-spec-proven instead; see
+    // TtlStatusProcessor's scaladoc).
+    "stream_tws_ttl" ->
+      """SELECT user_id, n_events,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts, event_type
+        |FROM (SELECT user_id, ts, event_type,
+        |        COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
   )
 
   val multimodal: Map[String, String] = Map(

@@ -360,6 +360,7 @@ object SparkEntry {
     "stream_tws_topk"       -> Streaming.streamTwsTopk _,
     "stream_timer_sessions" -> Streaming.streamTimerSessions _,
     "stream_tws_mapstate"   -> Streaming.streamTwsMapstate _,
+    "stream_tws_ttl"        -> Streaming.streamTwsTtl _,
     "stream_quota_reset"    -> Streaming.streamQuotaReset _,
     // -- SQL API entry point
     "sql_api_q3"            -> Relational.sqlApiQ3 _,

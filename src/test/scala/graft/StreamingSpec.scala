@@ -419,6 +419,53 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("tws state TTL evicts idle keys; no-TTL control carries them") {
+    // r12: the expiry path no oracle can replay (TTL is processing-time
+    // based). Two runs over identical batches separated by real idle
+    // time: with a tiny TTL the key's counter RESTARTS in batch 2 (state
+    // evicted while idle); the 1-hour control carries it to n=2. The
+    // sleep is 10x the TTL, so the ordering is not timing-sensitive.
+    import org.apache.spark.sql.streaming.OutputMode
+    def run(ttl: java.time.Duration): Seq[Long] = {
+      val session = spark.newSession()
+      session.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // ProcessingTime mode forces shouldRunAnotherBatch=true, so no-data
+      // batches would spin forever and processAllAvailable would never
+      // return (see streamTwsTtl). TTL expiry is checked lazily on state
+      // access, so the eviction under test is unaffected.
+      session.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      import session.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+      val input = MemoryStream[graft.ops.KeyedEvent]
+      val out = input.toDS().groupByKey(_.user_id)
+        .transformWithState(new graft.ops.TtlStatusProcessor(ttl),
+          org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+          OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[graft.ops.JobUpdate]).toDF()
+      val name = "ttl" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        input.addData(graft.ops.KeyedEvent(1L, 1L, 10L, "click"))
+        q.processAllAvailable()
+        Thread.sleep(2000) // idle: 10x the 200 ms TTL, ~0x the 1 h control
+        input.addData(graft.ops.KeyedEvent(1L, 2L, 20L, "view"))
+        q.processAllAvailable()
+        session.table(name).select($"n_events").as[Long].collect().toSeq
+      } finally {
+        q.stop()
+        org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+      }
+    }
+    val expired = run(java.time.Duration.ofMillis(200))
+    assert(expired == Seq(1L, 1L),
+      s"idle key must restart at n=1 after TTL expiry, got $expired")
+    val carried = run(java.time.Duration.ofHours(1))
+    assert(carried == Seq(1L, 2L),
+      s"1-hour control must carry the counter to n=2, got $carried")
+  }
+
   test("tws ListState recency cache re-ranks carried state across batches") {
     // the incremental contract the batch oracle can't see: batch 2's
     // emission must rank the NEW row against the CARRIED top-3 list
