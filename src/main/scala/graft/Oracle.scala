@@ -4087,12 +4087,16 @@ object Oracle {
 
     // Timer sessionization: batch gaps-and-islands sessions (>= 30-min
     // gap splits, same (us, event_id) order as the processor's fold);
-    // a user's LAST session emits only if the watermark
+    // EVERY session emits only if the watermark
     // W = max(ts) - 10 min (ms-floored) passed last_event + gap — the
-    // timer-expiry cutoff; earlier sessions closed intra-batch emit
-    // unconditionally as 'gap'. Timers fire AT the watermark
+    // r12 uniform seal rule (an unsealed session could still be merged
+    // by an in-watermark bridge event, so emitting it early would be
+    // wrong in a live stream; the batch replay applies the same cutoff
+    // to gap-closed sessions too). Timers fire AT the watermark
     // (expiry <= W — StreamingSpec pins the boundary empirically), so
-    // the cutoff is non-strict.
+    // the cutoff is non-strict. closed_by: a sealed session followed by
+    // a later session for the key was closed by that gap ('gap'); the
+    // key's last session was sealed by its timer ('timer').
     "stream_timer_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |s AS (SELECT user_id, us, event_id, CASE WHEN us - lag(us) OVER
@@ -4110,7 +4114,7 @@ object Oracle {
         | n AS n_events,
         | CASE WHEN sid < last_sid THEN 'gap' ELSE 'timer' END AS closed_by
         |FROM sess s JOIN lastsess l USING (user_id), wm
-        |WHERE sid < l.last_sid OR (end_us // 1000 + 1800000 <= wm.w_ms)
+        |WHERE end_us // 1000 + 1800000 <= wm.w_ms
         |ORDER BY user_id, first_ts""".stripMargin,
 
     // MapState census: one AvailableNow batch ⇒ per-key map snapshot

@@ -128,9 +128,14 @@ case class TypeCount(user_id: Long, event_type: String, n: Long)
   * sessionization; MapState: this). A map-valued key state is the shape
   * a feature store's "counts by category" needs: updating ONE map entry
   * per row touches O(1) state, where a ValueState holding the whole map
-  * would rewrite every category on every event. Each batch emits the
-  * key's full snapshot — one AvailableNow batch ⇒ the (user, type)
-  * census the SQL oracle replays. */
+  * would rewrite every category on every event. Each batch emits an
+  * UPSERT DELTA — the latest count for exactly the types this batch
+  * touched (r12 fix: re-emitting the full map snapshot every batch under
+  * Append output double-counts untouched types downstream on any
+  * multi-batch run, and also reads O(map) state where the touched set is
+  * O(batch)). One AvailableNow batch touches every type it counts, so
+  * the single-batch emission still equals the (user, type) census the
+  * SQL oracle replays. */
 class TypeCountProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, KeyedEvent, TypeCount] {
   import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
   @transient private var state: MapState[String, Long] = _
@@ -142,11 +147,14 @@ class TypeCountProcessor extends org.apache.spark.sql.streaming.StatefulProcesso
 
   override def handleInputRows(key: Long, rows: Iterator[KeyedEvent],
                                timers: TimerValues): Iterator[TypeCount] = {
+    val touched = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     rows.foreach { e =>
-      val prev = if (state.containsKey(e.event_type)) state.getValue(e.event_type) else 0L
-      state.updateValue(e.event_type, prev + 1L)
+      val prev = touched.getOrElse(e.event_type,
+        if (state.containsKey(e.event_type)) state.getValue(e.event_type) else 0L)
+      touched.update(e.event_type, prev + 1L)
     }
-    state.iterator().map { case (t, n) => TypeCount(key, t, n) }
+    touched.foreach { case (t, n) => state.updateValue(t, n) }
+    touched.iterator.map { case (t, n) => TypeCount(key, t, n) }
   }
 }
 
@@ -195,65 +203,119 @@ case class OpenSession(startUs: Long, lastUs: Long, n: Long)
 case class SessionOut(user_id: Long, startUs: Long, endUs: Long,
                       n_events: Long, closed_by: String)
 
-/** Event-time TIMER sessionization (r11) — the `transformWithState` timer
-  * path no other operator exercises: within a batch, a gap ≥ 30 min
-  * between a key's consecutive events closes the open session and emits
-  * it immediately (`closed_by = 'gap'`); the still-open trailing session
-  * arms ONE event-time timer at `last_event + gap`, and the session is
-  * emitted by [[handleExpiredTimer]] (`closed_by = 'timer'`) only when
-  * the watermark passes that expiry — the incremental contract a live
-  * sessionizer needs (a session is never final until no in-order event
-  * can extend it). Re-arming deletes the previous timer first, so a key
-  * holds at most one timer regardless of batch count. The in-batch fold
-  * sorts by (event time, id) — the same discipline as [[QuotaProcessor]]. */
+/** Event-time TIMER sessionization (r11; watermark-sealed r12) — the
+  * `transformWithState` timer path no other operator exercises. ALL of a
+  * key's unsealed sessions live in one ListState sorted by start time;
+  * a session is emitted only once the watermark passes `last_event +
+  * gap` (the SEAL), whether it was closed intra-batch by a ≥30-min gap
+  * (`closed_by = 'gap'`: a later session exists at emission time) or is
+  * the key's trailing session (`closed_by = 'timer'`). Sealing is what
+  * makes the live contract exact: an in-watermark event `t` can bridge
+  * two sessions only while `t − prev.last < gap`, and such a `t ≥ wm`
+  * exists only while `prev.last + gap > wm` — i.e. exactly while `prev`
+  * is still unsealed and mergeable here (the r12 fix: the old code
+  * emitted gap-closed sessions eagerly, so a later in-watermark bridge
+  * event produced two sessions where true event-time sessionization has
+  * one). Events fold in (event time, id) order; an event inserts as a
+  * singleton and adjacent sessions closer than the gap merge, so a
+  * bridge collapses its neighbors with summed counts.
+  *
+  * Scale contract: the unsealed list is BOUNDED BY CONSTRUCTION — ends
+  * of unsealed sessions lie in the last `delay + gap` of event time and
+  * consecutive sessions are ≥ gap apart, so a key holds at most
+  * `1 + ceil(delay/gap) + 1` sessions (≤ 3 at delay 10 min / gap
+  * 30 min), and one timer armed at the earliest unsealed expiry. The
+  * per-batch `rows.toSeq.sortBy` buffer, however, is O(events of this
+  * key in the batch) executor heap: fine under watermarked ingestion at
+  * sane trigger intervals, but a backfill replaying one hot key's whole
+  * history in a single AvailableNow batch materializes it — the dial is
+  * chunked ingestion (bounded input files per trigger), the same
+  * contract [[QuotaProcessor]]'s order-sensitive fold documents. */
 class SessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessEvent, SessionOut] {
-  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
   private val GapUs = 30L * 60 * 1000000
   private val GapMs = 30L * 60 * 1000
-  @transient private var state: ValueState[OpenSession] = _
+  @transient private var sess: ListState[OpenSession] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    state = getHandle.getValueState[OpenSession]("sess",
+    sess = getHandle.getListState[OpenSession]("sess",
       org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+
+  /** Fold one event into the sorted unsealed-session list. Fast path: in
+    * (per-batch sorted) order, an event lands in or after the trailing
+    * session. General path (cross-batch out-of-order arrivals): insert
+    * as a singleton and re-merge adjacent sessions closer than the gap —
+    * this is where a bridge event collapses two unsealed sessions. */
+  private def fold(live: Vector[OpenSession], e: SessEvent): Vector[OpenSession] =
+    live.lastOption match {
+      case None => Vector(OpenSession(e.us, e.us, 1L))
+      case Some(s) if e.us - s.lastUs >= GapUs =>
+        live :+ OpenSession(e.us, e.us, 1L)
+      case Some(s) if e.us >= s.startUs =>
+        live.init :+ OpenSession(s.startUs, math.max(s.lastUs, e.us), s.n + 1L)
+      case _ =>
+        (live :+ OpenSession(e.us, e.us, 1L)).sortBy(s => (s.startUs, s.lastUs))
+          .foldLeft(Vector.empty[OpenSession]) { (acc, s) =>
+            acc.lastOption match {
+              case Some(p) if s.startUs - p.lastUs < GapUs =>
+                acc.init :+ OpenSession(p.startUs,
+                  math.max(p.lastUs, s.lastUs), p.n + s.n)
+              case _ => acc :+ s
+            }
+          }
+    }
+
+  /** Emit every session the watermark has sealed (`last + gap <= wm`,
+    * the non-strict boundary the oracle and StreamingSpec pin). The
+    * maximal session seals only after all earlier ones (ends are
+    * ordered), so a sealed session followed by nothing is the key's
+    * trailing session at emission time → 'timer'; any sealed session
+    * with a later one still live was closed by that gap → 'gap'. */
+  private def seal(key: Long, live: Vector[OpenSession], wmMs: Long)
+      : (Vector[SessionOut], Vector[OpenSession]) = {
+    val (done, keep) = live.partition(_.lastUs / 1000 + GapMs <= wmMs)
+    val outs = done.zipWithIndex.map { case (s, i) =>
+      SessionOut(key, s.startUs, s.lastUs, s.n,
+        if (keep.isEmpty && i == done.size - 1) "timer" else "gap")
+    }
+    (outs, keep)
+  }
+
+  /** Write back the unsealed list and keep exactly one timer armed at
+    * the EARLIEST unsealed expiry (deleting stale timers first): when it
+    * fires, [[handleExpiredTimer]] flushes everything the watermark has
+    * sealed and re-arms for the rest, so no session waits past the batch
+    * whose watermark seals it. */
+  private def commit(keep: Vector[OpenSession]): Unit = {
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    if (keep.isEmpty) sess.clear()
+    else {
+      sess.put(keep.toArray)
+      getHandle.registerTimer(keep.map(_.lastUs / 1000 + GapMs).min)
+    }
+  }
 
   override def handleInputRows(key: Long, rows: Iterator[SessEvent],
                                timers: TimerValues): Iterator[SessionOut] = {
-    val out = Seq.newBuilder[SessionOut]
-    var open = Option(state.get())
-    rows.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
-      open = open match {
-        case Some(s) if e.us - s.lastUs >= GapUs =>
-          out += SessionOut(key, s.startUs, s.lastUs, s.n, "gap")
-          Some(OpenSession(e.us, e.us, 1L))
-        // min/max fold, NOT lastUs = e.us: a later batch can deliver an
-        // in-watermark event OLDER than the carried lastUs, and
-        // rewinding the end would re-arm the timer too early and seal
-        // the session before its true expiry (r11 review). Folding any
-        // in-watermark event into the open session is EXACT while the
-        // watermark delay (10 min) is below the gap (30 min): such an
-        // event is ≥ wm ≥ startUs − delay > startUs − gap, so true
-        // event-time sessionization would merge it here too.
-        case Some(s) => Some(OpenSession(math.min(s.startUs, e.us),
-          math.max(s.lastUs, e.us), s.n + 1L))
-        case None    => Some(OpenSession(e.us, e.us, 1L))
-      }
-    }
-    open.foreach { s =>
-      state.update(s)
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(s.lastUs / 1000 + GapMs)
-    }
-    out.result().iterator
+    // min/max fold inside a session, NOT lastUs = e.us: a later batch
+    // can deliver an in-watermark event OLDER than the carried lastUs,
+    // and rewinding the end would seal the session before its true
+    // expiry (r11 review). An event's own session can never seal in the
+    // same call: e.us >= wm ⇒ its session's expiry > wm + gap − delay.
+    var live = sess.get().toVector
+    rows.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e => live = fold(live, e) }
+    val (outs, keep) = seal(key, live, timers.getCurrentWatermarkInMs())
+    commit(keep)
+    outs.iterator
   }
 
   override def handleExpiredTimer(key: Long, timers: TimerValues,
-                                  info: ExpiredTimerInfo): Iterator[SessionOut] =
-    Option(state.get()) match {
-      case Some(s) =>
-        state.clear()
-        Iterator(SessionOut(key, s.startUs, s.lastUs, s.n, "timer"))
-      case None => Iterator.empty
-    }
+                                  info: ExpiredTimerInfo): Iterator[SessionOut] = {
+    val (outs, keep) =
+      seal(key, sess.get().toVector, timers.getCurrentWatermarkInMs())
+    commit(keep)
+    outs.iterator
+  }
 }
 
 object Streaming {
@@ -731,15 +793,17 @@ object Streaming {
   }
 
   /** Timer-driven sessionization on transformWithState event-time timers
-    * ([[SessionProcessor]]) — sessions split at ≥30-min gaps; intra-batch
-    * gaps emit immediately (`closed_by='gap'`), each key's trailing open
-    * session is emitted by its timer (`closed_by='timer'`) only once the
-    * watermark (max ts − 10 min) passes `last_event + gap`. One
-    * AvailableNow batch folds the complete per-user sequence, so the
-    * emitted set is the batch gaps-and-islands sessionization MINUS
-    * still-open trailing sessions the watermark hasn't sealed — the same
-    * watermark-cutoff contract as `stream_join_left_outer`'s expiry, on
-    * the timer API instead of join state. */
+    * ([[SessionProcessor]]) — sessions split at ≥30-min gaps, and EVERY
+    * session (gap-closed or trailing) is emitted only once the watermark
+    * (max ts − 10 min) passes `last_event + gap` — the r12 uniform seal
+    * rule that makes the live multi-batch contract exact (an unsealed
+    * session can still be merged by an in-watermark bridge event; a
+    * sealed one can't). One AvailableNow batch folds the complete
+    * per-user sequence, so the emitted set is the batch gaps-and-islands
+    * sessionization RESTRICTED to sessions sealed by the final
+    * watermark — the same watermark-cutoff contract as
+    * `stream_join_left_outer`'s expiry, on the timer API instead of
+    * join state. */
   def streamTimerSessions(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode

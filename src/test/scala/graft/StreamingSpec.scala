@@ -291,6 +291,58 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("timer sessions: unsealed gap-closed session merges with the open one on an in-watermark bridge event") {
+    // The r12 seal fix, on its motivating scenario: batch 1 splits u1
+    // into S1=[10:00] and S2=[10:35] (35-min gap). The old code emitted
+    // S1 eagerly as 'gap'; but batch 2 delivers an IN-WATERMARK event at
+    // 10:28 (wm 10:25) that bridges them — 28 min from S1's end, 7 min
+    // before S2's start — so true event-time sessionization has ONE
+    // session [10:00, 10:35] n=3. Sealing makes this exact: a bridge
+    // event t >= wm with t - prev.last < gap exists only while
+    // prev.last + gap > wm, i.e. exactly while prev is still held
+    // unsealed and mergeable. After the watermark passes 11:05, exactly
+    // one merged session must emit ('timer': it is u1's last).
+    import org.apache.spark.sql.streaming.OutputMode
+    val session = spark.newSession()
+    session.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val out = input.toDF().toDF("user_id", "event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"ts")
+      .as[graft.ops.SessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new graft.ops.SessionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[graft.ops.SessionOut]).toDF()
+    val name = "mrg" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      input.addData((1L, 1L, t("2024-01-01 10:00:00")), (1L, 2L, t("2024-01-01 10:35:00")))
+      q.processAllAvailable() // wm -> 10:25; S1 (expiry 10:30) UNSEALED, held
+      assert(session.table(name).isEmpty,
+        "a gap-closed session must be withheld until the watermark seals it")
+      input.addData((1L, 3L, t("2024-01-01 10:28:00")))
+      q.processAllAvailable() // bridge: S1 + 10:28 + S2 merge into one
+      input.addData((9L, 4L, t("2024-01-01 11:40:00")))
+      q.processAllAvailable() // wm -> 11:30 >= 11:05: merged session seals
+      val rows = session.table(name).filter($"user_id" === 1L)
+        .select(date_format(timestamp_micros($"startUs"), "yyyy-MM-dd HH:mm:ss"),
+          date_format(timestamp_micros($"endUs"), "yyyy-MM-dd HH:mm:ss"),
+          $"n_events", $"closed_by").as[(String, String, Long, String)]
+        .collect().toSeq
+      assert(rows == Seq(("2024-01-01 10:00:00", "2024-01-01 10:35:00", 3L, "timer")),
+        s"expected ONE merged sealed session 10:00-10:35 n=3, got $rows")
+    } finally {
+      q.stop()
+      org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+    }
+  }
+
   test("timer sessions: boundary semantics — fires AT expiry == watermark; out-of-order events cannot rewind the session end") {
     // Two empirically-pinned contracts the oracle encodes:
     // (1) TWS event-time timers fire when expiry <= watermark (NON-strict
@@ -382,8 +434,10 @@ class StreamingSpec extends SparkSuite {
 
   test("tws MapState counters accumulate onto carried entries across batches") {
     // the incremental contract the batch oracle can't see: batch 2 must
-    // increment the CARRIED per-type entries, not restart them — and only
-    // touch the keys it saw (O(1) per row, the MapState point)
+    // increment the CARRIED per-type entries, not restart them — and
+    // emit ONLY the types it touched (r12: re-emitting the full snapshot
+    // under Append would append a stale ("view",1) again and any
+    // downstream consumer of the append stream would double-count it)
     import org.apache.spark.sql.streaming.OutputMode
     val session = spark.newSession()
     session.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -411,8 +465,9 @@ class StreamingSpec extends SparkSuite {
       input.addData(graft.ops.KeyedEvent(1L, 4L, 40L, "click"))
       q.processAllAvailable()
       val b2 = rows().diff(b1)
-      assert(b2.sorted == Seq(("click", 3L), ("view", 1L)),
-        s"batch-2 snapshot must carry view=1 and increment click to 3: $b2")
+      assert(b2.sorted == Seq(("click", 3L)),
+        s"batch-2 must emit ONLY the touched type, incremented onto the " +
+          s"carried count (no stale view=1 re-append): $b2")
     } finally {
       q.stop()
       org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
