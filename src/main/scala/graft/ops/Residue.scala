@@ -32,10 +32,18 @@ import org.apache.spark.sql.execution.LogicalRDD
   * frame whose analyzed plan embeds a checkpoint RDD registered under a
   * DIFFERENT still-live key must not destroy that key's only copy of the
   * data. LogicalRDDs already owned by another entry are excluded when an
-  * entry records its block set. */
+  * entry records its block set. Ownership transfer closes the reverse
+  * direction (r12 advice): each entry also records ALL ids its frame
+  * embeds, and freeing an OWNER while a live entry still embeds one of
+  * its RDDs hands that RDD to the borrowing entry instead of unpersisting
+  * it — the borrower stays queryable (localCheckpoint blocks cannot be
+  * recomputed) and the block is still released when the borrower is
+  * freed, not leaked. */
 object Residue {
-  /** Checkpoint blocks: freed by unpersisting the recorded RDDs. */
-  private final case class Blocks(rdds: Seq[RDD[_]])
+  /** Checkpoint blocks: `rdds` this entry OWNS (freed by unpersisting);
+    * `embedded` = ids of every checkpoint RDD the frame's plan embeds,
+    * owned or borrowed — the lookup set ownership transfer needs. */
+  private final case class Blocks(rdds: Seq[RDD[_]], embedded: Set[Int])
 
   private val held = new java.util.concurrent.ConcurrentHashMap[String, Blocks]()
 
@@ -96,7 +104,9 @@ object Residue {
     purgeDead()
     free(key)
     val cp = df.localCheckpoint()
-    held.put(key, Blocks(rddsOf(cp).filterNot(r => ownedIds(r.id))))
+    val mine = rddsOf(cp)
+    held.put(key, Blocks(mine.filterNot(r => ownedIds(r.id)),
+      mine.iterator.map(_.id).toSet))
     cp
   }
 
@@ -112,13 +122,43 @@ object Residue {
     val mineIds = mine.iterator.map(_.id).toSet
     Option(held.remove(key)).foreach(release(_, keep = mineIds))
     val others = ownedIds // this key's old entry is already gone
-    held.put(key, Blocks(mine.filterNot(r => others(r.id))))
+    held.put(key, Blocks(mine.filterNot(r => others(r.id)), mineIds))
     cp
   }
 
-  /** Unpersist the blocks registered under `key`, if any. */
+  /** True if any LIVE entry's frame embeds this RDD id. */
+  private def embeddedElsewhere(id: Int): Boolean = {
+    var found = false
+    held.values.forEach(e => if (e.embedded(id)) found = true)
+    found
+  }
+
+  /** Hand `r` to the first live entry whose frame embeds it — the entry
+    * becomes the owner and will unpersist it when it is freed. */
+  private def adopt(r: RDD[_]): Unit = {
+    val it = held.entrySet().iterator()
+    var done = false
+    while (it.hasNext && !done) {
+      val e = it.next()
+      if (e.getValue.embedded(r.id)) {
+        if (!e.getValue.rdds.exists(_.id == r.id))
+          e.setValue(Blocks(e.getValue.rdds :+ r, e.getValue.embedded))
+        done = true
+      }
+    }
+  }
+
+  /** Unpersist the blocks registered under `key`, if any. An owned RDD a
+    * live entry still EMBEDS is transferred to that entry instead of
+    * unpersisted (r12 advice: freeing the owner must not leave a
+    * borrower over unrecomputable checkpoint blocks) — and instead of
+    * leaked (the borrower, now owner, frees it on its own free). */
   def free(key: String): Unit =
-    Option(held.remove(key)).foreach(release(_, keep = Set.empty))
+    Option(held.remove(key)).foreach { entry =>
+      val (borrowed, freeable) = entry.rdds.partition(r => embeddedElsewhere(r.id))
+      borrowed.foreach(adopt)
+      release(Blocks(freeable, Set.empty), keep = Set.empty)
+    }
 
   /** Drop every registered frame — the query-family / session boundary. */
   def freeAll(): Unit = {

@@ -77,6 +77,25 @@ class ResidueSpec extends SparkSuite {
     assert(!persistedRddIds.contains(idA))
   }
 
+  test("freeing the OWNER transfers a still-borrowed RDD instead of unpersisting or leaking it") {
+    // the r12 reverse direction: key B's frame embeds key A's checkpoint
+    // RDD, and A is freed FIRST. Unpersisting would leave B unqueryable
+    // (localCheckpoint blocks cannot be recomputed); skipping without
+    // transfer would leak the blocks when B is later freed. Ownership
+    // must move to B: blocks alive after A's free, gone after B's.
+    val a = Residue.swap("residue_spec.owner2", spark.range(40).toDF("id"))
+    val idA = checkpointRddId(a)
+    val b = Residue.track("residue_spec.borrower2", a.filter($"id" < 10))
+    assert(checkpointRddId(b) == idA, "borrower embeds the owner's RDD")
+    Residue.free("residue_spec.owner2")
+    assert(persistedRddIds.contains(idA),
+      "freeing the owner must not unpersist blocks a live borrower embeds")
+    assert(b.count() == 10, "borrower must stay queryable after owner's free")
+    Residue.free("residue_spec.borrower2")
+    assert(!persistedRddIds.contains(idA),
+      "the transferred RDD must be released with the borrower, not leaked")
+  }
+
   test("re-tracking a frame that shares its predecessor's blocks keeps them") {
     val cp = spark.range(25).toDF("id").localCheckpoint()
     val id = checkpointRddId(cp)
