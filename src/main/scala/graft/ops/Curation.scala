@@ -339,8 +339,9 @@ object Curation {
     // planning). The frames are doc_id-only (KB-scale at bench sf);
     // catalog.clearCache() frees them. The r9-r10 warm>cold inversion
     // that survived the plan-keyed rewrite was the LANE, not this code:
-    // with the r11 GC settle before each lane timing, the sf0.1 probe
-    // reads cold 14.3 s / warm 1.7 s with operator-identical plans
+    // with the r11 GC settle before each lane timing, the closing sf0.1
+    // lane reads cold 10.3 s / warm 2.7 s (bench_detail_r11.json; the
+    // mid-round probe read 14.3/1.7) with operator-identical plans
     // (45 InMemoryTableScans each) — ResidueSpec pins the
     // no-second-cache-generation invariant that makes warm cheap.
     val s1 = docs.select(lower(trim($"text")).as("norm"), $"doc_id")

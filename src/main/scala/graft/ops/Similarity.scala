@@ -425,7 +425,19 @@ object Similarity {
     * is an EXACT bigint — order-independent, unlike a float avg() — and
     * the centroid component is ONE double division of exact integers.
     * That makes the whole assignment (and everything downstream)
-    * hash-matchable against the DuckDB twin. */
+    * hash-matchable against the DuckDB twin.
+    *
+    * Deliberately UNCACHED — measured NEGATIVE (r12, same-lane git-stash
+    * A/B at sf0.1, 6-query lane): a plan-keyed `.cache()` on this shared
+    * assignment — the [[minhashBands]] pattern, six consumers — read
+    * FLAT in the shared pass (11.6 s cached vs 11.3 s uncached, within
+    * the ±10% lane noise) and 37% WORSE alone-cold (13.3 vs 9.7 s
+    * summed): unlike the banded candidates (a multi-million-row
+    * aggregate), this recompute is sub-second, so cache materialization
+    * of the 64-d vector rows cancels the savings. At 100 TB the
+    * assignment is a PERSISTED index table built once per epoch, not a
+    * query-time cache — the local bench shape keeps the recompute.
+    * Don't re-try without new evidence. */
   private[graft] def ivfAssigned(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
@@ -1094,7 +1106,8 @@ object Similarity {
     * historical provenance, not a current-artifact claim) measured
     * propagation 2.6 s cold / 1.0 s warm vs contraction 6.6 s / 2.5 s:
     * with the r11 lane rig (GC settle before each timing) the sf0.1
-    * alone lane reads cold 3.4 s / warm 0.9 s — the r10 "cold 22.5 s"
+    * alone lane reads cold 3.4 s / warm 1.4 s (bench_detail_r11.json) —
+    * the r10 "cold 22.5 s"
     * was the broken measurement rig collecting the previous query's
     * cleanup backlog inside the timed window, not this plan.
     * contraction's fewer rounds each carry MORE jobs (two rewires + a
