@@ -2293,6 +2293,39 @@ object Oracle {
         |   AS DECIMAL(18,6)) AS DOUBLE) AS orphan_value
         |FROM allrows GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // RIGHT OUTER twin: only the purchase null side carries the cutoff —
+    // purchase expiry is purchase_ts itself (see the full-outer comment);
+    // matched rows are the plain time-range join.
+    "stream_join_right_outer" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+        |  value FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(epoch_ms(click_ts)) FROM c),
+        |                    (SELECT max(epoch_ms(purchase_ts)) FROM p))
+        |         - 3600000 AS w_ms),
+        |j AS (SELECT p.user_id, c.click_id, p.purchase_id, p.value
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |  AND epoch_us(p.purchase_ts) >= epoch_us(c.click_ts)
+        |  AND epoch_us(p.purchase_ts) < epoch_us(c.click_ts) + 3600000000),
+        |up AS (SELECT p.user_id, p.purchase_id, p.value FROM p, wm
+        |  WHERE epoch_ms(p.purchase_ts) <= wm.w_ms
+        |    AND p.purchase_id NOT IN (SELECT purchase_id FROM j)),
+        |allrows AS (
+        |  SELECT user_id, click_id, purchase_id, value FROM j
+        |  UNION ALL
+        |  SELECT user_id, NULL, purchase_id, value FROM up)
+        |SELECT user_id, COUNT(*) AS n_rows,
+        | CAST(SUM(CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_conversions,
+        | CAST(SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_orphan_purchases,
+        | CAST(CAST(SUM(CASE WHEN click_id IS NULL
+        |     THEN CAST(value AS DECIMAL(18,6))
+        |     ELSE CAST(0 AS DECIMAL(18,6)) END)
+        |   AS DECIMAL(18,6)) AS DOUBLE) AS orphan_value
+        |FROM allrows GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "stream_stream_join" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
         |  FROM events WHERE event_type = 'click'),

@@ -355,6 +355,7 @@ object SparkEntry {
     "stream_stream_join"    -> Streaming.streamStreamJoin _,
     "stream_join_left_outer" -> Streaming.streamJoinLeftOuter _,
     "stream_join_full_outer" -> Streaming.streamJoinFullOuter _,
+    "stream_join_right_outer" -> Streaming.streamJoinRightOuter _,
     "stream_csv_ingest"     -> Streaming.streamCsvIngest _,
     "stream_tws_state"      -> Streaming.streamTwsState _,
     "stream_tws_topk"       -> Streaming.streamTwsTopk _,

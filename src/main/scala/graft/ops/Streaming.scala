@@ -566,6 +566,43 @@ object Streaming {
       .orderBy($"c_mktsegment")
   }
 
+  /** Watermarked stream-stream RIGHT OUTER join (r12, the last member of
+    * the outer-join expiry family: inner/left/full landed r10-r12): only
+    * the PURCHASE side null-extends — the purchase-without-click report
+    * on its own, without the left-outer's click expiries diluting it. An
+    * unmatched purchase null-extends once the global watermark passes
+    * `purchase_ts` itself (the condition's `click_ts ≤ purchase_ts`
+    * means a future in-watermark click can only match while
+    * `purchase_ts ≥ W`); matched rows emit eagerly like the inner join.
+    * Boundary `expiry ≤ W`, the pinned outer rule. Scale: state
+    * O(open match windows) on both sides, same shuffle-on-user plan. */
+  def streamJoinRightOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runToParquet(spark) { session =>
+      val ev = eventsStream(session, sfDir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), col("value"))
+        .withWatermark("purchase_ts", "1 hour")
+      clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "rightOuter")
+    }
+      .groupBy($"p_user".as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"click_id".isNotNull, 1L).otherwise(0L)).as("n_conversions"),
+        sum(when($"click_id".isNull, 1L).otherwise(0L)).as("n_orphan_purchases"),
+        dec6(sum(when($"click_id".isNull, dec6($"value"))
+          .otherwise(dec6(lit(0))))).as("orphan_value"))
+      .orderBy($"user_id")
+  }
+
   /** Stream-stream inner join with an event-time bound, run as a REAL
     * streaming job: clicks ⋈ purchases of the same user where the purchase
     * lands within 1 hour after the click (conversion attribution). Both

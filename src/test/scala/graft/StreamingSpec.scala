@@ -168,6 +168,38 @@ class StreamingSpec extends SparkSuite {
     assert(totals.getLong(0) == nConversions + expiredC + expiredP)
   }
 
+  test("stream-stream right outer: only the purchase side null-extends, on its own cutoff") {
+    // r12, completing the outer family: matched rows equal the batch
+    // time-range join; unmatched purchases null-extend iff W passed
+    // purchase_ts (same bound as the full outer's purchase side); young
+    // unmatched purchases stay withheld, and unmatched CLICKS never
+    // appear at all — the right-outer contract.
+    val streamed = Streaming.streamJoinRightOuter(spark, sfDir)
+    val totals = streamed.agg(sum($"n_rows"), sum($"n_conversions"),
+      sum($"n_orphan_purchases")).head()
+    val ev = Tables.events(spark, sfDir)
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+        $"ts".as("purchase_ts"))
+    val wMs = c.agg(max(unix_millis($"click_ts"))).head().getLong(0)
+      .min(p.agg(max(unix_millis($"purchase_ts"))).head().getLong(0)) - 3600000L
+    val joinCond = $"user_id" === $"p_user" &&
+      unix_micros($"purchase_ts") >= unix_micros($"click_ts") &&
+      unix_micros($"purchase_ts") < unix_micros($"click_ts") + 3600000000L
+    val unmatchedP = p.join(c, joinCond, "left_anti")
+    val expiredP = unmatchedP.filter(unix_millis($"purchase_ts") <= wMs).count()
+    val withheldP = unmatchedP.filter(unix_millis($"purchase_ts") > wMs).count()
+    assert(withheldP >= 1, "fixture has no young unmatched purchase — cutoff untested")
+    val nConversions = c.join(p, joinCond).count()
+    assert(totals.getLong(1) == nConversions, "inner part diverges from batch join")
+    assert(totals.getLong(2) == expiredP,
+      s"purchase null-extensions ${totals.getLong(2)} != batch-derived $expiredP")
+    assert(totals.getLong(0) == nConversions + expiredP,
+      "right outer must contain NO click null-extensions")
+  }
+
   test("watermark drops events later than the threshold") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
