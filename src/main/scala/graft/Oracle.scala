@@ -4179,6 +4179,25 @@ object Oracle {
         |        row_number() OVER (PARTITION BY user_id
         |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // Batch-bootstrapped status store: events up to the integer-µs
+    // midpoint of (min ts, max ts) seed the initial state; the stream
+    // folds the rest. Bootstrap + increment = the full census, restricted
+    // to users with at least one post-midpoint event (Append mode emits
+    // only on input — bootstrap-only users hold state silently).
+    "stream_tws_init" ->
+      """WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+        |    AS mid FROM events),
+        |post AS (SELECT DISTINCT user_id FROM events, m
+        |  WHERE epoch_us(ts) > m.mid)
+        |SELECT user_id, n_events,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts, event_type
+        |FROM (SELECT user_id, ts, event_type,
+        |        COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 AND user_id IN (SELECT user_id FROM post)
+        |ORDER BY user_id""".stripMargin,
   )
 
   val multimodal: Map[String, String] = Map(

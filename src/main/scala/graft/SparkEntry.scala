@@ -362,6 +362,7 @@ object SparkEntry {
     "stream_timer_sessions" -> Streaming.streamTimerSessions _,
     "stream_tws_mapstate"   -> Streaming.streamTwsMapstate _,
     "stream_tws_ttl"        -> Streaming.streamTwsTtl _,
+    "stream_tws_init"       -> Streaming.streamTwsInit _,
     "stream_quota_reset"    -> Streaming.streamQuotaReset _,
     // -- SQL API entry point
     "sql_api_q3"            -> Relational.sqlApiQ3 _,

@@ -197,6 +197,46 @@ class TtlStatusProcessor(ttl: java.time.Duration)
   }
 }
 
+/** [[StatusProcessor]] with BATCH-BOOTSTRAPPED state (r12) — the
+  * `StatefulProcessorWithInitialState` surface: before the first batch,
+  * [[handleInitialState]] seeds each key's ValueState from a
+  * batch-computed snapshot, and the streaming fold continues FROM it.
+  * This is the backfill-then-stream migration pattern a 100 TB deployment
+  * needs: the historical corpus is aggregated ONCE as a batch job (full
+  * cluster parallelism, no per-batch state-store overhead), the result
+  * becomes the stream's initial state, and the live stream only ever
+  * processes the increment — instead of replaying months of history
+  * through the micro-batch path. The fold is the same commutative
+  * max/count as [[StatusProcessor]], so bootstrap + increment equals the
+  * full-corpus census for every key the stream touches. */
+class InitStatusProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[Long, KeyedEvent, JobUpdate, JobState] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var state: ValueState[JobState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[JobState]("job",
+      org.apache.spark.sql.Encoders.product[JobState], TTLConfig.NONE)
+
+  override def handleInitialState(key: Long, s: JobState,
+                                  timers: TimerValues): Unit =
+    state.update(s)
+
+  override def handleInputRows(key: Long, rows: Iterator[KeyedEvent],
+                               timers: TimerValues): Iterator[JobUpdate] = {
+    var s = Option(state.get()).getOrElse(JobState(0L, Long.MinValue, Long.MinValue, ""))
+    rows.foreach { e =>
+      val newer = e.us > s.lastUs || (e.us == s.lastUs && e.event_id > s.lastId)
+      s = JobState(s.n + 1,
+        if (newer) e.us else s.lastUs,
+        if (newer) e.event_id else s.lastId,
+        if (newer) e.event_type else s.lastType)
+    }
+    state.update(s)
+    Iterator(JobUpdate(key, s.n, s.lastUs, s.lastType))
+  }
+}
+
 case class SessEvent(user_id: Long, event_id: Long, us: Long,
                      ts: java.sql.Timestamp)
 case class OpenSession(startUs: Long, lastUs: Long, n: Long)
@@ -795,6 +835,57 @@ object Streaming {
           org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
           OutputMode.Append(),
           org.apache.spark.sql.Encoders.product[JobUpdate])
+        .toDF()
+    }
+      .select($"user_id", $"n_events",
+        date_format(timestamp_micros($"lastUs"), tsFmt).as("last_ts"),
+        $"event_type")
+      .orderBy($"user_id")
+  }
+
+  /** The keyed status store bootstrapped from a BATCH snapshot
+    * ([[InitStatusProcessor]]): events up to the corpus time midpoint are
+    * aggregated as a plain batch job into per-user (count, latest) rows,
+    * which seed the stream's initial keyed state; the stream then
+    * processes only events AFTER the midpoint. Bootstrap + increment =
+    * the full-corpus census for every user the stream touches (users
+    * whose events all predate the midpoint hold state but emit nothing —
+    * Append mode emits only on input), which is the SQL contract the
+    * oracle replays. The midpoint split is deterministic (integer µs
+    * midpoint of min/max event time), so both engines cut the same
+    * backfill/live boundary. */
+  def streamTwsInit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val bounds = Tables.events(spark, sfDir)
+      .agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
+    val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    runToParquet(spark, Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { session =>
+      import session.implicits._
+      val initState = Tables.events(session, sfDir)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"event_type")
+        .filter($"us" <= mid)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"),
+          max(struct($"us", $"event_id", $"event_type")).as("last"))
+        .select($"user_id", $"n", $"last.us".as("lastUs"),
+          $"last.event_id".as("lastId"), $"last.event_type".as("lastType"))
+        .as[(Long, Long, Long, Long, String)]
+        .groupByKey(_._1)
+        .mapValues(r => JobState(r._2, r._3, r._4, r._5))
+      eventsStream(session, sfDir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .filter(col("us") > mid)
+        .as[KeyedEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new InitStatusProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append(), initState,
+          org.apache.spark.sql.Encoders.product[JobUpdate],
+          org.apache.spark.sql.Encoders.product[JobState])
         .toDF()
     }
       .select($"user_id", $"n_events",

@@ -553,6 +553,50 @@ class StreamingSpec extends SparkSuite {
       s"1-hour control must carry the counter to n=2, got $carried")
   }
 
+  test("tws initial state seeds the fold; bootstrap-only keys emit nothing") {
+    // the backfill-then-stream contract: key 1's bootstrap (n=2, latest
+    // at us=50) absorbs an OLDER stream event (us=30) without rewinding
+    // the latest, and a second batch keeps folding onto the carried
+    // bootstrap; key 2 has no bootstrap and starts at n=1; key 3 is
+    // bootstrap-only and must never emit (Append emits only on input).
+    import org.apache.spark.sql.streaming.OutputMode
+    val session = spark.newSession()
+    session.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+    val initState = Seq(
+      (1L, graft.ops.JobState(2L, 50L, 9L, "view")),
+      (3L, graft.ops.JobState(5L, 70L, 8L, "click"))).toDS()
+      .groupByKey(_._1).mapValues(_._2)
+    val input = MemoryStream[graft.ops.KeyedEvent]
+    val out = input.toDS().groupByKey(_.user_id)
+      .transformWithState(new graft.ops.InitStatusProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append(), initState,
+        org.apache.spark.sql.Encoders.product[graft.ops.JobUpdate],
+        org.apache.spark.sql.Encoders.product[graft.ops.JobState]).toDF()
+    val name = "ini" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      input.addData(graft.ops.KeyedEvent(1L, 11L, 30L, "click"),
+        graft.ops.KeyedEvent(2L, 12L, 40L, "scroll"))
+      q.processAllAvailable()
+      input.addData(graft.ops.KeyedEvent(1L, 13L, 60L, "purchase"))
+      q.processAllAvailable()
+      val rows = session.table(name)
+        .select($"user_id", $"n_events", $"lastUs", $"event_type")
+        .as[(Long, Long, Long, String)].collect().toSeq.sorted
+      assert(rows == Seq((1L, 3L, 50L, "view"), (1L, 4L, 60L, "purchase"),
+        (2L, 1L, 40L, "scroll")),
+        s"bootstrap fold / no-bootstrap start / silent key-3 violated: $rows")
+    } finally {
+      q.stop()
+      org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+    }
+  }
+
   test("tws ListState recency cache re-ranks carried state across batches") {
     // the incremental contract the batch oracle can't see: batch 2's
     // emission must rank the NEW row against the CARRIED top-3 list
