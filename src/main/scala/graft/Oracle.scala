@@ -4180,6 +4180,20 @@ object Oracle {
         |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
+    // State-source audit: the persisted state of the status store read
+    // back via format("statestore") — single AvailableNow batch ⇒ every
+    // user's state row is its final fold, so the STATE census equals the
+    // emitted census (the stream_tws_state contract, re-checked against
+    // the store itself instead of the sink).
+    "scan_state_store" ->
+      """SELECT user_id, n_events,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts, event_type
+        |FROM (SELECT user_id, ts, event_type,
+        |        COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     // Batch-bootstrapped status store: events up to the integer-µs
     // midpoint of (min ts, max ts) seed the initial state; the stream
     // folds the rest. Bootstrap + increment = the full census, restricted

@@ -363,6 +363,7 @@ object SparkEntry {
     "stream_tws_mapstate"   -> Streaming.streamTwsMapstate _,
     "stream_tws_ttl"        -> Streaming.streamTwsTtl _,
     "stream_tws_init"       -> Streaming.streamTwsInit _,
+    "scan_state_store"      -> Streaming.scanStateStore _,
     "stream_quota_reset"    -> Streaming.streamQuotaReset _,
     // -- SQL API entry point
     "sql_api_q3"            -> Relational.sqlApiQ3 _,

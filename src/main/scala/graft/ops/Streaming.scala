@@ -802,6 +802,64 @@ object Streaming {
       .orderBy($"user_id")
   }
 
+  /** Operational state AUDIT via Spark's state-store DATA SOURCE (r12):
+    * runs the [[StatusProcessor]] status store as a real streaming job,
+    * then reads the query's own RocksDB state back with
+    * `spark.read.format("statestore")` (`stateVarName = "job"`) and
+    * re-shapes it into the census. This is the surface an operator of a
+    * 100 TB stateful pipeline reaches for FIRST when a stream misbehaves:
+    * the state store is otherwise a black box, and the state source turns
+    * any checkpoint into a queryable table — per-key inspection, state
+    * census vs expected cardinality, skew-by-partition — without touching
+    * the running query. The emitted-output path is already pinned by
+    * `stream_tws_state`; THIS query's contract is that the persisted
+    * STATE itself equals the same census (single batch ⇒ every user's
+    * state row is its final fold), which the shared SQL oracle replays.
+    * The decoded state is materialized to parquet BEFORE the checkpoint
+    * is deleted (the state reader scans the checkpoint lazily). */
+  def scanStateStore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = "/root/repo/target/stream/" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions",
+      math.min(spark.conf.get("spark.sql.shuffle.partitions").toInt, 8).toString)
+    child.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = {
+      import child.implicits._
+      eventsStream(child, sfDir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .as[KeyedEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new StatusProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[JobUpdate])
+        .toDF()
+    }
+    val q = stream.writeStream.outputMode("append").format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+    child.read.format("statestore")
+      .option("path", s"$dir/chk")
+      .option("stateVarName", "job")
+      .load()
+      .select(col("key.value").as("user_id"),
+        col("value.n").as("n_events"),
+        date_format(timestamp_micros(col("value.lastUs")), tsFmt).as("last_ts"),
+        col("value.lastType").as("event_type"))
+      .write.parquet(s"$dir/state_out")
+    org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+    deleteRec(new java.io.File(s"$dir/chk"))
+    spark.read.parquet(s"$dir/state_out").orderBy($"user_id")
+  }
+
   /** The keyed status store with state TTL ([[TtlStatusProcessor]]):
     * idle keys expire after 1 hour of processing time, bounding the
     * store to the active key set. TTL requires processing-time mode;
