@@ -454,6 +454,18 @@ object Streaming {
     val child = spark.newSession()
     child.conf.set("spark.sql.shuffle.partitions",
       math.min(spark.conf.get("spark.sql.shuffle.partitions").toInt, 8).toString)
+    // Changelog checkpointing for the RocksDB-backed runs: each commit
+    // uploads the batch's CHANGED keys instead of zipping the whole
+    // store (snapshots move to background maintenance). Locally measured
+    // NEUTRAL (r12 A/B, 6-query TWS lane at sf0.1: 12.9 vs 13.0 s —
+    // single-AvailableNow-batch jobs have nothing to amortize), kept
+    // because it is the scale contract that matters: at 100 TB a keyed
+    // store's full snapshot per micro-batch is O(state), the changelog
+    // is O(delta), and recovery replays changelog over the last
+    // background snapshot. HDFS-backed runs ignore the conf.
+    child.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
     extraConf.foreach { case (k, v) => child.conf.set(k, v) }
     val df = build(child)
     val q = df.writeStream.outputMode("append").format("parquet")
