@@ -51,6 +51,9 @@ object Verify {
       // ~300 queries in one session would otherwise stack stale blocks
       ops.Residue.freeAll()
       }
+    // closing boundary: the LAST family's caches and streaming scratch
+    // (target/stream out-dirs) must not outlive the pass (r12 judge #5)
+    ops.Residue.familyBoundary(spark)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

