@@ -511,13 +511,17 @@ object Streaming {
       math.min(spark.conf.get("spark.sql.shuffle.partitions").toInt, 8).toString)
     // Changelog checkpointing for the RocksDB-backed runs: each commit
     // uploads the batch's CHANGED keys instead of zipping the whole
-    // store (snapshots move to background maintenance). Locally measured
-    // NEUTRAL (r12 A/B, 6-query TWS lane at sf0.1: 12.9 vs 13.0 s —
-    // single-AvailableNow-batch jobs have nothing to amortize), kept
-    // because it is the scale contract that matters: at 100 TB a keyed
-    // store's full snapshot per micro-batch is O(state), the changelog
-    // is O(delta), and recovery replays changelog over the last
-    // background snapshot. HDFS-backed runs ignore the conf.
+    // store (snapshots move to background maintenance). Measured NEUTRAL
+    // at BOARD level (r13 full-board sf0.1 A/B, same session conditions:
+    // stream family 41.5 s ON vs 49.4 s OFF while the untouched
+    // non-stream board drifted +12.6% in the OFF run — conf-attributable
+    // delta inside the run's own noise, slightly favoring ON), matching
+    // the r12 6-query lane A/B (12.9 vs 13.0 s). Kept because it is the
+    // scale contract that matters: at 100 TB a keyed store's full
+    // snapshot per micro-batch is O(state), the changelog is O(delta),
+    // and recovery replays changelog over the last background snapshot —
+    // now pinned by the StreamingSpec restart-recovery test. HDFS-backed
+    // runs ignore the conf.
     child.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
       "true")
