@@ -64,13 +64,16 @@ case class RecentRow(user_id: Long, rank: Long, event_id: Long, us: Long,
 /** Bounded per-key LIST state (r10): the last-3 events per user as
   * `transformWithState` ListState — the TWS collection-state API next to
   * [[StatusProcessor]]/[[QuotaProcessor]]'s ValueState. The state is
-  * BOUNDED BY CONSTRUCTION: each batch merges carried rows with the
-  * batch's rows and keeps only the top-3 by (event time, id), so a key's
-  * state never grows past k regardless of stream length — the recency
-  * cache shape (a "last N actions" feature store) that would otherwise
-  * need an unbounded log. */
+  * BOUNDED BY CONSTRUCTION: the carried top-3 by (event time, id) folds
+  * each batch row in INCREMENTALLY (insert into a ≤k vector, O(k) per
+  * row — the group iterator is consumed streaming, never buffered; r13,
+  * replacing the r12 `rows.toSeq` that materialized a backfilled hot
+  * key's whole batch), so a key's state never grows past k regardless
+  * of stream length — the recency cache shape (a "last N actions"
+  * feature store) that would otherwise need an unbounded log. */
 class RecentProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, KeyedEvent, RecentRow] {
   import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+  private val K = 3
   @transient private var state: ListState[KeyedEvent] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -79,10 +82,16 @@ class RecentProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[L
 
   override def handleInputRows(key: Long, rows: Iterator[KeyedEvent],
                                timers: TimerValues): Iterator[RecentRow] = {
-    val merged = (state.get().toSeq ++ rows.toSeq)
-      .sortBy(e => (-e.us, -e.event_id)).take(3)
-    state.put(merged.toArray)
-    merged.zipWithIndex.map { case (e, i) =>
+    // carried list is stored sorted desc by (us, id); fold each row in
+    var top = state.get().toVector
+    rows.foreach { e =>
+      val last = top.lastOption
+      if (top.size < K || last.exists(l =>
+          e.us > l.us || (e.us == l.us && e.event_id > l.event_id)))
+        top = (top :+ e).sortBy(x => (-x.us, -x.event_id)).take(K)
+    }
+    state.put(top.toArray)
+    top.zipWithIndex.map { case (e, i) =>
       RecentRow(key, i + 1L, e.event_id, e.us, e.event_type)
     }.iterator
   }
@@ -265,12 +274,14 @@ case class SessionOut(user_id: Long, startUs: Long, endUs: Long,
   * consecutive sessions are ≥ gap apart, so a key holds at most
   * `1 + ceil(delay/gap) + 1` sessions (≤ 3 at delay 10 min / gap
   * 30 min), and one timer armed at the earliest unsealed expiry. The
-  * per-batch `rows.toSeq.sortBy` buffer, however, is O(events of this
-  * key in the batch) executor heap: fine under watermarked ingestion at
-  * sane trigger intervals, but a backfill replaying one hot key's whole
-  * history in a single AvailableNow batch materializes it — the dial is
-  * chunked ingestion (bounded input files per trigger), the same
-  * contract [[QuotaProcessor]]'s order-sensitive fold documents. */
+  * per-batch memory is O(live sessions), NOT O(events of this key in
+  * the batch): gap-sessionization over a set of points is
+  * order-INDEPENDENT (sessions are the connected components of points
+  * within gap distance, a set property), so the fold consumes the
+  * group iterator STREAMING — no per-batch sort, no buffer (r13; the
+  * r12 `rows.toSeq.sortBy` materialized a backfilled hot key's whole
+  * batch on the executor heap). [[QuotaProcessor]]'s fold, by contrast,
+  * is order-SENSITIVE and keeps its documented sort+buffer contract. */
 class SessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessEvent, SessionOut] {
   import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
   private val GapUs = 30L * 60 * 1000000
@@ -281,11 +292,15 @@ class SessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
     sess = getHandle.getListState[OpenSession]("sess",
       org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
 
-  /** Fold one event into the sorted unsealed-session list. Fast path: in
-    * (per-batch sorted) order, an event lands in or after the trailing
-    * session. General path (cross-batch out-of-order arrivals): insert
+  /** Fold one event into the sorted unsealed-session list. Fast path: an
+    * event at or after the trailing session's start lands in or after it
+    * (O(1) — the common case for time-ordered arrival). General path
+    * (out-of-order arrivals, within a batch or across batches): insert
     * as a singleton and re-merge adjacent sessions closer than the gap —
-    * this is where a bridge event collapses two unsealed sessions. */
+    * this is where a bridge event collapses two unsealed sessions. The
+    * fold is order-independent: any arrival order of the same event set
+    * yields the same session list (each merge step unions gap-connected
+    * components, and components are a property of the point set). */
   private def fold(live: Vector[OpenSession], e: SessEvent): Vector[OpenSession] =
     live.lastOption match {
       case None => Vector(OpenSession(e.us, e.us, 1L))
@@ -343,7 +358,7 @@ class SessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
     // expiry (r11 review). An event's own session can never seal in the
     // same call: e.us >= wm ⇒ its session's expiry > wm + gap − delay.
     var live = sess.get().toVector
-    rows.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e => live = fold(live, e) }
+    rows.foreach { e => live = fold(live, e) }
     val (outs, keep) = seal(key, live, timers.getCurrentWatermarkInMs())
     commit(keep)
     outs.iterator

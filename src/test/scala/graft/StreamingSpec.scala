@@ -466,6 +466,52 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("timer sessions: a reversed-order batch folds to the same sessions (streaming fold, no per-batch sort)") {
+    // r13: the per-batch sort+buffer was removed — gap-sessionization is
+    // a set property (sessions = connected components of points within
+    // gap distance), so the fold must be arrival-order-independent WITHIN
+    // a batch too. Deliver the bridge scenario in ONE batch, newest
+    // first: 10:35, 10:00, 10:28. Folding 10:35 then 10:00 creates two
+    // provisional sessions; 10:28 must bridge-merge them — one session
+    // 10:00-10:35 n=3, identical to chronological delivery.
+    import org.apache.spark.sql.streaming.OutputMode
+    val session = spark.newSession()
+    session.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val out = input.toDF().toDF("user_id", "event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"ts")
+      .as[graft.ops.SessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new graft.ops.SessionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[graft.ops.SessionOut]).toDF()
+    val name = "rev" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      input.addData((1L, 3L, t("2024-01-01 10:35:00")),
+        (1L, 1L, t("2024-01-01 10:00:00")), (1L, 2L, t("2024-01-01 10:28:00")))
+      q.processAllAvailable() // wm -> 10:25; merged session unsealed
+      input.addData((9L, 4L, t("2024-01-01 11:40:00")))
+      q.processAllAvailable() // wm -> 11:30 >= 11:05: seal
+      val rows = session.table(name).filter($"user_id" === 1L)
+        .select(date_format(timestamp_micros($"startUs"), "yyyy-MM-dd HH:mm:ss"),
+          date_format(timestamp_micros($"endUs"), "yyyy-MM-dd HH:mm:ss"),
+          $"n_events", $"closed_by").as[(String, String, Long, String)]
+        .collect().toSeq
+      assert(rows == Seq(("2024-01-01 10:00:00", "2024-01-01 10:35:00", 3L, "timer")),
+        s"reversed-order delivery must fold to ONE merged session, got $rows")
+    } finally {
+      q.stop()
+      org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+    }
+  }
+
   test("stream-stream left outer: null-extension fires AT expiry == watermark") {
     // the oracle's non-strict `click_ts + 1h <= W` cutoff, pinned at
     // exact ms equality: u1's unmatched click at 10:00 expires at 11:00,
