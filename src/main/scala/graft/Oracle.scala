@@ -4194,6 +4194,15 @@ object Oracle {
         |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
+    // State-source audit over COMPOSITE state: the TypeCountProcessor
+    // MapState read back via format("statestore") with flattened map
+    // entries — single AvailableNow batch ⇒ each (user, type) entry is
+    // its final count, so the flattened STATE equals the same census the
+    // emitted stream_tws_mapstate output obeys.
+    "scan_state_map" ->
+      """SELECT user_id, event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+
     // Batch-bootstrapped status store: events up to the integer-µs
     // midpoint of (min ts, max ts) seed the initial state; the stream
     // folds the rest. Bootstrap + increment = the full census, restricted

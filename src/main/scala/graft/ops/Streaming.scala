@@ -761,14 +761,23 @@ object Streaming {
     * lands within 1 hour after the click (conversion attribution). Both
     * sides carry watermarks and the join condition bounds event time from
     * BOTH directions, so Spark can size the join state store and expire
-    * rows — the canonical stream-stream join contract. One AvailableNow
-    * batch ⇒ the joined stream equals the batch time-range join, which is
-    * the SQL the oracle runs; the per-user rollup (conversions + exact
-    * decimal spend) happens batch-side on the sink read-back. */
+    * rows — the canonical stream-stream join contract.
+    *
+    * Runs as ≥3 REAL micro-batches ([[stagedEventsStream]], r13): a
+    * click held in join state genuinely waits across batches for its
+    * purchase, and expired windows are evicted batch by batch. The
+    * emitted set still equals the batch time-range join — the oracle's
+    * SQL — because time-contiguous staging makes it batching-invariant:
+    * no row arrives behind a watermark, a match emits once both sides
+    * arrived, and a click's state is evicted only when the watermark
+    * passes click_ts + 1 h, after which no in-window purchase can still
+    * arrive (later batches hold only rows younger than the watermark +
+    * delay). The per-user rollup (conversions + exact decimal spend)
+    * happens batch-side on the sink read-back. */
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    runToParquet(spark) { session =>
-      val ev = eventsStream(session, sfDir)
+    runToParquet(spark, minDataBatches = 3) { session =>
+      val ev = stagedEventsStream(session, sfDir, 3)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
           col("ts").as("click_ts"))
@@ -970,6 +979,61 @@ object Streaming {
     org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
     deleteRec(new java.io.File(s"$dir/chk"))
     spark.read.parquet(s"$dir/state_out").orderBy($"user_id")
+  }
+
+  /** The statestore reader over COMPOSITE state (r13): runs the
+    * [[TypeCountProcessor]] MapState store as a real streaming job, then
+    * reads the map entries back from the query's own RocksDB checkpoint —
+    * `spark.read.format("statestore")` with `stateVarName = "bytype"`
+    * flattens each key's map to one row per (grouping key, map key, map
+    * value). [[scanStateStore]] pins the reader over scalar ValueState;
+    * THIS is the collection-state half an operator needs when the
+    * misbehaving store is a map or list (per-entry census, hot-map-key
+    * skew) — the sibling surface, same contract: single batch ⇒ every
+    * entry is its final count, so the flattened state equals the
+    * (user, type) census the shared SQL oracle replays. Decoded state is
+    * materialized before the checkpoint is deleted, like the scalar twin. */
+  def scanStateMap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = scratchDir()
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions",
+      math.min(spark.conf.get("spark.sql.shuffle.partitions").toInt, 8).toString)
+    child.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = {
+      import child.implicits._
+      eventsStream(child, sfDir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .as[KeyedEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new TypeCountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[TypeCount])
+        .toDF()
+    }
+    val q = stream.writeStream.outputMode("append").format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+    child.read.format("statestore")
+      .option("path", s"$dir/chk")
+      .option("stateVarName", "bytype")
+      .option("flattenCollectionTypes", "true")
+      .load()
+      .select(col("key.value").as("user_id"),
+        col("user_map_key.value").as("event_type"),
+        col("user_map_value.value").as("n"))
+      .write.parquet(s"$dir/state_out")
+    org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+    deleteRec(new java.io.File(s"$dir/chk"))
+    spark.read.parquet(s"$dir/state_out")
+      .orderBy($"user_id", $"event_type")
   }
 
   /** The keyed status store with state TTL ([[TtlStatusProcessor]]):
