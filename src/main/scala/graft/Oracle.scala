@@ -4194,6 +4194,21 @@ object Oracle {
         |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
+    // Checkpoint-recovery board operator: two sequential AvailableNow
+    // queries over one checkpoint (stop → unload providers → restart);
+    // keep-latest collapse of both legs' emissions = the full census IFF
+    // leg 2 resumed from leg 1's recovered state — a fold restarting from
+    // empty state under-counts every user spanning the restart, so this
+    // oracle hash IS the recovery proof.
+    "stream_resume" ->
+      """SELECT user_id, n_events,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts, event_type
+        |FROM (SELECT user_id, ts, event_type,
+        |        COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     // State-source audit over COMPOSITE state: the TypeCountProcessor
     // MapState read back via format("statestore") with flattened map
     // entries — single AvailableNow batch ⇒ each (user, type) entry is

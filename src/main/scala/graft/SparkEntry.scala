@@ -365,6 +365,7 @@ object SparkEntry {
     "stream_tws_init"       -> Streaming.streamTwsInit _,
     "scan_state_store"      -> Streaming.scanStateStore _,
     "scan_state_map"        -> Streaming.scanStateMap _,
+    "stream_resume"         -> Streaming.streamResume _,
     "stream_quota_reset"    -> Streaming.streamQuotaReset _,
     // -- SQL API entry point
     "sql_api_q3"            -> Relational.sqlApiQ3 _,

@@ -393,9 +393,11 @@ object Streaming {
     * unmaterialized frame returned by a stream query across this call —
     * the same lifecycle contract plan-keyed caches already have at the
     * family boundary. */
-  def sweepScratch(): Unit =
+  def sweepScratch(): Unit = {
+    stagedDirs.clear() // staged inputs live in the scratch being deleted
     Option(new java.io.File(ScratchRoot).listFiles()).toSeq.flatten
       .foreach(deleteRec)
+  }
 
   /** count + sum(value) per event_type per 1-hour tumbling window. */
   def streamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
@@ -476,24 +478,44 @@ object Streaming {
     * and (b) the final watermark equals the single-batch run's. Range
     * boundaries are sampled (placement may vary run to run); contiguity,
     * not placement, is what the invariance needs. */
+  /** Staged-input registry: the stream family has several multi-batch
+    * consumers of the SAME staged layout, so the table is staged once per
+    * (sfDir, parts) and reused until the family-boundary sweep deletes
+    * the files ([[sweepScratch]] clears the registry in the same breath)
+    * — the stage-once / consume-many shape shared input staging has in
+    * production, and ~1 s per consumer saved locally. */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage `events` into `parts` TIME-CONTIGUOUS, mtime-ordered parquet
+    * files (reused via [[stagedDirs]]) and return the file list. */
+  private def stageEvents(session: SparkSession, sfDir: String,
+                          parts: Int): Seq[java.io.File] = {
+    val staged = stagedDirs.computeIfAbsent(s"$sfDir#$parts", _ => {
+      val dir = scratchDir()
+      session.read.parquet(s"$sfDir/events.parquet")
+        .repartitionByRange(parts, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.parquet(s"$dir/staged")
+      val files = Option(new java.io.File(s"$dir/staged").listFiles()).toSeq
+        .flatten.filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000000000000L + i * 60000L): Unit
+      }
+      s"$dir/staged"
+    })
+    Option(new java.io.File(staged).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+  }
+
   private def stagedEventsStream(session: SparkSession, sfDir: String,
                                  parts: Int): DataFrame = {
-    val path = s"$sfDir/events.parquet"
-    val schema = session.read.parquet(path).schema
-    val dir = scratchDir()
-    session.read.parquet(path)
-      .repartitionByRange(parts, col("ts"))
-      .sortWithinPartitions("ts")
-      .write.parquet(s"$dir/staged")
-    val files = Option(new java.io.File(s"$dir/staged").listFiles()).toSeq.flatten
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    files.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(1000000000000L + i * 60000L): Unit
-    }
+    val schema = session.read.parquet(s"$sfDir/events.parquet").schema
+    val files = stageEvents(session, sfDir, parts)
     session.readStream.schema(schema)
       .option("pathGlobFilter", "part-*")
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$dir/staged")
+      .parquet(files.head.getParent)
       .withColumn("ts", Tables.normalizedTs(schema("ts").dataType))
   }
 
@@ -1341,5 +1363,92 @@ object Streaming {
     }
       .groupBy($"event_type").agg(count(lit(1)).as("n"))
       .orderBy($"event_type")
+  }
+
+  /** Checkpoint-recovery as a FIRST-CLASS board operator (r13): the keyed
+    * status store is run as TWO sequential streaming queries sharing ONE
+    * checkpoint — run 1 drains the first time-range file and terminates
+    * (AvailableNow), the in-memory state providers are unloaded (the
+    * moral equivalent of losing the driver), the remaining files land in
+    * the watched directory, and a NEW query instance restarts from the
+    * same checkpoint to process them. The keep-latest collapse of the
+    * two runs' emissions equals the full-corpus census ONLY IF run 2
+    * resumed from run 1's recovered RocksDB state (changelog replayed
+    * over the last snapshot): a fold that restarted from empty state
+    * would under-count every user whose events span the restart — so the
+    * oracle hash itself is the recovery proof, on every board run. This
+    * is the stop/upgrade/resume operational path of a 100 TB streaming
+    * deployment (deploys happen mid-stream; state must not).
+    *
+    * Own staging (files move into the watched dir between runs) rather
+    * than the shared [[stagedDirs]] layout, which other queries read
+    * concurrently within the family. */
+  def streamResume(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = scratchDir()
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions",
+      math.min(spark.conf.get("spark.sql.shuffle.partitions").toInt, 8).toString)
+    child.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    child.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = child.read.parquet(path).schema
+    child.read.parquet(path)
+      .repartitionByRange(3, col("ts"))
+      .sortWithinPartitions("ts")
+      .write.parquet(s"$dir/pending")
+    val parts = Option(new java.io.File(s"$dir/pending").listFiles()).toSeq
+      .flatten.filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1000000000000L + i * 60000L): Unit
+    }
+    new java.io.File(s"$dir/staged").mkdirs(): Unit
+    def admit(f: java.io.File): Unit =
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$dir/staged/${f.getName}")): Unit
+    def run(): Unit = {
+      import child.implicits._
+      val out = child.readStream.schema(schema)
+        .option("pathGlobFilter", "part-*")
+        .parquet(s"$dir/staged")
+        .withColumn("ts", Tables.normalizedTs(schema("ts").dataType))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .as[KeyedEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new StatusProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[JobUpdate])
+        .toDF()
+      val q = out.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      require(q.recentProgress.exists(_.numInputRows > 0),
+        "each leg of the resume must process at least one data batch")
+    }
+    admit(parts.head)
+    run() // leg 1: first time-range only; state committed to the checkpoint
+    // "driver loss": drop every in-memory provider — leg 2 can only
+    // recover from the checkpoint (changelog replay over the snapshot)
+    org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+    parts.drop(1).foreach(admit)
+    run() // leg 2: NEW query, same checkpoint — the fold must CONTINUE
+    org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+    deleteRec(new java.io.File(s"$dir/chk"))
+    spark.read.parquet(s"$dir/out")
+      // keep-latest collapse across both legs (n strictly grows per key)
+      .groupBy($"user_id")
+      .agg(max(struct($"n_events", $"lastUs", $"event_type")).as("s"))
+      .select($"user_id", $"s.n_events".as("n_events"),
+        date_format(timestamp_micros($"s.lastUs"), tsFmt).as("last_ts"),
+        $"s.event_type".as("event_type"))
+      .orderBy($"user_id")
   }
 }
