@@ -4209,6 +4209,37 @@ object Oracle {
         |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
+    // State-source audit over LIST state: the RecentProcessor top-3
+    // lists read back flattened — single batch ⇒ the persisted list is
+    // the final top-3 per user, stream_tws_topk's rank-window census.
+    "scan_state_list" ->
+      """SELECT user_id, CAST(rn AS BIGINT) AS rank, event_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts, event_type
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn <= 3 ORDER BY user_id, rank""".stripMargin,
+
+    // State-source audit over REGISTERED TIMERS: the SessionProcessor
+    // arms exactly one timer per key with unsealed sessions, at the
+    // EARLIEST unsealed expiry — so the pending-timer census is the
+    // batch sessionization's per-user min(end + gap) over sessions NOT
+    // sealed by the final watermark W = max(ts) − 10 min (ms floor).
+    "scan_state_timers" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |s AS (SELECT user_id, us, event_id, CASE WHEN us - lag(us) OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id) >= 1800000000
+        |  THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT user_id, us, SUM(brk) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+        |sess AS (SELECT user_id, sid, max(us) AS end_us FROM g GROUP BY 1, 2),
+        |wm AS (SELECT max(epoch_ms(ts)) - 600000 AS w_ms FROM events)
+        |SELECT user_id,
+        | strftime(make_timestamp(min(end_us // 1000 + 1800000) * 1000),
+        |   '%Y-%m-%d %H:%M:%S') AS fires_at
+        |FROM sess, wm
+        |WHERE end_us // 1000 + 1800000 > wm.w_ms
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // State-source audit over COMPOSITE state: the TypeCountProcessor
     // MapState read back via format("statestore") with flattened map
     // entries — single AvailableNow batch ⇒ each (user, type) entry is

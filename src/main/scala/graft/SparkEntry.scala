@@ -365,6 +365,8 @@ object SparkEntry {
     "stream_tws_init"       -> Streaming.streamTwsInit _,
     "scan_state_store"      -> Streaming.scanStateStore _,
     "scan_state_map"        -> Streaming.scanStateMap _,
+    "scan_state_list"       -> Streaming.scanStateList _,
+    "scan_state_timers"     -> Streaming.scanStateTimers _,
     "stream_resume"         -> Streaming.streamResume _,
     "stream_quota_reset"    -> Streaming.streamQuotaReset _,
     // -- SQL API entry point

@@ -1058,6 +1058,120 @@ object Streaming {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** The statestore reader over LIST state (r13) — with [[scanStateStore]]
+    * (ValueState) and [[scanStateMap]] (MapState) this pins the reader
+    * across ALL THREE TWS state shapes: runs the [[RecentProcessor]]
+    * recency cache, then reads the per-key top-3 lists back from the
+    * checkpoint, flattened to one row per (grouping key, list element);
+    * rank is re-derived batch-side from the elements' own (event time,
+    * id) order. Single batch ⇒ the persisted list is the final top-3, the
+    * same census `stream_tws_topk`'s rank-window SQL replays — checked
+    * against the STORE instead of the sink. */
+  def scanStateList(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = scratchDir()
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions",
+      math.min(spark.conf.get("spark.sql.shuffle.partitions").toInt, 8).toString)
+    child.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = {
+      import child.implicits._
+      eventsStream(child, sfDir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .as[KeyedEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new RecentProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[RecentRow])
+        .toDF()
+    }
+    val q = stream.writeStream.outputMode("append").format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+    child.read.format("statestore")
+      .option("path", s"$dir/chk")
+      .option("stateVarName", "recent")
+      .option("flattenCollectionTypes", "true")
+      .load()
+      .select(col("key.value").as("user_id"),
+        col("list_element.event_id").as("event_id"),
+        col("list_element.us").as("us"),
+        col("list_element.event_type").as("event_type"))
+      .write.parquet(s"$dir/state_out")
+    org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+    deleteRec(new java.io.File(s"$dir/chk"))
+    val w = Window.partitionBy($"user_id").orderBy($"us".desc, $"event_id".desc)
+    spark.read.parquet(s"$dir/state_out")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select($"user_id", $"rank", $"event_id",
+        date_format(timestamp_micros($"us"), tsFmt).as("last_ts"),
+        $"event_type")
+      .orderBy($"user_id", $"rank")
+  }
+
+  /** The statestore reader over REGISTERED TIMERS (r13): runs the
+    * [[SessionProcessor]] timer sessionization, then reads the PENDING
+    * event-time timers back from the checkpoint
+    * (`readRegisteredTimers`). The processor's contract puts exactly one
+    * timer per key with unsealed sessions, armed at the EARLIEST
+    * unsealed expiry (last_event + gap of the earliest unsealed
+    * session) — so the timer census is deterministic SQL over the batch
+    * sessionization: per user, min(end + gap) over sessions NOT sealed
+    * by the final watermark. The operational question this answers on a
+    * live 100 TB pipeline: what is scheduled to fire, and when — state
+    * the sink can never show (these sessions are precisely the ones NOT
+    * yet emitted). */
+  def scanStateTimers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = scratchDir()
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions",
+      math.min(spark.conf.get("spark.sql.shuffle.partitions").toInt, 8).toString)
+    child.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = {
+      import child.implicits._
+      eventsStream(child, sfDir)
+        .withWatermark("ts", "10 minutes")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("ts"))
+        .as[SessEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new SessionProcessor,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[SessionOut])
+        .toDF()
+    }
+    val q = stream.writeStream.outputMode("append").format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+    child.read.format("statestore")
+      .option("path", s"$dir/chk")
+      .option("readRegisteredTimers", "true")
+      .load()
+      .select(col("key.value").as("user_id"),
+        col("expiration_timestamp_ms").as("timer_ms"))
+      .write.parquet(s"$dir/state_out")
+    org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+    deleteRec(new java.io.File(s"$dir/chk"))
+    spark.read.parquet(s"$dir/state_out")
+      .select($"user_id",
+        date_format(timestamp_millis($"timer_ms"), tsFmt).as("fires_at"))
+      .orderBy($"user_id")
+  }
+
   /** The keyed status store with state TTL ([[TtlStatusProcessor]]):
     * idle keys expire after 1 hour of processing time, bounding the
     * store to the active key set. TTL requires processing-time mode;
