@@ -924,26 +924,66 @@ object Streaming {
     * caller's session is never mutated. */
   def streamTwsState(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.OutputMode
     runToParquet(spark, Map(
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { session =>
-      import session.implicits._
-      val src = eventsStream(session, sfDir)
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("us"), col("event_type"))
-        .as[KeyedEvent]
-      src.groupByKey(_.user_id)
-        .transformWithState(new StatusProcessor,
-          org.apache.spark.sql.streaming.TimeMode.None(),
-          OutputMode.Append(),
-          org.apache.spark.sql.Encoders.product[JobUpdate])
-        .toDF()
+      statusStream(session, sfDir)
     }
       .select($"user_id", $"n_events",
         date_format(timestamp_micros($"lastUs"), tsFmt).as("last_ts"),
         $"event_type")
       .orderBy($"user_id")
+  }
+
+  /** Shared scaffold of the statestore-reader family (`scan_state_*`):
+    * run the stateful stream to a parquet sink on an isolated child
+    * session (RocksDB provider — the reader's target), then read the
+    * query's OWN checkpoint back via `spark.read.format("statestore")`
+    * with `readOpts`, decode with `decode`, and materialize to parquet
+    * BEFORE the checkpoint is deleted (the state reader scans it
+    * lazily). Callers reshape/sort the returned batch frame. */
+  private def runAndScanState(spark: SparkSession,
+                              readOpts: Map[String, String],
+                              decode: Seq[org.apache.spark.sql.Column])
+                             (build: SparkSession => DataFrame): DataFrame = {
+    val dir = scratchDir()
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions",
+      math.min(spark.conf.get("spark.sql.shuffle.partitions").toInt, 8).toString)
+    child.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = build(child).writeStream.outputMode("append").format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+    readOpts.foldLeft(
+        child.read.format("statestore").option("path", s"$dir/chk")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load()
+      .select(decode: _*)
+      .write.parquet(s"$dir/state_out")
+    org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+    deleteRec(new java.io.File(s"$dir/chk"))
+    spark.read.parquet(s"$dir/state_out")
+  }
+
+  /** The [[StatusProcessor]] status stream — the keyed (count, latest)
+    * fold shared by `stream_tws_state` and the scan_state readers. */
+  private def statusStream(child: SparkSession, sfDir: String): DataFrame = {
+    import child.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    eventsStream(child, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .as[KeyedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new StatusProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[JobUpdate])
+      .toDF()
   }
 
   /** Operational state AUDIT via Spark's state-store DATA SOURCE (r12):
@@ -958,49 +998,16 @@ object Streaming {
     * the running query. The emitted-output path is already pinned by
     * `stream_tws_state`; THIS query's contract is that the persisted
     * STATE itself equals the same census (single batch ⇒ every user's
-    * state row is its final fold), which the shared SQL oracle replays.
-    * The decoded state is materialized to parquet BEFORE the checkpoint
-    * is deleted (the state reader scans the checkpoint lazily). */
+    * state row is its final fold), which the shared SQL oracle replays. */
   def scanStateStore(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.OutputMode
-    val dir = scratchDir()
-    val child = spark.newSession()
-    child.conf.set("spark.sql.shuffle.partitions",
-      math.min(spark.conf.get("spark.sql.shuffle.partitions").toInt, 8).toString)
-    child.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val stream = {
-      import child.implicits._
-      eventsStream(child, sfDir)
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("us"), col("event_type"))
-        .as[KeyedEvent]
-        .groupByKey(_.user_id)
-        .transformWithState(new StatusProcessor,
-          org.apache.spark.sql.streaming.TimeMode.None(),
-          OutputMode.Append(),
-          org.apache.spark.sql.Encoders.product[JobUpdate])
-        .toDF()
-    }
-    val q = stream.writeStream.outputMode("append").format("parquet")
-      .option("path", s"$dir/out")
-      .option("checkpointLocation", s"$dir/chk")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
-    child.read.format("statestore")
-      .option("path", s"$dir/chk")
-      .option("stateVarName", "job")
-      .load()
-      .select(col("key.value").as("user_id"),
+    runAndScanState(spark, Map("stateVarName" -> "job"), Seq(
+        col("key.value").as("user_id"),
         col("value.n").as("n_events"),
         date_format(timestamp_micros(col("value.lastUs")), tsFmt).as("last_ts"),
-        col("value.lastType").as("event_type"))
-      .write.parquet(s"$dir/state_out")
-    org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
-    deleteRec(new java.io.File(s"$dir/chk"))
-    spark.read.parquet(s"$dir/state_out").orderBy($"user_id")
+        col("value.lastType").as("event_type"))) {
+      child => statusStream(child, sfDir)
+    }.orderBy($"user_id")
   }
 
   /** The statestore reader over COMPOSITE state (r13): runs the
@@ -1013,19 +1020,16 @@ object Streaming {
     * misbehaving store is a map or list (per-entry census, hot-map-key
     * skew) — the sibling surface, same contract: single batch ⇒ every
     * entry is its final count, so the flattened state equals the
-    * (user, type) census the shared SQL oracle replays. Decoded state is
-    * materialized before the checkpoint is deleted, like the scalar twin. */
+    * (user, type) census the shared SQL oracle replays. */
   def scanStateMap(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.OutputMode
-    val dir = scratchDir()
-    val child = spark.newSession()
-    child.conf.set("spark.sql.shuffle.partitions",
-      math.min(spark.conf.get("spark.sql.shuffle.partitions").toInt, 8).toString)
-    child.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val stream = {
+    runAndScanState(spark,
+      Map("stateVarName" -> "bytype", "flattenCollectionTypes" -> "true"),
+      Seq(col("key.value").as("user_id"),
+        col("user_map_key.value").as("event_type"),
+        col("user_map_value.value").as("n"))) { child =>
       import child.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
       eventsStream(child, sfDir)
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("us"), col("event_type"))
@@ -1036,26 +1040,7 @@ object Streaming {
           OutputMode.Append(),
           org.apache.spark.sql.Encoders.product[TypeCount])
         .toDF()
-    }
-    val q = stream.writeStream.outputMode("append").format("parquet")
-      .option("path", s"$dir/out")
-      .option("checkpointLocation", s"$dir/chk")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
-    child.read.format("statestore")
-      .option("path", s"$dir/chk")
-      .option("stateVarName", "bytype")
-      .option("flattenCollectionTypes", "true")
-      .load()
-      .select(col("key.value").as("user_id"),
-        col("user_map_key.value").as("event_type"),
-        col("user_map_value.value").as("n"))
-      .write.parquet(s"$dir/state_out")
-    org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
-    deleteRec(new java.io.File(s"$dir/chk"))
-    spark.read.parquet(s"$dir/state_out")
-      .orderBy($"user_id", $"event_type")
+    }.orderBy($"user_id", $"event_type")
   }
 
   /** The statestore reader over LIST state (r13) — with [[scanStateStore]]
@@ -1069,15 +1054,14 @@ object Streaming {
     * against the STORE instead of the sink. */
   def scanStateList(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.OutputMode
-    val dir = scratchDir()
-    val child = spark.newSession()
-    child.conf.set("spark.sql.shuffle.partitions",
-      math.min(spark.conf.get("spark.sql.shuffle.partitions").toInt, 8).toString)
-    child.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val stream = {
+    val decoded = runAndScanState(spark,
+      Map("stateVarName" -> "recent", "flattenCollectionTypes" -> "true"),
+      Seq(col("key.value").as("user_id"),
+        col("list_element.event_id").as("event_id"),
+        col("list_element.us").as("us"),
+        col("list_element.event_type").as("event_type"))) { child =>
       import child.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
       eventsStream(child, sfDir)
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("us"), col("event_type"))
@@ -1089,26 +1073,8 @@ object Streaming {
           org.apache.spark.sql.Encoders.product[RecentRow])
         .toDF()
     }
-    val q = stream.writeStream.outputMode("append").format("parquet")
-      .option("path", s"$dir/out")
-      .option("checkpointLocation", s"$dir/chk")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
-    child.read.format("statestore")
-      .option("path", s"$dir/chk")
-      .option("stateVarName", "recent")
-      .option("flattenCollectionTypes", "true")
-      .load()
-      .select(col("key.value").as("user_id"),
-        col("list_element.event_id").as("event_id"),
-        col("list_element.us").as("us"),
-        col("list_element.event_type").as("event_type"))
-      .write.parquet(s"$dir/state_out")
-    org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
-    deleteRec(new java.io.File(s"$dir/chk"))
     val w = Window.partitionBy($"user_id").orderBy($"us".desc, $"event_id".desc)
-    spark.read.parquet(s"$dir/state_out")
+    decoded
       .withColumn("rank", row_number().over(w).cast("long"))
       .select($"user_id", $"rank", $"event_id",
         date_format(timestamp_micros($"us"), tsFmt).as("last_ts"),
@@ -1130,15 +1096,11 @@ object Streaming {
     * yet emitted). */
   def scanStateTimers(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.OutputMode
-    val dir = scratchDir()
-    val child = spark.newSession()
-    child.conf.set("spark.sql.shuffle.partitions",
-      math.min(spark.conf.get("spark.sql.shuffle.partitions").toInt, 8).toString)
-    child.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val stream = {
+    runAndScanState(spark, Map("readRegisteredTimers" -> "true"), Seq(
+        col("key.value").as("user_id"),
+        col("expiration_timestamp_ms").as("timer_ms"))) { child =>
       import child.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
       eventsStream(child, sfDir)
         .withWatermark("ts", "10 minutes")
         .select(col("user_id"), col("event_id"),
@@ -1151,26 +1113,11 @@ object Streaming {
           org.apache.spark.sql.Encoders.product[SessionOut])
         .toDF()
     }
-    val q = stream.writeStream.outputMode("append").format("parquet")
-      .option("path", s"$dir/out")
-      .option("checkpointLocation", s"$dir/chk")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
-    child.read.format("statestore")
-      .option("path", s"$dir/chk")
-      .option("readRegisteredTimers", "true")
-      .load()
-      .select(col("key.value").as("user_id"),
-        col("expiration_timestamp_ms").as("timer_ms"))
-      .write.parquet(s"$dir/state_out")
-    org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
-    deleteRec(new java.io.File(s"$dir/chk"))
-    spark.read.parquet(s"$dir/state_out")
       .select($"user_id",
         date_format(timestamp_millis($"timer_ms"), tsFmt).as("fires_at"))
       .orderBy($"user_id")
   }
+
 
   /** The keyed status store with state TTL ([[TtlStatusProcessor]]):
     * idle keys expire after 1 hour of processing time, bounding the
