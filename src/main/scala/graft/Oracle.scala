@@ -4007,38 +4007,60 @@ object Oracle {
   )
 
   val streaming: Map[String, String] = Map(
+    // Real streaming run (r14): append-mode windowed agg under a 10-min
+    // watermark emits exactly the hourly windows SEALED by the final
+    // watermark W = max(ts) − 10 min (non-strict end ≤ W, the
+    // stream_watermark_late pinned boundary); the trailing window(s) stay
+    // in state, withheld — the live contract the cutoff replays.
     "stream_tumbling" ->
-      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+      """WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS h FROM events)
+        |SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
         | event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))::DOUBLE AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+        |FROM events, wm
+        |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= wm.h
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
 
+    // Same seal cutoff on the overlapping 1h/30min windows: a window
+    // [start, start+1h) is emitted iff start + 1h ≤ W.
     "stream_sliding" ->
-      """SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
+      """WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS h FROM events)
+        |SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
         |   - o * INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS win_start,
         | event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))::DOUBLE AS sum_value
-        |FROM events, (VALUES (0), (1)) t(o)
+        |FROM events, (VALUES (0), (1)) t(o), wm
+        |WHERE time_bucket(INTERVAL '30 minutes', ts)
+        |   - o * INTERVAL '30 minutes' + INTERVAL '1 hour' <= wm.h
         |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
 
+    // Real streaming session_window run (r14): gaps-and-islands sessions
+    // (split at ≥ 30 min, the operator's strict-merge complement)
+    // RESTRICTED to sessions the final watermark sealed. The operator
+    // evicts on the window-end µs timestamp (last event + gap) against
+    // the ms-floored watermark, so the cutoff compares at µs:
+    // last_us + gap_us ≤ (max(epoch_ms(ts)) − 10 min) · 1000.
     "stream_session" ->
-      """WITH ordered AS (
-        | SELECT user_id, ts,
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+        |ordered AS (
+        | SELECT user_id, ts, us,
         |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |         >= INTERVAL '30 minutes' OR
         |       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |  THEN 1 ELSE 0 END AS new_session
-        | FROM events),
+        | FROM e),
         |islands AS (
-        | SELECT user_id, ts,
+        | SELECT user_id, ts, us,
         |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        | FROM ordered)
+        | FROM ordered),
+        |wm AS (SELECT (max(epoch_ms(ts)) - 600000) * 1000 AS w_us FROM events)
         |SELECT user_id,
         | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
         | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
         | COUNT(*) AS n_events
-        |FROM islands GROUP BY user_id, session_id
+        |FROM islands, wm GROUP BY user_id, session_id, wm.w_us
+        |HAVING max(us) + 1800000000 <= wm.w_us
         |ORDER BY user_id, first_ts""".stripMargin,
 
     "win_sessionize" ->

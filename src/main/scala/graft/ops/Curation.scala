@@ -327,7 +327,7 @@ object Curation {
   def pipelineDedupE2e(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
-    // Survivor frames are plan-keyed .cache()d, NOT localCheckpointed:
+    // Survivor frames are plan-keyed .cacheOnce()d, NOT localCheckpointed:
     // each stage frame has two consumers (the next stage's pair filter +
     // its own funnel count), and a warm re-invocation rebuilds the SAME
     // plan, so the cache serves it directly. The r7 localCheckpoint
@@ -346,7 +346,7 @@ object Curation {
     // no-second-cache-generation invariant that makes warm cheap.
     val s1 = docs.select(lower(trim($"text")).as("norm"), $"doc_id")
       .groupBy($"norm").agg(min($"doc_id").as("doc_id"))
-      .select($"doc_id").cache()
+      .select($"doc_id").cacheOnce()
     def survivors(prev: DataFrame, pairs: DataFrame): DataFrame = {
       val dropped = pairs
         .join(prev.select($"doc_id".as("id_a")), Seq("id_a"), "left_semi")
@@ -356,7 +356,7 @@ object Curation {
     }
     val s2 = survivors(s1,
       Similarity.dedupMinhashLsh(spark, sfDir).select($"id_a", $"id_b"))
-      .cache()
+      .cacheOnce()
     val s3 = survivors(s2,
       Similarity.dedupEmbeddingCosine(spark, sfDir)
         .select($"id_a".cast("long").as("id_a"), $"id_b".cast("long").as("id_b")))

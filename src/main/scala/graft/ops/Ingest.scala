@@ -81,7 +81,7 @@ object Ingest {
     * the logical plan, so repeated calls for the same sfDir share one
     * in-memory relation instead of re-running the window + join. */
   def classified(spark: SparkSession, sfDir: String): DataFrame =
-    classifyStaged(itemsRaw(spark, sfDir), existingKeys(spark, sfDir)).cache()
+    classifyStaged(itemsRaw(spark, sfDir), existingKeys(spark, sfDir)).cacheOnce()
 
   /** The full reference pipeline over ANY staged upload: `raw` must carry
     * (line_id, external_id_raw, name_raw, quantity_raw, expiry_raw,

@@ -691,7 +691,7 @@ object Relational {
       .groupBy($"event_type")
       .agg(hll_sketch_agg($"user_id", lit(12)).as("sk"),
         countDistinct($"user_id").as("exact_nd"))
-      .cache()
+      .cacheOnce()
     val per = sk.select($"event_type", $"exact_nd",
       inBounds(hll_sketch_estimate($"sk"), $"exact_nd"))
     val merged = sk.agg(
@@ -723,7 +723,7 @@ object Relational {
     val sk = ev.groupBy($"event_type")
       .agg(hll_sketch_agg($"user_id", lit(12)).as("sk"),
         countDistinct($"user_id").as("exact_nd"))
-      .cache()
+      .cacheOnce()
     val est = sk.as("a").join(sk.as("b"), $"a.event_type" < $"b.event_type")
       .select($"a.event_type".as("ta"), $"b.event_type".as("tb"),
         $"a.exact_nd".as("xa"), $"b.exact_nd".as("xb"),

@@ -428,7 +428,7 @@ object Similarity {
     * hash-matchable against the DuckDB twin.
     *
     * Deliberately UNCACHED — measured NEGATIVE (r12, same-lane git-stash
-    * A/B at sf0.1, 6-query lane): a plan-keyed `.cache()` on this shared
+    * A/B at sf0.1, 6-query lane): a plan-keyed `.cacheOnce()` on this shared
     * assignment — the [[minhashBands]] pattern, six consumers — read
     * FLAT in the shared pass (11.6 s cached vs 11.3 s uncached, within
     * the ±10% lane noise) and 37% WORSE alone-cold (13.3 vs 9.7 s
@@ -798,7 +798,7 @@ object Similarity {
     * variant: lazy is faster on every consumer (minhash cold
     * 1.6→1.1 s). catalog.clearCache() frees it. */
   private[graft] def minhashBands(spark: SparkSession, sfDir: String): DataFrame =
-    minhashBandsOf(TextSim.rebalanceDocs(Tables.documents(spark, sfDir))).cache()
+    minhashBandsOf(TextSim.rebalanceDocs(Tables.documents(spark, sfDir))).cacheOnce()
 
   /** [[minhashBands]]'s signature pipeline over an arbitrary (doc_id,
     * text) frame — uncached, so synthetic-corpus specs exercise the exact
@@ -854,7 +854,7 @@ object Similarity {
     * corpus pass, and the pair self-join below the aggregate is already
     * deduped by ReuseExchange within the populating action. */
   private[graft] def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame =
-    bandedCandidates(minhashBands(spark, sfDir), BandDfCap).cache()
+    bandedCandidates(minhashBands(spark, sfDir), BandDfCap).cacheOnce()
 
   /** The banding equi-join with the hot-bucket cap. Bucket frequencies
     * are a partial-aggregating groupBy on (i, v) over the bands frame,
@@ -1054,7 +1054,7 @@ object Similarity {
     // SimilaritySpec pins this), and catalog.clearCache() frees it.
     // (The r5 variant added a second cached frame and a third action
     // here; measured ~4× slower — VERDICT r5 item 2.)
-    val sigs = simhashSigs(spark, sfDir).cache()
+    val sigs = simhashSigs(spark, sfDir).cacheOnce()
     sigs.count()
     val chunks = sigs
       .select($"doc_id", $"simhash", explode(sequence(lit(0), lit(2))).as("i"))
@@ -1369,7 +1369,7 @@ object Similarity {
       .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
         $"a.n_grams".as("na"), $"b.n_grams".as("nb"))
       .agg(count(lit(1)).as("inter"))
-      .cache()
+      .cacheOnce()
   }
 
   /** Exact n-gram Jaccard for same-source candidate pairs: df-capped
@@ -1577,7 +1577,7 @@ object Similarity {
     val base = Tables.embeddings(spark, sfDir)
       .select($"vec_id", transform($"embedding".cast("array<double>"),
         x => round(x * 1e6).cast("long")).as("u"))
-      .cache()
+      .cacheOnce()
     def d2(c: Array[Long]): Column =
       aggregate(zip_with($"u", typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, x) => acc + x)

@@ -96,7 +96,7 @@ object TextSim {
     * exactly once, in [[rebalanceDocs]]' doc_id repartition; the chunk
     * build then groups on (doc_id, cid), which the doc_id hash
     * partitioning already satisfies — no exchange. The frame is
-    * plan-keyed `.cache()`d (an InMemoryRelation PRESERVES the doc_id
+    * plan-keyed `.cacheOnce()`d (an InMemoryRelation PRESERVES the doc_id
     * partitioning where a localCheckpoint's LogicalRDD would report
     * UnknownPartitioning and force every downstream aggregate to
     * re-shuffle the text). Document frequency is counted on
@@ -119,7 +119,7 @@ object TextSim {
         expr("transform(array_sort(collect_list(struct(i0, w))), s -> s.w)"))
         .as("chunk"))
       .withColumn("h", xxhash64($"chunk"))
-      .cache()
+      .cacheOnce()
     val hot = chunks.groupBy($"h")
       .agg(countDistinct($"doc_id").as("df"))
       .filter($"df" > LineDfCap)
@@ -245,7 +245,7 @@ object TextSim {
     // long-lived session reuse ONE snapshot instead of accumulating
     // per-call checkpoint blocks, and catalog.clearCache() frees it;
     // materializing it here lets the tf cache drop inside the operator
-    val mat = core.cache()
+    val mat = core.cacheOnce()
     mat.count()
     // tf deliberately NOT unpersisted (r10): it is the shared session
     // token table; the family-boundary clearCache frees it
@@ -292,7 +292,7 @@ object TextSim {
       .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
       .groupBy($"doc_id", $"lang", $"tok")
       .agg(count(lit(1)).as("tf"))
-      .cache()
+      .cacheOnce()
   }
 
   /** Pre-checkpoint plan of [[textLangid]], exposed so PlanSpec can pin
@@ -612,7 +612,7 @@ object TextSim {
     val (_, core) = lmScoreCore(spark, sfDir)
     // plan-keyed cache, not localCheckpoint — see textLangid; the shared
     // tf table stays cached for the family (r10)
-    val mat = core.cache()
+    val mat = core.cacheOnce()
     mat.count()
     mat.orderBy($"doc_id")
   }
@@ -789,7 +789,7 @@ object TextSim {
     // plan-keyed cache of the ≤100-row result (the langid recipe);
     // repeat invocations reuse ONE snapshot and clearCache() frees it —
     // the shared tf table stays cached for the family (r10)
-    val mat = core.cache()
+    val mat = core.cacheOnce()
     mat.count()
     mat.orderBy($"tfidf".desc, $"doc_id", $"tok")
   }

@@ -86,7 +86,7 @@ object UploadService {
           col("expiryDate").as("expiry_raw"),
           (col("externalId").isNotNull && col("name").isNotNull &&
             col("quantity").isNotNull && col("expiryDate").isNotNull).as("arity_ok"))
-      val classified = Ingest.classifyStaged(raw, existing).cache()
+      val classified = Ingest.classifyStaged(raw, existing).cacheOnce()
       val (counted, detach) = Progress.instrumented(classified, jobId, statusStore)
       try {
         statusStore.update(jobId, Progress.Status("PROCESSING", "classifying", 0L, -1L))

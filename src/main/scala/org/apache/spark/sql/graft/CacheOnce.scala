@@ -1,0 +1,28 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Idempotent `.cache()`: mark the frame cached only if its normalized
+  * plan is not already in the session's CacheManager.
+  *
+  * The repo's shared intermediates (the tf token table, the minhash
+  * bands, the simhash signatures, …) are PLAN-KEYED caches: every
+  * consumer rebuilds the same logical plan and calls `.cache()`, relying
+  * on CacheManager's plan matching to reuse the one InMemoryRelation.
+  * That reuse works, but each re-cache of an already-cached plan logs
+  * `WARN CacheManager: Asked to cache already cached data.` — 23 lines
+  * per full board pass (r13 judge item 5). Checking `lookupCachedData`
+  * first is the same plan-normalization lookup `cacheQuery` itself runs,
+  * so behavior is identical minus the noise.
+  *
+  * Lives under `org.apache.spark.sql` because `sharedState`/
+  * `cacheManager`/`classic.Dataset` are `private[sql]`.
+  */
+object CacheOnce {
+  def apply(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    if (ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds).isEmpty)
+      df.cache()
+    df
+  }
+}
