@@ -4273,6 +4273,56 @@ object Oracle {
         |          ORDER BY ts DESC, event_id DESC) AS rn FROM e)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
+    // State-source audit over the STREAM-STREAM JOIN buffers: both
+    // sides of the click→purchase join read back via joinSide. Buffered
+    // = rows whose match window the final watermark W = min(max
+    // click_ts, max purchase_ts) − 1 h (ms floor) has not closed: a
+    // click while click_ts + 1 h > W, a purchase while purchase_ts > W —
+    // the complement of the outer-join family's pinned expiry ≤ W
+    // cutoff, solved per side from the same time-range condition.
+    "scan_state_join" ->
+      """WITH c AS (SELECT user_id, event_id, ts FROM events
+        |    WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, ts FROM events
+        |    WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(epoch_ms(ts)) FROM c),
+        |    (SELECT max(epoch_ms(ts)) FROM p)) - 3600000 AS w_ms)
+        |SELECT 'left' AS side, user_id, event_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+        | strftime(ts + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS open_until
+        |FROM c, wm WHERE epoch_ms(ts) + 3600000 > wm.w_ms
+        |UNION ALL
+        |SELECT 'right' AS side, user_id, event_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS open_until
+        |FROM p, wm WHERE epoch_ms(ts) > wm.w_ms
+        |ORDER BY side, user_id, event_id""".stripMargin,
+
+    // State-source audit over the WINDOWED-AGG store: the OPEN windows
+    // the append-mode tumbling query is withholding = the tumbling
+    // census restricted to end > W — the exact complement of
+    // stream_tumbling's seal cutoff (emitted ⊕ buffered = full census).
+    "scan_state_window" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS h FROM events)
+        |SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))::DOUBLE AS sum_value
+        |FROM events, wm
+        |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' > wm.h
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    // State-source audit over the DEDUP store: ids whose entry the
+    // final watermark W = max(epoch_ms(ts)) − 1 h has not expired —
+    // expiry (event time + 1 h, µs as stored) strictly above W·1000.
+    "scan_state_dedup" ->
+      """WITH wm AS (SELECT (max(epoch_ms(ts)) - 3600000) * 1000 AS w_us
+        |    FROM events)
+        |SELECT event_id,
+        | strftime(make_timestamp(epoch_us(ts) + 3600000000), '%Y-%m-%d %H:%M:%S') AS expires_at
+        |FROM events, wm
+        |WHERE epoch_us(ts) + 3600000000 > wm.w_us
+        |ORDER BY event_id""".stripMargin,
+
     // State-source audit over LIST state: the RecentProcessor top-3
     // lists read back flattened — single batch ⇒ the persisted list is
     // the final top-3 per user, stream_tws_topk's rank-window census.

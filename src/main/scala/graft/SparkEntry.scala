@@ -369,6 +369,9 @@ object SparkEntry {
     "scan_state_timers"     -> Streaming.scanStateTimers _,
     "scan_state_changes"    -> Streaming.scanStateChanges _,
     "scan_state_asof"       -> Streaming.scanStateAsof _,
+    "scan_state_join"       -> Streaming.scanStateJoin _,
+    "scan_state_window"     -> Streaming.scanStateWindow _,
+    "scan_state_dedup"      -> Streaming.scanStateDedup _,
     "stream_resume"         -> Streaming.streamResume _,
     "stream_quota_reset"    -> Streaming.streamQuotaReset _,
     // -- SQL API entry point
