@@ -4021,6 +4021,16 @@ object Oracle {
         |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= wm.h
         |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
 
+    // Update-mode dashboard: every touched (window, type) emits its
+    // UPDATED total each batch; keep-latest collapse recovers the FULL
+    // tumbling census, unsealed windows included — no watermark cutoff
+    // (that's the append trio's contract; this pins the eager one).
+    "stream_update_windows" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))::DOUBLE AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
     // Same seal cutoff on the overlapping 1h/30min windows: a window
     // [start, start+1h) is emitted iff start + 1h ≤ W.
     "stream_sliding" ->

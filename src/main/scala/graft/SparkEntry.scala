@@ -345,6 +345,7 @@ object SparkEntry {
     "anomaly_mad"         -> Curation.anomalyMad _,
     // -- streaming (batch-declared oracle forms + true streaming runners)
     "stream_tumbling"       -> Streaming.streamTumbling _,
+    "stream_update_windows" -> Streaming.streamUpdateWindows _,
     "stream_sliding"        -> Streaming.streamSliding _,
     "stream_session"        -> Streaming.streamSession _,
     "stream_latest_status"  -> Streaming.streamLatestStatus _,

@@ -477,6 +477,52 @@ object Streaming {
       .orderBy($"win_start", $"event_type")
   }
 
+  /** UPDATE-mode tumbling dashboard (r14 — the one output mode the board
+    * didn't exercise): the same watermarked 1-hour aggregation as
+    * [[streamTumbling]], but emitting the UPDATED (window, type) totals
+    * every micro-batch — the live-dashboard shape, where a consumer wants
+    * running counts long before the watermark seals a window. File sinks
+    * are append-only, so the update stream lands via foreachBatch, each
+    * batch appending its snapshots; the batch-side keep-latest collapse
+    * (max(struct(n, …)) — n strictly grows per (window, type) emission)
+    * recovers the final totals. Because update mode emits on every touch
+    * rather than once at seal, the recovered census is the FULL batch
+    * aggregation — unsealed windows included, at their true final totals
+    * (time-contiguity: a window's last emission happens after its last
+    * event) — which is exactly the no-cutoff SQL the oracle runs; the
+    * append-mode trio pins the seal contract, THIS pins the eager one.
+    * The watermark still bounds state: sealed windows are evicted batch
+    * by batch, so the store holds only open windows — without it an
+    * update-mode agg grows O(all windows ever), the 100 TB failure mode.
+    * Scale: one shuffle on (window, type); per-batch sink writes are
+    * O(touched groups). */
+  def streamUpdateWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratchDir()
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions",
+      math.min(spark.conf.get("spark.sql.shuffle.partitions").toInt, 8).toString)
+    val q = stagedTumblingAgg(child, sfDir)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(s"$dir/out")
+      }.start()
+    q.awaitTermination()
+    require(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "multi-batch contract: the update stream must run >= 3 data micro-batches")
+    org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+    deleteRec(new java.io.File(s"$dir/chk"))
+    liveOuts.add(s"$dir/out"): Unit
+    spark.read.parquet(s"$dir/out")
+      .groupBy($"window", $"event_type")
+      .agg(max(struct($"n", $"sum_value")).as("s"))
+      .select(date_format($"window.start", tsFmt).as("win_start"),
+        $"event_type", $"s.n".as("n"), $"s.sum_value".as("sum_value"))
+      .orderBy($"win_start", $"event_type")
+  }
+
   /** Session windows, 30-minute gap, per user (session_window merges
     * events closer than the gap; end of session = last event + gap), run
     * as a REAL streaming job over ≥3 micro-batches (r14): unsealed
