@@ -82,8 +82,15 @@ class ResampleSpec extends SparkSuite {
 
   test("win_sessionize and session_window produce identical session sets") {
     // two independent mechanisms — Spark's native session_window operator
-    // vs the gaps-and-islands window composition — must agree exactly
-    val native = graft.ops.Streaming.streamSession(spark, sfDir)
+    // (batch mode: the full census; the r14 STREAMING stream_session is
+    // the watermark-SEALED subset, pinned in StreamingSpec) vs the
+    // gaps-and-islands window composition — must agree exactly
+    import org.apache.spark.sql.functions.{count, date_format, lit, max, min, session_window}
+    val native = Tables.events(spark, sfDir)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(max($"ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
       .select($"user_id", $"first_ts", $"last_ts", $"n_events")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSet
