@@ -881,14 +881,17 @@ object Streaming {
     * size-dependent choice.) The
     * enriched stream lands in a file sink; the segment rollup happens
     * batch-side on the read-back, so the end result is deterministic and
-    * oracle-checkable (one AvailableNow batch ⇒ stream result ≡ batch
-    * join, which is the SQL the oracle runs). */
+    * oracle-checkable. Runs as ≥3 REAL micro-batches (r14): the static
+    * side is genuinely re-broadcast per batch — the stream-static
+    * contract — and the union of per-batch join outputs equals the batch
+    * join for a stateless equi-join regardless of batching, so the SQL
+    * oracle is unchanged. */
   def streamJoinStatic(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    runToParquet(spark) { session =>
+    runToParquet(spark, minDataBatches = 3) { session =>
       val static = Tables.customer(session, sfDir)
         .select(col("c_custkey"), col("c_mktsegment"))
-      eventsStream(session, sfDir)
+      stagedEventsStream(session, sfDir, 3)
         .select(col("user_id"), col("event_id"), col("value"))
         .join(broadcast(static), col("user_id") === col("c_custkey"))
     }
@@ -907,25 +910,16 @@ object Streaming {
     * `purchase_ts` itself (the condition's `click_ts ≤ purchase_ts`
     * means a future in-watermark click can only match while
     * `purchase_ts ≥ W`); matched rows emit eagerly like the inner join.
-    * Boundary `expiry ≤ W`, the pinned outer rule. Scale: state
+    * Boundary `expiry ≤ W`, the pinned outer rule. Runs as ≥3 REAL
+    * micro-batches over time-contiguous staging (r14): null-extensions
+    * flush batch by batch as the watermark passes each expiry, and the
+    * emitted set still equals the final-W cutoff the oracle replays
+    * (see [[stagedOuterClickPurchaseJoin]]). Scale: state
     * O(open match windows) on both sides, same shuffle-on-user plan. */
   def streamJoinRightOuter(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    runToParquet(spark) { session =>
-      val ev = eventsStream(session, sfDir)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-          col("ts").as("click_ts"))
-        .withWatermark("click_ts", "1 hour")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-          col("ts").as("purchase_ts"), col("value"))
-        .withWatermark("purchase_ts", "1 hour")
-      clicks.join(purchases,
-        col("c_user") === col("p_user") &&
-          col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"),
-        "rightOuter")
+    runToParquet(spark, minDataBatches = 3) { session =>
+      stagedOuterClickPurchaseJoin(session, sfDir, "rightOuter")
     }
       .groupBy($"p_user".as("user_id"))
       .agg(count(lit(1)).as("n_rows"),
@@ -987,6 +981,34 @@ object Streaming {
         col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
   }
 
+  /** [[stagedClickPurchaseJoin]] with an outer join type — the shared
+    * ≥3-micro-batch build of the outer-join expiry family (r14: the
+    * outers join the multi-batch set; the emitted set — matches eagerly,
+    * null-extensions in the batch whose watermark passes each expiry —
+    * still equals the final-watermark-cutoff oracle, because
+    * time-contiguity forbids a post-expiry in-window match: a click
+    * expired at batch k's watermark has click_ts + 1 h ≤ W_k, and every
+    * later purchase is younger than W_k + delay, hence outside the
+    * window; symmetrically for purchases). */
+  private def stagedOuterClickPurchaseJoin(session: SparkSession,
+                                           sfDir: String,
+                                           joinType: String): DataFrame = {
+    val ev = stagedEventsStream(session, sfDir, 3)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"),
+      joinType)
+  }
+
   /** Watermarked stream-stream LEFT OUTER join (r10 judge ask): the same
     * click→purchase attribution as [[streamStreamJoin]], but clicks that
     * never convert are emitted too — as null-extensions, WHEN the
@@ -995,11 +1017,13 @@ object Streaming {
     * emitted eagerly (a match may still arrive), so Spark holds the click
     * in state and null-extends it only once the global watermark (min
     * over both sides' `max(event_ts) − 1 h`, the default
-    * multipleWatermarkPolicy) proves `click_ts + 1 h` unreachable. Under
-    * one AvailableNow data batch the watermark advances at batch end and
-    * the trailing no-data batch flushes the evictions — so the streamed
-    * result is the batch left join RESTRICTED to expired clicks on the
-    * null side: unmatched clicks young enough to still convert stay in
+    * multipleWatermarkPolicy) proves `click_ts + 1 h` unreachable. Runs
+    * as ≥3 REAL micro-batches (r14): the watermark advances batch by
+    * batch and each batch's no-longer-reachable clicks null-extend then —
+    * so the streamed result is the batch left join RESTRICTED to clicks
+    * expired by the FINAL watermark (time-contiguity forbids a
+    * post-expiry in-window match, [[stagedOuterClickPurchaseJoin]]):
+    * unmatched clicks young enough to still convert stay in
     * state, withheld, exactly as a live deployment would withhold them.
     * The oracle replays that cutoff; StreamingSpec pins the expiry
     * boundary itself (emitted ⊕ withheld partitions the unmatched set).
@@ -1007,21 +1031,8 @@ object Streaming {
     * watermarks — the same shuffle-on-user plan as the inner join. */
   def streamJoinLeftOuter(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    runToParquet(spark) { session =>
-      val ev = eventsStream(session, sfDir)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-          col("ts").as("click_ts"))
-        .withWatermark("click_ts", "1 hour")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-          col("ts").as("purchase_ts"), col("value"))
-        .withWatermark("purchase_ts", "1 hour")
-      clicks.join(purchases,
-        col("c_user") === col("p_user") &&
-          col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"),
-        "leftOuter")
+    runToParquet(spark, minDataBatches = 3) { session =>
+      stagedOuterClickPurchaseJoin(session, sfDir, "leftOuter")
     }
       .groupBy($"c_user".as("user_id"))
       .agg(count(lit(1)).as("n_rows"),
@@ -1044,26 +1055,15 @@ object Streaming {
     * side's expiry bound is derived from the SAME time-range condition,
     * just solved for the other side's variable — so the streamed result
     * is the batch full join RESTRICTED by the watermark cutoff on BOTH
-    * null sides (boundary `expiry ≤ W`, the r11-pinned outer-join rule).
+    * null sides (boundary `expiry ≤ W`, the r11-pinned outer-join rule);
+    * ≥3 real micro-batches since r14, cutoff unchanged
+    * ([[stagedOuterClickPurchaseJoin]]).
     * Scale: state O(open match windows) on both sides, same
     * shuffle-on-user plan as the inner join. */
   def streamJoinFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    runToParquet(spark) { session =>
-      val ev = eventsStream(session, sfDir)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-          col("ts").as("click_ts"))
-        .withWatermark("click_ts", "1 hour")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-          col("ts").as("purchase_ts"), col("value"))
-        .withWatermark("purchase_ts", "1 hour")
-      clicks.join(purchases,
-        col("c_user") === col("p_user") &&
-          col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"),
-        "fullOuter")
+    runToParquet(spark, minDataBatches = 3) { session =>
+      stagedOuterClickPurchaseJoin(session, sfDir, "fullOuter")
     }
       .groupBy(coalesce($"c_user", $"p_user").as("user_id"))
       .agg(count(lit(1)).as("n_rows"),
@@ -1798,13 +1798,15 @@ object Streaming {
     * watermark window). The API's re-admission boundary — a duplicate
     * arriving after its original's entry expired is emitted AGAIN — is
     * pinned by the StreamingSpec eviction test; it cannot bind here
-    * (event_ids are unique in `events`, and a single AvailableNow batch
-    * dedups against a store nothing has expired from), so the emitted
-    * set — and the SQL oracle — is unchanged from the r12 query. */
+    * (event_ids are unique in `events`, so nothing ever re-admits even
+    * though the ≥3-batch run — r14 — genuinely evicts entries batch by
+    * batch as the watermark passes them; `scan_state_dedup` reads the
+    * survivors), so the emitted set — and the SQL oracle — is unchanged
+    * from the r12 query. */
   def streamDedupState(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    runToParquet(spark) { session =>
-      eventsStream(session, sfDir)
+    runToParquet(spark, minDataBatches = 3) { session =>
+      stagedEventsStream(session, sfDir, 3)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
     }
