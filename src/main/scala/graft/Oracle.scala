@@ -4321,6 +4321,33 @@ object Oracle {
         |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' > wm.h
         |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
 
+    // State-source audit over SESSION-WINDOW state: the UNSEALED
+    // sessions the append-mode session query is withholding, with their
+    // in-flight (count, min, max) buffers — the exact complement of
+    // stream_session's seal cutoff (µs boundary, ms-floored watermark).
+    "scan_state_session" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+        |ordered AS (
+        | SELECT user_id, ts, us,
+        |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         >= INTERVAL '30 minutes' OR
+        |       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |  THEN 1 ELSE 0 END AS new_session
+        | FROM e),
+        |islands AS (
+        | SELECT user_id, ts, us,
+        |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM ordered),
+        |wm AS (SELECT (max(epoch_ms(ts)) - 600000) * 1000 AS w_us FROM events)
+        |SELECT user_id,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+        | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+        | COUNT(*) AS n_events
+        |FROM islands, wm GROUP BY user_id, session_id, wm.w_us
+        |HAVING max(us) + 1800000000 > wm.w_us
+        |ORDER BY user_id, first_ts""".stripMargin,
+
     // State-source audit over the DEDUP store: ids whose entry the
     // final watermark W = max(epoch_ms(ts)) − 1 h has not expired —
     // expiry (event time + 1 h, µs as stored) strictly above W·1000.

@@ -373,6 +373,7 @@ object SparkEntry {
     "scan_state_join"       -> Streaming.scanStateJoin _,
     "scan_state_window"     -> Streaming.scanStateWindow _,
     "scan_state_dedup"      -> Streaming.scanStateDedup _,
+    "scan_state_session"    -> Streaming.scanStateSession _,
     "stream_resume"         -> Streaming.streamResume _,
     "stream_quota_reset"    -> Streaming.streamQuotaReset _,
     // -- SQL API entry point

@@ -539,16 +539,24 @@ object Streaming {
   def streamSession(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     runToParquet(spark, minDataBatches = 3) { s =>
-      stagedEventsStream(s, sfDir, 3)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          date_format(min(col("ts")), tsFmt).as("first_ts"),
-          date_format(max(col("ts")), tsFmt).as("last_ts"))
+      stagedSessionAgg(s, sfDir)
     }
       .select($"user_id", $"first_ts", $"last_ts", $"n_events")
       .orderBy($"user_id", $"first_ts")
   }
+
+  /** The staged ≥3-micro-batch session aggregation shared by
+    * [[streamSession]] (emitted side) and [[scanStateSession]] (buffered
+    * side). min/max land in the agg buffer as raw timestamps, so the
+    * state reader can decode them; the emitted side formats on select. */
+  private def stagedSessionAgg(session: SparkSession,
+                               sfDir: String): DataFrame =
+    stagedEventsStream(session, sfDir, 3)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), tsFmt).as("first_ts"),
+        date_format(max(col("ts")), tsFmt).as("last_ts"))
 
   /** Latest event per user — the reference's polled job-status table
     * (latest Status per jobId) in batch form. */
@@ -1405,6 +1413,32 @@ object Streaming {
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
     }.orderBy($"event_id")
+  }
+
+  /** The statestore reader over SESSION-WINDOW state (r14): runs the same
+    * ≥3-batch `session_window` aggregation as [[streamSession]], then
+    * reads the session store back — key = (user, session start), value =
+    * the merged window bounds plus the in-flight (count, min, max)
+    * buffer. The rows are exactly the UNSEALED sessions the append-mode
+    * query is withholding — still extendable or mergeable by an
+    * in-watermark event — so emitted (`stream_session`) ⊕ buffered (this)
+    * partitions the full sessionization; `scan_state_timers` answers the
+    * same question for the hand-rolled TWS processor, THIS answers it
+    * for the native operator (with the in-flight aggregates, which the
+    * timer census can't show). Oracle: the gaps-and-islands sessions
+    * with `last_us + gap_us > W·1000` — the exact complement of
+    * `stream_session`'s seal cutoff; batch-count-invariant under
+    * time-contiguous staging. Scale: state O(open sessions). */
+  def scanStateSession(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runAndScanState(spark, Map.empty, Seq(
+        col("key.user_id").as("user_id"),
+        date_format(col("value.min"), tsFmt).as("first_ts"),
+        date_format(col("value.max"), tsFmt).as("last_ts"),
+        col("value.count").as("n_events")),
+      minDataBatches = 3) { session =>
+      stagedSessionAgg(session, sfDir)
+    }.orderBy($"user_id", $"first_ts")
   }
 
 

@@ -758,6 +758,49 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("update-mode windowed agg re-emits a touched window with its grown total") {
+    // pins what stream_update_windows' oracle alone can't see: update
+    // mode emits a window EVERY batch that touches it (the dashboard
+    // contract — running totals before the seal), with the cumulative
+    // count, and the keep-latest collapse (max by n) recovers the final
+    // value. Window A is touched in batches 1 AND 2 (n=2 then n=3) —
+    // two emissions, strictly growing; window B emits once.
+    val session = spark.newSession()
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Timestamp)]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val q = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val rows = batch
+          .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss"), $"n")
+          .collect().map(r => (batchId, r.getString(0), r.getLong(1)))
+        emitted.synchronized { emitted ++= rows }: Unit
+      }.start()
+    try {
+      input.addData((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:20:00")))
+      q.processAllAvailable() // window A [10:00,11:00) touched: n=2
+      input.addData((3L, t("2024-01-01 10:40:00")), (4L, t("2024-01-01 11:30:00")))
+      q.processAllAvailable() // A touched again (n=3) + window B (n=1)
+      // batch ids need not be contiguous (no-data batches advance the
+      // watermark in between); what's pinned is: two emissions for A,
+      // from two DIFFERENT batches, totals strictly growing 2 → 3
+      val a = emitted.synchronized(emitted.filter(_._2 == "2024-01-01 10:00:00").toList)
+        .sortBy(_._1)
+      assert(a.size == 2 && a(0)._1 < a(1)._1 &&
+          a.map(_._3) == List(2L, 3L),
+        s"window A must re-emit with the grown total, got $a")
+      val collapsed = emitted.synchronized(
+        emitted.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap)
+      assert(collapsed == Map("2024-01-01 10:00:00" -> 3L, "2024-01-01 11:00:00" -> 1L),
+        s"keep-latest collapse must recover the final census, got $collapsed")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert absorbs an at-least-once replay without double-counting") {
     // r13 judge item 3: crash INSIDE foreachBatch for batch 1 — after its
     // sink write (state_v1 exists) but before the commit — then restart
