@@ -435,22 +435,31 @@ object Streaming {
     * emitted set batch-count-invariant (the [[streamWatermarkLate]]
     * argument verbatim: no event arrives behind the watermark, and the
     * final watermark equals the single-batch run's). */
-  def streamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamTumbling(spark: SparkSession, sfDir: String): DataFrame =
+    streamTumblingParts(spark, sfDir, 3)
+
+  /** [[streamTumbling]] with the staging part count as a dial — the
+    * batch-count-invariance claim quantifies over ANY contiguous
+    * batching, and StreamingSpec pins it mechanically by running the
+    * same query at two different part counts and asserting identical
+    * results. */
+  private[graft] def streamTumblingParts(spark: SparkSession, sfDir: String,
+                                         parts: Int): DataFrame = {
     import spark.implicits._
-    runToParquet(spark, minDataBatches = 3) { s =>
-      stagedTumblingAgg(s, sfDir)
+    runToParquet(spark, minDataBatches = parts) { s =>
+      stagedTumblingAgg(s, sfDir, parts)
     }
       .select(date_format($"window.start", tsFmt).as("win_start"),
         $"event_type", $"n", $"sum_value")
       .orderBy($"win_start", $"event_type")
   }
 
-  /** The staged ≥3-micro-batch tumbling aggregation shared by
-    * [[streamTumbling]] (emitted side) and [[scanStateWindow]] (buffered
-    * side). */
-  private def stagedTumblingAgg(session: SparkSession,
-                                sfDir: String): DataFrame =
-    stagedEventsStream(session, sfDir, 3)
+  /** The staged multi-batch tumbling aggregation shared by
+    * [[streamTumbling]] (emitted side), [[scanStateWindow]] (buffered
+    * side) and [[streamUpdateWindows]] (eager side). */
+  private def stagedTumblingAgg(session: SparkSession, sfDir: String,
+                                parts: Int = 3): DataFrame =
+    stagedEventsStream(session, sfDir, parts)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),

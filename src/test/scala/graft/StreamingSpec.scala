@@ -47,6 +47,18 @@ class StreamingSpec extends SparkSuite {
     assert(got == sealedSet)
   }
 
+  test("tumbling window: the emitted set is invariant to the batch count") {
+    // the batch-count-invariance argument quantifies over ANY contiguous
+    // batching; pin it mechanically — the same query at 3 and 5 staged
+    // micro-batches yields IDENTICAL results (different watermark
+    // trajectories, same final watermark, same sealed set)
+    val at3 = Streaming.streamTumblingParts(spark, sfDir, 3)
+      .collect().map(_.toSeq).toSeq
+    val at5 = Streaming.streamTumblingParts(spark, sfDir, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(at3 == at5, "sealed set must not depend on the batch count")
+  }
+
   test("sliding window: streamed result = batch windows sealed by the watermark") {
     val got = Streaming.streamSliding(spark, sfDir)
       .collect().map(_.toSeq).toSet
