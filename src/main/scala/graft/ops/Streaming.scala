@@ -503,6 +503,10 @@ object Streaming {
     * The watermark still bounds state: sealed windows are evicted batch
     * by batch, so the store holds only open windows — without it an
     * update-mode agg grows O(all windows ever), the 100 TB failure mode.
+    * Replay-safe by construction (r14 self-review): foreachBatch is
+    * at-least-once, and a retried batch appends its snapshot rows AGAIN —
+    * but the keep-latest collapse is a max over (window, type), so
+    * duplicate appends are absorbed without a batch-id dedup step.
     * Scale: one shuffle on (window, type); per-batch sink writes are
     * O(touched groups). */
   def streamUpdateWindows(spark: SparkSession, sfDir: String): DataFrame = {
