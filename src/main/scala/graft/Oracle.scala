@@ -4321,6 +4321,20 @@ object Oracle {
         |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' > wm.h
         |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
 
+    // Checkpoint discovery catalog: a pure function of the probed query
+    // SHAPE (two stateful operators over 3 staged data batches + the
+    // trailing no-data batch; state partitions pinned to 4 in-operator),
+    // so the oracle is the catalog literally.
+    "scan_state_meta" ->
+      """SELECT * FROM (VALUES
+        | (CAST(0 AS BIGINT), 'stateStoreSave', 'default',
+        |  CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(3 AS BIGINT)),
+        | (CAST(1 AS BIGINT), 'dedupeWithinWatermark', 'default',
+        |  CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(3 AS BIGINT)))
+        | t(operator_id, operator_name, store_name, num_partitions,
+        |   min_batch_id, max_batch_id)
+        |ORDER BY operator_id""".stripMargin,
+
     // State-source audit over SESSION-WINDOW state: the UNSEALED
     // sessions the append-mode session query is withholding, with their
     // in-flight (count, min, max) buffers — the exact complement of

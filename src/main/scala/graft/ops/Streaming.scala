@@ -1136,7 +1136,8 @@ object Streaming {
       spark: SparkSession,
       reads: Seq[(Map[String, String], Seq[org.apache.spark.sql.Column])],
       extraConf: Map[String, String] = Map.empty,
-      minDataBatches: Int = 0)
+      minDataBatches: Int = 0,
+      readFormat: String = "statestore")
       (build: SparkSession => DataFrame): DataFrame = {
     val dir = scratchDir()
     val child = spark.newSession()
@@ -1158,7 +1159,7 @@ object Streaming {
     org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
     reads.foreach { case (readOpts, decode) =>
       readOpts.foldLeft(
-          child.read.format("statestore").option("path", s"$dir/chk")) {
+          child.read.format(readFormat).option("path", s"$dir/chk")) {
           case (r, (k, v)) => r.option(k, v)
         }.load()
         .select(decode: _*)
@@ -1398,6 +1399,41 @@ object Streaming {
       minDataBatches = 3) { session =>
       stagedTumblingAgg(session, sfDir)
     }.orderBy($"win_start", $"event_type")
+  }
+
+  /** Checkpoint DISCOVERY via the `state-metadata` data source (r14):
+    * what stateful operators live in this checkpoint, which stores each
+    * holds, how many state partitions, and the batch range the
+    * checkpoint can serve — the question an operator answers FIRST,
+    * before any `scan_state_*` content read (every reader needs the
+    * operator/store/batch coordinates this source provides). The probed
+    * query is deliberately MULTI-operator (watermarked dedup feeding a
+    * windowed agg — two stateful operators, two stores) so the catalog
+    * genuinely enumerates, and its state partition count is PINNED to 4
+    * in-operator (state partitioning is a per-query capacity decision;
+    * pinning makes the audit a pure function of the query shape, not of
+    * the session it happens to run on). Oracle: the catalog literally —
+    * two rows of literals: operator ids/names, store names, 4
+    * partitions, batches 0..3 (three staged data batches + the trailing
+    * no-data batch that flushes the final watermark's evictions). */
+  def scanStateMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runAndScanStateReads(spark, Seq((Map.empty[String, String], Seq(
+        col("operatorId").as("operator_id"),
+        col("operatorName").as("operator_name"),
+        col("stateStoreName").as("store_name"),
+        col("numPartitions").cast("long").as("num_partitions"),
+        col("minBatchId").as("min_batch_id"),
+        col("maxBatchId").as("max_batch_id")))),
+      extraConf = Map("spark.sql.shuffle.partitions" -> "4"),
+      minDataBatches = 3,
+      readFormat = "state-metadata") { session =>
+      stagedEventsStream(session, sfDir, 3)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }.orderBy($"operator_id")
   }
 
   /** The statestore reader over DEDUP state (r14 — with value/map/list/
