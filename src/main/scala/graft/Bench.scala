@@ -156,8 +156,13 @@ object Bench {
     // surviving into the alone lane would point at a stopped context and
     // make Residue.swap's free() throw inside the lane's fresh session.
     // familyBoundary also sweeps target/stream — the stream family's
-    // consumed out-dirs must not outlive the pass (r12 judge #5).
+    // consumed out-dirs must not outlive the pass (r12 judge #5). The
+    // closing sweep additionally reclaims the pinned pair runs (r15),
+    // which family sweeps preserve — and clearing them HERE means the
+    // alone lane below re-times a pair member's full streaming run, not
+    // a parquet read of the shared pass's cached output.
     ops.Residue.familyBoundary(spark)
+    ops.Streaming.sweepAllScratch()
     spark.stop()
     // Print the shared-pass summary BEFORE the diagnostic run-alone lane:
     // if a lane rerun hangs (fresh SparkContext, streaming query), the
@@ -205,8 +210,9 @@ object Bench {
       // pass's summary line
       System.err.println(s"[bench-alone] $name failed: ${e.getMessage}"); None
     } }
-    // alone-lane stream queries leave out-dirs too — leave the pass clean
-    ops.Streaming.sweepScratch()
+    // alone-lane stream queries leave out-dirs (and pair runs) too —
+    // leave the pass clean
+    ops.Streaming.sweepAllScratch()
     val aloneJson = alone.map { case (k, c, w) =>
       s"\"" + k + "\":{\"cold\":" + ms(c) + ",\"warm\":" + ms(w) + "}"
     }.mkString("{", ",", "}")

@@ -4290,6 +4290,18 @@ object Oracle {
     // click while click_ts + 1 h > W, a purchase while purchase_ts > W —
     // the complement of the outer-join family's pinned expiry ≤ W
     // cutoff, solved per side from the same time-range condition.
+    // PRECISION CONVENTION (r15, r14 advice): this boundary compares at
+    // ms — epoch_ms(ts) + 3600000 — NOT µs like scan_state_dedup's,
+    // deliberately: each reader's cutoff must mirror its EMITTED-side
+    // twin so emitted ⊕ buffered partitions exactly. The join family's
+    // null-extension cutoff (stream_join_left/right/full_outer, pinned
+    // r10/r11) is `expiry ≤ W` at ms, so the buffer complement must be
+    // `expiry > W` at the SAME ms floor — a µs boundary here could
+    // double-count or drop a row within 1 ms of W against the emitted
+    // side. The dedup reader compares at µs because ITS store literally
+    // holds a µs expiry instant (expiresAtMicros) and its emitted twin
+    // has no expiry cutoff at all; the convention is per-pair, not
+    // global.
     "scan_state_join" ->
       """WITH c AS (SELECT user_id, event_id, ts FROM events
         |    WHERE event_type = 'click'),
@@ -4323,8 +4335,13 @@ object Oracle {
 
     // Checkpoint discovery catalog: a pure function of the probed query
     // SHAPE (two stateful operators over 3 staged data batches + the
-    // trailing no-data batch; state partitions pinned to 4 in-operator),
-    // so the oracle is the catalog literally.
+    // trailing no-data batch; state partitions pinned to 4 in-operator,
+    // and — r15, r14 advice — noDataMicroBatches pinned ON in-operator
+    // too, so the 0..3 batch range can't shift under a session default
+    // flip), so the oracle is the catalog literally. The operator names
+    // are Spark-version-coupled literals by design: the catalog IS the
+    // engine's nomenclature, and a Spark upgrade that renames operators
+    // should fail this audit loudly.
     "scan_state_meta" ->
       """SELECT * FROM (VALUES
         | (CAST(0 AS BIGINT), 'stateStoreSave', 'default',
@@ -4334,6 +4351,20 @@ object Oracle {
         | t(operator_id, operator_name, store_name, num_partitions,
         |   min_batch_id, max_batch_id)
         |ORDER BY operator_id""".stripMargin,
+
+    // Snapshot-anchored reconstruction: every partition of the tumbling
+    // agg store rebuilt from the forced leg-1 snapshot + leg-2 changelog
+    // replay, required equal in-operator to the direct read — so the
+    // board-checkable result is the same open-window complement census
+    // as scan_state_window (state at latest = windows with end > W).
+    "scan_state_snapshot" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS h FROM events)
+        |SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))::DOUBLE AS sum_value
+        |FROM events, wm
+        |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' > wm.h
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
 
     // State-source audit over SESSION-WINDOW state: the UNSEALED
     // sessions the append-mode session query is withholding, with their

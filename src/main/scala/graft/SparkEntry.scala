@@ -375,6 +375,7 @@ object SparkEntry {
     "scan_state_dedup"      -> Streaming.scanStateDedup _,
     "scan_state_session"    -> Streaming.scanStateSession _,
     "scan_state_meta"       -> Streaming.scanStateMeta _,
+    "scan_state_snapshot"   -> Streaming.scanStateSnapshot _,
     "stream_resume"         -> Streaming.streamResume _,
     "stream_quota_reset"    -> Streaming.streamQuotaReset _,
     // -- SQL API entry point

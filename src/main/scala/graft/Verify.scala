@@ -52,8 +52,10 @@ object Verify {
       ops.Residue.freeAll()
       }
     // closing boundary: the LAST family's caches and streaming scratch
-    // (target/stream out-dirs) must not outlive the pass (r12 judge #5)
+    // (target/stream out-dirs) must not outlive the pass (r12 judge #5);
+    // the closing sweep also reclaims the pinned pair runs (r15)
     ops.Residue.familyBoundary(spark)
+    ops.Streaming.sweepAllScratch()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

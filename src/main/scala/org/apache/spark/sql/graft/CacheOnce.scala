@@ -19,7 +19,16 @@ import org.apache.spark.sql.DataFrame
   * `cacheManager`/`classic.Dataset` are `private[sql]`.
   */
 object CacheOnce {
-  def apply(df: DataFrame): DataFrame = {
+  // lookup-then-cache is check-then-act: two threads building the same
+  // shared plan concurrently could both see an empty lookup and both
+  // call cache() — re-logging the exact WARN this shim exists to
+  // eliminate (CacheManager dedups internally, so never a correctness
+  // issue). Serializing the pair makes zero-WARN a hard invariant, not
+  // a sequential-board-only claim (r14 advice). The lock is coarse but
+  // cold: cacheOnce guards a handful of family-shared intermediates,
+  // each hit once per family pass.
+  private val lock = new Object
+  def apply(df: DataFrame): DataFrame = lock.synchronized {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
     if (ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds).isEmpty)
       df.cache()

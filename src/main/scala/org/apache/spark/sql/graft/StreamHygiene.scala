@@ -42,4 +42,42 @@ object StreamHygiene {
       s"unloadStateStores called with $active active streaming queries")
     StateStore.unloadAll()
   }
+
+  /** Run MAINTENANCE on — then close and drop — every loaded provider.
+    *
+    * Maintenance is what uploads a RocksDB FULL SNAPSHOT under changelog
+    * checkpointing: commits upload only the per-batch changelog, and the
+    * snapshot upload normally rides the async background task (default
+    * ~60 s interval), which a seconds-long AvailableNow run never
+    * reaches. Forcing it between two legs of a checkpointed query makes
+    * "a snapshot exists at the latest committed version" DETERMINISTIC —
+    * the precondition the snapshot-anchored partition reconstruction
+    * (`scan_state_snapshot`, the statestore source's
+    * `snapshotStartBatchId`/`snapshotPartitionId` repair surface) needs
+    * on every board run, with no timing dependence.
+    *
+    * The per-provider call is Spark's own public
+    * `StateStore.doMaintenanceAndUnload` (maintenance then close,
+    * synchronous); only the provider-id ENUMERATION goes through
+    * reflection, because the registry is object-private and Spark
+    * exposes no "list loaded providers" API. Same precondition as
+    * [[unloadStateStores]]: callers must have awaited termination. */
+  def maintainAndUnloadAll(): Unit = {
+    val sessions =
+      org.apache.spark.sql.SparkSession.getActiveSession.toSeq ++
+        org.apache.spark.sql.SparkSession.getDefaultSession.toSeq
+    val active = sessions.distinct.map(_.streams.active.length).sum
+    require(active == 0,
+      s"maintainAndUnloadAll called with $active active streaming queries")
+    val m = StateStore.getClass.getDeclaredMethod("loadedProviders")
+    m.setAccessible(true)
+    val reg = m.invoke(StateStore).asInstanceOf[
+      scala.collection.mutable.HashMap[
+        org.apache.spark.sql.execution.streaming.state.StateStoreProviderId,
+        org.apache.spark.sql.execution.streaming.state.StateStoreProvider]]
+    val ids = reg.synchronized { reg.keys.toList }
+    ids.foreach(StateStore.doMaintenanceAndUnload)
+    // belt-and-braces: anything loaded between enumeration and now
+    StateStore.unloadAll()
+  }
 }
