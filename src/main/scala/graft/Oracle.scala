@@ -2461,6 +2461,20 @@ object Oracle {
         |FROM r WHERE rn <= 3
         |ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
 
+    // observe()-transported gate: the same classified census as
+    // agg_job_counters plus integer-ppm failure rate and the PASS/FAIL
+    // verdict against the 10% error budget (100000 ppm). Integer //
+    // division mirrors Spark-side Long arithmetic exactly.
+    "quality_gate_observe" -> (ingestCte +
+      """SELECT processed, inserted, failed,
+        | (failed * 1000000) // processed AS failed_ppm,
+        | CASE WHEN (failed * 1000000) // processed <= 100000
+        |      THEN 'PASS' ELSE 'FAIL' END AS gate
+        |FROM (SELECT COUNT(*) AS processed,
+        |        COUNT(CASE WHEN error IS NULL THEN 1 END) AS inserted,
+        |        COUNT(CASE WHEN error IS NOT NULL THEN 1 END) AS failed
+        |      FROM classified) g""".stripMargin),
+
     "quality_expectations" ->
       """WITH n AS (SELECT COUNT(*) AS n_rows FROM orders),
         |u AS (
@@ -4267,6 +4281,32 @@ object Oracle {
         |FROM cum c JOIN lastb l ON l.user_id = c.user_id
         |  AND l.batch_id = c.batch_id AND l.rn = 1
         |ORDER BY batch_id, c.user_id""".stripMargin,
+
+    // BOUNDED change feed — batch 1's write set only: keys with events
+    // in the middle deterministic time third, each at its cumulative
+    // (count, latest-in-batch) as of cut 2 — the scan_state_changes
+    // oracle restricted to batch_id = 1.
+    "scan_state_feed_bounded" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |    FROM events),
+        |e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us, ts,
+        |        CASE WHEN epoch_us(ts) <= lo + (hi-lo)*1//3 THEN 0
+        |             WHEN epoch_us(ts) <= lo + (hi-lo)*2//3 THEN 1
+        |             ELSE 2 END AS batch_id
+        |      FROM events, b),
+        |m AS (SELECT DISTINCT user_id FROM e WHERE batch_id = 1),
+        |cum AS (SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        |        FROM e JOIN m USING (user_id) WHERE batch_id <= 1
+        |        GROUP BY e.user_id),
+        |lastb AS (SELECT user_id, ts, event_type,
+        |            row_number() OVER (PARTITION BY user_id
+        |              ORDER BY us DESC, event_id DESC) AS rn
+        |          FROM e WHERE batch_id = 1)
+        |SELECT CAST(1 AS BIGINT) AS batch_id, 'update' AS change_type,
+        |  c.user_id, c.n_events,
+        |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS last_ts, l.event_type
+        |FROM cum c JOIN lastb l ON l.user_id = c.user_id AND l.rn = 1
+        |ORDER BY c.user_id""".stripMargin,
 
     // State TIME TRAVEL: the store as of batch 0 = the census of events
     // at or below the first deterministic time cut.

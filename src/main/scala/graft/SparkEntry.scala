@@ -376,6 +376,8 @@ object SparkEntry {
     "scan_state_session"    -> Streaming.scanStateSession _,
     "scan_state_meta"       -> Streaming.scanStateMeta _,
     "scan_state_snapshot"   -> Streaming.scanStateSnapshot _,
+    "scan_state_feed_bounded" -> Streaming.scanStateFeedBounded _,
+    "quality_gate_observe"  -> Quality.qualityGateObserve _,
     "stream_resume"         -> Streaming.streamResume _,
     "stream_quota_reset"    -> Streaming.streamQuotaReset _,
     // -- SQL API entry point

@@ -1693,6 +1693,35 @@ object Streaming {
     }.orderBy($"batch_id", $"user_id")
   }
 
+  /** The BOUNDED state change feed (r15): `readChangeFeed` with BOTH
+    * `changeStartBatchId` AND `changeEndBatchId` — exactly the mutations
+    * batch 1 committed, nothing before or after. This is the incremental
+    * state-export surface `scan_state_changes` (full feed from 0) leaves
+    * open: a downstream consumer that already holds the store as of
+    * batch b asks for batches (b, b'] only — O(that window's delta),
+    * never O(history) — the checkpoint-to-checkpoint diff an operator
+    * ships to an audit table on each deploy. Deterministic time-cut
+    * staging makes batch 1's write set a pure function of the data: the
+    * keys with events in the middle third, each at its cumulative
+    * (count, latest) as of cut 2 — the `scan_state_changes` oracle
+    * RESTRICTED to batch_id = 1, replayed by the same SQL. */
+  def scanStateFeedBounded(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runAndScanState(spark,
+      Map("stateVarName" -> "job", "readChangeFeed" -> "true",
+        "changeStartBatchId" -> "1", "changeEndBatchId" -> "1"),
+      Seq(col("batch_id"), col("change_type").cast("string").as("change_type"),
+        col("key.value").as("user_id"),
+        col("value.n").as("n_events"),
+        date_format(timestamp_micros(col("value.lastUs")), tsFmt).as("last_ts"),
+        col("value.lastType").as("event_type")),
+      extraConf = Map(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true"),
+      minDataBatches = 3) { child =>
+      statusStreamDet(child, sfDir)
+    }.orderBy($"user_id")
+  }
+
   /** State TIME TRAVEL (r13): the store AS OF an earlier batch. Same
     * deterministic 3-batch run; the reader's `batchId = 0` option
     * reconstructs the state the query had committed after its FIRST
