@@ -1218,7 +1218,8 @@ object Streaming {
       reads: Seq[(Map[String, String], Seq[org.apache.spark.sql.Column])],
       extraConf: Map[String, String],
       minDataBatches: Int,
-      readFormat: String)
+      readFormat: String,
+      separateReadDirs: Boolean = false)
       (build: SparkSession => DataFrame)
       : org.apache.spark.sql.types.StructType = {
     val child = spark.newSession()
@@ -1239,13 +1240,18 @@ object Streaming {
         s"multi-batch contract: expected >= $minDataBatches data micro-batches, got $n")
     }
     org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
-    reads.foreach { case (readOpts, decode) =>
+    reads.zipWithIndex.foreach { case ((readOpts, decode), i) =>
+      // union-append shape (separateReadDirs=false): several reads of one
+      // operator land in ONE frame (scan_state_join's two buffers);
+      // separate dirs: each read is its own consumer's result (the
+      // shared-run readers, r15)
+      val target = if (separateReadDirs) s"$dir/state_out$i" else s"$dir/state_out"
       readOpts.foldLeft(
           child.read.format(readFormat).option("path", s"$dir/chk")) {
           case (r, (k, v)) => r.option(k, v)
         }.load()
         .select(decode: _*)
-        .write.mode("append").parquet(s"$dir/state_out")
+        .write.mode("append").parquet(target)
     }
     org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
     deleteRec(new java.io.File(s"$dir/chk"))
@@ -1265,8 +1271,11 @@ object Streaming {
     * the pinned `pairs/` subtree because the two members run in
     * different board families (`scan` vs `stream`) with family-boundary
     * sweeps in between; [[sweepAllScratch]] reclaims them at pass end. */
-  private final case class StreamRun(out: String, state: String,
-      schema: org.apache.spark.sql.types.StructType)
+  private final case class StreamRun(out: String, states: Seq[String],
+      schema: org.apache.spark.sql.types.StructType) {
+    /** The single-read consumers' state frame (pairs have one read). */
+    def state: String = states.head
+  }
 
   private val PairsDirName = "pairs"
 
@@ -1281,11 +1290,14 @@ object Streaming {
       val dir = s"$ScratchRoot/$PairsDirName/" +
         java.util.UUID.randomUUID.toString.replace("-", "")
       // changelog ON, matching the trio's previous runToParquet conf —
-      // O(delta) commits are the scale contract (see runToParquet note)
+      // O(delta) commits are the scale contract (see runToParquet note);
+      // it also powers the shared det-status run's change-feed reads.
+      // Each read lands in its OWN dir: consumers address them by index.
       val schema = execStreamAndScan(spark, dir, reads,
         Map("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true"),
-        minDataBatches, "statestore")(build)
-      StreamRun(s"$dir/out", s"$dir/state_out", schema)
+        minDataBatches, "statestore", separateReadDirs = true)(build)
+      StreamRun(s"$dir/out", reads.indices.map(i => s"$dir/state_out$i"),
+        schema)
     })
 
   /** Single-read [[runAndScanStateReads]] — the common shape. */
@@ -1663,6 +1675,39 @@ object Streaming {
       .toDF()
   }
 
+  /** Change-feed row decode shared by the det-status run's feed reads. */
+  private def feedCols: Seq[org.apache.spark.sql.Column] = Seq(
+    col("batch_id"), col("change_type").cast("string").as("change_type"),
+    col("key.value").as("user_id"),
+    col("value.n").as("n_events"),
+    date_format(timestamp_micros(col("value.lastUs")), tsFmt).as("last_ts"),
+    col("value.lastType").as("event_type"))
+
+  /** Status-census decode (asof read) of the det-status run. */
+  private def statusCensusCols: Seq[org.apache.spark.sql.Column] = Seq(
+    col("key.value").as("user_id"),
+    col("value.n").as("n_events"),
+    date_format(timestamp_micros(col("value.lastUs")), tsFmt).as("last_ts"),
+    col("value.lastType").as("event_type"))
+
+  /** The ONE deterministic-cut status run the three batch-RESOLVED
+    * readers share (r15 — the runPairedOnce registry generalized to
+    * multi-read runs): `scan_state_changes` (full feed from 0),
+    * `scan_state_feed_bounded` (batch 1's window only) and
+    * `scan_state_asof` (batch-0 time travel) are three READS of the same
+    * checkpoint — running the identical staged query three times bought
+    * nothing but determinism-linked duplication (~2 extra streaming-job
+    * floors per board pass). Read 0 = full feed, read 1 = bounded feed,
+    * read 2 = batch-0 census. */
+  private def detStatusRun(spark: SparkSession, sfDir: String): StreamRun =
+    runPairedOnce(spark, "detstatus", sfDir, Seq(
+      (Map("stateVarName" -> "job", "readChangeFeed" -> "true",
+        "changeStartBatchId" -> "0"), feedCols),
+      (Map("stateVarName" -> "job", "readChangeFeed" -> "true",
+        "changeStartBatchId" -> "1", "changeEndBatchId" -> "1"), feedCols),
+      (Map("stateVarName" -> "job", "batchId" -> "0"), statusCensusCols)),
+      minDataBatches = 3)(child => statusStreamDet(child, sfDir))
+
   /** The state CHANGE FEED (r13): what changed in the store, and when.
     * Runs the status store over 3 DETERMINISTIC time-cut micro-batches,
     * then reads the per-batch state mutations back with
@@ -1675,22 +1720,12 @@ object Streaming {
     * make the feed a pure function of the data: a key's batch-b value is
     * the cumulative census up to cut b, with the latest event inside
     * batch b (time-contiguity makes the per-batch latest the cumulative
-    * latest) — the SQL the oracle replays per (user, batch). */
+    * latest) — the SQL the oracle replays per (user, batch). Served off
+    * the shared [[detStatusRun]] checkpoint (r15). */
   def scanStateChanges(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    runAndScanState(spark,
-      Map("stateVarName" -> "job", "readChangeFeed" -> "true",
-        "changeStartBatchId" -> "0"),
-      Seq(col("batch_id"), col("change_type").cast("string").as("change_type"),
-        col("key.value").as("user_id"),
-        col("value.n").as("n_events"),
-        date_format(timestamp_micros(col("value.lastUs")), tsFmt).as("last_ts"),
-        col("value.lastType").as("event_type")),
-      extraConf = Map(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true"),
-      minDataBatches = 3) { child =>
-      statusStreamDet(child, sfDir)
-    }.orderBy($"batch_id", $"user_id")
+    val run = detStatusRun(spark, sfDir)
+    spark.read.parquet(run.states(0)).orderBy($"batch_id", $"user_id")
   }
 
   /** The BOUNDED state change feed (r15): `readChangeFeed` with BOTH
@@ -1704,22 +1739,12 @@ object Streaming {
     * staging makes batch 1's write set a pure function of the data: the
     * keys with events in the middle third, each at its cumulative
     * (count, latest) as of cut 2 — the `scan_state_changes` oracle
-    * RESTRICTED to batch_id = 1, replayed by the same SQL. */
+    * RESTRICTED to batch_id = 1, replayed by the same SQL. Served off
+    * the shared [[detStatusRun]] checkpoint (r15). */
   def scanStateFeedBounded(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    runAndScanState(spark,
-      Map("stateVarName" -> "job", "readChangeFeed" -> "true",
-        "changeStartBatchId" -> "1", "changeEndBatchId" -> "1"),
-      Seq(col("batch_id"), col("change_type").cast("string").as("change_type"),
-        col("key.value").as("user_id"),
-        col("value.n").as("n_events"),
-        date_format(timestamp_micros(col("value.lastUs")), tsFmt).as("last_ts"),
-        col("value.lastType").as("event_type")),
-      extraConf = Map(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true"),
-      minDataBatches = 3) { child =>
-      statusStreamDet(child, sfDir)
-    }.orderBy($"user_id")
+    val run = detStatusRun(spark, sfDir)
+    spark.read.parquet(run.states(1)).orderBy($"user_id")
   }
 
   /** State TIME TRAVEL (r13): the store AS OF an earlier batch. Same
@@ -1729,20 +1754,12 @@ object Streaming {
     * later deploy corrupted state, without keeping N full snapshots
     * (changelog replay serves any batch). Deterministic cuts make batch
     * 0 the events at or below the first time third, so the oracle is
-    * that restricted census. */
+    * that restricted census. Served off the shared [[detStatusRun]]
+    * checkpoint (r15). */
   def scanStateAsof(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    runAndScanState(spark,
-      Map("stateVarName" -> "job", "batchId" -> "0"),
-      Seq(col("key.value").as("user_id"),
-        col("value.n").as("n_events"),
-        date_format(timestamp_micros(col("value.lastUs")), tsFmt).as("last_ts"),
-        col("value.lastType").as("event_type")),
-      extraConf = Map(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true"),
-      minDataBatches = 3) { child =>
-      statusStreamDet(child, sfDir)
-    }.orderBy($"user_id")
+    val run = detStatusRun(spark, sfDir)
+    spark.read.parquet(run.states(2)).orderBy($"user_id")
   }
 
   /** SNAPSHOT-ANCHORED single-partition state reconstruction (r15, r14
