@@ -2366,6 +2366,13 @@ object Oracle {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang IN ('en', 'zh') ORDER BY doc_id""".stripMargin,
 
+    // Bloom-filtered point lookup: the staged copy is row-identical to
+    // orders, so the oracle is the same equality filter on the source.
+    "scan_parquet_bloom" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CAST(o_totalprice AS DECIMAL(18,2))::DOUBLE AS total_price
+        |FROM orders WHERE o_custkey = 42 ORDER BY o_orderkey""".stripMargin,
+
     "scan_csv_charset" ->
       // nested replace ≡ translate here: 1:1 substitutions whose outputs
       // contain none of the remaining source chars

@@ -378,6 +378,7 @@ object SparkEntry {
     "scan_state_snapshot"   -> Streaming.scanStateSnapshot _,
     "scan_state_feed_bounded" -> Streaming.scanStateFeedBounded _,
     "quality_gate_observe"  -> Quality.qualityGateObserve _,
+    "scan_parquet_bloom"    -> Sources.scanParquetBloom _,
     "stream_resume"         -> Streaming.streamResume _,
     "stream_quota_reset"    -> Streaming.streamQuotaReset _,
     // -- SQL API entry point

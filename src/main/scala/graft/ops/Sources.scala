@@ -60,6 +60,56 @@ object Sources {
       .orderBy($"c_custkey")
   }
 
+  /** Parquet BLOOM FILTERS (r15) — storage-level row-group skipping for
+    * point lookups on a key that is NEITHER the partition column NOR
+    * sorted: orders staged with `parquet.bloom.filter.enabled#o_custkey`
+    * (and small row groups so a file holds several), then read back with
+    * an equality filter. Min/max row-group stats are useless for a
+    * high-cardinality key scattered across every group — at 100 TB the
+    * bloom filter is what turns "open every row group of every file" into
+    * "open only the groups whose filter admits the key", the third
+    * pruning tier after partition pruning (directory) and predicate
+    * pushdown (stats); parquet-mr's RowGroupFilter consults the filter
+    * automatically once the EqualTo predicate is pushed (PushedFilters on
+    * the scan). The write-side `expected.ndv` sizes the filter honestly
+    * for the key's cardinality. LayoutSpec proves the footer carries the
+    * filter and that it answers membership correctly (no false negative
+    * on present keys; absent keys rejected). */
+  def scanParquetBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir, "orders_bloom")
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#o_custkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+      // parquet-mr OMITS the bloom for a fully dictionary-encoded chunk
+      // (the dictionary already answers membership exactly). A 100 TB
+      // key column falls off dictionary on its own; the small fixture
+      // doesn't, so pin the high-cardinality layout explicitly — the
+      // setting a production point-lookup table would carry anyway.
+      .option("parquet.enable.dictionary#o_custkey", "false")
+      .option("parquet.block.size", (256 * 1024).toString)
+      .parquet(dir)
+    bloomRead(spark, dir)
+  }
+
+  /** The read side alone (LayoutSpec reuses the staged dir). */
+  private[graft] def bloomRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(dir)
+      .filter($"o_custkey" === 42L)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        $"o_totalprice".cast("decimal(18,2)").cast("double").as("total_price"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Staged bloom dir for the spec (stages if absent). */
+  private[graft] def bloomDir(spark: SparkSession, sfDir: String): String = {
+    scanParquetBloom(spark, sfDir).count(): Unit
+    scratch(sfDir, "orders_bloom")
+  }
+
   /** Hive-style partitioned layout + partition pruning: documents written
     * partitioned by lang, read back filtered to two languages. The filter
     * becomes a PartitionFilter on the scan (asserted in PlanSpec): only
