@@ -200,9 +200,19 @@ object Bench {
         settle()
         val t0 = System.nanoTime(); fn(s, sfDir).count()
         val cold = (System.nanoTime() - t0) / 1e9
+        // drop the pair-run registry between the timings (r15 advice):
+        // within one registry lifetime a pair member's second invocation
+        // is a parquet read of the first run's cached output — the warm
+        // number must re-run the full streaming job, like every other
+        // query's warm run re-runs its plan
+        ops.Streaming.resetPairRuns()
         settle()
         val t1 = System.nanoTime(); fn(s, sfDir).count()
         val warm = (System.nanoTime() - t1) / 1e9
+        // and between lane queries: the registry is JVM-global, so a
+        // later lane query that shares a pair with this one must not
+        // inherit its cache either
+        ops.Streaming.resetPairRuns()
         Some((name, cold, warm))
       } finally s.stop()
     } catch { case e: Throwable =>

@@ -2474,8 +2474,10 @@ object Oracle {
     // division mirrors Spark-side Long arithmetic exactly.
     "quality_gate_observe" -> (ingestCte +
       """SELECT processed, inserted, failed,
-        | (failed * 1000000) // processed AS failed_ppm,
-        | CASE WHEN (failed * 1000000) // processed <= 100000
+        | CASE WHEN processed = 0 THEN 0
+        |      ELSE (failed * 1000000) // processed END AS failed_ppm,
+        | CASE WHEN processed = 0 THEN 'FAIL'
+        |      WHEN (failed * 1000000) // processed <= 100000
         |      THEN 'PASS' ELSE 'FAIL' END AS gate
         |FROM (SELECT COUNT(*) AS processed,
         |        COUNT(CASE WHEN error IS NULL THEN 1 END) AS inserted,

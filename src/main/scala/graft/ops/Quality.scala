@@ -68,8 +68,13 @@ object Quality {
     val (processed, inserted, failed) =
       (m("processed").asInstanceOf[Long], m("inserted").asInstanceOf[Long],
         m("failed").asInstanceOf[Long])
-    val failedPpm = failed * 1000000L / processed
-    val gate = if (failedPpm <= 100000L) "PASS" else "FAIL"
+    // empty/missing ingest fixture: a gate that crashes on zero rows is
+    // itself a pipeline outage — an empty load has nothing to publish, so
+    // the verdict is FAIL (ppm 0 by convention), mirrored in the oracle
+    val failedPpm = if (processed == 0L) 0L else failed * 1000000L / processed
+    val gate =
+      if (processed == 0L) "FAIL"
+      else if (failedPpm <= 100000L) "PASS" else "FAIL"
     Seq((processed, inserted, failed, failedPpm, gate))
       .toDF("processed", "inserted", "failed", "failed_ppm", "gate")
   }

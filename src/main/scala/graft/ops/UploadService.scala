@@ -76,7 +76,7 @@ object UploadService {
       val parsedRdd = parsed.rdd.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val raw = spark.createDataFrame(
-        parsedRdd.zipWithIndex.map { case (r, i) =>
+        parsedRdd.zipWithIndex().map { case (r, i) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
         parsed.schema.add("line_id", org.apache.spark.sql.types.LongType))
         .select($"line_id",
