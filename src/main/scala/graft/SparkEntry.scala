@@ -339,6 +339,8 @@ object SparkEntry {
     "scd2_intervals"      -> Curation.scd2Intervals _,
     "agg_salted"          -> Curation.aggSalted _,
     "join_salted"         -> Curation.joinSalted _,
+    "join_skew_adaptive"  -> Curation.joinSkewAdaptive _,
+    "join_runtime_filter" -> Curation.joinRuntimeFilter _,
     "profile_table"       -> Curation.profileTable _,
     "zorder_cluster"      -> Curation.zorderCluster _,
     "outlier_zscore"      -> Curation.outlierZscore _,
@@ -377,6 +379,7 @@ object SparkEntry {
     "scan_state_meta"       -> Streaming.scanStateMeta _,
     "scan_state_snapshot"   -> Streaming.scanStateSnapshot _,
     "scan_state_feed_bounded" -> Streaming.scanStateFeedBounded _,
+    "scan_state_sliding"    -> Streaming.scanStateSliding _,
     "quality_gate_observe"  -> Quality.qualityGateObserve _,
     "scan_parquet_bloom"    -> Sources.scanParquetBloom _,
     "stream_resume"         -> Streaming.streamResume _,

@@ -41,4 +41,23 @@ class AqeSkewSpec extends SparkSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("join_skew_adaptive: the board query splits its hot partition and matches the plain join") {
+    // the operator REQUIRES the skew split in-operator (a run where AQE
+    // didn't fire throws) — this pins that it fires at fixture scale AND
+    // that the skew handling left the result identical to the plain join
+    val got = graft.ops.Curation.joinSkewAdaptive(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val fact = graft.Tables.lineitem(spark, sfDir)
+      .select(when($"l_orderkey" % 100 =!= 0, lit(0L))
+        .otherwise($"l_orderkey" % 97 + 1).as("k"), $"l_quantity")
+    val dim = spark.range(0, 98)
+      .select($"id".as("k"),
+        concat(lit("g"), ($"id" % 7).cast("string")).as("grp"))
+    val plain = fact.join(dim, "k").groupBy($"grp")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"))
+      .collect().map(_.toSeq).toSet
+    assert(got == plain, "skew splitting must not change the join result")
+  }
 }

@@ -35,6 +35,24 @@ class RuntimeFilterSpec extends SparkSuite {
     }
   }
 
+  test("join_runtime_filter: the board query carries the injected filter and matches the plain join") {
+    // the operator REQUIRES bloom_filter_agg + might_contain on its
+    // optimized plan in-operator — this pins that it engages at fixture
+    // scale AND that the pruning left the result identical
+    val got = graft.ops.Curation.joinRuntimeFilter(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val li = Tables.lineitem(spark, sfDir)
+    val urgent = Tables.orders(spark, sfDir)
+      .filter($"o_orderpriority" === "1-URGENT")
+    val plain = li.join(urgent, li("l_orderkey") === urgent("o_orderkey"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("sum_price"))
+      .collect().map(_.toSeq).toSet
+    assert(got == plain, "runtime-filter pruning must not change the join result")
+  }
+
   test("dedup_bloom_prefilter is exact: ≡ plain anti-join, bloom in plan") {
     val got = graft.ops.TextSim.dedupBloomPrefilter(spark, sfDir)
     val plan = got.queryExecution.optimizedPlan.toString
