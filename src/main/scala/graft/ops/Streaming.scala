@@ -759,13 +759,20 @@ object Streaming {
       val bounds = ev.agg(min(nts), max(nts)).head()
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       def cut(i: Int): Long = lo + (hi - lo) * (i + 1) / parts
+      // ONE pass (r16; was one filtered scan per cut): tag each row with
+      // its cut index — smallest i with nts ≤ cut(i) — hash-partition on
+      // the tag (each cut lands wholly in one task ⇒ exactly one file per
+      // partitionBy dir) and let partitionBy strip the tag from the data.
+      val idx = (0 until parts - 1).foldRight(lit(parts - 1).cast("int")) {
+        case (i, acc) => when(nts <= cut(i), i).otherwise(acc)
+      }
+      ev.withColumn("__cut", idx)
+        .repartition(parts, col("__cut"))
+        .write.partitionBy("__cut").parquet(s"$dir/r")
       new java.io.File(s"$dir/staged").mkdirs(): Unit
       (0 until parts).foreach { i =>
-        val cond =
-          (if (i == 0) lit(true) else nts > cut(i - 1)) &&
-            (if (i == parts - 1) lit(true) else nts <= cut(i))
-        ev.filter(cond).coalesce(1).write.parquet(s"$dir/r$i")
-        val part = Option(new java.io.File(s"$dir/r$i").listFiles()).toSeq
+        val part = Option(
+            new java.io.File(s"$dir/r/__cut=$i").listFiles()).toSeq
           .flatten.find(_.getName.startsWith("part-"))
           .getOrElse(sys.error(
             s"time cut $i of $parts produced no part file for $sfDir " +
