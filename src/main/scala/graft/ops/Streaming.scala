@@ -917,12 +917,13 @@ object Streaming {
     * the spec. */
   def streamWatermarkLate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    runToParquet(spark, minDataBatches = 3) { s =>
-      stagedEventsStream(s, sfDir, 3)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-    }
+    // the same watermarked 1-hour aggregation stream_tumbling runs —
+    // count-only projection of the shared tumbling pair run (r16): one
+    // checkpoint serves the seal-contract demonstration (this), the full
+    // emitted census (stream_tumbling) and the buffered complement
+    // (scan_state_window); the run IS a real ≥3-batch streaming job
+    val run = tumblingRun(spark, sfDir)
+    spark.read.schema(run.schema).parquet(run.out)
       .select(date_format($"window.start", tsFmt).as("win_start"),
         $"event_type", $"n")
       .orderBy($"win_start", $"event_type")
@@ -1099,15 +1100,37 @@ object Streaming {
     * happens batch-side on the sink read-back. */
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    runToParquet(spark, minDataBatches = 3) { session =>
-      stagedClickPurchaseJoin(session, sfDir)
-    }
+    // emitted side of the shared click→purchase pair run (r16): sink and
+    // the two join buffers come off ONE checkpoint with scan_state_join
+    val run = clickPurchaseRun(spark, sfDir)
+    spark.read.schema(run.schema).parquet(run.out)
       .groupBy($"c_user".as("user_id"))
       .agg(count(lit(1)).as("n_conversions"),
         countDistinct($"click_id").as("n_clicks_converted"),
         dec6(sum(dec6($"value"))).as("attributed_value"))
       .orderBy($"user_id")
   }
+
+  /** The ONE click→purchase join run `stream_stream_join` (the emitted
+    * matches) and `scan_state_join` (BOTH in-flight join buffers) read —
+    * one checkpoint, one multi-batch proof; the two buffer reads land in
+    * their own dirs and the reader unions them (r16). */
+  private def clickPurchaseRun(spark: SparkSession, sfDir: String): StreamRun =
+    runPairedOnce(spark, "cpjoin", sfDir, Seq(
+      (Map("joinSide" -> "left"), Seq(
+        lit("left").as("side"),
+        col("value.c_user").as("user_id"),
+        col("value.click_id").as("event_id"),
+        date_format(col("value.click_ts"), tsFmt).as("event_ts"),
+        date_format(col("value.click_ts") + expr("INTERVAL 1 HOUR"), tsFmt)
+          .as("open_until"))),
+      (Map("joinSide" -> "right"), Seq(
+        lit("right").as("side"),
+        col("value.p_user").as("user_id"),
+        col("value.purchase_id").as("event_id"),
+        date_format(col("value.purchase_ts"), tsFmt).as("event_ts"),
+        date_format(col("value.purchase_ts"), tsFmt).as("open_until")))),
+      minDataBatches = 3)(session => stagedClickPurchaseJoin(session, sfDir))
 
   /** The staged ≥3-micro-batch click→purchase attribution join shared by
     * [[streamStreamJoin]] (emitted side) and [[scanStateJoin]] (buffered
@@ -1702,23 +1725,12 @@ object Streaming {
     * partition-parallel over the store. */
   def scanStateJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    runAndScanStateReads(spark, Seq(
-      (Map("joinSide" -> "left"), Seq(
-        lit("left").as("side"),
-        col("value.c_user").as("user_id"),
-        col("value.click_id").as("event_id"),
-        date_format(col("value.click_ts"), tsFmt).as("event_ts"),
-        date_format(col("value.click_ts") + expr("INTERVAL 1 HOUR"), tsFmt)
-          .as("open_until"))),
-      (Map("joinSide" -> "right"), Seq(
-        lit("right").as("side"),
-        col("value.p_user").as("user_id"),
-        col("value.purchase_id").as("event_id"),
-        date_format(col("value.purchase_ts"), tsFmt).as("event_ts"),
-        date_format(col("value.purchase_ts"), tsFmt).as("open_until")))),
-      minDataBatches = 3) { session =>
-      stagedClickPurchaseJoin(session, sfDir)
-    }.orderBy($"side", $"user_id", $"event_id")
+    // buffered side of stream_stream_join's own run (r16): the two join
+    // buffers are separate reads off one checkpoint, unioned here
+    val run = clickPurchaseRun(spark, sfDir)
+    spark.read.parquet(run.states(0))
+      .unionByName(spark.read.parquet(run.states(1)))
+      .orderBy($"side", $"user_id", $"event_id")
   }
 
   /** The statestore reader over WINDOWED-AGGREGATION state (r14): runs
