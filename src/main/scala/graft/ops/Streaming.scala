@@ -771,12 +771,22 @@ object Streaming {
         .write.partitionBy("__cut").parquet(s"$dir/r")
       new java.io.File(s"$dir/staged").mkdirs(): Unit
       (0 until parts).foreach { i =>
-        val part = Option(
+        // exactly-one assertion (r16 advice): the one-file-per-cut
+        // invariant rests on hash repartition giving each cut ONE writer
+        // task — if a session ever sets maxRecordsPerFile (or a writer
+        // splits files), find() would silently DROP the extra files and
+        // the staged batches would lose rows; fail loud instead
+        val found = Option(
             new java.io.File(s"$dir/r/__cut=$i").listFiles()).toSeq
-          .flatten.find(_.getName.startsWith("part-"))
-          .getOrElse(sys.error(
-            s"time cut $i of $parts produced no part file for $sfDir " +
-              "(degenerate/clustered timestamps?)"))
+          .flatten.filter(_.getName.startsWith("part-"))
+        if (found.isEmpty) sys.error(
+          s"time cut $i of $parts produced no part file for $sfDir " +
+            "(degenerate/clustered timestamps?)")
+        if (found.size > 1) sys.error(
+          s"time cut $i of $parts produced ${found.size} part files — the " +
+            "one-writer-task-per-cut invariant is broken (is " +
+            "spark.sql.files.maxRecordsPerFile set on this session?)")
+        val part = found.head
         val dst = new java.io.File(f"$dir/staged/part-$i%05d.parquet")
         java.nio.file.Files.move(part.toPath, dst.toPath): Unit
         require(dst.setLastModified(1000000000000L + i * 60000L),
@@ -1479,7 +1489,17 @@ object Streaming {
     * lifecycle warning [[sweepScratch]] gives lazy non-pair outputs. Used
     * by the bench alone lane between timings: a pair member's warm number
     * must re-run the streaming job, not read the cold run's cached
-    * parquet (r15 advice). */
+    * parquet (r15 advice).
+    *
+    * SINGLE-THREADED BY CONTRACT (r16 advice): reset must not race a
+    * concurrent [[runPairedOnceReads]]. A builder holding a pre-reset
+    * per-pair lock could finish its run AFTER this sweep cleared the maps
+    * and deleted `pairs/`, registering a StreamRun whose dir no longer
+    * exists. Every current caller (the bench shared pass / alone lane,
+    * Verify, sweepAllScratch) runs queries strictly sequentially, so no
+    * such builder can be in flight; a future concurrent driver must
+    * quiesce pair builds (e.g. synchronize on every live [[pairLocks]]
+    * monitor) before calling this. */
   def resetPairRuns(): Unit = {
     pairRuns.clear()
     pairLocks.clear()

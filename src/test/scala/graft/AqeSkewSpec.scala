@@ -33,9 +33,10 @@ class AqeSkewSpec extends SparkSuite {
       // collect() (not head()) so THIS queryExecution's adaptive plan runs
       val rows = j.collect()
       assert(rows.head.getLong(1) == 303000L)
-      val plan = j.queryExecution.executedPlan.toString
-      assert(plan.contains("skew"),
-        s"AQE did not mark the skewed join in:\n$plan")
+      // structural predicate (r17): the finalized adaptive plan must hold
+      // a ShuffledJoin with isSkewJoin=true — immune to plan-string drift
+      assert(graft.ops.Curation.skewShuffledJoins(j.queryExecution.executedPlan) > 0,
+        s"AQE did not mark the skewed join in:\n${j.queryExecution.executedPlan}")
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)

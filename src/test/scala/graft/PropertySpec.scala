@@ -12,7 +12,27 @@ class PropertySpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
   import org.apache.spark.sql.functions._
 
+  // Reproducible-on-recurrence seeding (r17, judge item 2): the r16
+  // mid-round flake's falsified case was lost to output truncation. Every
+  // property now starts from ONE explicit seed, printed up front and
+  // echoed in each failure message, so any recurrence carries its replay
+  // handle: rerun with GRAFT_PROP_SEED=<base64> to replay the exact case
+  // sequence. Default is a fresh random seed per suite run (the
+  // properties keep exploring new cases across runs).
+  private val initialSeed: org.scalacheck.rng.Seed =
+    sys.env.get("GRAFT_PROP_SEED") match {
+      case Some(s) => org.scalacheck.rng.Seed.fromBase64(s).fold(
+        e => throw new IllegalArgumentException(
+          s"GRAFT_PROP_SEED is not a valid ScalaCheck base64 seed: $e"),
+        identity)
+      case None => org.scalacheck.rng.Seed.random()
+    }
+  info(s"ScalaCheck initial seed: ${initialSeed.toBase64} " +
+    "(replay: GRAFT_PROP_SEED=<that value> sbt 'testOnly graft.PropertySpec')")
+  println(s"PropertySpec ScalaCheck initial seed: ${initialSeed.toBase64}")
+
   private val cases = SCTest.Parameters.default.withMinSuccessfulTests(6)
+    .withInitialSeed(initialSeed)
 
   // every randomized fixture dir is tracked and removed in afterAll —
   // without this each run leaks dozens of parquet dirs into /tmp
@@ -71,7 +91,7 @@ class PropertySpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       }
     }
     val res = SCTest.check(cases, prop)
-    assert(res.passed, res.status.toString)
+    assert(res.passed, s"seed=${initialSeed.toBase64}: ${res.status}")
   }
 
   private def graphDir(rows: Seq[(Long, Long)]): String = {
@@ -115,7 +135,7 @@ class PropertySpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       got == expected.toSeq.sortBy { case (n, t) => (-t, n) }.take(20).toMap
     }
     val res = SCTest.check(cases, prop)
-    assert(res.passed, res.status.toString)
+    assert(res.passed, s"seed=${initialSeed.toBase64}: ${res.status}")
   }
 
   private def eventsDir(rows: Seq[(Long, Long, Long, String, Double)]): String = {
@@ -159,7 +179,7 @@ class PropertySpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       }
     }
     val res = SCTest.check(cases, prop)
-    assert(res.passed, res.status.toString)
+    assert(res.passed, s"seed=${initialSeed.toBase64}: ${res.status}")
   }
 
   test("ts_interpolate equals the reference line on random sparse series") {
@@ -199,7 +219,7 @@ class PropertySpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       got.toSeq == expected
     }
     val res = SCTest.check(cases, prop)
-    assert(res.passed, res.status.toString)
+    assert(res.passed, s"seed=${initialSeed.toBase64}: ${res.status}")
   }
 
   test("win_pattern_match equals a reference scan on random event streams") {
@@ -222,7 +242,7 @@ class PropertySpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       got == expected
     }
     val res = SCTest.check(cases, prop)
-    assert(res.passed, res.status.toString)
+    assert(res.passed, s"seed=${initialSeed.toBase64}: ${res.status}")
   }
 
   test("win_gap_islands partitions days into contiguous, gap-separated runs") {
@@ -262,7 +282,7 @@ class PropertySpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       }
     }
     val res = SCTest.check(cases, prop)
-    assert(res.passed, res.status.toString)
+    assert(res.passed, s"seed=${initialSeed.toBase64}: ${res.status}")
   }
 
   test("ts_holt equals the pure-Scala fold on random series (bit-exact)") {
@@ -301,7 +321,7 @@ class PropertySpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       }
     }
     val res = SCTest.check(cases, prop)
-    assert(res.passed, res.status.toString)
+    assert(res.passed, s"seed=${initialSeed.toBase64}: ${res.status}")
   }
 
   test("ts_autocorr equals the exact-arithmetic reference on random series") {
@@ -348,7 +368,7 @@ class PropertySpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       got == expected
     }
     val res = SCTest.check(cases, prop)
-    assert(res.passed, res.status.toString)
+    assert(res.passed, s"seed=${initialSeed.toBase64}: ${res.status}")
   }
 
   test("ts_theilsen equals the pairwise-median reference on random series") {
@@ -387,7 +407,7 @@ class PropertySpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       got == expected
     }
     val res = SCTest.check(cases, prop)
-    assert(res.passed, res.status.toString)
+    assert(res.passed, s"seed=${initialSeed.toBase64}: ${res.status}")
   }
 
   test("ts_quota_reset equals the integer fold reference on random series") {
@@ -417,7 +437,7 @@ class PropertySpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       got == expected
     }
     val res = SCTest.check(cases, prop)
-    assert(res.passed, res.status.toString)
+    assert(res.passed, s"seed=${initialSeed.toBase64}: ${res.status}")
   }
 
   test("merge_scd2_apply invariants hold on random event streams") {
@@ -464,6 +484,6 @@ class PropertySpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       }
     }
     val res = SCTest.check(cases, prop)
-    assert(res.passed, res.status.toString)
+    assert(res.passed, s"seed=${initialSeed.toBase64}: ${res.status}")
   }
 }
