@@ -373,6 +373,7 @@ object SparkEntry {
     "scan_state_changes"    -> Streaming.scanStateChanges _,
     "scan_state_asof"       -> Streaming.scanStateAsof _,
     "scan_state_join"       -> Streaming.scanStateJoin _,
+    "scan_state_join_left"  -> Streaming.scanStateJoinLeft _,
     "scan_state_window"     -> Streaming.scanStateWindow _,
     "scan_state_dedup"      -> Streaming.scanStateDedup _,
     "scan_state_session"    -> Streaming.scanStateSession _,
