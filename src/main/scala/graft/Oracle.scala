@@ -1953,13 +1953,21 @@ object Oracle {
          |SELECT src AS doc_id, MIN(dst) AS cluster, (src = MIN(dst)) AS kept
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
+    // r17: the rank-window cap (Similarity.EditRankWindow = 64) replayed
+    // literally — within each (source, len_bkt) block docs rank by
+    // (prefix, doc_id) and only pairs within 64 ranks are candidates,
+    // the sub-quadratic bound the 10× scale probe forced.
     "dedup_edit_distance" ->
       """WITH d AS (SELECT doc_id, source, n_chars // 100 AS len_bkt,
-        |  substring(text, 1, 60) AS prefix FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.source AS source,
+        |  substring(text, 1, 60) AS prefix FROM documents),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY source, len_bkt ORDER BY prefix, doc_id) AS rk
+        |  FROM d)
+        |SELECT least(a.doc_id, b.doc_id) AS id_a,
+        | greatest(a.doc_id, b.doc_id) AS id_b, a.source AS source,
         | CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS dist
-        |FROM d a JOIN d b ON a.source = b.source AND a.len_bkt = b.len_bkt
-        |  AND a.doc_id < b.doc_id
+        |FROM r a JOIN r b ON a.source = b.source AND a.len_bkt = b.len_bkt
+        |  AND b.rk > a.rk AND b.rk - a.rk <= 64
         |WHERE levenshtein(a.prefix, b.prefix) <= 20
         |ORDER BY id_a, id_b""".stripMargin,
 

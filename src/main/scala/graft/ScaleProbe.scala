@@ -48,6 +48,13 @@ object ScaleProbe {
     "graph_triangle_count", "graph_common_neighbors",
     // per-key quadratic pair frames (bounded series)
     "ts_theilsen",
+    // iterative fixpoint: pointer-jumped CC over the pair graph — rounds
+    // should stay O(log d), and 10 disjoint replica graphs keep d fixed
+    "dedup_cluster",
+    // length-bucket blocking + banded DP — the blocked-quadratic tier
+    "dedup_edit_distance",
+    // hash-identity line dedup — df counts on xxhash64 longs, not text
+    "text_line_dedup",
     // banded-Hamming media pairing (collision budget n²/2¹⁶ per band)
     "multimodal_phash_pairs",
     // one real streaming join: 10× keyed state, fixed time axis

@@ -1282,8 +1282,25 @@ object Similarity {
     * the recall cost, bounded per-task work is the win). Both engines
     * implement the same Wagner-Fischer distance — exact integer, no
     * float drift. */
+  /** Rank-window cap for [[dedupEditDistance]]'s blocked pair join
+    * (r17, scale-probe finding): blocking on (source, len_bkt) alone is
+    * NOT sub-quadratic — block sizes grow linearly with the corpus (a
+    * 10× crawl has 10× docs per source × length bucket), so within-block
+    * pairs grow ×100; the r17 10× probe measured the operator at
+    * ratio 9.5, the quadratic trend just under the flag line. The cap
+    * applies the sorted-neighborhood discipline INSIDE each block:
+    * docs rank by (prefix, doc_id) and only pairs within this many ranks
+    * are candidates — O(W·n_b) pairs per block BY CONSTRUCTION, and
+    * near-dup prefixes sort adjacent so the recall cost concentrates on
+    * pairs a 20-edit threshold was unlikely to accept anyway. 64 binds
+    * on the declared corpus (max block = 66 docs at sf0.1) and caps the
+    * probe's ~660-doc blocks at ~10× fewer pairs; the DuckDB oracle
+    * replays the identical rank window. */
+  private[graft] val EditRankWindow = 64
+
   def dedupEditDistance(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val w = EditRankWindow
     val d = Tables.documents(spark, sfDir)
       .select($"doc_id", $"source", expr("n_chars div 100").as("len_bkt"),
         substring($"text", 1, 60).as("prefix"))
@@ -1295,21 +1312,34 @@ object Similarity {
     // still runs in the join stage. The fix is to pre-partition the join
     // INPUTS with an explicit partition count (user repartitions are
     // exempt from AQE coalescing and already satisfy the join's
-    // distribution), making the join stage itself parallel. Measured at
-    // sf0.1/local[32]: ~2.5 s cold (plan compile + shuffle setup
-    // dominate; the ~115k-pair DP itself adds <0.1 s over the bare join),
-    // ~0.9 s warm — the bench's run-alone lane records both, and PlanSpec
+    // distribution), making the join stage itself parallel — PlanSpec
     // pins the join-stage partition count so AQE can't re-serialize it.
     // Same rule at 100 TB: partition CPU-bound work by compute, not bytes.
     val dp = d.repartition(spark.sparkContext.defaultParallelism,
       $"source", $"len_bkt")
-    val a = dp.toDF("id_a", "source", "len_bkt", "pa")
-    val b = dp.toDF("id_b", "source_b", "len_bkt_b", "pb")
+    val ranked = dp.withColumn("rk", row_number().over(
+      Window.partitionBy($"source", $"len_bkt").orderBy($"prefix", $"doc_id")))
+    // band join on the rank bucket: the LOWER-rank side is exploded to
+    // its own bucket and the next, so a pair within w ranks lands in
+    // exactly one (block, bucket) equi-class — the join fan-out is
+    // bounded without a post-join range filter ever seeing n_b² rows
+    val a = ranked.select($"doc_id".as("id_a0"), $"source", $"len_bkt",
+      $"prefix".as("pa"), $"rk".as("ra"),
+      explode(array(expr(s"(rk - 1) div $w"), expr(s"(rk - 1) div $w + 1")))
+        .as("jb"))
+      .repartition(spark.sparkContext.defaultParallelism,
+        $"source", $"len_bkt", $"jb")
+    val b = ranked.select($"doc_id".as("id_b0"), $"source".as("source_b"),
+      $"len_bkt".as("len_bkt_b"), $"prefix".as("pb"), $"rk".as("rb"),
+      expr(s"(rk - 1) div $w").as("bb"))
+      .repartition(spark.sparkContext.defaultParallelism,
+        $"source_b", $"len_bkt_b", $"bb")
     a.join(b, $"source" === $"source_b" && $"len_bkt" === $"len_bkt_b" &&
-        $"id_a" < $"id_b")
+        $"jb" === $"bb" && $"rb" > $"ra" && $"rb" - $"ra" <= w)
       // banded DP: O(len·k) with early exit above the threshold (-1),
       // vs the full O(len²) table
-      .select($"id_a", $"id_b", $"source",
+      .select(least($"id_a0", $"id_b0").as("id_a"),
+        greatest($"id_a0", $"id_b0").as("id_b"), $"source",
         levenshtein($"pa", $"pb", 20).as("dist"))
       .filter($"dist" >= 0)
       .orderBy($"id_a", $"id_b")
