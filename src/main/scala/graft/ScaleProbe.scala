@@ -38,8 +38,8 @@ import org.apache.spark.sql.functions._
   * round-numbered snapshot) with per-query times, ratios and flags. */
 object ScaleProbe {
 
-  /** 10 × slack 1.4: linear-with-logs headroom on a noisy shell. */
-  private val FlagRatio = 14.0
+  /** factor × slack 1.4: linear-with-logs headroom on a noisy shell. */
+  private def flagRatio(factor: Int): Double = factor * 1.4
 
   private val ProbeQueries = Seq(
     // gram/band candidate joins — the df-cap / band-cap tier
@@ -57,6 +57,22 @@ object ScaleProbe {
     "text_line_dedup",
     // banded-Hamming media pairing (collision budget n²/2¹⁶ per band)
     "multimodal_phash_pairs",
+    // gram inverted-index tier beyond jaccard: containment + corpus grams
+    "dedup_containment", "dedup_gram_corpus",
+    // embedding family (replicas are diagonal-±1 transforms of the base
+    // cloud: within-replica geometry EXACT, cross-replica decorrelated;
+    // labels stay SHARED so label blocks grow ×10 — the skew router's
+    // per-task pair bound is what the time ratio tests). Reading note for
+    // dedup_embedding_cosine's rows_ratio ≈ 117: ANY orthogonal map
+    // leaves cross-shard cosines fluctuating ~1/√d, and at the harness's
+    // d=64 the 0.35 accept threshold sits at only ~2.8σ of that null —
+    // so the quadratic cross-pair population leaks a Gaussian tail of
+    // weak accepts. That is threshold-vs-dimension, a data property any
+    // independent clouds share (at production d ≥ 384 the same threshold
+    // is ≥ 5.6σ and the tail vanishes); the TIME ratio is the engine.
+    "dedup_embedding_cosine", "sim_ann_lsh", "sim_ivf_probe", "embed_kmeans",
+    // bounded-frame window over 10× keys
+    "win_moving_median",
     // one real streaming join: 10× keyed state, fixed time axis
     "stream_stream_join")
 
@@ -101,6 +117,24 @@ object ScaleProbe {
         col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
       .repartition(4 * k)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // embeddings — replica r applies a deterministic diagonal ±1
+    // transform (sign per (r, dimension)): an orthogonal map, so EVERY
+    // within-replica dot product, norm, and distance is preserved
+    // bit-for-bit while cross-replica cosines collapse toward 0 — ten
+    // statistically independent clouds with identical internal geometry.
+    // Labels are NOT offset: label blocks genuinely grow ×10, so the
+    // label-skew router (withPairRoute/maxExactLabel), not the data, has
+    // to keep the exact pair tier bounded — that is the claim under test.
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    emb.crossJoin(reps).select(
+        (col("vec_id") + col("rep").cast("long") * 10000000L).as("vec_id"),
+        when(col("rep") === 0, col("embedding")).otherwise(
+          expr("transform(embedding, (x, j) -> " +
+            "CASE WHEN pmod(xxhash64(rep, j), 2) = 0 THEN x ELSE -x END)"))
+          .as("embedding"),
+        col("label"))
+      .repartition(2 * k)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
   private def settle(): Unit = { System.gc(); Thread.sleep(50); System.gc() }
@@ -140,8 +174,12 @@ object ScaleProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_PROBE_FACTOR (default 10): the replication factor of
+    // the big lane — a 30× text-family lane probes one decade further
+    val factor = sys.env.getOrElse("SPARK_GRAFT_PROBE_FACTOR", "10").toInt
+    require(factor >= 2, s"probe factor must be >= 2: $factor")
     val root = "target/scaleprobe"
-    val dirs = Seq(1 -> s"$root/x1", 10 -> s"$root/x10")
+    val dirs = Seq(1 -> s"$root/x1", factor -> s"$root/x$factor")
     dirs.foreach { case (k, out) => replicate(spark, base, out, k) }
     streamWarmup(spark, dirs.head._2)
     def ms(v: Double): String =
@@ -160,20 +198,20 @@ object ScaleProbe {
       }
       val ((t1, r1), (t10, r10)) = (timed(0), timed(1))
       val ratio = if (t1 > 0) t10 / t1 else Double.NaN
-      val flag = if (ratio > FlagRatio) "super-linear" else "ok"
-      System.err.println(f"[scaleprobe] $name%-28s x1 ${ms(t1)}%8ss  x10 ${ms(t10)}%8ss  ratio ${ms(ratio)}%6s  rows $r1%d -> $r10%d  $flag")
+      val flag = if (ratio > flagRatio(factor)) "super-linear" else "ok"
+      System.err.println(f"[scaleprobe] $name%-28s x1 ${ms(t1)}%8ss  x$factor ${ms(t10)}%8ss  ratio ${ms(ratio)}%6s  rows $r1%d -> $r10%d  $flag")
       (name, t1, t10, ratio, r1, r10, flag)
     }
     ops.Residue.familyBoundary(spark)
     ops.Streaming.sweepAllScratch()
     val detail = results.map { case (n, t1, t10, r, r1, r10, f) =>
       val rowsRatio = if (r1 > 0) ms(r10.toDouble / r1) else "null"
-      s"""\"$n\":{"x1_sec":${ms(t1)},"x10_sec":${ms(t10)},"ratio":${ms(r)},"x1_rows":$r1,"x10_rows":$r10,"rows_ratio":$rowsRatio,"flag":"$f"}"""
+      s"""\"$n\":{"x1_sec":${ms(t1)},"xN_sec":${ms(t10)},"ratio":${ms(r)},"x1_rows":$r1,"xN_rows":$r10,"rows_ratio":$rowsRatio,"flag":"$f"}"""
     }.mkString("{", ",", "}")
     val flagged = results.collect { case (n, _, _, _, _, _, "super-linear") => s"\"$n\"" }
       .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"scaleprobe","base":"$base","factor":10,"flag_ratio":$FlagRatio,"queries":$detail,"flagged":$flagged}"""
+      s"""{"metric":"scaleprobe","base":"$base","factor":$factor,"flag_ratio":${flagRatio(factor)},"queries":$detail,"flagged":$flagged}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("SCALEPROBE.json"), json)
     // round-numbered snapshot, keyed the same way as bench_detail_r{N}
