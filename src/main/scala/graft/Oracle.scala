@@ -3252,8 +3252,10 @@ object Oracle {
         |    AND a.l_partkey < b.l_partkey),
         |adj AS (SELECT u AS n, v AS w FROM e UNION ALL SELECT v, u FROM e),
         |deg AS (SELECT n, COUNT(*) AS deg FROM adj GROUP BY n),
+        |idx AS (SELECT adj.n, adj.w FROM adj
+        |  JOIN deg ON adj.w = deg.n AND deg.deg <= 64),
         |wed AS (SELECT x.n AS a, y.n AS b, COUNT(*) AS common
-        |  FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n GROUP BY 1, 2),
+        |  FROM idx x JOIN idx y ON x.w = y.w AND x.n < y.n GROUP BY 1, 2),
         |na AS (SELECT wed.a, wed.b, wed.common FROM wed
         |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = wed.a AND e.v = wed.b))
         |SELECT na.a AS u, na.b AS v, CAST(common AS BIGINT) AS common,

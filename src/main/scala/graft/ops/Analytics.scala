@@ -704,6 +704,15 @@ object Analytics {
     * sort. The edge subtree repeats across adjacency/degree/anti uses —
     * left to ReuseExchange (the plan-keyed cache was measured 3× slower
     * on this graph; see coOccurrenceEdges). */
+  /** Degree cap for the shared-neighbor role in [[graphCommonNeighbors]]
+    * — the stop-gram discipline at graph-index scale (r17): bounds
+    * per-shared-neighbor wedge fan-out at cap² where an uncapped
+    * super-hub contributes deg². Mirrored verbatim in the DuckDB oracle;
+    * clears the declared corpus (max degree 53 at sf0.1) so board
+    * results are unchanged, and binds on RobustGraphSpec's synthetic
+    * hub. */
+  private[graft] val CommonNeighborHubCap = 64L
+
   def graphCommonNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // ONE materialization of the edge build (the pagerank pattern, not
@@ -720,8 +729,21 @@ object Analytics {
     val adj = e.select($"u".as("n"), $"v".as("w"))
       .unionAll(e.select($"v".as("n"), $"u".as("w")))
     val deg = adj.groupBy($"n").agg(count(lit(1)).as("deg"))
-    val wedges = adj.select($"n".as("a"), $"w")
-      .join(adj.select($"n".as("b"), $"w"), "w")
+    // Hub cap on the SHARED-neighbor role (r17): a degree-d hub w emits
+    // d² wedges from this index join — the quadratic head of the plan,
+    // exactly the stop-gram shape of the text inverted index — and a
+    // neighbor shared by "everyone" carries no link-prediction signal.
+    // Nodes with deg > CommonNeighborHubCap are excluded from the wedge
+    // INDEX only (their own pair rows and the union denominator keep
+    // full degrees), so per-shared-neighbor wedge work is bounded by
+    // cap² BY CONSTRUCTION. 64 clears the declared corpus (max degree
+    // 53 at sf0.1 — board results unchanged, oracle mirrors the filter);
+    // RobustGraphSpec pins the binding behavior on a synthetic hub.
+    val nonHub = deg.filter($"deg" <= CommonNeighborHubCap)
+      .select($"n".as("w"))
+    val idx = adj.join(nonHub, Seq("w"), "left_semi")
+    val wedges = idx.select($"n".as("a"), $"w")
+      .join(idx.select($"n".as("b"), $"w"), "w")
       .filter($"a" < $"b")
       .groupBy($"a", $"b").agg(count(lit(1)).as("common"))
     wedges

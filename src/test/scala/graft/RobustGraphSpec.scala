@@ -51,6 +51,52 @@ class RobustGraphSpec extends SparkSuite {
     assert(got == Seq((1L, 4L, 1L, 0.5), (2L, 4L, 1L, 0.5)))
   }
 
+  test("graph_common_neighbors: the hub cap excludes a super-hub from the shared-neighbor role") {
+    // r17: a hub h co-occurring with > CommonNeighborHubCap distinct
+    // parts would emit deg² wedges from the index join; the cap excludes
+    // it from the SHARED-neighbOR role only. Fixture: hub 1000 sits in
+    // 40 orders of 3 (80 spoke neighbors, degree 80 > 64); spokes
+    // 1..80 pair up only THROUGH the hub except spokes 1 and 3, which
+    // also share the ordinary neighbor 2000 without being adjacent.
+    val dir = java.nio.file.Files.createTempDirectory("graft_hub").toString
+    val hubOrders = (0 until 40).flatMap { i =>
+      Seq((100L + 10 * i, 1000L), (100L + 10 * i, 1L + 2 * i),
+        (100L + 10 * i, 2L + 2 * i))
+    }
+    // ordinary shared neighbor 2000 for the NON-adjacent spokes 1 and 3
+    val plain = Seq((900L, 1L), (900L, 2000L), (910L, 3L), (910L, 2000L))
+    (hubOrders ++ plain).toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val rows = Analytics.graphCommonNeighbors(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // hub degree: 80 spokes (distinct co-parts) > 64 ⇒ every
+    // only-through-the-hub pair (e.g. spokes 1 and 4, or 2 and 3) is
+    // GONE — uncapped, ~3.1k such pairs would flood the top-20. What
+    // survives: (1,3) via ordinary neighbor 2000 (the hub's contribution
+    // excluded from its common too), the hub/2000 pair via their shared
+    // ORDINARY neighbors 1 and 3, and (2,2000)/(4,2000) via spokes 1/3.
+    assert(rows == Seq((1000L, 2000L, 2L), (1L, 3L, 1L),
+        (2L, 2000L, 1L), (4L, 2000L, 1L)),
+      s"hub-capped result set diverges: $rows")
+    // and the uncapped reference would have found hub-only pairs: prove
+    // the cap is what removed them (non-vacuity)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter($"l_orderkey" % 10 === 0)
+    val e = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v")).distinct()
+    val adj = e.select($"u".as("n"), $"v".as("w"))
+      .unionAll(e.select($"v".as("n"), $"u".as("w")))
+    val hubDeg = adj.filter($"n" === 1000L).count()
+    assert(hubDeg > Analytics.CommonNeighborHubCap,
+      s"fixture hub degree $hubDeg must exceed the cap for a binding test")
+    val uncappedWedges = adj.select($"n".as("a"), $"w")
+      .join(adj.select($"n".as("b"), $"w"), "w")
+      .filter($"a" < $"b" && $"w" === 1000L).count()
+    assert(uncappedWedges > 1000L,
+      s"the hub must generate a quadratic wedge head uncapped: $uncappedWedges")
+  }
+
   /** events fixture for MAD + interpolation: nanosecond ts longs like the
     * harness parquet (SparkSuite sessions read ts as long). */
   private def eventsDir(rows: Seq[(Long, Long, Long, String, Double)]): String = {
