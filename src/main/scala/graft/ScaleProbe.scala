@@ -44,8 +44,10 @@ object ScaleProbe {
   private val ProbeQueries = Seq(
     // gram/band candidate joins — the df-cap / band-cap tier
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_sorted_neighborhood",
-    // graph — degree-oriented wedge bounds
-    "graph_triangle_count", "graph_common_neighbors",
+    // graph — degree-oriented wedge bounds + the iterative fixpoints
+    // (disjoint replica graphs keep round counts fixed; work per round ×k)
+    "graph_triangle_count", "graph_common_neighbors", "graph_pagerank",
+    "graph_kcore", "graph_label_propagation",
     // per-key quadratic pair frames (bounded series)
     "ts_theilsen",
     // iterative fixpoint: pointer-jumped CC over the pair graph — rounds
@@ -178,6 +180,13 @@ object ScaleProbe {
     // the big lane — a 30× text-family lane probes one decade further
     val factor = sys.env.getOrElse("SPARK_GRAFT_PROBE_FACTOR", "10").toInt
     require(factor >= 2, s"probe factor must be >= 2: $factor")
+    // SPARK_GRAFT_PROBE_ONLY="a,b": probe just that subset — the lever
+    // that makes a 100× lane affordable (render-heavy or graph queries
+    // stay on the 10×/30× lanes)
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val probeQueries =
+      if (only.isEmpty) ProbeQueries else ProbeQueries.filter(only)
     val root = "target/scaleprobe"
     val dirs = Seq(1 -> s"$root/x1", factor -> s"$root/x$factor")
     dirs.foreach { case (k, out) => replicate(spark, base, out, k) }
@@ -186,7 +195,7 @@ object ScaleProbe {
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // per-query adjacency: each query's 1× and 10× runs are back-to-back
     // so a host-load swing moves both sides of a ratio, not one
-    val results = ProbeQueries.map { name =>
+    val results = probeQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val timed = dirs.map { case (_, dir) =>
         ops.Residue.familyBoundary(spark)
