@@ -1958,7 +1958,7 @@ object Oracle {
     // (prefix, doc_id) and only pairs within 64 ranks are candidates,
     // the sub-quadratic bound the 10× scale probe forced.
     "dedup_edit_distance" ->
-      """WITH d AS (SELECT doc_id, source, n_chars // 100 AS len_bkt,
+      s"""WITH d AS (SELECT doc_id, source, n_chars // 100 AS len_bkt,
         |  substring(text, 1, 60) AS prefix FROM documents),
         |r AS (SELECT *, row_number() OVER (
         |    PARTITION BY source, len_bkt ORDER BY prefix, doc_id) AS rk
@@ -1967,7 +1967,7 @@ object Oracle {
         | greatest(a.doc_id, b.doc_id) AS id_b, a.source AS source,
         | CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS dist
         |FROM r a JOIN r b ON a.source = b.source AND a.len_bkt = b.len_bkt
-        |  AND b.rk > a.rk AND b.rk - a.rk <= 64
+        |  AND b.rk > a.rk AND b.rk - a.rk <= ${ops.Similarity.EditRankWindow}
         |WHERE levenshtein(a.prefix, b.prefix) <= 20
         |ORDER BY id_a, id_b""".stripMargin,
 
@@ -3245,7 +3245,7 @@ object Oracle {
         |FROM r4 GROUP BY label ORDER BY label""".stripMargin,
 
     "graph_common_neighbors" ->
-      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
         |  WHERE l_orderkey % 10 = 0),
         |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
@@ -3253,7 +3253,7 @@ object Oracle {
         |adj AS (SELECT u AS n, v AS w FROM e UNION ALL SELECT v, u FROM e),
         |deg AS (SELECT n, COUNT(*) AS deg FROM adj GROUP BY n),
         |idx AS (SELECT adj.n, adj.w FROM adj
-        |  JOIN deg ON adj.w = deg.n AND deg.deg <= 64),
+        |  JOIN deg ON adj.w = deg.n AND deg.deg <= ${ops.Analytics.CommonNeighborHubCap}),
         |wed AS (SELECT x.n AS a, y.n AS b, COUNT(*) AS common
         |  FROM idx x JOIN idx y ON x.w = y.w AND x.n < y.n GROUP BY 1, 2),
         |na AS (SELECT wed.a, wed.b, wed.common FROM wed

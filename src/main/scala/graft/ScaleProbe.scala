@@ -88,8 +88,15 @@ object ScaleProbe {
     docs.crossJoin(reps)
       .withColumn("text2",
         when(col("rep") === 0, col("text")).otherwise(
+          // LENGTH-PRESERVING remap (review fix): each token maps to an
+          // alpha hash of ITS OWN length, so doc char counts — and every
+          // length-derived block key (n_chars div 100) — mirror the
+          // original corpus exactly; a fixed-width token would shift
+          // replicas into different length buckets than rep 0
           array_join(transform(split(col("text"), "\\s+"),
-            w => translate(substring(md5(concat(w, lit("#r"), col("rep"))), 1, 8),
+            w => translate(
+              repeat(md5(concat(w, lit("#r"), col("rep"))), 3)
+                .substr(lit(1), length(w)),
               "0123456789", "qrstuvwxyz")), " ")))
       .select(
         (col("doc_id") + col("rep").cast("long") * 10000000L).as("doc_id"),
@@ -185,6 +192,11 @@ object ScaleProbe {
     // stay on the 10×/30× lanes)
     val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // fail loud on typos (review fix): a misspelled name silently dropped
+    // would write a green artifact claiming the operator was measured
+    val unknown = only -- ProbeQueries.toSet
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_PROBE_ONLY names not in ProbeQueries: ${unknown.mkString(", ")}")
     val probeQueries =
       if (only.isEmpty) ProbeQueries else ProbeQueries.filter(only)
     val root = "target/scaleprobe"
@@ -197,6 +209,15 @@ object ScaleProbe {
     // so a host-load swing moves both sides of a ratio, not one
     val results = probeQueries.map { name =>
       val fn = SparkEntry.queries(name)
+      // UNTIMED warm-up on the 1× slice, then full hygiene (review fix):
+      // without it the 1× lane pays the query's one-time bill — codegen,
+      // JIT, broadcast/scan scaffolding, measured at seconds for some
+      // operators — and the 10× lane rides it warm, deflating every
+      // ratio and able to hide genuine super-linear growth behind the
+      // fixed-cost denominator. The boundary sweep after the warm-up
+      // drops plan-keyed caches/checkpoints so the timed 1× run re-does
+      // the DATA work; only the JVM-level warmth is amortized.
+      try fn(spark, dirs.head._2).count() catch { case _: Throwable => () }
       val timed = dirs.map { case (_, dir) =>
         ops.Residue.familyBoundary(spark)
         ops.Streaming.sweepAllScratch()
@@ -219,8 +240,11 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     val flagged = results.collect { case (n, _, _, _, _, _, "super-linear") => s"\"$n\"" }
       .mkString("[", ",", "]")
+    // JSON-escape the env-derived path (review fix): a quote or backslash
+    // in SPARK_GRAFT_SF_DIR must not produce an unparseable artifact
+    val baseJ = base.replace("\\", "\\\\").replace("\"", "\\\"")
     val json =
-      s"""{"metric":"scaleprobe","base":"$base","factor":$factor,"flag_ratio":${flagRatio(factor)},"queries":$detail,"flagged":$flagged}"""
+      s"""{"metric":"scaleprobe","base":"$baseJ","factor":$factor,"flag_ratio":${flagRatio(factor)},"queries":$detail,"flagged":$flagged}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("SCALEPROBE.json"), json)
     // round-numbered snapshot, keyed the same way as bench_detail_r{N}
