@@ -183,11 +183,14 @@ object Bench {
     val fams = results.groupBy(_._1.takeWhile(_ != '_')).toSeq.sortBy(_._1)
       .map { case (f, rs) => s"\"" + f + "\":" + ms(rs.map(_._2).sum) }
       .mkString("{", ",", "}")
-    // load fields captured at shared-pass end: the alone lane below runs
-    // under fresh contexts and its numbers carry their own caveats
+    // Shared-pass load window, NAMED for its span (r18 advice: the
+    // previous single "load" field also rode the final detail file that
+    // carries alone-lane numbers measured under a LATER window — a JSON
+    // consumer attributing alone deltas to this busy_pct was misled).
+    // The alone lane below gets its own window in the final write.
     val load = loadJson(loadStart, jifStart)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$detail,"families":$fams,"errors":$errs,"load":$load,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$detail,"families":$fams,"errors":$errs,"load_shared_pass":$load,"sf":"$sfDir"}""")
     def summaryLine: String = Bench.summaryLine(total, results.size, errs, sfDir)
     // drop the LAST family's residue before the context dies: entries
     // surviving into the alone lane would point at a stopped context and
@@ -214,6 +217,8 @@ object Bench {
     // compile + shuffle included) and warm (second run), so the per-query
     // numbers in bench_detail.json are evidence rather than noise.
     val heavy = results.filter(_._3).sortBy(-_._2).take(10).map(_._1)
+    val loadAloneStart = loadavg()
+    val jifAloneStart = cpuJiffies()
     val alone = heavy.flatMap { name => try {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
@@ -263,11 +268,14 @@ object Bench {
     // alone-lane stream queries leave out-dirs (and pair runs) too —
     // leave the pass clean
     ops.Streaming.sweepAllScratch()
+    // second jiffies window spanning the alone lane (r18 advice), so each
+    // lane's numbers carry the busy_pct they were actually measured under
+    val loadAlone = loadJson(loadAloneStart, jifAloneStart)
     val aloneJson = alone.map { case (k, c, w) =>
       s"\"" + k + "\":{\"cold\":" + ms(c) + ",\"warm\":" + ms(w) + "}"
     }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$detail,"families":$fams,"alone":$aloneJson,"errors":$errs,"load":$load,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$detail,"families":$fams,"alone":$aloneJson,"errors":$errs,"load_shared_pass":$load,"load_alone_lane":$loadAlone,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detailJson)
     // Per-round snapshot (r9 judge ask): bench_detail.json is overwritten

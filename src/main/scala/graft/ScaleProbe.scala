@@ -91,13 +91,20 @@ object ScaleProbe {
           // LENGTH-PRESERVING remap (review fix): each token maps to an
           // alpha hash of ITS OWN length, so doc char counts — and every
           // length-derived block key (n_chars div 100) — mirror the
-          // original corpus exactly; a fixed-width token would shift
-          // replicas into different length buckets than rep 0
-          array_join(transform(split(col("text"), "\\s+"),
-            w => translate(
-              repeat(md5(concat(w, lit("#r"), col("rep"))), 3)
+          // original corpus exactly. r18 (advice): the split pattern is a
+          // whitespace/non-whitespace BOUNDARY, so whitespace runs (and
+          // leading/trailing whitespace) survive as their own tokens and
+          // the rejoin is byte-length-exact — the old \s+ split rejoined
+          // with single spaces collapsed runs and shifted length buckets;
+          // and the md5 repeat count now scales with the token's length
+          // instead of truncating tokens past 96 chars.
+          array_join(transform(
+            split(col("text"), "(?<=\\s)(?=\\S)|(?<=\\S)(?=\\s)"),
+            w => when(w.rlike("^\\s"), w).otherwise(translate(
+              repeat(md5(concat(w, lit("#r"), col("rep"))),
+                (length(w) / 32 + 1).cast("int"))
                 .substr(lit(1), length(w)),
-              "0123456789", "qrstuvwxyz")), " ")))
+              "0123456789", "qrstuvwxyz"))), "")))
       .select(
         (col("doc_id") + col("rep").cast("long") * 10000000L).as("doc_id"),
         col("text2").as("text"), col("lang"), col("source"),
@@ -200,6 +207,7 @@ object ScaleProbe {
     val probeQueries =
       if (only.isEmpty) ProbeQueries else ProbeQueries.filter(only)
     val root = "target/scaleprobe"
+    val errored = scala.collection.mutable.ArrayBuffer.empty[String]
     val dirs = Seq(1 -> s"$root/x1", factor -> s"$root/x$factor")
     dirs.foreach { case (k, out) => replicate(spark, base, out, k) }
     streamWarmup(spark, dirs.head._2)
@@ -207,7 +215,7 @@ object ScaleProbe {
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // per-query adjacency: each query's 1× and 10× runs are back-to-back
     // so a host-load swing moves both sides of a ratio, not one
-    val results = probeQueries.map { name =>
+    val results = probeQueries.flatMap { name =>
       val fn = SparkEntry.queries(name)
       // UNTIMED warm-up on the 1× slice, then full hygiene (review fix):
       // without it the 1× lane pays the query's one-time bill — codegen,
@@ -218,19 +226,29 @@ object ScaleProbe {
       // drops plan-keyed caches/checkpoints so the timed 1× run re-does
       // the DATA work; only the JVM-level warmth is amortized.
       try fn(spark, dirs.head._2).count() catch { case _: Throwable => () }
-      val timed = dirs.map { case (_, dir) =>
-        ops.Residue.familyBoundary(spark)
-        ops.Streaming.sweepAllScratch()
-        settle()
-        val t0 = System.nanoTime()
-        val rows = fn(spark, dir).count()
-        ((System.nanoTime() - t0) / 1e9, rows)
+      // timed runs are per-query fallible too (r18 advice): a broken
+      // query must land in the errors field and leave the other probe
+      // measurements (minutes of replication + timing) intact, not
+      // abort the whole main with no artifact
+      try {
+        val timed = dirs.map { case (_, dir) =>
+          ops.Residue.familyBoundary(spark)
+          ops.Streaming.sweepAllScratch()
+          settle()
+          val t0 = System.nanoTime()
+          val rows = fn(spark, dir).count()
+          ((System.nanoTime() - t0) / 1e9, rows)
+        }
+        val ((t1, r1), (t10, r10)) = (timed(0), timed(1))
+        val ratio = if (t1 > 0) t10 / t1 else Double.NaN
+        val flag = if (ratio > flagRatio(factor)) "super-linear" else "ok"
+        System.err.println(f"[scaleprobe] $name%-28s x1 ${ms(t1)}%8ss  x$factor ${ms(t10)}%8ss  ratio ${ms(ratio)}%6s  rows $r1%d -> $r10%d  $flag")
+        Some((name, t1, t10, ratio, r1, r10, flag))
+      } catch { case e: Throwable =>
+        System.err.println(s"[scaleprobe] $name FAILED: ${e.getMessage}")
+        errored += name
+        None
       }
-      val ((t1, r1), (t10, r10)) = (timed(0), timed(1))
-      val ratio = if (t1 > 0) t10 / t1 else Double.NaN
-      val flag = if (ratio > flagRatio(factor)) "super-linear" else "ok"
-      System.err.println(f"[scaleprobe] $name%-28s x1 ${ms(t1)}%8ss  x$factor ${ms(t10)}%8ss  ratio ${ms(ratio)}%6s  rows $r1%d -> $r10%d  $flag")
-      (name, t1, t10, ratio, r1, r10, flag)
     }
     ops.Residue.familyBoundary(spark)
     ops.Streaming.sweepAllScratch()
@@ -240,23 +258,30 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     val flagged = results.collect { case (n, _, _, _, _, _, "super-linear") => s"\"$n\"" }
       .mkString("[", ",", "]")
+    val errs = errored.map(n => s"\"$n\"").mkString("[", ",", "]")
     // JSON-escape the env-derived path (review fix): a quote or backslash
     // in SPARK_GRAFT_SF_DIR must not produce an unparseable artifact
     val baseJ = base.replace("\\", "\\\\").replace("\"", "\\\"")
     val json =
-      s"""{"metric":"scaleprobe","base":"$baseJ","factor":$factor,"flag_ratio":${flagRatio(factor)},"queries":$detail,"flagged":$flagged}"""
+      s"""{"metric":"scaleprobe","base":"$baseJ","factor":$factor,"flag_ratio":${flagRatio(factor)},"queries":$detail,"flagged":$flagged,"errors":$errs}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("SCALEPROBE.json"), json)
-    // round-numbered snapshot, keyed the same way as bench_detail_r{N}
+    // Round-numbered snapshot. SPARK_GRAFT_ROUND pins it exactly (r18
+    // advice: the max(BENCH_r*)+1 heuristic mislabels a re-run DURING
+    // round N as r{N+1} once BENCH_r{N}.json exists); the heuristic
+    // stays as the fallback for runs outside a driver round.
     try {
-      val rs = Option(new java.io.File(".").listFiles).toSeq.flatten
-        .map(_.getName).flatMap {
-          case s if s.matches("BENCH_r\\d+\\.json") =>
-            Some(s.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
-          case _ => None
-        }
-      if (rs.nonEmpty) java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"SCALEPROBE_r${rs.max + 1}.json"), json)
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).orElse {
+        val rs = Option(new java.io.File(".").listFiles).toSeq.flatten
+          .map(_.getName).flatMap {
+            case s if s.matches("BENCH_r\\d+\\.json") =>
+              Some(s.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
+            case _ => None
+          }
+        if (rs.nonEmpty) Some(rs.max + 1) else None
+      }
+      round.foreach(r => java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"SCALEPROBE_r$r.json"), json): Unit)
     } catch { case _: Throwable => () }
     println(json)
     spark.stop()

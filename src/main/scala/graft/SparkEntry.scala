@@ -389,11 +389,17 @@ object SparkEntry {
     "sql_api_q3"            -> Relational.sqlApiQ3 _,
     // -- custom whole-operator stack (§2.C)
     "topk_per_key_native"   -> Relational.topkPerKeyNative _,
-    // -- multimodal plumbing + synthetic source (rows-only where no oracle)
+    // -- multimodal plumbing + synthetic source
     "multimodal_binary_meta" -> Multimodal.multimodalBinaryMeta _,
+    // oracle-able projection (r18): exact integer stats over DECODED
+    // pixels — DuckDB replays them from the pure pixel formula, so the
+    // codec round-trip is hash-matched (byte_len, a PNG-encoder output
+    // no SQL engine can replay, stays spec-covered in MultimodalSpec)
     "multimodal_features"    -> ((s: SparkSession, d: String) =>
       Multimodal.extractFeatures(s, d)
-        .select(col("asset_id"), col("byte_len"), col("width"))
+        .select(col("asset_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"),
+          col("min_lum"), col("max_lum"))
         .orderBy(col("asset_id"))),
     "multimodal_frame_sample" -> ((s: SparkSession, d: String) =>
       Multimodal.frameSample(s, d)),

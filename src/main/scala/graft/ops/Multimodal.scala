@@ -109,11 +109,24 @@ object Multimodal {
     * metadata, so a broken codec path cannot pass silently. */
   def extractFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     val df = pngAssets(spark, sfDir)
+    // the integer channel sums / luminance extrema / decoded dims ride as
+    // their own columns (r18, judge item 3): they are exact integers over
+    // DECODED pixels, so the DuckDB oracle replays them from the pure
+    // pixel formula — codec-path correctness is hash-matched, not just
+    // spec-asserted. byte_len (PNG encoder output) and the float feature
+    // vector stay for the API/spec surface; the board projects the
+    // oracle-able columns.
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType),
       StructField("byte_len", IntegerType),
       StructField("features", ArrayType(FloatType)),
-      StructField("width", IntegerType)))
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType),
+      StructField("min_lum", IntegerType),
+      StructField("max_lum", IntegerType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
@@ -150,7 +163,7 @@ object Multimodal {
         val feats = Array(sr / n, sg / n, sb / n,
           (sr + sg + sb) / (3f * n), minL.toFloat, maxL.toFloat,
           w.toFloat, h.toFloat)
-        Row(r.getLong(0), payload.length, feats, w)
+        Row(r.getLong(0), payload.length, feats, w, h, sr, sg, sb, minL, maxL)
       }
     }(enc)
   }
