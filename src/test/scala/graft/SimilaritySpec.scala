@@ -243,6 +243,50 @@ class SimilaritySpec extends SparkSuite {
     assert(routed.select($"route_bkt").distinct().as[Int].collect().toSeq == Seq(-1))
   }
 
+  test("cosine cell prune: candidates < label block on a one-dominant-label two-cloud fixture, output lossless") {
+    // the r18 density bound's binding case: ONE label holding two
+    // well-separated clouds. The label-block join would enumerate all
+    // n(n-1)/2 pairs; the seed-cell triangle-inequality prune must drop
+    // the cross-cloud cell pairs (centroid distance ~2, radii small)
+    // while changing NOTHING in the output — the prune is lossless by
+    // construction, and this pins it on data where it actually bites.
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    def cloud(sign: Double, n: Int, idBase: Long) = (0 until n).map { i =>
+      val raw = Array.tabulate(8)(j =>
+        (if (j == 0) sign else 0.0) + 0.05 * rnd.nextGaussian())
+      (idBase + i, "hot", raw.toSeq)
+    }
+    val e = (cloud(1.0, 20, 0L) ++ cloud(-1.0, 20, 100L))
+      .toDF("vec_id", "label", "v")
+      .withColumn("nrm", sqrt(aggregate(
+        zip_with($"v", $"v", (x, y) => x * y), lit(0.0), (a, x) => a + x)))
+    // router threshold far above the fixture: route_bkt = -1 everywhere,
+    // so the CELL prune alone is what shrinks the candidate set
+    val cand = Similarity.cosineCellCandidates(e, maxExact = 100000L).cache()
+    val nCand = cand.count()
+    val block = 40L * 39L / 2
+    assert(nCand < block,
+      s"cell prune did not shrink the one-label block: $nCand vs $block")
+    // losslessness: the pruned candidates yield EXACTLY the brute-force
+    // accept set (same pairs, same decimal cosines)
+    def cosOf(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id_a", $"id_b",
+        (aggregate(zip_with($"va", $"vb", (x, y) => x * y),
+          lit(0.0), (a, x) => a + x) / ($"na" * $"nb"))
+          .cast("decimal(18,6)").as("cos"))
+      .filter($"cos" >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).toPlainString)).toSet
+    val a = e.as("a"); val b = e.as("b")
+    val brute = a.join(b, $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        $"a.v".as("va"), $"b.v".as("vb"), $"a.nrm".as("na"), $"b.nrm".as("nb"))
+    assert(cosOf(cand) == cosOf(brute),
+      "pruned accept set diverges from the brute-force label block")
+    cand.unpersist()
+  }
+
   test("dedup_cluster under reliable checkpointing matches the local-checkpoint run") {
     // the fault-tolerant mode a 1000-executor fixpoint needs: per-round
     // labels go to the checkpoint dir instead of executor-local blocks
