@@ -87,6 +87,82 @@ object FuzzVerify {
       .select(concat(lit("E"), $"id".cast("string")).as("external_id"))
   }
 
+  /** 40-word pure-alpha vocabulary shared verbatim by the Spark and
+    * DuckDB doc generators (the tokenizer splits on [^a-z]+, so fuzz
+    * tokens must be alpha): word k = letter (a + k mod 26) repeated
+    * (k div 26 + 2) times. */
+  private[graft] val FuzzVocab: Seq[String] =
+    (0 until 40).map(k => ("" + ('a' + k % 26).toChar) * (k / 26 + 2))
+
+  /** Randomized text corpus for the text/dedup differential: doc i draws
+    * a seeded token count 0..11 (EMPTY docs and sub-shingle docs
+    * included — the tokenize/shingle edge the fixed corpus rarely hits)
+    * with every token an md5(seed|t|base|j) pick from [[FuzzVocab]];
+    * ~2/16 of docs clone their 5-group head's token stream (variant 0 =
+    * EXACT duplicate, variant 1 = the clone plus one extra seeded token
+    * — a near-dup with high shingle overlap), so duplicate classes and
+    * banding collisions move with the seed. Mirrored token-for-token in
+    * [[fuzzDocsCte]]. */
+  def rawDocs(spark: SparkSession, seed: String, n: Int): DataFrame = {
+    import spark.implicits._
+    val s = checkSeed(seed)
+    def h2(c: Column): Column = conv(substring(c, 1, 2), 16, 10).cast("int")
+    val vocab = typedLit(FuzzVocab)
+    spark.range(n).select($"id".as("doc_id"))
+      .withColumn("variant",
+        h2(md5(concat(lit(s + "|v|"), $"doc_id".cast("string")))) % 16)
+      .withColumn("base",
+        when($"variant" <= 1, $"doc_id" - $"doc_id" % 5).otherwise($"doc_id"))
+      .withColumn("n_tok",
+        h2(md5(concat(lit(s + "|n|"), $"base".cast("string")))) % 12)
+      .withColumn("toks",
+        when($"n_tok" === 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), $"n_tok"), j =>
+            element_at(vocab,
+              h2(md5(concat(lit(s + "|t|"), $"base".cast("string"),
+                lit("|"), j.cast("string")))) % 40 + 1))))
+      .withColumn("toks",
+        when($"variant" === 1, concat($"toks", array(element_at(vocab,
+            h2(md5(concat(lit(s + "|x|"), $"doc_id".cast("string")))) % 40 + 1))))
+          .otherwise($"toks"))
+      .select($"doc_id", array_join($"toks", " ").as("text"))
+  }
+
+  /** DuckDB twin of [[rawDocs]] as a CTE chain ending in `documents_f`. */
+  private def fuzzDocsCte(seed: String, n: Int): String = {
+    val s = checkSeed(seed)
+    def h2(x: String): String =
+      s"((strpos('0123456789abcdef', substr($x, 1, 1)) - 1) * 16 + " +
+        s"strpos('0123456789abcdef', substr($x, 2, 1)) - 1)"
+    val vocab = FuzzVocab.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""v0 AS (SELECT i.range AS id,
+       |    ${h2(s"md5('$s' || '|v|' || CAST(i.range AS VARCHAR))")} % 16 AS variant
+       |  FROM range($n) i),
+       |b0 AS (SELECT id, variant,
+       |    CASE WHEN variant <= 1 THEN id - id % 5 ELSE id END AS base
+       |  FROM v0),
+       |nt AS (SELECT id, variant, base,
+       |    ${h2(s"md5('$s' || '|n|' || CAST(base AS VARCHAR))")} % 12 AS n_tok
+       |  FROM b0),
+       |tk AS (SELECT id, variant,
+       |    list_transform(range(1, n_tok + 1), j ->
+       |      $vocab[${h2(s"md5('$s' || '|t|' || CAST(base AS VARCHAR) || '|' || CAST(j AS VARCHAR))")} % 40 + 1])
+       |      AS toks
+       |  FROM nt),
+       |tk2 AS (SELECT id,
+       |    CASE WHEN variant = 1 THEN list_append(toks,
+       |      $vocab[${h2(s"md5('$s' || '|x|' || CAST(id AS VARCHAR))")} % 40 + 1])
+       |    ELSE toks END AS toks
+       |  FROM tk),
+       |documents_f AS (SELECT id AS doc_id,
+       |    coalesce(array_to_string(toks, ' '), '') AS text
+       |  FROM tk2)""".stripMargin
+  }
+
+  /** DuckDB mirror of TextSim.tokens over the fuzz corpus. */
+  private val ftoks =
+    "list_filter(string_split_regex(lower(trim(text)), '[^a-z]+'), t -> t <> '')"
+
   def queries(spark: SparkSession, seed: String, n: Int): Map[String, DataFrame] = {
     import spark.implicits._
     val classified = ops.Ingest.classifyStaged(
@@ -109,7 +185,33 @@ object FuzzVerify {
         classified.agg(
           count(lit(1)).as("processed"),
           count(when($"error".isNull, 1)).as("inserted"),
-          count(when($"error".isNotNull, 1)).as("failed")))
+          count(when($"error".isNotNull, 1)).as("failed"))) ++ {
+      // text/dedup differential over the randomized corpus (r18): the
+      // REAL tokenizer, exact-dedup and banded-minhash code paths run on
+      // seed-fresh shapes (empty docs, sub-shingle docs, seeded dup
+      // classes) and must hash-match DuckDB's replay
+      val docs = rawDocs(spark, seed, n)
+      val toks = ops.TextSim.tokens($"text")
+      Map(
+        "fuzz_text_stats" ->
+          docs.select($"doc_id",
+            length($"text").as("n_chars"),
+            size(toks).as("n_tokens"),
+            size(array_distinct(toks)).as("n_distinct"))
+            .orderBy($"doc_id"),
+        "fuzz_exact_dedup" ->
+          docs.groupBy(lower(trim($"text")).as("k"))
+            .agg(min($"doc_id").as("kept_id"), count(lit(1)).as("n_copies"))
+            .select($"kept_id", $"n_copies")
+            .orderBy($"kept_id"),
+        "fuzz_minhash_pairs" ->
+          ops.Similarity.bandedCandidates(
+              ops.Similarity.minhashBandsOf(docs), ops.Similarity.BandDfCap)
+            .select($"id_a", $"id_b", $"matches",
+              ($"matches".cast("double") / 6.0).cast("decimal(18,6)")
+                .as("est_jaccard"))
+            .orderBy($"id_a", $"id_b"))
+    }
   }
 
   /** DuckDB mirror of [[rawStaging]]/[[existingKeys]] + the classifier
@@ -200,7 +302,41 @@ object FuzzVerify {
         (cte + """SELECT COUNT(*) AS processed,
                  | COUNT(CASE WHEN error IS NULL THEN 1 END) AS inserted,
                  | COUNT(CASE WHEN error IS NOT NULL THEN 1 END) AS failed
-                 |FROM classified""".stripMargin))
+                 |FROM classified""".stripMargin)) ++ {
+      val dcte = "WITH " + fuzzDocsCte(seed, n)
+      Map(
+        "fuzz_text_stats" ->
+          (dcte + s""",
+            |t AS (SELECT doc_id, text, $ftoks AS ts FROM documents_f)
+            |SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+            | CAST(len(ts) AS INTEGER) AS n_tokens,
+            | CAST(len(list_distinct(ts)) AS INTEGER) AS n_distinct
+            |FROM t ORDER BY doc_id""".stripMargin),
+        "fuzz_exact_dedup" ->
+          (dcte + """
+            |SELECT MIN(doc_id) AS kept_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+            |FROM documents_f GROUP BY lower(trim(text))
+            |ORDER BY kept_id""".stripMargin),
+        // the dedup_minhash_lsh oracle verbatim, over the fuzz corpus
+        // (incl. the BandDfCap mirror — seeded dup classes could bind it)
+        "fuzz_minhash_pairs" ->
+          (dcte + s""",
+            |d AS (SELECT doc_id, $ftoks AS ts FROM documents_f),
+            |sh AS (SELECT doc_id, ts FROM d WHERE len(ts) >= 3),
+            |sigs AS (SELECT doc_id, list_transform(range(0, 6), s ->
+            |  list_min(list_transform(range(1, len(ts) - 1),
+            |    i -> md5(CAST(s AS VARCHAR) || '|' || ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])))) AS sig
+            |  FROM sh),
+            |bands AS (SELECT doc_id, i0, sig[i0 + 1] AS v FROM sigs, range(0, 6) t(i0)),
+            |${Oracle.bandCapCtes("bands", "bandk")},
+            |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS matches
+            |  FROM bandk a JOIN bandk b
+            |    ON a.i0 = b.i0 AND a.v = b.v AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2)
+            |SELECT id_a, id_b, CAST(matches AS BIGINT) AS matches,
+            | CAST(CAST(matches AS DOUBLE) / 6.0 AS DECIMAL(18,6))::DOUBLE AS est_jaccard
+            |FROM cand WHERE matches >= 2 ORDER BY id_a, id_b""".stripMargin))
+    }
   }
 
   /** Dump the fuzz queries + their oracle SQL to `outDir` in the Verify
@@ -208,7 +344,10 @@ object FuzzVerify {
   def run(spark: SparkSession, seed: String, n: Int, outDir: String): Unit = {
     new java.io.File(outDir).mkdirs()
     queries(spark, seed, n).foreach { case (name, df) =>
-      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      // the board's boundary normalization (decimal → double) so the
+      // stringified compare sees one canonical repr on both engines
+      SparkEntry.normalizeDecimals(df)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""

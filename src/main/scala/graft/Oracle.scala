@@ -1858,7 +1858,7 @@ object Oracle {
     * containment, the dedup pipeline, the lsh-recall audit) cannot
     * desynchronize from the engine or each other (r11 review). (A `def`:
     * referenced from map initializers above.) */
-  private def bandCapCtes(bands: String, kept: String): String =
+  private[graft] def bandCapCtes(bands: String, kept: String): String =
     s"""bdf_$kept AS (SELECT i0, v, COUNT(*) AS bdf FROM $bands GROUP BY 1, 2),
        |$kept AS (SELECT doc_id, i0, v FROM $bands JOIN bdf_$kept USING (i0, v)
        |  WHERE bdf <= ${graft.ops.Similarity.BandDfCap})""".stripMargin

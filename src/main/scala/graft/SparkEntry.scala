@@ -23,7 +23,7 @@ object SparkEntry {
     * order-independent — but the serialized result is float64 on both the
     * Spark and DuckDB sides, so the driver's stringified hash compare sees
     * one canonical repr ("2.5", never "2.50"). */
-  private def normalizeDecimals(df: DataFrame): DataFrame = {
+  private[graft] def normalizeDecimals(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     if (!df.schema.fields.exists(_.dataType.isInstanceOf[DecimalType])) df
     else df.select(df.schema.fields.map { f =>
