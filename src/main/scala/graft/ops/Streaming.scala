@@ -1786,10 +1786,11 @@ object Streaming {
 
   /** Operator ids of the two transformWithState operators inside the
     * [[tcRecRun]] union query. Spark assigns stateful-operator ids during
-    * planning; for this fixed two-branch union plan the assignment is
-    * deterministic (pinned by StreamingSpec's catalog case for the
-    * shared run) — and a wrong id fails LOUDLY at read time, because
-    * neither operator holds the other's state var name. */
+    * planning; for a fixed two-branch union plan the FIRST branch's
+    * operator is id 0 — StreamingSpec's union-ids case pins the
+    * assignment (and that crossed combinations fail) mechanically — and
+    * a wrong id fails LOUDLY at board read time too, because neither
+    * operator holds the other's state var name. */
   private val TcOperatorId = "0"
   private val RecOperatorId = "1"
 

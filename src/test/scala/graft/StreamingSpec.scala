@@ -1322,4 +1322,68 @@ class StreamingSpec extends SparkSuite {
       rm(new java.io.File(dir))
     }
   }
+
+  test("two-branch TWS union assigns operator ids in branch order (the shared-run constants)") {
+    // the invariant the r18 shared runs' pinned operator-id constants
+    // rest on (Streaming.TcOperatorId/RecOperatorId = "0"/"1",
+    // SessAggOperatorId/SessTwsOperatorId): in a union of two stateful
+    // branches, the FIRST branch's operator gets id 0 and its state var
+    // lives there. A wrong id would already fail loudly at board read
+    // time (neither operator holds the other's state var); this pins the
+    // assignment mechanically so a Spark-version drift surfaces HERE,
+    // with a named message, instead of as an opaque statestore error.
+    import org.apache.spark.sql.streaming.OutputMode
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "2")
+    session.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+    val input = MemoryStream[graft.ops.KeyedEvent]
+    // branch 1: MapState (var "bytype"); branch 2: ListState (var
+    // "recent") — the tcrec union's exact shape, tagged and unioned
+    val tc = input.toDS().groupByKey(_.user_id)
+      .transformWithState(new graft.ops.TypeCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[graft.ops.TypeCount]).toDF()
+      .select(lit("type").as("kind"), $"user_id")
+    val rec = input.toDS().groupByKey(_.user_id)
+      .transformWithState(new graft.ops.RecentProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[graft.ops.RecentRow]).toDF()
+      .select(lit("rank").as("kind"), $"user_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-union-ids").toString
+    val q = tc.unionByName(rec).writeStream.outputMode("append")
+      .format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/chk").start()
+    try {
+      input.addData(graft.ops.KeyedEvent(1L, 1L, 10L, "click"))
+      q.processAllAvailable()
+      q.stop()
+      org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+      // the statestore source resolves (operatorId, stateVarName): the
+      // first union branch's var must be at 0, the second's at 1 — and
+      // the crossed combinations must NOT resolve
+      def canRead(op: String, v: String): Boolean =
+        try {
+          session.read.format("statestore").option("path", s"$dir/chk")
+            .option("operatorId", op).option("stateVarName", v)
+            .load().collect(): Unit
+          true
+        } catch { case _: Throwable => false }
+      assert(canRead("0", "bytype"),
+        "first union branch's state var must live at operatorId 0")
+      assert(canRead("1", "recent"),
+        "second union branch's state var must live at operatorId 1")
+      assert(!canRead("0", "recent") && !canRead("1", "bytype"),
+        "crossed (operatorId, stateVarName) combinations must fail loudly")
+    } finally {
+      try q.stop() catch { case _: Throwable => () }
+      org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).toSeq.flatten.foreach(rm); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
