@@ -271,7 +271,11 @@ object ScaleProbe {
     // round N as r{N+1} once BENCH_r{N}.json exists); the heuristic
     // stays as the fallback for runs outside a driver round.
     try {
-      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).orElse {
+      // Malformed env values fall through to the heuristic instead of
+      // aborting the whole snapshot write via the outer catch-all (r18
+      // advice: .map(_.toInt) threw and skipped the BENCH_r* fallback too).
+      val round = sys.env.get("SPARK_GRAFT_ROUND")
+        .flatMap(v => scala.util.Try(v.trim.toInt).toOption).orElse {
         val rs = Option(new java.io.File(".").listFiles).toSeq.flatten
           .map(_.getName).flatMap {
             case s if s.matches("BENCH_r\\d+\\.json") =>

@@ -29,8 +29,11 @@ class FuzzSpec extends SparkSuite {
     val buf = new StringBuilder
     val logger = ProcessLogger(l => buf.append(l).append('\n'): Unit,
       l => buf.append(l).append('\n'): Unit)
+    // r18 advice: resolve the check script off the build root (sbt sets
+    // user.dir to it), not a hardcoded /root/repo — any other checkout
+    // location would silently diff against the wrong tree.
     val rc = Process(Seq("python3", "tools/check.py", sfDir, out),
-      new java.io.File("/root/repo")).!(logger)
+      new java.io.File(sys.props("user.dir"))).!(logger)
     assert(rc == 0,
       s"DuckDB differential failed for seed=$seed (replay with " +
         s"GRAFT_FUZZ_SEED=$seed):\n$buf")
