@@ -73,10 +73,31 @@ object ScaleProbe {
     // independent clouds share (at production d ≥ 384 the same threshold
     // is ≥ 5.6σ and the tail vanishes); the TIME ratio is the engine.
     "dedup_embedding_cosine", "sim_ann_lsh", "sim_ivf_probe", "embed_kmeans",
+    // capped variants of the two OUTPUT-bound pair emitters (r18 judge
+    // item 1): same queries with spark.graft.pairs.maxPerId=8 — their
+    // xN ratio must track the (linear) capped output, not the quadratic
+    // pair tail the uncapped lanes honestly flag
+    "dedup_embedding_cosine_cap", "multimodal_phash_pairs_cap",
     // bounded-frame window over 10× keys
     "win_moving_median",
     // one real streaming join: 10× keyed state, fixed time axis
     "stream_stream_join")
+
+  /** Probe-only wrappers: the board query built with
+    * `spark.graft.pairs.maxPerId` set — the dial is read at BUILD time,
+    * so setting it around construction embeds the bounded-heap cap in
+    * the returned plan and the timed count() runs capped. */
+  private val CapK = 8
+  private def withCap(name: String): (SparkSession, String) => DataFrame =
+    (s, d) => {
+      s.conf.set(ops.PairCap.ConfKey, CapK.toString)
+      try SparkEntry.queries(name)(s, d)
+      finally s.conf.unset(ops.PairCap.ConfKey)
+    }
+  private val ProbeOnlyQueries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "dedup_embedding_cosine_cap" -> withCap("dedup_embedding_cosine"),
+      "multimodal_phash_pairs_cap" -> withCap("multimodal_phash_pairs"))
 
   private def replicate(spark: SparkSession, base: String, out: String,
                         k: Int): Unit = {
@@ -216,7 +237,7 @@ object ScaleProbe {
     // per-query adjacency: each query's 1× and 10× runs are back-to-back
     // so a host-load swing moves both sides of a ratio, not one
     val results = probeQueries.flatMap { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = ProbeOnlyQueries.getOrElse(name, SparkEntry.queries(name))
       // UNTIMED warm-up on the 1× slice, then full hygiene (review fix):
       // without it the 1× lane pays the query's one-time bill — codegen,
       // JIT, broadcast/scan scaffolding, measured at seconds for some

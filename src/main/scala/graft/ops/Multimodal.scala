@@ -255,7 +255,11 @@ object Multimodal {
       }
     }(sigEnc)
     val sigsCp = Residue.swap("multimodal_phash_pairs.sigs", sigs)
-    ahashBandPairs(sigsCp, 16, 6).orderBy(col("id_a"), col("id_b"))
+    // optional emission cap (spark.graft.pairs.maxPerId, default off):
+    // strongest = lowest Hamming; see PairCap for the output-bound story
+    PairCap.cap(ahashBandPairs(sigsCp, 16, 6),
+        col("id_a"), col("hamming").asc, col("id_b").asc)
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Banded-Hamming candidate pair engine over an (asset_id, ahash)

@@ -973,10 +973,15 @@ object Similarity {
     val raw = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"label", vecd($"embedding").as("v"))
       .withColumn("nrm", sqrt(dot($"v", $"v")))
-    cosineCellCandidates(raw, maxExactLabel(spark), cacheKey = Some(sfDir))
+    val pairs = cosineCellCandidates(raw, maxExactLabel(spark),
+        cacheKey = Some(sfDir))
       .select($"id_a", $"id_b", $"label",
         (dot($"va", $"vb") / ($"na" * $"nb")).cast("decimal(18,6)").as("cos"))
       .filter($"cos" >= 0.35)
+    // optional emission cap (spark.graft.pairs.maxPerId, default off —
+    // oracle rows byte-identical): a hot cluster's pair list is itself
+    // quadratic; the cap keeps the k strongest partners per left id
+    PairCap.cap(pairs, $"id_a", $"cos".desc, $"id_b".asc)
       .orderBy($"id_a", $"id_b")
   }
 
