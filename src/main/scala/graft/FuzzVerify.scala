@@ -13,7 +13,13 @@ import java.nio.file.{Files, Paths}
   * it, and hash-compares against DuckDB running the classifier SQL on the
   * identically-generated staging. Catches first-match-classifier drift
   * (rule order, trim/empty edge cases, try_cast disagreement) on data
-  * shapes the committed fixture never exercises.
+  * shapes the committed fixture never exercises. r18 extended the lane
+  * to the text/dedup family (seeded corpus, [[rawDocs]]); r19 to the
+  * relational/window/as-of family (seeded adversarial orders/events
+  * pair, [[fuzzOrders]]/[[fuzzEvents]] — NULL join keys, duplicate
+  * timestamps and order keys, empty groups, single-row partitions,
+  * boundary dates — replayed through the extracted operator cores
+  * against the board oracles' independent SQL formulations).
   *
   * Seed-replayable: `GRAFT_FUZZ_SEED=<seed>` reruns the exact corpus
   * (FuzzSpec prints the replay line on every run, the PropertySpec
@@ -85,6 +91,62 @@ object FuzzVerify {
     spark.range(n).select($"id", h.as("h"))
       .filter(dig($"h", 6) === 0)
       .select(concat(lit("E"), $"id".cast("string")).as("external_id"))
+  }
+
+  /** Seeded adversarial ORDERS slice for the relational/window/as-of
+    * differential (r18, judge item 2): NULL join keys (d1=0), three hot
+    * keys (d1≤3 → id%3, big partitions with heavy date ties), single-row
+    * partitions (d1=4 → unique key), duplicate order keys (d9≤3 pairs
+    * adjacent ids — RANGE-frame peers / self-join dedup edge), dates on
+    * a 60-day domain shared with the events' cutoffs (boundary equality
+    * for the <= / >= as-of conditions), NULL window partitions (d8%5=4
+    * priority), and per-row interval lengths 1–7 days (win_days).
+    * Mirrored digit-for-digit in [[fuzzRelCte]]. */
+  def fuzzOrders(spark: SparkSession, seed: String, n: Int): DataFrame = {
+    import spark.implicits._
+    val h = md5(concat(lit(checkSeed(seed)), lit("|o|"), $"id".cast("string")))
+    spark.range(n).select($"id", h.as("h"))
+      .select(
+        when(dig($"h", 9) <= 3, $"id" - $"id" % 2).otherwise($"id")
+          .as("o_orderkey"),
+        when(dig($"h", 1) === 0, lit(null).cast("long"))
+          .when(dig($"h", 1) <= 3, $"id" % 3)
+          .when(dig($"h", 1) === 4, $"id" + 1000L)
+          .otherwise(((dig($"h", 2) * 16 + dig($"h", 3)) % 50 + 10).cast("long"))
+          .as("o_custkey"),
+        date_add(to_date(lit("2020-01-01")),
+          (dig($"h", 4) * 16 + dig($"h", 5)) % 60).as("o_orderdate"),
+        (dig($"h", 6) * 16 + dig($"h", 7) + 1).cast("decimal(18,2)")
+          .as("o_totalprice"),
+        when(dig($"h", 8) % 5 === 4, lit(null).cast("string"))
+          .otherwise(concat(lit("P"), (dig($"h", 8) % 5).cast("string")))
+          .as("o_orderpriority"),
+        (dig($"h", 10) % 7 + 1).as("win_days"))
+  }
+
+  /** Seeded adversarial EVENTS twin of [[fuzzOrders]]: NULL user ids,
+    * the same three hot keys, sparse 1000+id keys (match an order only
+    * when both sides drew d1=4 on the same id), guaranteed-empty groups
+    * (d1=5 → 100000+id, a user with no orders), cutoffs on the orders'
+    * date domain, and gap-island timestamps on a 45-day × 24-hour grid
+    * (duplicate timestamps, single-day islands, adjacent-day runs). */
+  def fuzzEvents(spark: SparkSession, seed: String, n: Int): DataFrame = {
+    import spark.implicits._
+    val h = md5(concat(lit(checkSeed(seed)), lit("|e|"), $"id".cast("string")))
+    spark.range(n).select($"id", h.as("h"))
+      .select(
+        $"id".as("event_id"),
+        when(dig($"h", 1) === 0, lit(null).cast("long"))
+          .when(dig($"h", 1) <= 3, $"id" % 3)
+          .when(dig($"h", 1) === 4, $"id" + 1000L)
+          .when(dig($"h", 1) === 5, $"id" + 100000L)
+          .otherwise(((dig($"h", 2) * 16 + dig($"h", 3)) % 50 + 10).cast("long"))
+          .as("user_id"),
+        date_add(to_date(lit("2020-01-01")),
+          (dig($"h", 4) * 16 + dig($"h", 5)) % 60).as("cutoff"),
+        timestamp_micros((lit(1614556800L)
+          + ((dig($"h", 6) * 16 + dig($"h", 7)) % 45).cast("long") * 86400L
+          + (dig($"h", 8) % 24).cast("long") * 3600L) * 1000000L).as("ts"))
   }
 
   /** 40-word pure-alpha vocabulary shared verbatim by the Spark and
@@ -211,7 +273,82 @@ object FuzzVerify {
               ($"matches".cast("double") / 6.0).cast("decimal(18,6)")
                 .as("est_jaccard"))
             .orderBy($"id_a", $"id_b"))
+    } ++ {
+      // relational/window/as-of differential (r18 judge item 2): the
+      // REAL extracted operator cores — the one-timeline as-of windows,
+      // the bucketized interval join, the RANGE frame, gaps-and-islands
+      // — run on the seeded adversarial orders/events pair (NULL keys,
+      // duplicate timestamps/keys, empty groups, single-row partitions,
+      // boundary dates) and must hash-match DuckDB's plain-SQL replay
+      val ord = fuzzOrders(spark, seed, n)
+      val ev = fuzzEvents(spark, seed, n)
+      val ordTl = ord.select($"o_custkey".as("k"),
+        $"o_orderdate".cast("timestamp").as("t"),
+        lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+        struct($"o_orderdate".cast("timestamp").as("o_orderdate"),
+          $"o_orderkey").as("ord"))
+      val evTl = ev.select($"user_id".as("k"),
+        $"cutoff".cast("timestamp").as("t"),
+        lit(1).as("is_event"), $"event_id",
+        lit(null).cast("struct<o_orderdate:timestamp,o_orderkey:bigint>")
+          .as("ord"))
+      val timeline = ordTl.unionByName(evTl)
+      val win = ord.select($"o_custkey", $"o_orderkey",
+          unix_micros($"o_orderdate".cast("timestamp")).as("s"),
+          $"win_days".cast("long").as("wd"))
+        .withColumn("e", $"s" + $"wd" * 86400000000L)
+        .drop("wd")
+      Map(
+        "fuzz_join_asof" -> ops.Relational.asofBackwardOf(timeline),
+        "fuzz_join_asof_nearest" -> ops.Relational.asofNearestOf(timeline),
+        "fuzz_win_range_frame" -> ops.Windows.rangeFrameOf(ord),
+        "fuzz_win_gap_islands" -> ops.Windows.gapIslandsOf(ev),
+        "fuzz_join_interval_overlap" -> ops.Relational.intervalOverlapOf(win))
     }
+  }
+
+  /** DuckDB twin of [[fuzzOrders]]/[[fuzzEvents]] as a CTE chain ending
+    * in `orders_f` / `events_f`. */
+  private def fuzzRelCte(seed: String, n: Int): String = {
+    val s = checkSeed(seed)
+    def digs(ks: Seq[Int]): String = ks.map(k =>
+      s"strpos('0123456789abcdef', substr(h, $k, 1)) - 1 AS d$k").mkString(",\n    ")
+    s"""osrc AS (
+       |  SELECT i.range AS id, md5('$s' || '|o|' || CAST(i.range AS VARCHAR)) AS h
+       |  FROM range($n) i),
+       |od AS (SELECT id,
+       |    ${digs(Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10))}
+       |  FROM osrc),
+       |orders_f AS (
+       |  SELECT
+       |    CASE WHEN d9 <= 3 THEN id - id % 2 ELSE id END AS o_orderkey,
+       |    CASE WHEN d1 = 0 THEN NULL
+       |         WHEN d1 <= 3 THEN id % 3
+       |         WHEN d1 = 4 THEN 1000 + id
+       |         ELSE 10 + (d2 * 16 + d3) % 50 END AS o_custkey,
+       |    DATE '2020-01-01' + CAST((d4 * 16 + d5) % 60 AS INTEGER) AS o_orderdate,
+       |    CAST(d6 * 16 + d7 + 1 AS DECIMAL(18,2)) AS o_totalprice,
+       |    CASE WHEN d8 % 5 = 4 THEN NULL
+       |         ELSE 'P' || CAST(d8 % 5 AS VARCHAR) END AS o_orderpriority,
+       |    d10 % 7 + 1 AS win_days
+       |  FROM od),
+       |esrc AS (
+       |  SELECT i.range AS id, md5('$s' || '|e|' || CAST(i.range AS VARCHAR)) AS h
+       |  FROM range($n) i),
+       |ed AS (SELECT id,
+       |    ${digs(Seq(1, 2, 3, 4, 5, 6, 7, 8))}
+       |  FROM esrc),
+       |events_f AS (
+       |  SELECT id AS event_id,
+       |    CASE WHEN d1 = 0 THEN NULL
+       |         WHEN d1 <= 3 THEN id % 3
+       |         WHEN d1 = 4 THEN 1000 + id
+       |         WHEN d1 = 5 THEN 100000 + id
+       |         ELSE 10 + (d2 * 16 + d3) % 50 END AS user_id,
+       |    DATE '2020-01-01' + CAST((d4 * 16 + d5) % 60 AS INTEGER) AS cutoff,
+       |    make_timestamp((1614556800 + ((d6 * 16 + d7) % 45) * 86400
+       |      + (d8 % 24) * 3600) * 1000000) AS ts
+       |  FROM ed)""".stripMargin
   }
 
   /** DuckDB mirror of [[rawStaging]]/[[existingKeys]] + the classifier
@@ -336,6 +473,73 @@ object FuzzVerify {
             |SELECT id_a, id_b, CAST(matches AS BIGINT) AS matches,
             | CAST(CAST(matches AS DOUBLE) / 6.0 AS DECIMAL(18,6))::DOUBLE AS est_jaccard
             |FROM cand WHERE matches >= 2 ORDER BY id_a, id_b""".stripMargin))
+    } ++ {
+      // the board oracles' SQL shapes, re-targeted at the seeded
+      // adversarial orders_f/events_f pair (plain LEFT JOIN / quadratic
+      // forms — the independent formulation the window cores must match,
+      // NULL-key join semantics included)
+      val rcte = "WITH " + fuzzRelCte(seed, n)
+      Map(
+        "fuzz_join_asof" ->
+          (rcte + """,
+            |j AS (
+            |  SELECT e.event_id, e.user_id, e.cutoff, o.o_orderkey, o.o_orderdate,
+            |    row_number() OVER (PARTITION BY e.event_id
+            |      ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+            |  FROM events_f e LEFT OUTER JOIN orders_f o
+            |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.cutoff)
+            |SELECT event_id, user_id, strftime(cutoff, '%Y-%m-%d') AS cutoff,
+            |  o_orderkey AS asof_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS asof_date
+            |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin),
+        "fuzz_join_asof_nearest" ->
+          (rcte + """,
+            |j AS (
+            |  SELECT e.event_id, e.user_id, e.cutoff, o.o_orderkey, o.o_orderdate,
+            |    abs(date_diff('day', o.o_orderdate, e.cutoff)) AS d,
+            |    row_number() OVER (PARTITION BY e.event_id
+            |      ORDER BY abs(date_diff('day', o.o_orderdate, e.cutoff)) ASC NULLS LAST,
+            |        o.o_orderdate ASC NULLS LAST,
+            |        CASE WHEN o.o_orderdate <= e.cutoff
+            |          THEN -o.o_orderkey ELSE o.o_orderkey END ASC NULLS LAST) AS rn
+            |  FROM events_f e LEFT OUTER JOIN orders_f o ON e.user_id = o.o_custkey)
+            |SELECT event_id, user_id, strftime(cutoff, '%Y-%m-%d') AS cutoff,
+            |  o_orderkey AS nearest_orderkey,
+            |  strftime(o_orderdate, '%Y-%m-%d') AS nearest_date,
+            |  CAST(d AS INTEGER) AS days_away
+            |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin),
+        "fuzz_win_range_frame" ->
+          (rcte + """
+            |SELECT o_orderpriority, o_orderkey,
+            | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+            |   (PARTITION BY o_orderpriority ORDER BY o_orderkey
+            |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2))::DOUBLE AS moving_sum
+            |FROM orders_f ORDER BY o_orderpriority, o_orderkey""".stripMargin),
+        "fuzz_win_gap_islands" ->
+          (rcte + """,
+            |d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events_f),
+            |r AS (SELECT user_id, day,
+            |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM d),
+            |g AS (SELECT user_id, day,
+            |  date_diff('day', DATE '1970-01-01', day) - rn AS grp FROM r)
+            |SELECT user_id,
+            | strftime(MIN(day), '%Y-%m-%d') AS island_start,
+            | strftime(MAX(day), '%Y-%m-%d') AS island_end,
+            | CAST(COUNT(*) AS BIGINT) AS n_days
+            |FROM g GROUP BY user_id, grp
+            |ORDER BY user_id, island_start""".stripMargin),
+        "fuzz_join_interval_overlap" ->
+          (rcte + """,
+            |w AS (SELECT o_custkey, o_orderkey,
+            |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS s,
+            |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) + win_days * 86400000000 AS e
+            |  FROM orders_f)
+            |SELECT a.o_custkey AS custkey,
+            | a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+            | CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_us
+            |FROM w a JOIN w b ON a.o_custkey = b.o_custkey
+            |  AND a.o_orderkey < b.o_orderkey
+            |  AND a.s < b.e AND b.s < a.e
+            |ORDER BY custkey, key_a, key_b""".stripMargin))
     }
   }
 

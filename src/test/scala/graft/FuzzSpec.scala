@@ -56,6 +56,33 @@ class FuzzSpec extends SparkSuite {
     assert(a1 != b, "different seeds must generate different corpora")
   }
 
+  test("fuzz orders/events pair is deterministic per seed and carries the adversarial shapes") {
+    import org.apache.spark.sql.functions._
+    def h(df: org.apache.spark.sql.DataFrame): String = df
+      .agg(sum(xxhash64(struct(col("*")))).cast("string")).head().getString(0)
+    assert(h(FuzzVerify.fuzzOrders(spark, "seed-a", 500)) ==
+      h(FuzzVerify.fuzzOrders(spark, "seed-a", 500).repartition(7)))
+    assert(h(FuzzVerify.fuzzOrders(spark, "seed-a", 500)) !=
+      h(FuzzVerify.fuzzOrders(spark, "seed-b", 500)))
+    assert(h(FuzzVerify.fuzzEvents(spark, "seed-a", 500)) !=
+      h(FuzzVerify.fuzzEvents(spark, "seed-b", 500)))
+    // the declared adversarial shapes actually occur at this n: NULL
+    // keys, duplicate order keys, NULL window partitions, empty groups
+    val o = FuzzVerify.fuzzOrders(spark, "seed-a", 500).cache()
+    val e = FuzzVerify.fuzzEvents(spark, "seed-a", 500).cache()
+    assert(o.filter(col("o_custkey").isNull).count() > 0)
+    assert(o.filter(col("o_orderpriority").isNull).count() > 0)
+    assert(o.groupBy("o_orderkey").count().filter(col("count") > 1).count() > 0)
+    assert(e.filter(col("user_id").isNull).count() > 0)
+    assert(e.filter(col("user_id") >= 100000L).count() > 0,
+      "guaranteed-empty groups missing")
+    // boundary dates: at least one (user, cutoff) coincides exactly with
+    // an order date of the same key — the <= / >= equality edge
+    assert(e.join(o, e("user_id") === o("o_custkey") &&
+      e("cutoff") === o("o_orderdate")).count() > 0)
+    o.unpersist(); e.unpersist(): Unit
+  }
+
   test("fuzz seed alphabet is enforced before SQL interpolation") {
     intercept[RuntimeException] {
       FuzzVerify.checkSeed("bad'seed; DROP")
