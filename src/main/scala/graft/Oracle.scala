@@ -4464,9 +4464,17 @@ object Oracle {
     // engine's nomenclature, and a Spark upgrade that renames operators
     // should fail this audit loudly. Multi-operator enumeration stays
     // pinned in StreamingSpec.
+    // r19: the det-status checkpoint now holds THREE transformWithState
+    // operators (status=0, MapState counters=1, ListState recency=2 —
+    // the det-trio union), each with its single 'default' store over the
+    // pinned 4 partitions and the same deterministic batch range 0..2
     "scan_state_meta" ->
       """SELECT * FROM (VALUES
         | (CAST(0 AS BIGINT), 'transformWithStateExec', 'default',
+        |  CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT)),
+        | (CAST(1 AS BIGINT), 'transformWithStateExec', 'default',
+        |  CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT)),
+        | (CAST(2 AS BIGINT), 'transformWithStateExec', 'default',
         |  CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT)))
         | t(operator_id, operator_name, store_name, num_partitions,
         |   min_batch_id, max_batch_id)
