@@ -412,6 +412,17 @@ object Streaming {
               s"rmMs=${s.allRemovalsTimeMs} mem=${s.memoryUsedBytes})").mkString}")
       }
 
+  /** Run independent driver-side jobs concurrently (guide §2.6): Spark's
+    * scheduler happily overlaps jobs submitted from several threads, so
+    * N short jobs whose tails would otherwise leave the pool idle
+    * back-fill each other. Exceptions propagate (first failure wins). */
+  private def runConcurrently(jobs: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(jobs.map(j => Future(j()))), Duration.Inf): Unit
+  }
+
   /** Result dirs handed out as LAZY read-back frames and not yet swept:
     * every stream query registers the path its returned DataFrame reads,
     * and [[sweepScratch]] drains the registry with one stderr line naming
@@ -523,14 +534,18 @@ object Streaming {
     * tumbling trio; r19 item 5 folded the sessionization union in as two
     * more stateful operators, retiring that run's own ~5.5 s board
     * floor). The run follows the snapshot
-    * protocol — the SAME watermarked tumbling agg over FOUR
-    * time-contiguous files as TWO sequential AvailableNow legs on one
-    * checkpoint, forced RocksDB maintenance between the legs uploading a
-    * full snapshot of the last leg-1 version so leg 2's commits are
-    * changelog-only. Emitted set and open-window state are
-    * batch-count-invariant under time-contiguous staging (the
-    * [[streamTumbling]] argument quantifies over ANY contiguous
-    * batching), so the 3-cut → 2×2-cut move changes no consumer's rows.
+    * protocol — the SAME watermarked tumbling agg over THREE
+    * time-contiguous files as TWO sequential AvailableNow legs (2 + 1
+    * data batches, ≥3 total) on one checkpoint, forced RocksDB
+    * maintenance between the legs uploading a full snapshot of the last
+    * leg-1 version — for the snapshot-read operator only; the other two
+    * operators' stores just unload (r19: each forced snapshot zips and
+    * uploads every store instance of its operator for a read nothing
+    * performs) — so leg 2's commits are changelog-only. Emitted set and
+    * open-window state are batch-count-invariant under time-contiguous
+    * staging (the [[streamTumbling]] argument quantifies over ANY
+    * contiguous batching), so neither the leg split nor the r19
+    * 4-file → 3-file trim changes any consumer's rows.
     * Read 0 = direct latest-state (scan_state_window), read 1 =
     * per-partition snapshot reconstruction incl partition_id
     * (scan_state_snapshot); the reconstruction ≡ direct-read equality —
@@ -543,6 +558,13 @@ object Streaming {
     lock.synchronized {
       val cached = pairRuns.get(key)
       if (cached != null) return cached
+      var tMark = System.nanoTime()
+      def mark(stage: String): Unit = {
+        if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+          System.err.println(f"[stream-debug] tumblingRun $stage took " +
+            f"${(System.nanoTime() - tMark) / 1e9}%.2f s")
+        tMark = System.nanoTime()
+      }
       val pdir = s"$ScratchRoot/$PairsDirName/" +
         java.util.UUID.randomUUID.toString.replace("-", "")
       new java.io.File(pdir).mkdirs(): Unit
@@ -556,6 +578,10 @@ object Streaming {
       child.conf.set(
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
+      // metric-only row-count tracking off — see runToParquet
+      child.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+        "false")
       // capture a local native checkpoint at EVERY commit, so the forced
       // maintenance between the legs uploads a snapshot of the latest
       // leg-1 version (default 10 would skip short runs entirely)
@@ -563,7 +589,7 @@ object Streaming {
       val schema = child.read.parquet(s"$sfDir/events.parquet").schema
       val stage = scratchDir()
       child.read.parquet(s"$sfDir/events.parquet")
-        .repartitionByRange(4, col("ts"))
+        .repartitionByRange(3, col("ts"))
         .sortWithinPartitions("ts")
         .write.parquet(s"$stage/pending")
       val parts = Option(new java.io.File(s"$stage/pending").listFiles()).toSeq
@@ -638,19 +664,35 @@ object Streaming {
           .option("checkpointLocation", s"$pdir/chk")
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
+        debugProgress("tumblingRun.leg", q)
         val n = q.recentProgress.count(_.numInputRows > 0)
         require(n >= minBatches,
           s"multi-batch contract: expected >= $minBatches data micro-batches, got $n")
       }
+      mark("staging")
       parts.take(2).foreach(admit)
+      // leg 1 skips its trailing no-data micro-batch (r19): that batch
+      // only advances the watermark and flushes the windows it seals,
+      // and leg 2's first batch performs exactly the same advancement
+      // from the persisted offset log — the emitted SET is unchanged
+      // (batch-count-invariance), one 3-operator commit round cheaper.
+      // Leg 2 keeps its finalize batch: the run's LAST watermark
+      // advancement must happen before the state reads.
+      child.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       runLeg(2) // leg 1
+      child.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      mark("leg1")
       // forced maintenance uploads the full snapshot zips; then discover
       // the snapshotted version from the checkpoint itself (no-data
       // batches commit versions too, so discovery beats arithmetic).
       // Discovery enumerates EVERY state partition (r15 advice): a
       // partition whose upload failed must fail HERE with a named
       // diagnostic, not as an opaque statestore read error.
-      org.apache.spark.sql.graft.StreamHygiene.maintainAndUnloadAll()
+      // snapshot only the operator the snapshot-anchored read targets;
+      // the session/TWS operators are merely unloaded (r19 optimization)
+      org.apache.spark.sql.graft.StreamHygiene.maintainAndUnload(
+        _ == TumWindowOperatorId.toLong)
+      mark("maintenance")
       def snapVersionsOf(p: Int): Set[Long] = Option(
           new java.io.File(s"$pdir/chk/state/0/$p").listFiles()).toSeq.flatten
         .map(_.getName).filter(_.endsWith(".zip"))
@@ -665,7 +707,8 @@ object Streaming {
           s"all $nStateParts state partitions (per-partition *.zip: $detail)")
       }
       parts.drop(2).foreach(admit)
-      runLeg(2) // leg 2: changelog-only commits on top of the snapshot
+      runLeg(1) // leg 2: changelog-only commits on top of the snapshot
+      mark("leg2")
       org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
       def readState(opts: Map[String, String],
                     decode: Seq[org.apache.spark.sql.Column]): DataFrame =
@@ -674,41 +717,54 @@ object Streaming {
           case (r, (k, v)) => r.option(k, v)
         }.load().select(decode: _*)
       val winDecode = windowStateCols :+ col("partition_id")
+      // The four state reads are independent jobs over one terminated
+      // checkpoint — submit them from a thread pool so the later reads
+      // back-fill the earlier reads' task tails (guide §2.6) instead of
+      // paying four sequential job floors. Operator ids follow the union
+      // branch order tumbling=0, native session=1, TWS=2 (the tcrec
+      // discipline) — a crossed id fails LOUDLY at decode time: the
+      // three stores share no key/value shape.
       // read 0: the direct latest-state census (scan_state_window's
       // consumer projects the window columns; partition_id rides along
-      // for the equality proof and is dropped by the reader). Operator
-      // ids follow the union branch order tumbling=0, native session=1,
-      // TWS=2 (the tcrec discipline) — a crossed id fails LOUDLY at
-      // decode time: the three stores share no key/value shape.
-      readState(Map("operatorId" -> TumWindowOperatorId), winDecode)
-        .write.parquet(s"$pdir/state_out0")
-      (0 until nStateParts).map { p =>
-        readState(Map(
-          "operatorId" -> TumWindowOperatorId,
-          "snapshotStartBatchId" -> (snapVersion - 1).toString,
-          "snapshotPartitionId" -> p.toString), winDecode)
-      }.reduce(_ union _).write.parquet(s"$pdir/state_out1")
-      // read 2: the native session store (scan_state_session)
-      readState(Map("operatorId" -> SessAggOperatorId), Seq(
-          col("key.user_id").as("user_id"),
-          date_format(col("value.min"), tsFmt).as("first_ts"),
-          date_format(col("value.max"), tsFmt).as("last_ts"),
-          col("value.count").as("n_events")))
-        .write.parquet(s"$pdir/state_out2")
-      // read 3: the TWS branch's registered timers (scan_state_timers)
-      readState(Map("operatorId" -> SessTwsOperatorId,
-          "readRegisteredTimers" -> "true"), Seq(
-          col("key.value").as("user_id"),
-          col("expiration_timestamp_ms").as("timer_ms")))
-        .write.parquet(s"$pdir/state_out3")
+      // for the equality proof and is dropped by the reader).
+      // read 1: the per-partition snapshot+changelog reconstruction.
+      // read 2: the native session store (scan_state_session).
+      // read 3: the TWS branch's registered timers (scan_state_timers).
+      val readJobs: Seq[() => Unit] = Seq(
+        () => readState(Map("operatorId" -> TumWindowOperatorId), winDecode)
+          .write.parquet(s"$pdir/state_out0"),
+        () => (0 until nStateParts).map { p =>
+          readState(Map(
+            "operatorId" -> TumWindowOperatorId,
+            "snapshotStartBatchId" -> (snapVersion - 1).toString,
+            "snapshotPartitionId" -> p.toString), winDecode)
+        }.reduce(_ union _).write.parquet(s"$pdir/state_out1"),
+        () => readState(Map("operatorId" -> SessAggOperatorId), Seq(
+            col("key.user_id").as("user_id"),
+            date_format(col("value.min"), tsFmt).as("first_ts"),
+            date_format(col("value.max"), tsFmt).as("last_ts"),
+            col("value.count").as("n_events")))
+          .write.parquet(s"$pdir/state_out2"),
+        () => readState(Map("operatorId" -> SessTwsOperatorId,
+            "readRegisteredTimers" -> "true"), Seq(
+            col("key.value").as("user_id"),
+            col("expiration_timestamp_ms").as("timer_ms")))
+          .write.parquet(s"$pdir/state_out3"))
+      runConcurrently(readJobs)
+      mark("state-reads-x4")
       org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
       deleteRec(new java.io.File(s"$pdir/chk"))
-      val recon = spark.read.parquet(s"$pdir/state_out1")
-      val direct = spark.read.parquet(s"$pdir/state_out0")
-      // the in-builder proof: reconstruction ≡ direct read, per partition
-      require(recon.exceptAll(direct).isEmpty &&
-          direct.exceptAll(recon).isEmpty,
+      // proof frames read on the CHILD session (4 shuffle partitions —
+      // the parent's 32 would spread a handful of rows over 32 tasks)
+      val recon = child.read.parquet(s"$pdir/state_out1")
+      val direct = child.read.parquet(s"$pdir/state_out0")
+      // the in-builder proof: reconstruction ≡ direct read, per
+      // partition — one action for both directions (r19: two sequential
+      // exceptAll counts paid two job floors for one tiny symmetric diff)
+      require(recon.exceptAll(direct)
+          .unionAll(direct.exceptAll(recon)).isEmpty,
         "snapshot+changelog reconstruction must equal the direct state read")
+      mark("equality-proof")
       val run = StreamRun(s"$pdir/out",
         Seq(s"$pdir/state_out0", s"$pdir/state_out1",
           s"$pdir/state_out2", s"$pdir/state_out3"), sinkSchema)
@@ -1101,6 +1157,13 @@ object Streaming {
     child.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
       "true")
+    // Per-row total-count tracking costs a RocksDB get per put purely to
+    // feed the numRowsTotal METRIC (no query reads it; the state content
+    // is unchanged) — the documented knob to turn off first on
+    // write-heavy stores.
+    child.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+      "false")
     extraConf.foreach { case (k, v) => child.conf.set(k, v) }
     val df = build(child)
     val q = df.writeStream.outputMode("append").format("parquet")
@@ -1589,6 +1652,10 @@ object Streaming {
     child.conf.set("spark.sql.shuffle.partitions", streamStateParts(spark))
     child.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // metric-only row-count tracking off — see runToParquet
+    child.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+      "false")
     extraConf.foreach { case (k, v) => child.conf.set(k, v) }
     val df = build(child)
     // stampBatches: the emission-set transport — each micro-batch's rows
@@ -1615,23 +1682,29 @@ object Streaming {
         s"multi-batch contract: expected >= $minDataBatches data micro-batches, got $n")
     }
     org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
-    reads.zipWithIndex.foreach { case ((readOpts, decode, readFormat), i) =>
+    val readJobs = reads.zipWithIndex.map { case ((readOpts, decode, readFormat), i) =>
       // union-append shape (separateReadDirs=false): several reads of one
       // operator land in ONE frame (scan_state_join's two buffers);
       // separate dirs: each read is its own consumer's result (the
       // shared-run readers, r15)
       val target = if (separateReadDirs) s"$dir/state_out$i" else s"$dir/state_out"
-      val t0 = System.nanoTime()
-      readOpts.foldLeft(
-          child.read.format(readFormat).option("path", s"$dir/chk")) {
-          case (r, (k, v)) => r.option(k, v)
-        }.load()
-        .select(decode: _*)
-        .write.mode("append").parquet(target)
-      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
-        System.err.println(s"[stream-debug] stateRead $i $readOpts took " +
-          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      () => {
+        val t0 = System.nanoTime()
+        readOpts.foldLeft(
+            child.read.format(readFormat).option("path", s"$dir/chk")) {
+            case (r, (k, v)) => r.option(k, v)
+          }.load()
+          .select(decode: _*)
+          .write.mode("append").parquet(target)
+        if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+          System.err.println(s"[stream-debug] stateRead $i $readOpts took " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
+    // separate dirs: independent jobs, overlap them (guide §2.6);
+    // union-append into ONE dir must stay sequential (append races)
+    if (separateReadDirs) runConcurrently(readJobs)
+    else readJobs.foreach(_())
     org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
     deleteRec(new java.io.File(s"$dir/chk"))
     df.schema
@@ -2700,6 +2773,13 @@ object Streaming {
     child.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
       "true")
+    // Per-row total-count tracking costs a RocksDB get per put purely to
+    // feed the numRowsTotal METRIC (no query reads it; the state content
+    // is unchanged) — the documented knob to turn off first on
+    // write-heavy stores.
+    child.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+      "false")
     val path = s"$sfDir/events.parquet"
     val schema = child.read.parquet(path).schema
     child.read.parquet(path)

@@ -62,13 +62,21 @@ object StreamHygiene {
     * reflection, because the registry is object-private and Spark
     * exposes no "list loaded providers" API. Same precondition as
     * [[unloadStateStores]]: callers must have awaited termination. */
-  def maintainAndUnloadAll(): Unit = {
+  def maintainAndUnloadAll(): Unit = maintainAndUnload(_ => true)
+
+  /** [[maintainAndUnloadAll]] restricted to the operators that NEED a
+    * deterministic snapshot (r19 optimization): forcing maintenance on
+    * every loaded provider zips + uploads a full snapshot per store
+    * instance, but only the operator whose checkpoint feeds a
+    * snapshot-anchored read requires one — the rest are unloaded without
+    * the upload, exactly as [[unloadStateStores]] would. */
+  def maintainAndUnload(needsSnapshot: Long => Boolean): Unit = {
     val sessions =
       org.apache.spark.sql.SparkSession.getActiveSession.toSeq ++
         org.apache.spark.sql.SparkSession.getDefaultSession.toSeq
     val active = sessions.distinct.map(_.streams.active.length).sum
     require(active == 0,
-      s"maintainAndUnloadAll called with $active active streaming queries")
+      s"maintainAndUnload called with $active active streaming queries")
     val m = StateStore.getClass.getDeclaredMethod("loadedProviders")
     m.setAccessible(true)
     val reg = m.invoke(StateStore).asInstanceOf[
@@ -76,8 +84,10 @@ object StreamHygiene {
         org.apache.spark.sql.execution.streaming.state.StateStoreProviderId,
         org.apache.spark.sql.execution.streaming.state.StateStoreProvider]]
     val ids = reg.synchronized { reg.keys.toList }
-    ids.foreach(StateStore.doMaintenanceAndUnload)
-    // belt-and-braces: anything loaded between enumeration and now
+    ids.filter(id => needsSnapshot(id.storeId.operatorId))
+      .foreach(StateStore.doMaintenanceAndUnload)
+    // belt-and-braces: anything loaded between enumeration and now, plus
+    // every provider the predicate skipped
     StateStore.unloadAll()
   }
 }
