@@ -553,22 +553,28 @@ object Analytics {
     * bounded 10%-of-orders slice (the same quadratic-bounding move as
     * `join_self`). One self-equi-join on orderkey — pair work is bounded
     * by lines-per-order, never corpus². */
-  private def coOccurrenceEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val li = Tables.lineitem(spark, sfDir)
-      .filter($"l_orderkey" % 10 === 0)
-      .select($"l_orderkey", $"l_partkey")
-    val a = li.as("a")
-    val b = li.as("b")
-    // NOTE: a plan-keyed cache() here was measured 3× SLOWER for the
-    // triangle count at sf0.1 (9.7 s cold vs 2.4 s) — the InMemoryRelation
-    // breaks the wedge join's exchange reuse and its stats steer the
-    // planner off the broadcast path. The repeated subtree is cheap;
-    // leave it to ReuseExchange.
-    a.join(b, $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
-      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-      .distinct()
-  }
+  private def coOccurrenceEdges(spark: SparkSession, sfDir: String): DataFrame =
+    // ONE family-shared materialization (r19): all six graph queries
+    // derive from this edge set, and each used to re-run the self-join +
+    // distinct (and four of them then re-checkpointed their own derived
+    // copy). A localCheckpoint — NOT a plan-keyed cache() — is the right
+    // vehicle: the r10 cache() experiment measured the triangle count 3×
+    // SLOWER (9.7 s vs 2.4 s cold) because the InMemoryRelation broke
+    // the wedge join's exchange reuse and its stats steered the planner
+    // off the broadcast path, while the common-neighbors checkpoint
+    // measured 4.0 → 3.3 s with plan shapes unchanged. Freed at the
+    // family boundary like every Residue entry.
+    Residue.swapOnce(s"graph.edges#$sfDir", {
+      import spark.implicits._
+      val li = Tables.lineitem(spark, sfDir)
+        .filter($"l_orderkey" % 10 === 0)
+        .select($"l_orderkey", $"l_partkey")
+      val a = li.as("a")
+      val b = li.as("b")
+      a.join(b, $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+        .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .distinct()
+    })
 
   /** Degree distribution of the part co-occurrence graph — the
     * shape-of-the-graph diagnostic (power-law vs uniform) that decides
@@ -724,8 +730,7 @@ object Analytics {
     // max degree 53 — volume is not the cost, stage count is).
     // Residue-swapped: re-entry frees the previous run's blocks first
     // (the r9 warm>cold inversion was exactly those stale blocks).
-    val e = Residue.swap("graph_common_neighbors.edges",
-      coOccurrenceEdges(spark, sfDir))
+    val e = coOccurrenceEdges(spark, sfDir) // family-shared checkpoint
     val adj = e.select($"u".as("n"), $"v".as("w"))
       .unionAll(e.select($"v".as("n"), $"u".as("w")))
     val deg = adj.groupBy($"n").agg(count(lit(1)).as("deg"))
@@ -1027,9 +1032,10 @@ object Analytics {
   def graphLabelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = coOccurrenceEdges(spark, sfDir)
-    val dir = Residue.swap("graph_label_propagation.edges",
-      e.select($"u".as("src"), $"v".as("dst"))
-        .unionAll(e.select($"v".as("src"), $"u".as("dst"))))
+    // dir is two narrow projections over the family-shared checkpoint —
+    // no second materialization needed (r19)
+    val dir = e.select($"u".as("src"), $"v".as("dst"))
+      .unionAll(e.select($"v".as("src"), $"u".as("dst")))
     // Round 1 needs NO join: initial labels are the node ids themselves,
     // and edges are distinct, so every neighbor label occurs exactly once
     // — the frequency argmax degenerates to min(neighbor). One aggregate
@@ -1115,9 +1121,9 @@ object Analytics {
     import spark.implicits._
     val K = 3
     val e = coOccurrenceEdges(spark, sfDir)
-    val d = Residue.swap("graph_kcore.edges",
-      e.select($"u".as("src"), $"v".as("dst"))
-        .unionAll(e.select($"v".as("src"), $"u".as("dst"))))
+    // two narrow projections over the family-shared checkpoint (r19)
+    val d = e.select($"u".as("src"), $"v".as("dst"))
+      .unionAll(e.select($"v".as("src"), $"u".as("dst")))
     // round 1 needs no endpoint filter: every node is live
     var live = Residue.swap("graph_kcore.n1",
       d.groupBy($"src").agg(count(lit(1)).as("deg"))

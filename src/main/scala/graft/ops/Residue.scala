@@ -70,8 +70,12 @@ object Residue {
   private def purgeDead(): Unit = {
     val it = held.entrySet().iterator()
     while (it.hasNext) {
-      val rdds = it.next().getValue.rdds
-      if (rdds.nonEmpty && rdds.forall(_.sparkContext.isStopped)) it.remove()
+      val e = it.next()
+      val rdds = e.getValue.rdds
+      if (rdds.nonEmpty && rdds.forall(_.sparkContext.isStopped)) {
+        frames.remove(e.getKey)
+        it.remove()
+      }
     }
   }
 
@@ -108,6 +112,30 @@ object Residue {
     held.put(key, Blocks(mine.filterNot(r => ownedIds(r.id)),
       mine.iterator.map(_.id).toSet))
     cp
+  }
+
+  /** Frames handed out by [[swapOnce]], so same-key consumers inside one
+    * family share ONE materialization instead of re-checkpointing the
+    * identical subtree per query. Dropped with the blocks on
+    * free/freeAll. */
+  private val frames = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Get-or-build: return the frame a previous [[swapOnce]] of this key
+    * registered (if its context is still live), else checkpoint `df` and
+    * register it. The sharing twin of [[swap]] for subtrees SEVERAL
+    * queries of one family derive from (r19: the six graph queries each
+    * re-materialized the same co-occurrence edge set); lifetime is
+    * unchanged — the family boundary's [[freeAll]] drops the entry. */
+  def swapOnce(key: String, df: => DataFrame): DataFrame = {
+    purgeDead()
+    val prev = frames.get(key)
+    if (prev != null && held.containsKey(key) &&
+        !prev.sparkSession.sparkContext.isStopped) prev
+    else {
+      val cp = swap(key, df)
+      frames.put(key, cp)
+      cp
+    }
   }
 
   /** Register an already-materialized frame (e.g. the surviving label
@@ -153,12 +181,14 @@ object Residue {
     * unpersisted (r12 advice: freeing the owner must not leave a
     * borrower over unrecomputable checkpoint blocks) — and instead of
     * leaked (the borrower, now owner, frees it on its own free). */
-  def free(key: String): Unit =
+  def free(key: String): Unit = {
+    frames.remove(key)
     Option(held.remove(key)).foreach { entry =>
       val (borrowed, freeable) = entry.rdds.partition(r => embeddedElsewhere(r.id))
       borrowed.foreach(adopt)
       release(Blocks(freeable, Set.empty), keep = Set.empty)
     }
+  }
 
   /** Drop every registered frame — the query-family / session boundary. */
   def freeAll(): Unit = {
