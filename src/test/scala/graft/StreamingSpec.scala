@@ -414,6 +414,23 @@ class StreamingSpec extends SparkSuite {
     assert(keyed == batch)
   }
 
+  test("tws TTL census (aux-run branch) equals batch latest-status + per-key counts") {
+    // r19 optimization: streamTwsTtl rides the shared aux union run on
+    // DET time cuts (was: its own run on sampled cuts). The fold is
+    // commutative count+latest, so the keep-latest collapse must equal
+    // the batch census whatever the cuts — asserted against the batch
+    // latest-status + counts, the same contract the keyed-state case pins.
+    val ttl = Streaming.streamTwsTtl(spark, sfDir)
+      .select($"user_id", $"n_events", $"last_ts", $"event_type")
+      .collect().map(_.toSeq).toSet
+    val batch = Streaming.streamLatestStatus(spark, sfDir)
+      .join(graft.Tables.events(spark, sfDir).groupBy($"user_id".as("u"))
+        .agg(count(lit(1)).as("n_events")), $"user_id" === $"u")
+      .select($"user_id", $"n_events", $"last_ts", $"event_type")
+      .collect().map(_.toSeq).toSet
+    assert(ttl == batch)
+  }
+
   test("session windows merge events within the gap") {
     val sessions = Streaming.streamSession(spark, sfDir)
     // every session must contain >= 1 event and last_ts >= first_ts
