@@ -1255,7 +1255,7 @@ object Streaming {
     // count+latest (the docstring's own argument), so the keep-latest
     // collapse below is cut-invariant — same final census, oracle
     // unchanged.
-    val run = auxQuadRun(spark, sfDir)
+    val run = auxUnionRun(spark, sfDir)
     spark.read.schema(run.schema).parquet(run.out)
       .filter($"kind" === "fmgws")
       // keep-latest collapse of the per-batch snapshots: n_events strictly
@@ -1330,7 +1330,7 @@ object Streaming {
     // batching — so the sampled → det staging move changes no rows. The
     // branch emits one row per joined event (value already dec6-cast);
     // the segment rollup stays batch-side on the read-back, as before.
-    val run = auxQuadRun(spark, sfDir)
+    val run = auxUnionRun(spark, sfDir)
     spark.read.schema(run.schema).parquet(run.out)
       .filter($"kind" === "static")
       .groupBy($"segment")
@@ -1938,15 +1938,15 @@ object Streaming {
     status.unionByName(tc).unionByName(rec)
   }
 
-  /** FOUR more standalone streaming runs folded into ONE shared union
-    * run (r19 optimization round — the det-trio pattern applied to the
+  /** FIVE standalone streaming runs folded into ONE shared union run
+    * (r19 optimization round — the det-trio pattern applied to the
     * remaining run-per-query singles): the greedy quota fold, the TTL'd
-    * status store, the flatMapGroupsWithState status twin and the
-    * stream-static enrichment join consume the same deterministic
-    * time-cut staged source as one append-mode union query. This is a
-    * SEPARATE run from [[detStatusRun]] on purpose: `scan_state_meta`'s
-    * oracle pins that run's catalog literally (three operators), and no
-    * state reader targets these four — their checkpoint needs no catalog
+    * status store, the flatMapGroupsWithState status twin, the
+    * batch-bootstrapped init store and the stream-static enrichment
+    * join run as one append-mode union query. This is a SEPARATE run
+    * from [[detStatusRun]] on purpose: `scan_state_meta`'s oracle pins
+    * that run's catalog literally (three operators), and no state
+    * reader targets these five — their checkpoint needs no catalog
     * surface, so the det run's declared shape stays untouched. Every
     * consumer's result is unchanged:
     *  - quota keeps its det cuts verbatim (the order-sensitive fold's own
@@ -1956,11 +1956,16 @@ object Streaming {
     *    so their keep-latest collapse (n strictly grows per key per
     *    emission ⇒ max(struct) = final census) is CUT-INVARIANT — the
     *    same argument that moved typeCount/recent onto det cuts in r19;
+    *  - the init branch keeps its OWN source verbatim (the post-midpoint
+    *    slice staged into 3 files of its own): file sources advance
+    *    independently — each trigger takes the next file from EACH
+    *    source — so its per-batch emissions are identical to the retired
+    *    standalone run's;
     *  - the stream-static equi-join is STATELESS: the union of per-batch
     *    join outputs equals the batch join under any batching, and the
     *    dimension is still genuinely re-broadcast per micro-batch.
-    * Operator ids follow branch order (quota=0, TTL=1, FMGWS=2; the
-    * stateless join takes no id) — nothing reads them, and
+    * Operator ids follow branch order (quota=0, TTL=1, FMGWS=2, init=3;
+    * the stateless join takes no id) — nothing reads them, and
     * StreamingSpec's union-ids case pins the assignment rule itself.
     * ProcessingTime time mode (the TTL branch) makes
     * TransformWithStateExec.shouldRunAnotherBatch return true
@@ -1969,7 +1974,7 @@ object Streaming {
     * batches only advance clocks for eager TTL eviction; expiry is ALSO
     * checked lazily on every access, and the 1-hour TTL never binds
     * within the run's seconds of wall clock). */
-  private def auxQuadStream(child: SparkSession, sfDir: String): DataFrame = {
+  private def auxUnionStream(child: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
     import child.implicits._
     def keyedDet = stagedEventsStreamDet(child, sfDir, 3)
@@ -2024,6 +2029,49 @@ object Streaming {
       }.toDF()
       .select(Seq(lit("fmgws").as("kind"), col("user_id"), col("event_type")) ++
         padQuota ++ Seq(col("n_events"), col("lastUs")) ++ padStatic: _*)
+    // batch-bootstrapped status store (stream_tws_init): its own staged
+    // post-midpoint slice, the bootstrap computed batch-side here
+    val bounds = Tables.events(child, sfDir)
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val initState = Tables.events(child, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .filter(col("us") <= mid)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        max(struct(col("us"), col("event_id"), col("event_type"))).as("last"))
+      .select(col("user_id"), col("n"), col("last.us").as("lastUs"),
+        col("last.event_id").as("lastId"), col("last.event_type").as("lastType"))
+      .as[(Long, Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapValues(r => JobState(r._2, r._3, r._4, r._5))
+    // the LIVE slice staged into 3 time-contiguous files of its own
+    // (r16, judge item 1: staging the FULL table would land the whole
+    // post-midpoint increment in the last file — the backfilled thirds
+    // would stream as filtered-empty batches, multi-batch in name only)
+    val evSchema = child.read.parquet(s"$sfDir/events.parquet").schema
+    val initStaged = stageFrame(child, s"$sfDir#init#$mid#3",
+      child.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", Tables.normalizedTs(evSchema("ts").dataType))
+        .filter(unix_micros(col("ts")) > mid), 3)
+    val init = child.readStream
+      .schema(child.read.parquet(initStaged).schema)
+      .option("pathGlobFilter", "part-*")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(initStaged)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .as[KeyedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new InitStatusProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append(), initState,
+        org.apache.spark.sql.Encoders.product[JobUpdate],
+        org.apache.spark.sql.Encoders.product[JobState])
+      .toDF()
+      .select(Seq(lit("init").as("kind"), col("user_id"), col("event_type")) ++
+        padQuota ++ Seq(col("n_events"), col("lastUs")) ++ padStatic: _*)
     val static = Tables.customer(child, sfDir)
       .select(col("c_custkey"), col("c_mktsegment"))
     val joined = stagedEventsStreamDet(child, sfDir, 3)
@@ -2033,20 +2081,22 @@ object Streaming {
         lit(null).cast("string").as("event_type")) ++
         padQuota ++ padStatus ++
         Seq(col("c_mktsegment").as("segment"), dec6(col("value")).as("value")): _*)
-    quota.unionByName(ttl).unionByName(fmgws).unionByName(joined)
+    quota.unionByName(ttl).unionByName(fmgws).unionByName(init)
+      .unionByName(joined)
   }
 
-  /** The shared aux run ([[auxQuadStream]]): sink-only — no state reads,
+  /** The shared aux run ([[auxUnionStream]]): sink-only — no state reads,
     * no catalog surface — registered under the pair-run registry so
     * `stream_quota_reset` / `stream_tws_ttl` / `stream_keyed_state` /
-    * `stream_join_static` pay ONE streaming-job floor between them. */
-  private def auxQuadRun(spark: SparkSession, sfDir: String): StreamRun =
-    runPairedOnceReads(spark, "auxquad", sfDir, Seq.empty,
+    * `stream_tws_init` / `stream_join_static` pay ONE streaming-job
+    * floor between them. */
+  private def auxUnionRun(spark: SparkSession, sfDir: String): StreamRun =
+    runPairedOnceReads(spark, "auxunion", sfDir, Seq.empty,
       minDataBatches = 3,
       extraConf = Map(
         "spark.sql.shuffle.partitions" -> "4",
         "spark.sql.streaming.noDataMicroBatches.enabled" -> "false"))(
-      child => auxQuadStream(child, sfDir))
+      child => auxUnionStream(child, sfDir))
 
   /** The statestore reader over LIST state (r13) — with [[scanStateStore]]
     * (ValueState) and [[scanStateMap]] (MapState) this pins the reader
@@ -2500,7 +2550,7 @@ object Streaming {
     // branch: the fold is commutative count+latest, so the keep-latest
     // collapse below is cut-invariant — same final census, oracle
     // unchanged.
-    val run = auxQuadRun(spark, sfDir)
+    val run = auxUnionRun(spark, sfDir)
     spark.read.schema(run.schema).parquet(run.out)
       .filter($"kind" === "ttl")
       // keep-latest collapse (the streamTwsState recipe): n_events
@@ -2530,51 +2580,13 @@ object Streaming {
     * the per-batch snapshots recovers the final census. */
   def streamTwsInit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.OutputMode
-    val bounds = Tables.events(spark, sfDir)
-      .agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
-    val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
-    runToParquet(spark, Map(
-      "spark.sql.streaming.stateStore.providerClass" ->
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
-      minDataBatches = 3) { session =>
-      import session.implicits._
-      val initState = Tables.events(session, sfDir)
-        .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"event_type")
-        .filter($"us" <= mid)
-        .groupBy($"user_id")
-        .agg(count(lit(1)).as("n"),
-          max(struct($"us", $"event_id", $"event_type")).as("last"))
-        .select($"user_id", $"n", $"last.us".as("lastUs"),
-          $"last.event_id".as("lastId"), $"last.event_type".as("lastType"))
-        .as[(Long, Long, Long, Long, String)]
-        .groupByKey(_._1)
-        .mapValues(r => JobState(r._2, r._3, r._4, r._5))
-      // the LIVE slice staged into 3 time-contiguous files of its own
-      // (r16, judge item 1: staging the FULL table would land the whole
-      // post-midpoint increment in the last file — the backfilled thirds
-      // would stream as filtered-empty batches, multi-batch in name only)
-      val schema = session.read.parquet(s"$sfDir/events.parquet").schema
-      val staged = stageFrame(session, s"$sfDir#init#$mid#3",
-        session.read.parquet(s"$sfDir/events.parquet")
-          .withColumn("ts", Tables.normalizedTs(schema("ts").dataType))
-          .filter(unix_micros(col("ts")) > mid), 3)
-      session.readStream
-        .schema(session.read.parquet(staged).schema)
-        .option("pathGlobFilter", "part-*")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staged)
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("us"), col("event_type"))
-        .as[KeyedEvent]
-        .groupByKey(_.user_id)
-        .transformWithState(new InitStatusProcessor,
-          org.apache.spark.sql.streaming.TimeMode.None(),
-          OutputMode.Append(), initState,
-          org.apache.spark.sql.Encoders.product[JobUpdate],
-          org.apache.spark.sql.Encoders.product[JobState])
-        .toDF()
-    }
+    // init branch of the shared aux run (r19 optimization): the branch
+    // keeps its OWN post-midpoint staged source and batch bootstrap
+    // verbatim — file sources in a union advance independently, so its
+    // per-batch emissions are identical to the retired standalone run
+    val run = auxUnionRun(spark, sfDir)
+    spark.read.schema(run.schema).parquet(run.out)
+      .filter($"kind" === "init")
       // keep-latest collapse (the streamTwsState recipe): n_events
       // strictly grows per key per emission, so max(struct) is the final
       // bootstrap+increment snapshot — oracle unchanged
@@ -2696,7 +2708,7 @@ object Streaming {
     // (this order-sensitive fold's own contract), same processor, same
     // per-batch emissions — now rows tagged kind='quota' in the shared
     // union sink
-    val run = auxQuadRun(spark, sfDir)
+    val run = auxUnionRun(spark, sfDir)
     spark.read.schema(run.schema).parquet(run.out)
       .filter($"kind" === "quota")
       .groupBy($"user_id")

@@ -431,6 +431,29 @@ class StreamingSpec extends SparkSuite {
     assert(ttl == batch)
   }
 
+  test("tws init census (aux-run branch) equals the batch census of stream-touched users") {
+    // r19 optimization: streamTwsInit rides the shared aux union run
+    // (its own post-midpoint staged source, unchanged — file sources in
+    // a union advance independently). Contract: bootstrap + increment =
+    // the FULL-corpus census restricted to users with ≥1 post-midpoint
+    // event (bootstrap-only keys hold state but emit nothing in Append).
+    val init = Streaming.streamTwsInit(spark, sfDir)
+      .select($"user_id", $"n_events", $"last_ts", $"event_type")
+      .collect().map(_.toSeq).toSet
+    val ev = graft.Tables.events(spark, sfDir)
+    val bounds = ev.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
+    val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val touched = ev.filter(unix_micros($"ts") > mid)
+      .select($"user_id".as("t")).distinct()
+    val batch = Streaming.streamLatestStatus(spark, sfDir)
+      .join(ev.groupBy($"user_id".as("u")).agg(count(lit(1)).as("n_events")),
+        $"user_id" === $"u")
+      .join(touched, $"user_id" === $"t")
+      .select($"user_id", $"n_events", $"last_ts", $"event_type")
+      .collect().map(_.toSeq).toSet
+    assert(init == batch)
+  }
+
   test("session windows merge events within the gap") {
     val sessions = Streaming.streamSession(spark, sfDir)
     // every session must contain >= 1 event and last_ts >= first_ts
