@@ -525,15 +525,17 @@ object Streaming {
     col("value.count").as("n"),
     dec6(col("value.sum")).as("sum_value"))
 
-  /** The ONE merged run SIX consumers read — `stream_tumbling` (sink,
+  /** The ONE merged run EIGHT consumers read — `stream_tumbling` (sink,
     * kind='tumbling'), `scan_state_window` (direct store read),
     * `scan_state_snapshot` (snapshot+changelog reconstruction),
     * `stream_session` (sink, kind='native'), `scan_state_session`
-    * (session store) and `scan_state_timers` (TWS registered timers) —
-    * one checkpoint, one multi-batch proof (r18 judge item 4 merged the
-    * tumbling trio; r19 item 5 folded the sessionization union in as two
-    * more stateful operators, retiring that run's own ~5.5 s board
-    * floor). The run follows the snapshot
+    * (session store), `scan_state_timers` (TWS registered timers),
+    * `stream_sliding` (sink, kind='sliding') and `scan_state_sliding`
+    * (sliding store) — one checkpoint, one multi-batch proof (r18 judge
+    * item 4 merged the tumbling trio; r19 item 5 folded the
+    * sessionization union in as two more stateful operators, retiring
+    * that run's own ~5.5 s board floor; the r19 optimization round
+    * folded the sliding pair in as operator 3, retiring its run too). The run follows the snapshot
     * protocol — the SAME watermarked tumbling agg over THREE
     * time-contiguous files as TWO sequential AvailableNow legs (2 + 1
     * data batches, ≥3 total) on one checkpoint, forced RocksDB
@@ -655,7 +657,23 @@ object Streaming {
             date_format(timestamp_micros(col("startUs")), tsFmt).as("first_ts"),
             date_format(timestamp_micros(col("endUs")), tsFmt).as("last_ts"),
             col("n_events"))
-        tum.unionByName(nat).unionByName(tws)
+        // sliding branch (r19 optimization round: the sliding pair run
+        // folded in as operator 3 — same watermark, same column set as
+        // the tumbling branch, so the union schema is unchanged; the
+        // emitted/buffered contracts are batch-count-invariant under
+        // time-contiguous staging by the same quantified argument)
+        val sld = srcDf
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            dec6(sum(dec6(col("value")))).as("sum_value"))
+          .select(lit("sliding").as("kind"), col("window"), col("event_type"),
+            col("n"), col("sum_value"),
+            lit(null).cast("long").as("user_id"),
+            lit(null).cast("string").as("first_ts"),
+            lit(null).cast("string").as("last_ts"),
+            lit(null).cast("long").as("n_events"))
+        tum.unionByName(nat).unionByName(tws).unionByName(sld)
       }
       val sinkSchema = unionDf.schema
       def runLeg(minBatches: Int): Unit = {
@@ -749,9 +767,14 @@ object Streaming {
             "readRegisteredTimers" -> "true"), Seq(
             col("key.value").as("user_id"),
             col("expiration_timestamp_ms").as("timer_ms")))
-          .write.parquet(s"$pdir/state_out3"))
+          .write.parquet(s"$pdir/state_out3"),
+        // read 4: the sliding branch's open window INSTANCES
+        // (scan_state_sliding)
+        () => readState(Map("operatorId" -> SlidingOperatorId),
+            windowStateCols)
+          .write.parquet(s"$pdir/state_out4"))
       runConcurrently(readJobs)
-      mark("state-reads-x4")
+      mark("state-reads-x5")
       org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
       deleteRec(new java.io.File(s"$pdir/chk"))
       // proof frames read on the CHILD session (4 shuffle partitions —
@@ -767,7 +790,8 @@ object Streaming {
       mark("equality-proof")
       val run = StreamRun(s"$pdir/out",
         Seq(s"$pdir/state_out0", s"$pdir/state_out1",
-          s"$pdir/state_out2", s"$pdir/state_out3"), sinkSchema)
+          s"$pdir/state_out2", s"$pdir/state_out3",
+          s"$pdir/state_out4"), sinkSchema)
       pairOuts.add(run.out): Unit
       run.states.foreach(s => pairOuts.add(s): Unit)
       pairRuns.put(key, run)
@@ -784,36 +808,16 @@ object Streaming {
     * min`, batch-count-invariant under time-contiguous staging. */
   def streamSliding(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // emitted side of the shared sliding pair run (r16, judge item 2):
-    // sink and state come off ONE checkpoint (see runPairedOnce)
-    val run = slidingRun(spark, sfDir)
+    // sliding branch of the merged tumbling run (r19 optimization round:
+    // the sliding pair's own run folded in — sink and state still come
+    // off ONE checkpoint, now shared with the tumbling/session family)
+    val run = tumblingRun(spark, sfDir)
     spark.read.schema(run.schema).parquet(run.out)
+      .filter($"kind" === "sliding")
       .select(date_format($"window.start", tsFmt).as("win_start"),
         $"event_type", $"n", $"sum_value")
       .orderBy($"win_start", $"event_type")
   }
-
-  /** The staged ≥3-micro-batch sliding aggregation shared by
-    * [[streamSliding]] (emitted side) and [[scanStateSliding]] (buffered
-    * side). */
-  private def stagedSlidingAgg(session: SparkSession,
-                               sfDir: String): DataFrame =
-    stagedEventsStream(session, sfDir, 3)
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        dec6(sum(dec6(col("value")))).as("sum_value"))
-
-  /** The ONE sliding run `stream_sliding` (sink) and `scan_state_sliding`
-    * (store) both read — one checkpoint, one multi-batch proof, one
-    * emitted ⊕ buffered partition of the per-event window MULTIPLICITY
-    * (each event lives in 2 overlapping window instances, which seal in
-    * DIFFERENT batches — the one windowed shape whose completeness proof
-    * differs structurally from tumbling's). */
-  private def slidingRun(spark: SparkSession, sfDir: String): StreamRun =
-    runPairedOnce(spark, "sliding", sfDir,
-      Seq((Map.empty[String, String], windowStateCols)),
-      minDataBatches = 3)(s => stagedSlidingAgg(s, sfDir))
 
   /** The statestore reader over SLIDING-WINDOW aggregation state (r16,
     * judge item 2): the agg store of [[streamSliding]]'s own run, read
@@ -832,8 +836,9 @@ object Streaming {
     * cost of sliding vs tumbling at 100 TB. */
   def scanStateSliding(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val run = slidingRun(spark, sfDir)
-    spark.read.parquet(run.state).orderBy($"win_start", $"event_type")
+    // sliding-store read of the merged tumbling run (r19 optimization)
+    val run = tumblingRun(spark, sfDir)
+    spark.read.parquet(run.states(4)).orderBy($"win_start", $"event_type")
   }
 
   /** UPDATE-mode tumbling dashboard (r14 — the one output mode the board
@@ -930,6 +935,7 @@ object Streaming {
   private val TumWindowOperatorId = "0"
   private val SessAggOperatorId = "1"
   private val SessTwsOperatorId = "2"
+  private val SlidingOperatorId = "3"
 
   /** Latest event per user — the reference's polled job-status table
     * (latest Status per jobId) in batch form. */
