@@ -310,6 +310,18 @@ object Bench {
       if (rs.nonEmpty) java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"bench_detail_r${rs.max + 1}.json"), detailJson)
     } catch { case _: Throwable => () }
+    // Full driver-contract line (r20, r19 verdict item 2): the contract
+    // names a per-query `queries` map inside the summary JSON, but the
+    // harness keeps only the LAST ~2000 chars of stdout and the 335-entry
+    // map is ~8.7 KB — inlining it into the LAST line pushed its own head
+    // out of the window for seven rounds (BENCH_r01–r08 parsed: null).
+    // So: the full line (same scalars + the map) is printed HERE, for any
+    // consumer that reads complete stdout, and the compact line stays
+    // LAST — the tail-window parse that has worked since r10 is
+    // untouched (a tail-window scan cannot mistake the truncated full
+    // line for a summary: its `{"metric"` head is exactly what the
+    // window cuts off).
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"queries":$detail,"errors":$errs,"detail":"bench_detail.json","sf":"$sfDir"}""")
     println(summaryLine)
   }
 }

@@ -851,32 +851,68 @@ object Curation {
     * aggregate once per action with no cache-entry lifecycle. */
   def anomalyMad(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // positions are 1-based; p1 = (n+1) div 2, p2 = n div 2 + 1 — the
-    // same two middle positions the row-level recipe selects
-    def weightedMedian(hist: DataFrame, valueCol: String, out: String): DataFrame = {
-      val w = Window.partitionBy($"event_type").orderBy(col(valueCol))
-      hist.withColumn("hi", sum($"c").over(w))
-        .withColumn("n", sum($"c").over(Window.partitionBy($"event_type")))
-        .withColumn("lo", $"hi" - $"c" + 1)
-        .filter(expr("((n + 1) div 2 BETWEEN lo AND hi) OR (n div 2 + 1 BETWEEN lo AND hi)"))
-        .groupBy($"event_type").agg(avg(col(valueCol)).as(out))
+    // SINGLE-PASS shape (r20, r19 verdict item 6): ONE distributed
+    // aggregation — the map-side-combinable (type, value) histogram, the
+    // only corpus-bound stage — then every derived stage (both weighted
+    // medians, the deviation re-histogram, the outlier count) is exact
+    // driver arithmetic over the ≤ |distinct (type, value)| frame (49k
+    // rows / ~1.5 MB at sf0.1). The r11 shape ran the same logic as four
+    // plan consumers (two window passes, a dev re-shuffle, two broadcast
+    // subtrees + final agg) off a ReuseExchange'd histogram — correct,
+    // but ~4 extra stages and two window sorts for 5 output rows.
+    // Driver-side is the right side for this frame: the old plan already
+    // ranked each type's ENTIRE value domain in one window partition
+    // (5 single-partition WindowExecs), so per-slot memory was O(domain)
+    // either way — the domain (a sensor/price/score space), not the
+    // corpus, bounds both shapes, and the docstring's standing escape
+    // hatch (swap in approx_percentile(0.5) when even the domain is
+    // unbounded and exactness isn't contractual) is unchanged.
+    //
+    // Exactness: every driver step replicates the retired plan's
+    // EXPRESSIONS over the same inputs — cumulative-position middle
+    // selection ((n+1) div 2, n div 2 + 1 over the value-ascending
+    // histogram), avg of the ≤2 selected doubles as sum/size, dev =
+    // abs(value − med) in IEEE double, outlier cut dev > mad * 4.4478 —
+    // so med/mad/n/n_outliers are bit-identical and the final decimal
+    // casts below run in Spark exactly as before (CurationSpec pins the
+    // equality against the retired window-shaped plan on two SFs).
+    def wmed(hist: Seq[(Double, Long)]): Double = {
+      val sorted = hist.sortBy(_._1)
+      val n = sorted.iterator.map(_._2).sum
+      val p1 = (n + 1) / 2
+      val p2 = n / 2 + 1
+      var hi = 0L
+      val sel = Seq.newBuilder[Double]
+      sorted.foreach { case (v, c) =>
+        hi += c
+        val lo = hi - c + 1
+        if ((p1 >= lo && p1 <= hi) || (p2 >= lo && p2 <= hi)) sel += v
+      }
+      val s = sel.result()
+      s.sum / s.size
     }
-    // the one corpus-bound stage; its four consumers build IDENTICAL
-    // subtrees, so ReuseExchange materializes the aggregate once per
-    // action — no cache entry to manage
-    val cnts = Tables.events(spark, sfDir)
+    val hist = Tables.events(spark, sfDir)
       .groupBy($"event_type", $"value").agg(count(lit(1)).as("c"))
-    val med = weightedMedian(cnts, "value", "med")
-    val devCnts = cnts.join(broadcast(med), "event_type")
-      .select($"event_type", $"med", abs($"value" - $"med").as("dev"), $"c")
-      .groupBy($"event_type", $"med", $"dev").agg(sum($"c").as("c"))
-    val mad = weightedMedian(devCnts, "dev", "mad")
-    devCnts.join(broadcast(mad), "event_type")
-      .groupBy($"event_type")
-      .agg(sum($"c").as("n"),
-        min($"med").cast("decimal(18,6)").as("med"),
-        min($"mad").cast("decimal(18,6)").as("mad"),
-        sum(when($"dev" > $"mad" * 4.4478, $"c").otherwise(0L)).as("n_outliers"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1)
+    val out = hist.map { case (tpe, rows) =>
+      val vals = rows.map(r => (r._2, r._3)).toSeq
+      val med = wmed(vals)
+      val devs = vals.groupBy { case (v, _) => math.abs(v - med) }
+        .map { case (d, cs) => (d, cs.iterator.map(_._2).sum) }.toSeq
+      val mad = wmed(devs)
+      val n = vals.iterator.map(_._2).sum
+      val nOut = devs.iterator.collect {
+        case (d, c) if d > mad * 4.4478 => c
+      }.sum
+      (tpe, n, med, mad, nOut)
+    }.toSeq
+    out.toDF("event_type", "n", "med", "mad", "n_outliers")
+      .select($"event_type", $"n",
+        $"med".cast("decimal(18,6)").as("med"),
+        $"mad".cast("decimal(18,6)").as("mad"),
+        $"n_outliers")
       .orderBy($"event_type")
   }
 }

