@@ -1426,6 +1426,79 @@ class StreamingSpec extends SparkSuite {
       "right outer != full-outer restricted to purchase_id IS NOT NULL")
   }
 
+  test("join-state buffers are join-type-invariant (inner vs left-outer survivor sets)") {
+    // r20 (r19 advice item 2): scan_state_join and scan_state_join_left
+    // read the SAME full-outer checkpoint on the claim that the buffered
+    // survivor set is join-type-invariant — eviction follows the
+    // match-window bound on both sides regardless of join type, and
+    // outer-ness only adds null-extension EMISSIONS at eviction time.
+    // The r19 quad collapse retired the spec case that pinned the inner
+    // and left-outer operators' buffers row-for-row equal; this re-pins
+    // the state-level invariance against INDEPENDENTLY-RUN joins over
+    // one fixture, read back through the statestore source.
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "2")
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).toSeq.flatten.foreach(rm); f.delete(): Unit
+    }
+    def buffers(joinType: String): Seq[String] = {
+      val clicksIn = MemoryStream[(Long, Long, Timestamp)]
+      val purchIn = MemoryStream[(Long, Long, Timestamp)]
+      val joined = clicksIn.toDF().toDF("c_user", "click_id", "click_ts")
+        .withWatermark("click_ts", "1 hour")
+        .join(purchIn.toDF().toDF("p_user", "purchase_id", "purchase_ts")
+          .withWatermark("purchase_ts", "1 hour"),
+          col("c_user") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"),
+          joinType)
+      val dir = java.nio.file.Files.createTempDirectory("graft-jbuf").toString
+      val q = joined.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/chk").start()
+      try {
+        // u1 converts, u2's click never converts, u3's purchase has no
+        // click; a later batch advances the watermark so u1–u3 expire
+        // while u4's click and u5's purchase stay in-window — the final
+        // buffers hold genuine SURVIVORS, not the whole input
+        clicksIn.addData((1L, 11L, t("2024-01-01 10:00:00")),
+          (2L, 21L, t("2024-01-01 10:05:00")))
+        purchIn.addData((1L, 12L, t("2024-01-01 10:30:00")),
+          (3L, 31L, t("2024-01-01 10:15:00")))
+        q.processAllAvailable()
+        clicksIn.addData((4L, 41L, t("2024-01-01 13:00:00")))
+        purchIn.addData((5L, 51L, t("2024-01-01 13:00:00")))
+        q.processAllAvailable()
+        clicksIn.addData((4L, 42L, t("2024-01-01 13:10:00")))
+        purchIn.addData((5L, 52L, t("2024-01-01 13:10:00")))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        org.apache.spark.sql.graft.StreamHygiene.unloadStateStores()
+      }
+      def side(s: String, cols: Seq[org.apache.spark.sql.Column]) =
+        session.read.format("statestore").option("path", s"$dir/chk")
+          .option("joinSide", s).load().select(cols: _*)
+          .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+      val rows =
+        (side("left", Seq(lit("L"), col("value.c_user"), col("value.click_id"),
+          col("value.click_ts"))) ++
+          side("right", Seq(lit("R"), col("value.p_user"),
+            col("value.purchase_id"), col("value.purchase_ts")))).sorted
+      rm(new java.io.File(dir))
+      rows
+    }
+    val inner = buffers("inner")
+    val louter = buffers("leftOuter")
+    assert(inner.exists(_.startsWith("L")) && inner.exists(_.startsWith("R")),
+      "fixture must leave survivors in BOTH buffers, or the claim is vacuous")
+    assert(inner == louter,
+      "inner and left-outer join buffers must hold the identical survivor set")
+  }
+
   test("two-branch TWS union assigns operator ids in branch order (the shared-run constants)") {
     // the invariant the r18 shared runs' pinned operator-id constants
     // rest on (Streaming.TcOperatorId/RecOperatorId = "0"/"1",
